@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All real logic lives in the engine package; this module only adapts
+the catalog (``plans.catalog.QUERIES``) to the driver's interface.
 """
 
 from __future__ import annotations
@@ -13,26 +15,49 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import (
+    QUERIES,
+)
+
+
+def _prepare(spark: SparkSession) -> None:
+    """Confs the engine needs that the driver's session may not carry.
+
+    nanosAsLong lets Spark read the testdata's TIMESTAMP(NANOS) parquet
+    columns (converted back to timestamps in sources.tables).
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: per-user event stats +
+    broadcast customer-dimension join (the reference's gold
+    workout_bpm_summary shape)."""
+    _prepare(spark)
+    return QUERIES["session_stats_dim"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def bind(name: str) -> Callable[[SparkSession, str], DataFrame]:
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prepare(spark)
+            return QUERIES[name].spark(spark, sf_dir)
+
+        run.__name__ = f"q_{name}"
+        run.__doc__ = QUERIES[name].doc
+        return run
+
+    return {name: bind(name) for name in QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
+    return {
+        name: q.oracle for name, q in QUERIES.items() if q.oracle is not None
+    }

@@ -1,0 +1,112 @@
+"""Column-expression factories — the engine's "scalar function" layer.
+
+The reference defines zero UDFs; its one reusable scalar abstraction is
+``age_bins``, a function returning a ``when``-chain Column
+(``Silver/05-silver.py:291-304``). That is the idiomatic Spark pattern
+— build Columns, stay inside whole-stage codegen — and this module
+generalizes it. Nothing here leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def epoch_seconds_to_ts(col: Column | str) -> Column:
+    """Epoch-seconds (double/long) → timestamp
+    (reference ``Silver/05-silver.py:77,125``)."""
+    return F.col(col).cast("timestamp") if isinstance(col, str) else col.cast("timestamp")
+
+
+def epoch_millis_to_ts(col: Column | str) -> Column:
+    """Epoch-millis bigint → timestamp (reference ``Bronze/04-bronze.py:88``:
+    ``(timestamp/1000).cast("timestamp")``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c / 1000).cast("timestamp")
+
+
+def minutes_between(end: Column | str, start: Column | str, scale: int = 2) -> Column:
+    """``round((end::long - start::long)/60, 2)`` — the gym_summary
+    minutes math (reference ``Setup/02-setup.py:247-248``)."""
+    e = F.col(end) if isinstance(end, str) else end
+    s = F.col(start) if isinstance(start, str) else start
+    return F.round((e.cast("long") - s.cast("long")) / 60, scale)
+
+
+def validity_flag(col: Column | str, lower_bound: float = 0.0) -> Column:
+    """``when(x <= 0, False).otherwise(True)`` — the BPM validity flag
+    (reference ``Silver/05-silver.py:271``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c <= F.lit(lower_bound), F.lit(False)).otherwise(F.lit(True))
+
+
+def bucketize(
+    col: Column | str, edges: Sequence[float], labels: Sequence[str] | None = None
+) -> Column:
+    """Ordered-edge bucketing as a single ``when`` chain.
+
+    Generalizes the reference's 11-way age-bin chain
+    (``Silver/05-silver.py:291-304``). ``edges`` are the interior
+    boundaries (ascending); a value lands in bucket ``i`` when
+    ``value < edges[i]``, else the overflow bucket. Labels default to
+    ``"<e0"``, ``"e0-e1"``, …, ``">=eN"`` — same shape as the
+    reference's ``"18-25"`` style labels.
+
+    Stays a Column expression (codegen'd, null-safe: NULL → NULL) —
+    never a UDF. For purely numeric edges ``F.width_bucket`` is the
+    terser built-in; this keeps the labeled-string semantics.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if labels is None:
+        labels = (
+            [f"<{edges[0]:g}"]
+            + [f"{lo:g}-{hi:g}" for lo, hi in zip(edges[:-1], edges[1:])]
+            + [f">={edges[-1]:g}"]
+        )
+    if len(labels) != len(edges) + 1:
+        raise ValueError("need len(edges)+1 labels")
+    expr = F.when(c < F.lit(edges[0]), F.lit(labels[0]))
+    for hi, label in zip(edges[1:], labels[1:-1]):
+        expr = expr.when(c < F.lit(hi), F.lit(label))
+    return expr.when(c.isNotNull(), F.lit(labels[-1]))
+
+
+def age_bins(dob_col: Column | str) -> Column:
+    """Age buckets from date-of-birth — the reference's exact bucket set
+    (``Silver/05-silver.py:291-304``): <18, 18-25, 25-35, …, 80-90, 90+."""
+    dob = F.col(dob_col) if isinstance(dob_col, str) else dob_col
+    age = F.floor(F.months_between(F.current_date(), dob) / 12)
+    return bucketize(
+        age,
+        edges=[18, 25, 35, 45, 55, 65, 75, 80, 90],
+        labels=[
+            "under 18",
+            "18-25",
+            "25-35",
+            "35-45",
+            "45-55",
+            "55-65",
+            "65-75",
+            "75-80",
+            "80-90",
+            "90+",
+        ],
+    )
+
+
+def portable_hash64(col: Column | str, seed: int = 0) -> Column:
+    """Deterministic 63-bit hash computable identically in any ANSI-SQL
+    engine: ``conv(substr(md5(concat(seed, ':', x)), 1, 15), 16, 10)``.
+
+    Used by the MinHash / SimHash / LSH operators so their outputs are
+    oracle-checkable (DuckDB: ``CAST('0x' || substr(md5(...),1,15) AS
+    BIGINT)``). md5 is JVM-side (codegen'd) — no Python crossing.
+    15 hex chars = 60 bits, always positive, exact in a signed 64-bit
+    integer on both engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    salted = F.concat(F.lit(f"{seed}:"), c)
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")

@@ -1,0 +1,133 @@
+"""Join operators: broadcast-dim, interval, range, semi/anti, as-of.
+
+The joins are the semantic heart of the reference (SURVEY §2.3):
+- J1/J2/J5 dim enrichment → ``broadcast_dim_join``
+- J3/J4 stream-stream interval joins → ``interval_join`` (batch form
+  here; the streaming form with watermarks lives in
+  ``streaming.interval``) — equi keys + ``(low < t) & (t <= high)`` +
+  an upper bound that lets Spark bound state.
+- J6 gym_summary ``BETWEEN`` reporting join → ``range_join``
+- the insert-only MERGE dedup is semantically a left-anti join →
+  ``semi_join`` / ``anti_join``
+- as-of join (nearest-past match) — absent in the reference but the
+  canonical time-series companion of J3/J4; composed from a range join
+  + row_number, no UDF.
+
+Scale notes: dimension sides get an explicit ``F.broadcast`` hint (the
+reference does the same at ``Bronze/04-bronze.py:87``) so the plan
+never silently falls back to a sort-merge join when stats are missing.
+Interval/range joins are equi-joins on their key columns first — the
+range predicate rides along as a join-condition filter, so Spark
+shuffles only on the equi keys; without an equi key Spark would plan a
+broadcast-nested-loop, which does not survive 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def broadcast_dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Fact ⋈ broadcast(dim) — reference J1 (``Bronze/04-bronze.py:87-89``)."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """EXISTS — rows of ``left`` with a match in ``right``."""
+    return left.join(right, list(on), "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """NOT EXISTS — the dedup-against-target half of an insert-only MERGE
+    (reference A4/A7/A8/A10/A11)."""
+    return left.join(right, list(on), "left_anti")
+
+
+def interval_join(
+    start_side: DataFrame,
+    end_side: DataFrame,
+    equi_keys: Sequence[str],
+    start_time: str,
+    end_time: str,
+    max_interval: str = "interval 3 hours",
+    closed: str = "open",
+) -> DataFrame:
+    """Pair start events with end events in a bounded window — the batch
+    form of the reference's completed_workouts join (J3,
+    ``Silver/05-silver.py:395-396``):
+
+        equi(keys) AND end > start AND end < start + max_interval
+
+    ``closed`` picks the boundary semantics: "open" (reference J3:
+    ``end > start``), "right" (reference J4: ``start < t <= end``).
+    The ``max_interval`` cap is what lets the streaming form evict
+    state; keeping it in the batch form keeps plans identical.
+    """
+    s, e = start_side.alias("s"), end_side.alias("e")
+    lo = F.col(f"s.{start_time}")
+    hi = F.col(f"e.{end_time}")
+    cond = [F.col(f"s.{k}") == F.col(f"e.{k}") for k in equi_keys]
+    if closed == "open":
+        cond += [hi > lo, hi < lo + F.expr(max_interval)]
+    elif closed == "right":
+        cond += [hi > lo, hi <= lo + F.expr(max_interval)]
+    else:
+        raise ValueError(f"unknown closed={closed!r}")
+    joined = s.join(e, cond, "inner")
+    return joined
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi_keys: Sequence[str],
+    point: str,
+    low: str,
+    high: str,
+) -> DataFrame:
+    """``left.point BETWEEN right.low AND right.high`` with equi keys —
+    the gym_summary reporting join (J6, ``Setup/02-setup.py:250-254``).
+    Shuffles on the equi keys; the BETWEEN is evaluated as a join filter.
+    """
+    l, r = left.alias("l"), right.alias("r")
+    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in equi_keys]
+    cond.append(F.col(f"l.{point}").between(F.col(f"r.{low}"), F.col(f"r.{high}")))
+    return l.join(r, cond, "inner")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi_keys: Sequence[str],
+    left_time: str,
+    right_time: str,
+    tolerance: str = "interval 24 hours",
+    right_tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """As-of join: for each left row, the newest right row with
+    ``right_time <= left_time`` within ``tolerance``.
+
+    Composition: bounded range join (equi keys shuffle, tolerance caps
+    the fan-out) → row_number over (left identity, right_time desc) →
+    keep rank 1. No UDF, no driver loop; survives scale because the
+    candidate set per left row is bounded by the tolerance.
+    """
+    l, r = left.alias("l"), right.alias("r")
+    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in equi_keys]
+    rt, lt = F.col(f"r.{right_time}"), F.col(f"l.{left_time}")
+    cond += [rt <= lt, rt > lt - F.expr(tolerance)]
+    joined = l.join(r, cond, "inner")
+    order = [rt.desc()] + [F.col(f"r.{c}").desc() for c in right_tiebreakers]
+    w = Window.partitionBy(*[F.col(f"l.{c}") for c in left.columns]).orderBy(*order)
+    return joined.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")

@@ -1,0 +1,288 @@
+"""Merge/upsert library — the reference's write-path operators (A4-A12).
+
+Every reference MERGE is one of four shapes (SURVEY §2.8):
+- insert-only            (users, workouts, heart_rate, completed_workouts,
+                          workout_bpm: A4, A7, A8, A10, A11)
+- conditional update     (gym_logs late-logout corrections: A5)
+- SCD-1 upsert           (user_bins unconditional: A9; user_profile
+                          CDC-ranked + ``updated < updated`` guard: A6)
+- full upsert w/ columns (workout_bpm_summary: A12)
+
+Design: merge *semantics* are pure DataFrame→DataFrame functions
+(compute the post-merge state), so they are testable and
+oracle-checkable; *persistence* is a separate concern behind
+``TableStore``. On OSS Delta (not in this container) the same policies
+map 1:1 onto ``DeltaTable.merge`` — see ``delta_merge`` at the bottom,
+gated behind an import-try. The pure-DataFrame forms are how the
+engine expresses merges over plain parquet.
+
+Scale notes: each merge is (a) an optional per-key latest-record
+reduction of the source (small), then (b) ONE shuffle join between
+source and target on the merge key. Insert-only is a left-anti join +
+union (no target rewrite needed under Delta; full rewrite under plain
+parquet). The reference's rank-before-merge trick
+(``Silver/05-silver.py:28-32``) is ``dedup.latest_by_key`` applied to
+the source — it shrinks the CDC batch *before* the join.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import latest_by_key
+
+
+def _check_columns(target: DataFrame, source: DataFrame) -> None:
+    missing = set(target.columns) - set(source.columns)
+    if missing:
+        raise ValueError(f"source is missing target columns: {sorted(missing)}")
+
+
+def merge_insert_only(
+    target: DataFrame, source: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """WHEN NOT MATCHED THEN INSERT * — immutable-fact tables
+    (reference ``Silver/05-silver.py:50-55``). New keys are also
+    deduplicated within the batch (first occurrence by key order is
+    irrelevant for identical rows; for safety we keep an arbitrary
+    single row per key via dropDuplicates on the key)."""
+    _check_columns(target, source)
+    inserts = source.select(*target.columns).dropDuplicates(list(keys)).join(
+        target, list(keys), "left_anti"
+    )
+    return target.unionByName(inserts)
+
+
+def merge_scd1(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """SCD-1: newest record per key wins.
+
+    With ``order_col`` this is the reference's CDC merge (A6,
+    ``Silver/05-silver.py:159-167``: rank newest within batch, update
+    only when strictly newer). Without it, the unconditional
+    matched→UPDATE SET * merge (A9). Implemented as union + latest:
+    one window shuffle, no join at all — cheaper than the join form
+    when the target is rewritten anyway (plain parquet)."""
+    _check_columns(target, source)
+    src = source.select(*target.columns)
+    if order_col is None:
+        # source wins unconditionally on key match
+        tagged = target.withColumn("__pri", F.lit(0)).unionByName(
+            src.withColumn("__pri", F.lit(1))
+        )
+        return (
+            latest_by_key(tagged, keys, "__pri").drop("__pri")
+        )
+    # strictly-newer-wins: tie goes to the target (__pri 0 sorts after 1
+    # descending? we want target to win ties → give target higher pri)
+    tagged = target.withColumn("__pri", F.lit(1)).unionByName(
+        src.withColumn("__pri", F.lit(0))
+    )
+    return latest_by_key(tagged, keys, order_col, tiebreakers=["__pri"]).drop("__pri")
+
+
+def merge_conditional_update(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_condition: Callable[[DataFrame, DataFrame], Column],
+    update_cols: Sequence[str],
+    source_order: str | None = None,
+) -> DataFrame:
+    """WHEN MATCHED AND <cond> THEN UPDATE SET <cols>, WHEN NOT MATCHED
+    INSERT * — the gym_logs late-logout merge (A5,
+    ``Silver/05-silver.py:108-115``).
+
+    ``update_condition(a, b)`` receives the target and source
+    DataFrames (aliased "a"/"b") and returns the boolean Column.
+    One left join target←source on the key + one anti join for inserts.
+    """
+    _check_columns(target, source)
+    src = source.select(*target.columns)
+    if source_order is not None:
+        src = latest_by_key(src, keys, source_order)
+    a, b = target.alias("a"), src.alias("b")
+    cond = update_condition(a, b)
+    matched = [F.col(f"b.{k}").isNotNull() for k in keys]
+    is_matched = matched[0]
+    for m in matched[1:]:
+        is_matched = is_matched & m
+    joined = a.join(b, [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys], "left")
+    updated = joined.select(
+        *[
+            (
+                F.when(is_matched & cond, F.col(f"b.{c}"))
+                .otherwise(F.col(f"a.{c}"))
+                .alias(c)
+                if c in update_cols
+                else F.col(f"a.{c}").alias(c)
+            )
+            for c in target.columns
+        ]
+    )
+    inserts = src.join(target, list(keys), "left_anti")
+    return updated.unionByName(inserts)
+
+
+def merge_full_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Matched→UPDATE SET <measure cols>, not-matched→INSERT — the gold
+    summary merge (A12, ``Gold/06-gold.py:31-80``), needed because a
+    streaming agg in update mode re-emits growing sessions. With
+    ``update_cols=None`` all non-key columns update (== SCD-1)."""
+    if update_cols is None:
+        return merge_scd1(target, source, keys)
+    non_update = [c for c in target.columns if c not in update_cols]
+    a, b = target.alias("a"), source.select(*target.columns).alias("b")
+    joined = a.join(b, [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys], "left")
+    is_matched = F.col(f"b.{keys[0]}").isNotNull()
+    updated = joined.select(
+        *[F.col(f"a.{c}").alias(c) for c in non_update],
+        *[
+            F.when(is_matched, F.col(f"b.{c}")).otherwise(F.col(f"a.{c}")).alias(c)
+            for c in update_cols
+        ],
+    ).select(*target.columns)
+    inserts = source.select(*target.columns).join(target, list(keys), "left_anti")
+    return updated.unionByName(inserts)
+
+
+class TableStore:
+    """Parquet-backed managed tables with atomic replace — the engine's
+    stand-in for Delta managed tables when delta-spark is absent.
+
+    Writes go to a fresh versioned directory and a ``_CURRENT`` pointer
+    file flips atomically (os.replace), so readers never observe a
+    half-written table and historical versions remain for time-travel
+    style debugging (pruned beyond ``keep_versions``).
+    """
+
+    def __init__(self, spark: SparkSession, root: str, keep_versions: int = 2) -> None:
+        self.spark = spark
+        self.root = root
+        self.keep_versions = keep_versions
+        os.makedirs(root, exist_ok=True)
+
+    def _pointer(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}._CURRENT")
+
+    def current_path(self, name: str) -> str | None:
+        p = self._pointer(name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            rel = f.read().strip()
+        return os.path.join(self.root, rel)
+
+    def exists(self, name: str) -> bool:
+        return self.current_path(name) is not None
+
+    def read(self, name: str) -> DataFrame:
+        path = self.current_path(name)
+        if path is None:
+            raise FileNotFoundError(f"table {name} does not exist in {self.root}")
+        return self.spark.read.parquet(path)
+
+    def write(self, name: str, df: DataFrame, partition_by: Sequence[str] = ()) -> None:
+        version_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
+        full = os.path.join(self.root, version_dir)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(full)
+        tmp_ptr = self._pointer(name) + ".tmp"
+        with open(tmp_ptr, "w") as f:
+            f.write(version_dir)
+        os.replace(tmp_ptr, self._pointer(name))
+        self._prune(name, keep=version_dir)
+
+    def _prune(self, name: str, keep: str) -> None:
+        versions = sorted(
+            d
+            for d in os.listdir(self.root)
+            if d.startswith(f"{name}.v") and d != keep
+        )
+        for stale in versions[: max(0, len(versions) - (self.keep_versions - 1))]:
+            shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)
+
+    def merge(
+        self,
+        name: str,
+        source: DataFrame,
+        keys: Sequence[str],
+        policy: str = "insert_only",
+        **kwargs,
+    ) -> None:
+        """Apply a merge policy and persist. Policies: insert_only,
+        scd1, conditional_update, full_upsert (kwargs forwarded)."""
+        if not self.exists(name):
+            base = source
+            if policy == "scd1" and kwargs.get("order_col"):
+                base = latest_by_key(source, keys, kwargs["order_col"])
+            elif policy in ("insert_only",):
+                base = source.dropDuplicates(list(keys))
+            self.write(name, base)
+            return
+        target = self.read(name)
+        if policy == "insert_only":
+            merged = merge_insert_only(target, source, keys)
+        elif policy == "scd1":
+            merged = merge_scd1(target, source, keys, kwargs.get("order_col"))
+        elif policy == "conditional_update":
+            merged = merge_conditional_update(target, source, keys, **kwargs)
+        elif policy == "full_upsert":
+            merged = merge_full_upsert(target, source, keys, kwargs.get("update_cols"))
+        else:
+            raise ValueError(f"unknown policy {policy!r}")
+        # materialize before the pointer flip; the new version dir is
+        # written from the merged plan which still reads the old version
+        self.write(name, merged)
+
+
+def delta_merge_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def delta_merge(
+    spark: SparkSession,
+    table_name: str,
+    source: DataFrame,
+    condition: str,
+    matched_update: dict[str, str] | None = None,
+    matched_condition: str | None = None,
+    insert_all: bool = True,
+) -> None:
+    """Production path on OSS delta-spark (``DeltaTable.merge``) —
+    byte-for-byte the reference's MERGE shapes without full-table
+    rewrite. Not exercisable in this container (no delta jars); kept
+    behind the import gate."""
+    if not delta_merge_available():
+        raise NotImplementedError("delta-spark is not on the classpath")
+    from delta.tables import DeltaTable
+
+    t = DeltaTable.forName(spark, table_name).alias("a")
+    m = t.merge(source.alias("b"), condition)
+    if matched_update:
+        m = m.whenMatchedUpdate(condition=matched_condition, set=matched_update)
+    if insert_all:
+        m = m.whenNotMatchedInsertAll()
+    m.execute()

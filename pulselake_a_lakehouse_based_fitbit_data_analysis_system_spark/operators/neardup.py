@@ -1,0 +1,290 @@
+"""Near-duplicate detection: shingling, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine.
+
+All of it is built from JVM-side Column expressions (higher-order
+array functions + md5-based portable hashing) — no Python UDFs, no
+pyspark.ml dependency — so every stage is oracle-checkable and stays
+inside whole-stage codegen.
+
+Scale shape (the point of MinHash/LSH vs naive pairwise):
+- shingling/explode: map-side only.
+- signatures: ONE hash-aggregate shuffle on doc_id (k mins computed as
+  k aggregate expressions in the same pass).
+- LSH banding: explode to (band_id, band_key) → self-join on the band
+  key. Only documents sharing a band collide, so the join output is
+  ~candidates, not n². Skewed mega-buckets (boilerplate text) can be
+  capped by filtering bucket size before the self-join.
+- naive ``jaccard_pairs`` (exact, O(shared-shingle pairs)) is kept as
+  the small-data oracle and verification path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.expressions import portable_hash64
+from .text import tokens
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Array of n-word shingles (1-based ``slice`` windows over the
+    token array). Documents shorter than n words yield their full text
+    as a single shingle, so every document participates."""
+    toks = tokens(text)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, windows).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) pairs — the dedup universe."""
+    return (
+        df.select(id_col, F.explode(word_shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """k-permutation MinHash: sig_i(doc) = min over shingles of
+    H(i, shingle). One explode + one grouped aggregation computing all
+    k minima in the same shuffle. Columns: id, h0..h{k-1}."""
+    sh = exploded_shingles(df, id_col, text_col, shingle_size)
+    aggs = [
+        F.min(portable_hash64(F.col("shingle"), seed=i)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    signatures: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Banding: band_key = md5 of the band's signature slice.
+    Emits (id, band_id, band_key) — docs agreeing on all rows of any
+    band share a bucket."""
+    pieces = []
+    for b in range(bands):
+        cols = [
+            F.col(f"h{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        pieces.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_key"),
+            )
+        )
+    return signatures.select(
+        id_col, F.explode(F.array(*pieces)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (id_a < id_b, distinct).
+
+    ``max_bucket`` drops degenerate mega-buckets (e.g. boilerplate)
+    before the self-join — the skew guard that matters at 100 TB.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    bd = lsh_bands(sigs, id_col, bands, rows)
+    if max_bucket is not None:
+        sizes = bd.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("__n"))
+        bd = (
+            bd.join(sizes, ["band_id", "band_key"])
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
+    a = bd.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_key"
+    )
+    b = bd.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    inter(a,b) via self-join on shared shingles; |a|,|b| joined in from
+    per-doc shingle counts; J = inter / (|a| + |b| − inter). Exact but
+    O(pairs sharing a shingle) — the verification path for LSH, and
+    fine standalone below ~10^6 docs per shingle bucket.
+    """
+    sh = exploded_shingles(df, id_col, text_col, shingle_size)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, seed: int = 997
+) -> DataFrame:
+    """SimHash fingerprint over term-frequency-weighted tokens.
+
+    Tokens explode (with multiplicity = tf weighting); each token
+    hashes once; per bit position the ±1 votes sum in ONE grouped
+    aggregation; the fingerprint reassembles as Σ 2^b·[vote_b > 0].
+    Columns: id, simhash (bigint).
+    """
+    toks = df.select(
+        id_col, F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", portable_hash64(F.col("tok"), seed=seed))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Pairing uses the pigeonhole trick: split the fingerprint into
+    ``max_hamming + 1`` chunks — any pair within the Hamming radius
+    agrees exactly on at least one chunk — equi-join per chunk, then
+    verify with bit_count(xor). No n² stage.
+    """
+    fps = simhash(df, id_col, text_col, bits=bits)
+    chunks = max_hamming + 1
+    width = bits // chunks
+    pieces = []
+    for c in range(chunks):
+        chunk = F.shiftright(F.col("simhash"), c * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        pieces.append(
+            F.struct(F.lit(c).alias("chunk_id"), chunk.alias("chunk_val"))
+        )
+    keyed = fps.select(
+        id_col, "simhash", F.explode(F.array(*pieces)).alias("c")
+    ).select(id_col, "simhash", "c.chunk_id", "c.chunk_val")
+    a = keyed.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sim_a"),
+        "chunk_id",
+        "chunk_val",
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sim_b"),
+        "chunk_id",
+        "chunk_val",
+    )
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine over two array<numeric> columns — JVM higher-order
+    functions only (zip_with dot product + aggregate norms), computed
+    in double."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(db, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
+    All-pairs — the correctness baseline; the scale path buckets first
+    (``similarity.signed_random_projection_buckets``)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen'd — no Python in the
+hot path): tokenization, token/char statistics, quality scoring,
+stopword ratio, n-gram language ID, and md5 document fingerprinting.
+Formulas are deliberately ANSI-portable so each operator is
+oracle-checkable against DuckDB.
+
+The engine's tokenizer contract: tokens are single-space-separated
+(normalize first with ``normalized``). For BPE-ish subword counting a
+regex token pattern is provided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal marker-word lists for the language-ID heuristic. Real
+# pipelines plug in fastText/cld3; the heuristic keeps the operator
+# self-contained and deterministic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+STOPWORDS_EN = ("the", "a", "an", "and", "or", "of", "to", "in", "is")
+
+# BPE-ish token pattern: runs of letters, runs of digits, or single
+# non-space symbols — approximates subword pre-tokenization.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def normalized(text: Column | str) -> Column:
+    """lower + collapse whitespace + trim — canonical text form."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens via regexp extraction."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def avg_token_length(text: Column | str) -> Column:
+    """Mean token length = non-space chars / token count (exact for
+    single-space-separated text)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(F.replace(c, F.lit(" "), F.lit(""))) / token_count(c)
+
+
+def stopword_ratio(
+    text: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN
+) -> Column:
+    toks = tokens(text)
+    stops = F.filter(toks, lambda t: t.isin(*stopwords))
+    return F.size(stops) / F.size(toks)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword band.
+
+    score = 0.5·(20 ≤ n_tokens ≤ 1000) + 0.3·(0.05 ≤ stop_ratio ≤ 0.6)
+          + 0.2·(avg_token_len between 2 and 12)
+    """
+    n = token_count(text)
+    sr = stopword_ratio(text)
+    al = avg_token_length(text)
+    return (
+        F.when((n >= 20) & (n <= 1000), F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when((sr >= 0.05) & (sr <= 0.6), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when((al >= 2) & (al <= 12), F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-word hit count per language over the token set."""
+    toks = tokens(text)
+
+    def marker_filter(markers: tuple[str, ...]):
+        return lambda t: t.isin(*markers)
+
+    return {
+        lang: F.size(F.filter(toks, marker_filter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def detect_language(text: Column | str, min_hits: int = 1) -> Column:
+    """Argmax of marker-word counts; ties broken by fixed language
+    order (en, es, fr, de); 'und' when no language reaches min_hits."""
+    scores = lang_scores(text)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.when(best < F.lit(min_hits), F.lit("und"))
+    for lang in langs:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (A content-defined rolling-hash chunker would go here for partial-
+    overlap detection; md5-of-normalized covers exact-dup detection.)"""
+    return F.md5(normalized(text))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document profile: all metrics as added columns."""
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("n_bpe_tokens", bpe_token_count(text_col))
+        .withColumn("avg_token_len", F.round(avg_token_length(text_col), 6))
+        .withColumn("stop_ratio", F.round(stopword_ratio(text_col), 6))
+        .withColumn("quality", F.round(quality_score(text_col), 2))
+        .withColumn("lang_pred", detect_language(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+    )

@@ -1,0 +1,574 @@
+"""Query catalog, part 2: training-data pipeline extensions + streaming.
+
+Covers the scale extensions (dedup family, similarity search, text
+analysis, multimodal plumbing) and the streaming operators run in
+drain mode against the same batch oracles. Registered into
+``catalog.QUERIES`` on import.
+
+The MinHash/SimHash/ANN oracles are machine-generated SQL that mirrors
+the Spark expressions term by term (same md5-derived hashes, same
+left-fold accumulation order), so even hash-based operators get full
+value checks — see ``functions.expressions.portable_hash64``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal, neardup, similarity
+from ..operators import text as text_ops
+from ..operators.text import LANG_MARKERS, STOPWORDS_EN
+from ..sources.tables import load_table
+from ..streaming import ops as stream_ops
+from .catalog import _register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- shared SQL fragments -------------------------------------------------
+
+
+def _sql_hash64(expr: str, seed: int) -> str:
+    """DuckDB twin of functions.expressions.portable_hash64."""
+    return f"CAST('0x' || substr(md5('{seed}:' || {expr}), 1, 15) AS BIGINT)"
+
+
+_SHINGLE_CTE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh
+  FROM toks, UNNEST(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(generate_series(1, len(t) - 2),
+                             i -> array_to_string(t[i:i+2], ' '))
+         ELSE [array_to_string(t, ' ')] END
+  ) AS u(sh)
+)
+"""
+
+_N_MINHASH = 8
+_MINHASH_COLS = ",\n       ".join(
+    f"min({_sql_hash64('sh', i)}) AS h{i}" for i in range(_N_MINHASH)
+)
+
+_MINHASH_ORACLE = (
+    _SHINGLE_CTE
+    + f"""
+SELECT doc_id,
+       {_MINHASH_COLS}
+FROM sh
+GROUP BY doc_id
+"""
+)
+
+
+@_register(
+    "minhash_signatures",
+    _MINHASH_ORACLE,
+    "MinHash signatures (8 perms over 3-word shingles): explode + ONE "
+    "grouped aggregation computing all minima; hashes are md5-derived "
+    "and fully oracle-checked.",
+    tags=("neardup", "minhash"),
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return neardup.minhash_signatures(
+        d, "doc_id", "text", num_hashes=_N_MINHASH, shingle_size=3
+    )
+
+
+_BANDS = 4
+_ROWS_PER_BAND = _N_MINHASH // _BANDS
+
+
+def _band_key_sql(b: int) -> str:
+    cols = " || ',' || ".join(
+        f"CAST(h{b * _ROWS_PER_BAND + r} AS VARCHAR)" for r in range(_ROWS_PER_BAND)
+    )
+    return f"md5({cols})"
+
+
+_LSH_ORACLE = (
+    _SHINGLE_CTE
+    + f"""
+, sigs AS (
+  SELECT doc_id, {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, band_id, band_key
+  FROM sigs, (VALUES {", ".join(f"({b})" for b in range(_BANDS))}) AS bb(band_id),
+  LATERAL (SELECT CASE band_id
+             {" ".join(f"WHEN {b} THEN {_band_key_sql(b)}" for b in range(_BANDS))}
+           END AS band_key)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+"""
+)
+
+
+@_register(
+    "minhash_lsh_pairs",
+    _LSH_ORACLE,
+    "MinHash-LSH candidate pairs (4 bands × 2 rows): docs collide only "
+    "within a shared band bucket, so the self-join is ~candidates, not "
+    "n² — the 100 TB near-dup path.",
+    bench=True,
+    tags=("neardup", "minhash", "lsh"),
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return neardup.lsh_candidate_pairs(
+        d, "doc_id", "text", num_hashes=_N_MINHASH, bands=_BANDS, shingle_size=3
+    )
+
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh
+  FROM toks, UNNEST(
+    CASE WHEN len(t) >= 1
+         THEN list_transform(generate_series(1, len(t)),
+                             i -> array_to_string(t[i:i], ' '))
+         ELSE [array_to_string(t, ' ')] END
+  ) AS u(sh)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.82
+"""
+
+
+@_register(
+    "jaccard_token_pairs",
+    _JACCARD_ORACLE,
+    "Exact token-set Jaccard near-dup pairs (threshold 0.82) — the "
+    "verification path for LSH candidates; O(pairs sharing a token), "
+    "exact.",
+    tags=("neardup", "jaccard"),
+)
+def q_jaccard_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return neardup.jaccard_pairs(
+        d, "doc_id", "text", shingle_size=1, threshold=0.82
+    )
+
+
+_SIMHASH_BITS = 32
+_SIMHASH_SEED = 997
+
+_SIMHASH_VOTES = ",\n       ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_ASSEMBLE = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END" for b in range(_SIMHASH_BITS)
+)
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, {_sql_hash64("tok", _SIMHASH_SEED)} AS h FROM toks
+), votes AS (
+  SELECT doc_id,
+       {_SIMHASH_VOTES}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_ASSEMBLE} AS BIGINT) AS simhash FROM votes
+"""
+
+
+@_register(
+    "simhash_fingerprints",
+    _SIMHASH_ORACLE,
+    "SimHash (32-bit, tf-weighted tokens): per-bit ±1 votes in one "
+    "grouped aggregation; pairs within Hamming radius come from the "
+    "pigeonhole chunk join (neardup.simhash_pairs).",
+    tags=("neardup", "simhash"),
+)
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return neardup.simhash(d, "doc_id", "text", bits=_SIMHASH_BITS, seed=_SIMHASH_SEED)
+
+
+# --- embeddings -----------------------------------------------------------
+
+_DIM = 64
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Explicit left-assoc 64-term dot product — same accumulation
+    order as Spark's aggregate() fold, so doubles match exactly."""
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, _DIM + 1)
+    )
+
+
+def _norm_sql(a: str) -> str:
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)"
+        for i in range(1, _DIM + 1)
+    )
+    return f"sqrt({terms})"
+
+
+_KNN_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(({_dot_sql("embedding", "qv")}) /
+             ({_norm_sql("embedding")} * {_norm_sql("qv")}), 6) AS cosine
+FROM embeddings, q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@_register(
+    "knn_brute_force",
+    _KNN_ORACLE,
+    "Exact cosine top-k against a query vector — embarrassingly "
+    "parallel scan + TakeOrderedAndProject; the ANN recall baseline.",
+    bench=True,
+    tags=("similarity", "knn"),
+)
+def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.knn_brute_force(emb, list(qvec), k=10)
+
+
+_EMB_NEARDUP_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(({_dot_sql("a.embedding", "b.embedding")}) /
+             ({_norm_sql("a.embedding")} * {_norm_sql("b.embedding")}), 6)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(({_dot_sql("a.embedding", "b.embedding")}) /
+            ({_norm_sql("a.embedding")} * {_norm_sql("b.embedding")}), 6) >= 0.6
+"""
+
+
+@_register(
+    "embedding_neardup",
+    _EMB_NEARDUP_ORACLE,
+    "Embedding-cosine near-dup pairs (exact all-pairs baseline; the "
+    "scale path buckets by signed random projection first).",
+    tags=("neardup", "similarity"),
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return neardup.embedding_neardup_pairs(emb, threshold=0.6)
+
+
+def _ann_oracle() -> str:
+    """SRP-LSH ANN oracle: plane coefficients and probe buckets are the
+    same deterministic md5-derived values the Spark side uses."""
+    planes = similarity.hyperplanes(8, _DIM, seed=31)
+    plane_dots = []
+    for p, plane in enumerate(planes):
+        terms = " + ".join(
+            f"CAST(embedding[{i}] AS DOUBLE) * {plane[i - 1]!r}"
+            for i in range(1, _DIM + 1)
+        )
+        plane_dots.append(
+            f"CASE WHEN ({terms}) >= 0 THEN {2**p} ELSE 0 END"
+        )
+    bucket_sql = " + ".join(plane_dots)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+bucketed AS (
+  SELECT vec_id, embedding, CAST({bucket_sql} AS BIGINT) AS srp_bucket
+  FROM embeddings
+),
+qbucket AS (
+  SELECT CAST({bucket_sql.replace("embedding[", "qv[")} AS BIGINT) AS qb FROM q
+),
+probes AS (
+  SELECT qb AS bucket FROM qbucket
+  UNION ALL
+  SELECT xor(qb, CAST(p AS BIGINT))
+  FROM qbucket, UNNEST([1,2,4,8,16,32,64,128]) AS t(p)
+)
+SELECT vec_id,
+       round(({_dot_sql("embedding", "qv")}) /
+             ({_norm_sql("embedding")} * {_norm_sql("qv")}), 6) AS cosine
+FROM bucketed, q
+WHERE srp_bucket IN (SELECT bucket FROM probes)
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@_register(
+    "ann_srp_lsh",
+    _ann_oracle(),
+    "Approximate top-k via signed-random-projection LSH buckets + "
+    "multiprobe + exact re-rank — the 100 TB similarity path "
+    "(candidates shrink ~2^planes×); plane coefficients are "
+    "deterministic md5-derived, so even this is fully oracle-checked.",
+    tags=("similarity", "ann", "lsh"),
+)
+def q_ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.ann_lsh(emb, list(qvec), k=10, num_planes=8, seed=31)
+
+
+# --- text analysis --------------------------------------------------------
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+
+def _lang_count_sql(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in markers)
+    return f"len(list_filter(string_split(text, ' '), x -> x IN ({lst})))"
+
+
+_LANG_CASE = " ".join(
+    f"WHEN {_lang_count_sql(m)} = best THEN '{lang}'"
+    for lang, m in LANG_MARKERS.items()
+)
+_LANG_BEST = "greatest(" + ", ".join(
+    _lang_count_sql(m) for m in LANG_MARKERS.values()
+) + ")"
+
+_TEXT_PROFILE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+           AS n_bpe_tokens,
+         round(length(replace(text, ' ', '')) * 1.0
+               / len(string_split(text, ' ')), 6) AS avg_token_len,
+         round(len(list_filter(string_split(text, ' '),
+                               x -> x IN ({_STOP_SQL}))) * 1.0
+               / len(string_split(text, ' ')), 6) AS stop_ratio,
+         {_LANG_BEST} AS best
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_bpe_tokens, avg_token_len, stop_ratio,
+       CAST(round(
+             CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END
+           + CASE WHEN stop_ratio BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END
+           + CASE WHEN avg_token_len BETWEEN 2 AND 12 THEN 0.2 ELSE 0.0 END, 2)
+         AS DOUBLE) AS quality,
+       CASE WHEN best < 1 THEN 'und' {_LANG_CASE} END AS lang_pred,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM scored
+"""
+
+
+@_register(
+    "text_profile",
+    _TEXT_PROFILE_ORACLE,
+    "Per-document text profile: token counts (whitespace + BPE-ish "
+    "regex), average token length, stopword ratio, composite quality "
+    "score, marker-based language ID, md5 fingerprint — all JVM Column "
+    "expressions, one scan.",
+    bench=True,
+    tags=("text",),
+)
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.text_profile(d).select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        "avg_token_len",
+        "stop_ratio",
+        "quality",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+_EXACT_DEDUP_ORACLE = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS canonical_doc,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@_register(
+    "exact_dedup_docs",
+    _EXACT_DEDUP_ORACLE,
+    "Exact dedup via content fingerprint (hash-groupBy): canonical id "
+    "= min(doc_id) per fingerprint — deterministic representative "
+    "selection.",
+    tags=("dedup", "text"),
+)
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fingerprint", text_ops.fingerprint("text"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_TOKEN_STATS_ORACLE = """
+SELECT source, tok,
+       count(*) AS n
+FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY source, tok
+"""
+
+
+@_register(
+    "token_stats",
+    _TOKEN_STATS_ORACLE,
+    "Corpus token frequency by source (explode + hash agg) — the "
+    "vocabulary-building primitive.",
+    tags=("text",),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", F.explode(text_ops.tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- multimodal -----------------------------------------------------------
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id AS id,
+       length(text)       AS n_bytes,
+       md5(text)          AS content_md5,
+       64 + CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) % 192 AS width,
+       64 + CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) % 192 AS height,
+       1  + CAST('0x' || substr(md5(text), 5, 2) AS INTEGER) % 3   AS n_channels
+FROM documents
+"""
+
+
+@_register(
+    "multimodal_decode",
+    _MULTIMODAL_ORACLE,
+    "Multimodal column plumbing: text payloads cast to binary, wrapped "
+    "as (id, modality, payload, n_bytes, content_md5), decoded via a "
+    "mapInPandas Arrow-batch iterator (codec stubbed deterministically "
+    "— no image libs in this container; the distributed shape is real).",
+    tags=("multimodal", "pandas_udf"),
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.to_media_column(d, "text", "doc_id", modality="image")
+    return multimodal.decode_images(media)
+
+
+# --- streaming (drain mode, checked against batch oracles) ----------------
+
+
+@_register(
+    "streaming_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    "Watermarked streaming dropDuplicates (reference W1, "
+    "Silver/05-silver.py:78-79) drained with availableNow; output "
+    "equals the batch DISTINCT.",
+    tags=("streaming", "dedup"),
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_ops.stream_table(spark, sf_dir, "events")
+    deduped = stream_ops.streaming_dedup(
+        stream.select("user_id", "event_type", "ts"),
+        keys=["user_id", "event_type"],
+        event_time="ts",
+    ).select("user_id", "event_type")
+    return stream_ops.run_stream_to_memory(deduped, output_mode="append")
+
+
+@_register(
+    "streaming_hourly_agg",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    "Streaming event-time grouped aggregation (reference A1 as a "
+    "stream, Gold/06-gold.py:93-95) in complete mode, drained with "
+    "availableNow — equals the batch groupBy.",
+    tags=("streaming", "agg"),
+)
+def q_streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_ops.stream_table(spark, sf_dir, "events")
+    agg_stream = (
+        stream.withWatermark("ts", "365 days")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return stream_ops.run_stream_to_memory(agg_stream, output_mode="complete")
+
+
+@_register(
+    "streaming_interval_join",
+    """
+    SELECT s.user_id, s.event_id AS start_id, e.event_id AS end_id,
+           s.ts AS start_ts, e.ts AS end_ts
+    FROM (SELECT * FROM events WHERE event_type = 'signup')   s
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') e
+      ON s.user_id = e.user_id
+     AND e.ts > s.ts AND e.ts < s.ts + INTERVAL 3 HOUR
+    """,
+    "Stream-stream interval join (reference J3, "
+    "Silver/05-silver.py:368-400): watermarks both sides + bounded "
+    "range condition (state-evictable), drained with availableNow — "
+    "equals the batch interval join.",
+    tags=("streaming", "join", "interval"),
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = stream_ops.stream_table(spark, sf_dir, "events")
+    starts = src.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user_id"),
+        F.col("event_id").alias("start_id"),
+        F.col("ts").alias("start_ts"),
+    )
+    stops = stream_ops.stream_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("user_id").alias("e_user_id"),
+        F.col("event_id").alias("end_id"),
+        F.col("ts").alias("end_ts"),
+    )
+    joined = (
+        starts.withWatermark("start_ts", "365 days")
+        .join(
+            stops.withWatermark("end_ts", "365 days"),
+            (F.col("s_user_id") == F.col("e_user_id"))
+            & (F.col("end_ts") > F.col("start_ts"))
+            & (F.col("end_ts") < F.col("start_ts") + F.expr("interval 3 hours")),
+            "inner",
+        )
+        .select(
+            F.col("s_user_id").alias("user_id"),
+            "start_id",
+            "end_id",
+            "start_ts",
+            "end_ts",
+        )
+    )
+    return stream_ops.run_stream_to_memory(joined, output_mode="append")

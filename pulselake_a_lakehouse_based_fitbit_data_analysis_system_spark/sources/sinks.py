@@ -1,0 +1,112 @@
+"""Streaming sinks: append, foreachBatch-upsert, single-file archive.
+
+Re-expresses the reference's write path:
+- S8 Delta append sink (``Bronze/04-bronze.py:31-42``) → parquet/delta
+  append with checkpoint.
+- S9 foreachBatch MERGE sink (``Silver/05-silver.py:6-13``) → a
+  ``foreachBatch`` callback that applies a merge policy from
+  ``operators.merge`` against a parquet-backed (or Delta, if present)
+  target.
+- S10 single-file JSON archive sink
+  (``Ingestion/11-Kafka-Consumer.py:71-94``) → coalesce(1) + Hadoop FS
+  rename with a persisted monotonic counter (OSS replacement for
+  ``dbutils.fs``).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def start_append_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    available_now: bool = True,
+    processing_time: str = "5 seconds",
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Append sink with dual batch/stream trigger — the reference's
+    ``once`` flag pattern (``Bronze/04-bronze.py:39-42``)."""
+    writer = (
+        df.writeStream.format(fmt)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .option("path", path)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def start_foreach_batch_sink(
+    df: DataFrame,
+    upsert: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    output_mode: str = "update",
+    available_now: bool = True,
+    processing_time: str = "10 seconds",
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """foreachBatch escape hatch (reference T6/S9). The callback runs on
+    the driver per micro-batch; whatever batch query it issues (a merge
+    join against the target) is planned by Catalyst and runs on
+    executors."""
+    writer = (
+        df.writeStream.foreachBatch(upsert)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+class SingleFileArchiver:
+    """Kafka→landing-zone archiver (reference S10,
+    ``Ingestion/11-Kafka-Consumer.py:59-94``): each micro-batch lands as
+    exactly one JSON file named ``{prefix}_{counter}.json``, the counter
+    persisted across restarts. ``coalesce(1)`` is deliberate — landing
+    files are small; this never sits on the 100 TB hot path."""
+
+    def __init__(self, target_dir: str, prefix: str) -> None:
+        self.target_dir = target_dir
+        self.prefix = prefix
+        self._counter_file = os.path.join(target_dir, f".{prefix}_counter")
+
+    def _next_counter(self) -> int:
+        n = 0
+        if os.path.exists(self._counter_file):
+            with open(self._counter_file) as f:
+                n = int(f.read().strip() or 0)
+        n += 1
+        os.makedirs(self.target_dir, exist_ok=True)
+        with open(self._counter_file, "w") as f:
+            f.write(str(n))
+        return n
+
+    def write(self, batch_df: DataFrame, batch_id: int) -> None:
+        n = self._next_counter()
+        tmp = os.path.join(self.target_dir, f".{self.prefix}_tmp_{n}")
+        batch_df.coalesce(1).write.mode("overwrite").json(tmp)
+        part = next(
+            p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".json")
+        )
+        final = os.path.join(self.target_dir, f"{self.prefix}_{n}.json")
+        os.replace(os.path.join(tmp, part), final)
+        for leftover in os.listdir(tmp):
+            os.remove(os.path.join(tmp, leftover))
+        os.rmdir(tmp)

@@ -1,0 +1,16 @@
+from .ops import (
+    run_stream_to_memory,
+    stream_table,
+    streaming_dedup,
+    streaming_interval_join,
+)
+from .orchestrator import StreamWave, run_waves
+
+__all__ = [
+    "run_stream_to_memory",
+    "stream_table",
+    "streaming_dedup",
+    "streaming_interval_join",
+    "StreamWave",
+    "run_waves",
+]

@@ -1,0 +1,133 @@
+"""Streaming operators: watermarked dedup, stream-stream interval join,
+and a batch↔stream bridge for drain-style execution.
+
+Mirrors the reference's streaming semantics (SURVEY §2.5, §2.7):
+- W1 ``withWatermark(col, horizon).dropDuplicates(keys)``
+  (``Silver/05-silver.py:78-79``) — state-store-backed exactly-once per
+  key within the watermark horizon.
+- J3/J4 stream-stream interval joins
+  (``Silver/05-silver.py:368-400,433-465``): watermarks on BOTH sides
+  plus a bounded time-range condition so Catalyst can derive state
+  eviction watermarks — without the upper bound the join state grows
+  forever, which is the classic 100 TB failure mode.
+- ``run_stream_to_memory`` drains a stream with ``availableNow`` into a
+  memory sink and returns the result as a batch DataFrame — the
+  reference's dual batch/stream ``once`` flag (``Bronze/04-bronze.py:39-42``)
+  taken to its logical end: the same incremental plan serves both
+  modes, and correctness can be asserted against a batch oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TESTDATA_SCHEMAS
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Open a driver testdata table as a *stream* — the file is staged
+    into a scratch directory (streaming file sources list directories)
+    and read incrementally with the declared schema.
+
+    TIMESTAMP(NANOS) columns go through the same long→micros conversion
+    as the batch loader (sources.tables.load_table).
+    """
+    stage = tempfile.mkdtemp(prefix=f"pulselake_stream_{name}_")
+    shutil.copy(
+        os.path.join(sf_dir, f"{name}.parquet"),
+        os.path.join(stage, f"{name}.parquet"),
+    )
+    schema = TESTDATA_SCHEMAS[name]
+    if name == "events":
+        # the parquet stores ts as TIMESTAMP(NANOS) → read as long
+        from pyspark.sql import types as T
+
+        raw_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name, T.LongType() if f.name == "ts" else f.dataType
+                )
+                for f in schema.fields
+            ]
+        )
+        df = spark.readStream.format("parquet").schema(raw_schema).load(stage)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.readStream.format("parquet").schema(schema).load(stage)
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: Sequence[str],
+    event_time: str,
+    watermark: str = "365 days",
+) -> DataFrame:
+    """Reference W1: watermark bounds the dedup state horizon; the
+    365-day default reproduces the reference's replay-test tolerance
+    (``Silver/05-silver.py:78``) — production pipelines should size it
+    to their true late-data bound, since state is O(distinct keys
+    within horizon)."""
+    return stream.withWatermark(event_time, watermark).dropDuplicates(list(keys))
+
+
+def streaming_interval_join(
+    start_stream: DataFrame,
+    end_stream: DataFrame,
+    equi_keys: Sequence[str],
+    start_time: str,
+    end_time: str,
+    max_interval: str = "interval 3 hours",
+    watermark: str = "365 days",
+    closed: str = "open",
+) -> DataFrame:
+    """Reference J3/J4 as a reusable operator: watermark both sides,
+    equi keys + bounded time range. Column names must differ across
+    sides (rename before calling); the bounded range is mandatory —
+    it is what lets Spark evict join state."""
+    s = start_stream.withWatermark(start_time, watermark).alias("s")
+    e = end_stream.withWatermark(end_time, watermark).alias("e")
+    lo, hi = F.col(f"s.{start_time}"), F.col(f"e.{end_time}")
+    cond = [F.col(f"s.{k}") == F.col(f"e.{k}") for k in equi_keys]
+    if closed == "open":
+        cond += [hi > lo, hi < lo + F.expr(max_interval)]
+    else:
+        cond += [hi > lo, hi <= lo + F.expr(max_interval)]
+    return s.join(e, cond, "inner")
+
+
+def run_stream_to_memory(
+    result_stream: DataFrame,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Drain a streaming DataFrame with trigger(availableNow) into a
+    memory sink; return the sink contents as a batch DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        result_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    spark = result_stream.sparkSession
+    return spark.table(name)
+
+
+def run_stream_once(
+    build: Callable[[SparkSession], DataFrame],
+    spark: SparkSession,
+    output_mode: str = "append",
+) -> DataFrame:
+    return run_stream_to_memory(build(spark), output_mode=output_mode)

