@@ -1,0 +1,532 @@
+"""The Fitbit lakehouse workload, re-expressed Spark-first.
+
+This is the reference system's entire pipeline (bronze→silver→gold
+medallion over Fitbit-style streams) rebuilt on OSS Structured
+Streaming + the engine's operator library:
+
+- bronze: incremental file sources (reference Auto Loader,
+  ``Bronze/04-bronze.py``) → parquet append sinks, multiplex
+  partitioned by topic with broadcast date enrichment.
+- silver: watermarked dedup + foreachBatch merges (reference
+  ``Silver/05-silver.py``); the completed_workouts stage is a true
+  stream-stream interval join from bronze (J3); workout_bpm is the
+  bpm stream interval-joined against the completed-session dimension
+  (J4, stream⋈static form).
+- gold: per-session min/avg/max/count + demographic join + full
+  upsert (reference ``Gold/06-gold.py``); gym_summary as a lazy view
+  with the BETWEEN reporting join (``Setup/02-setup.py:244-256``).
+
+Storage is the parquet-backed TableStore (delta-spark absent in this
+container — under Delta the same policies map onto DeltaTable.merge
+and waves 2-3 could stream silver tables via CDF instead of
+incremental-batch recompute; see operators.merge.delta_merge).
+
+Orchestration mirrors the reference's dependency waves with barriers
+(``Silver/05-silver.py:486-503``) via streaming.orchestrator.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.expressions import age_bins, minutes_between, validity_flag
+from ..operators import dedup, joins, merge
+from ..operators.agg import session_stats
+from ..operators.merge import TableStore
+from ..schemas import (
+    BPM_PAYLOAD,
+    GYM_LOGINS,
+    KAFKA_ENVELOPE,
+    REGISTERED_USERS,
+    USER_INFO_PAYLOAD,
+    WORKOUT_PAYLOAD,
+)
+from ..sources.files import read_csv_stream, read_json_stream
+from ..streaming.orchestrator import StreamWave, run_waves
+
+
+class FitbitPipeline:
+    """End-to-end medallion pipeline over a landing directory.
+
+    ``run(once=True)`` drains everything with availableNow triggers —
+    the reference's dual batch/stream mode flag
+    (``Bronze/04-bronze.py:39-42``). Calling ``run`` again after new
+    landing files arrive processes only the increment (checkpoints
+    track seen files) and all merges are idempotent — the property the
+    two-set replay test asserts.
+    """
+
+    def __init__(self, spark: SparkSession, workdir: str) -> None:
+        self.spark = spark
+        self.workdir = workdir
+        self.landing = os.path.join(workdir, "landing")
+        self.bronze_dir = os.path.join(workdir, "bronze")
+        self.ckpt = os.path.join(workdir, "_checkpoints")
+        self.store = TableStore(spark, os.path.join(workdir, "tables"))
+        os.makedirs(self.landing, exist_ok=True)
+
+    # -- dimensions --------------------------------------------------------
+
+    def load_date_lookup(self) -> None:
+        """Static calendar dimension (reference
+        ``Setup/03-history-loader.py``): one row per 2023 day with
+        week_part for ingest-time partition derivation."""
+        dates = self.spark.sql(
+            """
+            SELECT d AS date,
+                   weekofyear(d) AS week, year(d) AS year, month(d) AS month,
+                   dayofweek(d) AS dayofweek, dayofmonth(d) AS dayofmonth,
+                   dayofyear(d) AS dayofyear,
+                   concat(year(d), '-', lpad(weekofyear(d), 2, '0')) AS week_part
+            FROM (SELECT explode(sequence(date'2023-01-01', date'2023-12-31',
+                                          interval 1 day)) AS d)
+            """
+        )
+        self.store.write("date_lookup", dates)
+
+    # -- bronze ------------------------------------------------------------
+
+    def _bronze_sink(self, df: DataFrame, name: str, partition_by=()):
+        writer = (
+            df.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", os.path.join(self.bronze_dir, name))
+            .option("checkpointLocation", os.path.join(self.ckpt, f"bz_{name}"))
+            .queryName(f"bz_{name}")
+            .trigger(availableNow=True)
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        return writer.start()
+
+    def bronze_starters(self):
+        """Three incremental bronze streams (reference
+        ``Bronze/04-bronze.py``): two CSV feeds + the Kafka-envelope
+        multiplex, which gets broadcast date enrichment and lands
+        partitioned by (topic, week_part) → later topic filters are
+        partition-pruned scans."""
+
+        def users():
+            df = read_csv_stream(
+                self.spark,
+                os.path.join(self.landing, "registered_users"),
+                REGISTERED_USERS,
+                max_files_per_trigger=None,
+            )
+            return self._bronze_sink(df, "registered_users_bz")
+
+        def gyms():
+            df = read_csv_stream(
+                self.spark,
+                os.path.join(self.landing, "gym_logins"),
+                GYM_LOGINS,
+                max_files_per_trigger=None,
+            )
+            return self._bronze_sink(df, "gym_logins_bz")
+
+        def multiplex():
+            date_dim = F.broadcast(
+                self.store.read("date_lookup").select("date", "week_part")
+            )
+            df = read_json_stream(
+                self.spark,
+                os.path.join(self.landing, "kafka_multiplex"),
+                KAFKA_ENVELOPE,
+                max_files_per_trigger=None,
+            )
+            enriched = df.withColumn(
+                "date", F.to_date((F.col("timestamp") / 1000).cast("timestamp"))
+            ).join(date_dim, "date", "left")
+            return self._bronze_sink(
+                enriched, "kafka_multiplex_bz", partition_by=("topic", "week_part")
+            )
+
+        return [users, gyms, multiplex]
+
+    def _bronze(self, name: str, stream: bool = True) -> DataFrame:
+        path = os.path.join(self.bronze_dir, name)
+        if not stream:
+            return self.spark.read.parquet(path)
+        schema = self.spark.read.parquet(path).schema
+        return self.spark.readStream.schema(schema).parquet(path)
+
+    def _multiplex_topic(self, topic: str, payload_schema) -> DataFrame:
+        """Topic slice of the bronze multiplex with late JSON parse
+        (reference ``Silver/05-silver.py:177-183``); the topic filter
+        prunes partitions."""
+        return (
+            self._bronze("kafka_multiplex_bz")
+            .filter(F.col("topic") == topic)
+            .select(F.from_json("value", payload_schema).alias("v"))
+            .select("v.*")
+        )
+
+    # -- silver wave 1: bronze → entity tables ------------------------------
+
+    def _merge_sink(self, df: DataFrame, name: str, upsert):
+        return (
+            df.writeStream.foreachBatch(upsert)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(self.ckpt, f"sv_{name}"))
+            .queryName(f"sv_{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def silver_wave1_starters(self):
+        store = self.store
+
+        def users():
+            # reference Silver/05-silver.py:71-97 (A4 insert-only)
+            df = (
+                self._bronze("registered_users_bz")
+                .select(
+                    "user_id",
+                    "device_id",
+                    "mac_address",
+                    F.col("registration_timestamp")
+                    .cast("timestamp")
+                    .alias("registration_timestamp"),
+                )
+                .withWatermark("registration_timestamp", "365 days")
+                .dropDuplicates(["user_id", "device_id"])
+            )
+            return self._merge_sink(
+                df,
+                "users",
+                lambda b, _id: store.merge("users", b, ["user_id"], "insert_only"),
+            )
+
+        def gym_logs():
+            # reference Silver/05-silver.py:119-139 (A5 conditional update:
+            # late logout corrections win only if they extend the visit)
+            df = (
+                self._bronze("gym_logins_bz")
+                .select(
+                    "mac_address",
+                    "gym",
+                    F.col("login").cast("timestamp").alias("login"),
+                    F.col("logout").cast("timestamp").alias("logout"),
+                )
+                .withWatermark("login", "365 days")
+                .dropDuplicates(["mac_address", "gym", "login"])
+            )
+            return self._merge_sink(
+                df,
+                "gym_logs",
+                lambda b, _id: store.merge(
+                    "gym_logs",
+                    b,
+                    ["mac_address", "gym", "login"],
+                    "conditional_update",
+                    update_condition=lambda a, bb: F.col("b.logout")
+                    > F.col("a.logout"),
+                    update_cols=["logout"],
+                ),
+            )
+
+        def user_profile():
+            # reference Silver/05-silver.py:171-197 (A6 SCD-1 CDC with
+            # rank-newest-within-batch, W2)
+            df = (
+                self._multiplex_topic("user_info", USER_INFO_PAYLOAD)
+                .filter(F.col("update_type").isin(["new", "update"]))
+                .select(
+                    "user_id",
+                    F.to_date("dob", "MM/dd/yyyy").alias("dob"),
+                    "sex",
+                    "gender",
+                    "first_name",
+                    "last_name",
+                    F.col("address.street_address").alias("street_address"),
+                    F.col("address.city").alias("city"),
+                    F.col("address.state").alias("state"),
+                    F.col("address.zip").alias("zip"),
+                    F.col("timestamp").cast("timestamp").alias("updated"),
+                )
+                .withWatermark("updated", "365 days")
+                .dropDuplicates(["user_id", "updated"])
+            )
+
+            def upsert(batch: DataFrame, _id: int) -> None:
+                ranked = dedup.latest_by_key(batch, ["user_id"], "updated")
+                store.merge("user_profile", ranked, ["user_id"], "scd1",
+                            order_col="updated")
+
+            return self._merge_sink(df, "user_profile", upsert)
+
+        def workouts():
+            # reference Silver/05-silver.py:223-242 (A7 insert-only)
+            df = (
+                self._multiplex_topic("workout", WORKOUT_PAYLOAD)
+                .select(
+                    "user_id",
+                    F.col("timestamp").cast("timestamp").alias("time"),
+                    "workout_id",
+                    "action",
+                    "session_id",
+                )
+                .withWatermark("time", "365 days")
+                .dropDuplicates(["user_id", "time"])
+            )
+            return self._merge_sink(
+                df,
+                "workouts",
+                lambda b, _id: store.merge(
+                    "workouts", b, ["user_id", "time"], "insert_only"
+                ),
+            )
+
+        def heart_rate():
+            # reference Silver/05-silver.py:269-285 (A8 insert-only +
+            # P6 validity flag)
+            df = (
+                self._multiplex_topic("bpm", BPM_PAYLOAD)
+                .select(
+                    "device_id",
+                    F.col("time").cast("timestamp").alias("time"),
+                    "heartrate",
+                    validity_flag("heartrate").alias("valid"),
+                )
+                .withWatermark("time", "365 days")
+                .dropDuplicates(["device_id", "time"])
+            )
+            return self._merge_sink(
+                df,
+                "heart_rate",
+                lambda b, _id: store.merge(
+                    "heart_rate", b, ["device_id", "time"], "insert_only"
+                ),
+            )
+
+        return [users, gym_logs, user_profile, workouts, heart_rate]
+
+    # -- silver wave 2 ------------------------------------------------------
+
+    def completed_workouts_starter(self):
+        """Stream-stream interval join straight off the bronze multiplex
+        (reference J3, ``Silver/05-silver.py:368-400``): starts × stops,
+        equi on (user_id, workout_id, session_id), stop within 3 h —
+        the bounded condition is what lets Spark evict join state.
+
+        All DataFrame construction happens inside the returned thunk:
+        the bronze multiplex table doesn't exist until the bronze wave
+        has drained, and reading its schema eagerly would fail."""
+
+        def start():
+            joined = self._completed_workouts_stream()
+            return self._merge_sink(
+                joined,
+                "completed_workouts",
+                lambda b, _id: self.store.merge(
+                    "completed_workouts",
+                    b,
+                    ["user_id", "workout_id", "session_id", "start_time"],
+                    "insert_only",
+                ),
+            )
+
+        return start
+
+    def _completed_workouts_stream(self) -> DataFrame:
+        starts = (
+            self._multiplex_topic("workout", WORKOUT_PAYLOAD)
+            .filter(F.col("action") == "start")
+            .select(
+                "user_id",
+                "workout_id",
+                "session_id",
+                F.col("timestamp").cast("timestamp").alias("start_time"),
+            )
+            .withWatermark("start_time", "365 days")
+        )
+        stops = (
+            self._multiplex_topic("workout", WORKOUT_PAYLOAD)
+            .filter(F.col("action") == "stop")
+            .select(
+                F.col("user_id").alias("s_user_id"),
+                F.col("workout_id").alias("s_workout_id"),
+                F.col("session_id").alias("s_session_id"),
+                F.col("timestamp").cast("timestamp").alias("end_time"),
+            )
+            .withWatermark("end_time", "365 days")
+        )
+        return starts.join(
+            stops,
+            (F.col("user_id") == F.col("s_user_id"))
+            & (F.col("workout_id") == F.col("s_workout_id"))
+            & (F.col("session_id") == F.col("s_session_id"))
+            & (F.col("end_time") > F.col("start_time"))
+            & (F.col("end_time") < F.col("start_time") + F.expr("interval 3 hours")),
+            "inner",
+        ).select("user_id", "workout_id", "session_id", "start_time", "end_time")
+
+    def build_user_bins(self) -> None:
+        """user_bins dimension (reference ``Silver/05-silver.py:325-346``,
+        A9 SCD-1): users ⋈ user_profile + age bucketing. Incremental-
+        batch recompute + upsert (Delta CDF streaming is the cluster
+        path)."""
+        users = self.store.read("users").select("user_id")
+        profile = self.store.read("user_profile")
+        bins = joins.broadcast_dim_join(profile, users, ["user_id"]).select(
+            "user_id",
+            age_bins("dob").alias("age"),
+            "gender",
+            "city",
+            "state",
+        )
+        self.store.merge("user_bins", bins, ["user_id"], "scd1")
+
+    # -- silver wave 3 ------------------------------------------------------
+
+    def workout_bpm_starter(self):
+        """BPM-to-session alignment (reference J4,
+        ``Silver/05-silver.py:433-465``): the heart-rate *stream*
+        interval-joined against the completed-session table enriched
+        with the users dimension (stream⋈static — the static side is
+        complete because wave barriers ran first)."""
+        sessions = F.broadcast(
+            self.store.read("completed_workouts")
+            .join(
+                self.store.read("users").select("user_id", "device_id"),
+                "user_id",
+            )
+            .withColumnRenamed("device_id", "s_device_id")
+        )
+        bpm = (
+            self._multiplex_topic("bpm", BPM_PAYLOAD)
+            .filter(F.col("heartrate") > 0)
+            .withColumn("time", F.col("time").cast("timestamp"))
+            .withWatermark("time", "365 days")
+        )
+        joined = bpm.join(
+            sessions,
+            (F.col("device_id") == F.col("s_device_id"))
+            & (F.col("time") > F.col("start_time"))
+            & (F.col("time") <= F.col("end_time")),
+            "inner",
+        ).select(
+            "user_id",
+            "workout_id",
+            "session_id",
+            "time",
+            "start_time",
+            "end_time",
+            "heartrate",
+        )
+
+        def start():
+            return self._merge_sink(
+                joined,
+                "workout_bpm",
+                lambda b, _id: self.store.merge(
+                    "workout_bpm",
+                    b,
+                    ["user_id", "workout_id", "session_id", "time"],
+                    "insert_only",
+                ),
+            )
+
+        return start
+
+    # -- gold ---------------------------------------------------------------
+
+    def build_gold(self) -> None:
+        """workout_bpm_summary (reference ``Gold/06-gold.py:86-112``,
+        A1 + J5 + A12): per-session stats ⋈ user_bins, full upsert of
+        the measure columns (sessions grow as late bpm lands)."""
+        wb = self.store.read("workout_bpm")
+        stats = session_stats(
+            wb,
+            ["user_id", "workout_id", "session_id", "start_time", "end_time"],
+            value="heartrate",
+        ).withColumnRenamed("num_recordings", "num_recordings")
+        bins = F.broadcast(self.store.read("user_bins"))
+        summary = stats.join(bins, "user_id").select(
+            "user_id",
+            "workout_id",
+            "session_id",
+            "start_time",
+            "end_time",
+            "age",
+            "gender",
+            "city",
+            "state",
+            F.col("min_heartrate").alias("min_bpm"),
+            F.col("avg_heartrate").alias("avg_bpm"),
+            F.col("max_heartrate").alias("max_bpm"),
+            "num_recordings",
+        )
+        self.store.merge(
+            "workout_bpm_summary",
+            summary,
+            ["user_id", "workout_id", "session_id", "start_time", "end_time"],
+            "full_upsert",
+            update_cols=["age", "gender", "city", "state", "min_bpm",
+                         "avg_bpm", "max_bpm", "num_recordings"],
+        )
+
+    def gym_summary(self) -> DataFrame:
+        """Lazy reporting view (reference ``Setup/02-setup.py:244-256``):
+        gym visits ⋈ sessions via mac equi + BETWEEN range join, with
+        minutes math."""
+        logs = self.store.read("gym_logs")
+        cw = self.store.read("completed_workouts").join(
+            self.store.read("users").select("user_id", "mac_address"), "user_id"
+        )
+        j = joins.range_join(
+            cw, logs, ["mac_address"], point="start_time", low="login", high="logout"
+        )
+        return j.select(
+            F.to_date(F.col("r.login")).alias("date"),
+            F.col("r.gym").alias("gym"),
+            F.col("l.mac_address").alias("mac_address"),
+            F.col("l.workout_id").alias("workout_id"),
+            F.col("l.session_id").alias("session_id"),
+            minutes_between(F.col("r.logout"), F.col("r.login")).alias(
+                "minutes_in_gym"
+            ),
+            minutes_between(F.col("l.end_time"), F.col("l.start_time")).alias(
+                "minutes_exercising"
+            ),
+        ).orderBy("date", "gym", "mac_address", "session_id")
+
+    # -- orchestration ------------------------------------------------------
+
+    def run(self, timeout_sec: int = 600) -> dict[str, list[str]]:
+        """One full incremental drain: bronze wave → silver wave 1 →
+        wave 2 (dim + stream-stream join) → wave 3 → gold. Mirrors the
+        reference driver (``Test Scripts/07-run.py``)."""
+        if not self.store.exists("date_lookup"):
+            self.load_date_lookup()
+        report = run_waves(
+            self.spark,
+            [
+                StreamWave("bronze", self.bronze_starters(), pool="bronze"),
+                StreamWave("silver1", self.silver_wave1_starters(), pool="silver"),
+                StreamWave(
+                    "silver2", [self.completed_workouts_starter()], pool="silver"
+                ),
+            ],
+            timeout_sec=timeout_sec,
+        )
+        self.build_user_bins()
+        report.update(
+            run_waves(
+                self.spark,
+                [StreamWave("silver3", [self.workout_bpm_starter()], pool="silver")],
+                timeout_sec=timeout_sec,
+            )
+        )
+        self.build_gold()
+        return report
+
+    def table_counts(self) -> dict[str, int]:
+        names = (
+            "users gym_logs user_profile workouts heart_rate user_bins "
+            "completed_workouts workout_bpm workout_bpm_summary"
+        ).split()
+        return {n: self.store.read(n).count() for n in names}

@@ -97,7 +97,7 @@ WORKOUT_PAYLOAD = T.StructType(
 BPM_PAYLOAD = T.StructType(
     [
         T.StructField("device_id", T.LongType()),
-        T.StructField("time", T.TimestampType()),
+        T.StructField("time", T.DoubleType()),  # epoch s, cast in silver
         T.StructField("heartrate", T.DoubleType()),
     ]
 )

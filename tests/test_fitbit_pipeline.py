@@ -1,0 +1,74 @@
+"""Two-set incremental replay of the Fitbit medallion pipeline — the
+reference's own E2E test strategy (``Test Scripts/08-batch-test.py``):
+produce set 1 → run → assert golden counts → produce set 2 → run →
+assert cumulative counts. Proves incrementality (checkpoints pick up
+only new files) and idempotency (merges don't duplicate on replay).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import (
+    fitbit_fixtures as fx,
+)
+from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans.fitbit import (
+    FitbitPipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("fitbit"))
+
+
+def test_two_set_replay(spark, workdir):
+    pipe = FitbitPipeline(spark, workdir)
+
+    set1 = fx.generate_set(1)
+    fx.write_landing(set1, pipe.landing)
+    pipe.run()
+    expected1 = fx.expected_counts([set1])
+    counts1 = pipe.table_counts()
+    assert counts1 == expected1, f"after set 1: {counts1} != {expected1}"
+
+    # gold measures: spot-check one session against raw fixture data
+    summary = pipe.store.read("workout_bpm_summary")
+    assert summary.filter("min_bpm <= avg_bpm AND avg_bpm <= max_bpm").count() == (
+        summary.count()
+    )
+
+    set2 = fx.generate_set(2)
+    fx.write_landing(set2, pipe.landing)
+    pipe.run()
+    expected2 = fx.expected_counts([set1, set2])
+    counts2 = pipe.table_counts()
+    assert counts2 == expected2, f"after set 2: {counts2} != {expected2}"
+
+    # replay set 2's run with no new files: counts must not move
+    pipe.run()
+    assert pipe.table_counts() == expected2, "replay was not idempotent"
+
+    # gym_summary view: every session lies inside its gym visit
+    gs = pipe.gym_summary()
+    rows = gs.collect()
+    assert len(rows) == expected2["completed_workouts"]
+    assert all(r.minutes_exercising <= r.minutes_in_gym for r in rows)
+
+
+def test_scd1_update_wins(spark, workdir):
+    """CDC updates must overwrite the 'new' profile (reference A6)."""
+    pipe = FitbitPipeline(spark, workdir)
+    profiles = pipe.store.read("user_profile")
+    updated = profiles.filter("last_name LIKE '%Updated'").count()
+    set1 = fx.generate_set(1)
+    set2 = fx.generate_set(2)
+    n_updates = sum(
+        1
+        for s in (set1, set2)
+        for r in s.user_info
+        if r["update_type"] == "update"
+    )
+    assert updated == n_updates
+    # one row per user regardless of update count
+    assert profiles.count() == profiles.select("user_id").distinct().count()
