@@ -110,3 +110,31 @@ def portable_hash64(col: Column | str, seed: int = 0) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     salted = F.concat(F.lit(f"{seed}:"), c)
     return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+
+
+# Universal-hash family for MinHash: h_i(x) = (a_i * H(x) + b_i) mod P,
+# all derived from ONE md5 base hash instead of k independent md5 calls
+# (k× less hashing on the hot explode path). P = 2^31 - 1 keeps every
+# intermediate product < 2^62 — exact in signed int64 on Spark AND
+# DuckDB, so the oracle can mirror the arithmetic verbatim.
+MINHASH_P = 2147483647
+
+
+def minhash_ab(i: int) -> tuple[int, int]:
+    """Deterministic (a_i, b_i) multiplier/offset pair for hash i.
+    Knuth-style multiplicative constants keep successive functions
+    uncorrelated; a_i is never 0 mod P."""
+    a = (0x9E3779B1 * (i + 1)) % MINHASH_P
+    b = (0x85EBCA77 * (i + 1) + 1) % MINHASH_P
+    return (a or 1, b)
+
+
+def minhash_base(col: Column | str) -> Column:
+    """Base hash H(x) ∈ [0, P): one md5 per value."""
+    return portable_hash64(col, seed=0) % MINHASH_P
+
+
+def minhash_hash(base: Column, i: int) -> Column:
+    """i-th universal hash over a precomputed base-hash Column."""
+    a, b = minhash_ab(i)
+    return (base * F.lit(a) + F.lit(b)) % MINHASH_P

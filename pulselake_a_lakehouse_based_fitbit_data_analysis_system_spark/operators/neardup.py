@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.expressions import portable_hash64
+from ..functions.expressions import minhash_base, minhash_hash, portable_hash64
 from .text import tokens
 
 
@@ -44,10 +44,15 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 def exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Distinct (id, shingle) pairs — the dedup universe."""
-    return (
-        df.select(id_col, F.explode(word_shingles(text_col, n)).alias("shingle"))
-        .distinct()
+    """Distinct (id, shingle) pairs — the dedup universe.
+
+    Per-doc dedup happens with ``array_distinct`` BEFORE the explode:
+    map-side only, no shuffle — a global ``.distinct()`` here would
+    shuffle the entire exploded universe for nothing (ids already make
+    rows unique across docs)."""
+    return df.select(
+        id_col,
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
     )
 
 
@@ -59,11 +64,16 @@ def minhash_signatures(
     shingle_size: int = 3,
 ) -> DataFrame:
     """k-permutation MinHash: sig_i(doc) = min over shingles of
-    H(i, shingle). One explode + one grouped aggregation computing all
-    k minima in the same shuffle. Columns: id, h0..h{k-1}."""
-    sh = exploded_shingles(df, id_col, text_col, shingle_size)
+    h_i(shingle), where h_i = (a_i·H + b_i) mod P is a universal-hash
+    family over ONE md5 base hash per shingle (k× less hashing than k
+    independent md5 calls — the hot-path win at 100 TB). One explode +
+    one grouped aggregation computing all k minima in the same shuffle.
+    Columns: id, h0..h{k-1}."""
+    sh = exploded_shingles(df, id_col, text_col, shingle_size).withColumn(
+        "__h", minhash_base(F.col("shingle"))
+    )
     aggs = [
-        F.min(portable_hash64(F.col("shingle"), seed=i)).alias(f"h{i}")
+        F.min(minhash_hash(F.col("__h"), i)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)

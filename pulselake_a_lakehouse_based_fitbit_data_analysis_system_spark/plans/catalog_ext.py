@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.expressions import MINHASH_P, minhash_ab
 from ..operators import multimodal, neardup, similarity
 from ..operators import text as text_ops
 from ..operators.text import LANG_MARKERS, STOPWORDS_EN
@@ -36,6 +37,13 @@ def _sql_hash64(expr: str, seed: int) -> str:
     return f"CAST('0x' || substr(md5('{seed}:' || {expr}), 1, 15) AS BIGINT)"
 
 
+def _sql_minhash(expr: str, i: int) -> str:
+    """DuckDB twin of functions.expressions.minhash_hash(minhash_base)."""
+    a, b = minhash_ab(i)
+    base = f"({_sql_hash64(expr, 0)} % {MINHASH_P})"
+    return f"(({a} * {base} + {b}) % {MINHASH_P})"
+
+
 _SHINGLE_CTE = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -52,7 +60,7 @@ WITH toks AS (
 
 _N_MINHASH = 8
 _MINHASH_COLS = ",\n       ".join(
-    f"min({_sql_hash64('sh', i)}) AS h{i}" for i in range(_N_MINHASH)
+    f"min({_sql_minhash('sh', i)}) AS h{i}" for i in range(_N_MINHASH)
 )
 
 _MINHASH_ORACLE = (
