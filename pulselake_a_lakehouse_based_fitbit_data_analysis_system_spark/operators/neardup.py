@@ -265,6 +265,37 @@ def simhash_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash the in-order shingle sequence, slide a window of
+    ``window`` hashes, keep each window's minimum, emit the distinct
+    minima as the document's fingerprint set. Guarantees any shared
+    run of ≥ window+shingle_size−1 tokens produces a shared
+    fingerprint — partial-overlap detection, where plain MinHash only
+    estimates whole-document similarity.
+
+    Entirely map-side (higher-order array functions per row) until the
+    final explode; no shuffle at all — the ideal 100 TB shape. Columns:
+    (id, fp).
+    """
+    hashes = F.transform(
+        word_shingles(text_col, shingle_size), lambda s: minhash_base(s)
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine over two array<numeric> columns — JVM higher-order
     functions only (zip_with dot product + aggregate norms), computed

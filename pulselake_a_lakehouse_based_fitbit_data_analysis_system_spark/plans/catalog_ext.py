@@ -580,3 +580,134 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stream_ops.run_stream_to_memory(joined, output_mode="append")
+
+
+@_register(
+    "streaming_session_agg",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), g AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    )
+    SELECT user_id,
+           count(*)                          AS n_events,
+           round(sum(value), 2)              AS total_value,
+           min(ts)                           AS session_start,
+           max(ts) + INTERVAL 30 MINUTE      AS session_end
+    FROM g GROUP BY user_id, sess
+    """,
+    "Gap-inferred session windows (F.session_window, 30-min gap) in "
+    "complete mode — the idiomatic alternative to the reference's "
+    "event-declared sessions (SURVEY §2.7); oracle is the equivalent "
+    "gaps-and-islands SQL.",
+    tags=("streaming", "session", "agg"),
+)
+def q_streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_ops.stream_table(spark, sf_dir, "events")
+    sessions = stream_ops.session_window_agg(
+        stream,
+        keys=["user_id"],
+        event_time="ts",
+        gap="30 minutes",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+    return stream_ops.run_stream_to_memory(sessions, output_mode="complete")
+
+
+@_register(
+    "stateful_running_totals",
+    """
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY user_id
+    """,
+    "Custom stateful operator (applyInPandasWithState): cross-batch "
+    "running (count, sum) per key in the state store; after a full "
+    "availableNow drain the emitted totals equal the batch groupBy — "
+    "the plumbing for sessionizers/CDC state machines Spark lacks "
+    "built-ins for.",
+    tags=("streaming", "stateful", "pandas"),
+)
+def q_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_ops.stream_table(spark, sf_dir, "events")
+    totals = stream_ops.stateful_running_totals(stream, key="user_id", value="value")
+    return stream_ops.run_stream_to_memory(totals, output_mode="append")
+
+
+@_register(
+    "cube_revenue",
+    """
+    SELECT year(o_orderdate) AS o_year, o_orderpriority,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (year(o_orderdate), o_orderpriority)
+    """,
+    "CUBE over (year, priority) — all 4 grouping sets in one pass "
+    "(partial-agg then expand; SURVEY §2.4 notes the dashboards' "
+    "age×state×gender slices are exactly this workload).",
+    tags=("agg", "cube"),
+)
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .cube("o_year", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+_WINNOW_W = 4
+
+_WINNOW_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), shs AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(generate_series(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+2], ' '))
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+), h AS (
+  SELECT doc_id,
+         list_transform(shingles,
+                        s -> {_sql_hash64('s', 0)} % {MINHASH_P}) AS hs
+  FROM shs
+), m AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(hs) - {_WINNOW_W - 1}, 1)),
+                        i -> list_min(hs[i:i+{_WINNOW_W - 1}])) AS mins
+  FROM h
+)
+SELECT DISTINCT doc_id, fp FROM m, UNNEST(mins) AS u(fp)
+"""
+
+
+@_register(
+    "winnow_fingerprints",
+    _WINNOW_ORACLE,
+    "Winnowing fingerprints (SIGMOD'03): rolling min over the in-order "
+    "shingle-hash sequence — shared runs of tokens guarantee shared "
+    "fingerprints (partial-overlap detection, not whole-doc "
+    "similarity). Map-side only until the final explode: zero "
+    "shuffles.",
+    tags=("neardup", "fingerprint", "winnowing"),
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return neardup.winnow_fingerprints(
+        d, "doc_id", "text", shingle_size=3, window=_WINNOW_W
+    )

@@ -101,6 +101,77 @@ def streaming_interval_join(
     return s.join(e, cond, "inner")
 
 
+def session_window_agg(
+    stream: DataFrame,
+    keys: Sequence[str],
+    event_time: str,
+    gap: str = "30 minutes",
+    aggs: Sequence | None = None,
+    watermark: str = "365 days",
+) -> DataFrame:
+    """Gap-based session windows — the idiomatic alternative the
+    reference deliberately avoids (SURVEY §2.7: its sessions are
+    *declared* by start/stop events via interval join J3; these are
+    *inferred* from event gaps). ``F.session_window`` merges windows
+    [ts, ts+gap) that overlap; state per open session, evicted once the
+    watermark passes the session end.
+
+    Returns (keys..., session_start, session_end, <aggs>).
+    """
+    aggs = list(aggs) if aggs is not None else [F.count(F.lit(1)).alias("n_events")]
+    win = F.session_window(F.col(event_time), gap)
+    return (
+        stream.withWatermark(event_time, watermark)
+        .groupBy(win, *keys)
+        .agg(*aggs)
+        .withColumn("session_start", F.col("session_window.start"))
+        .withColumn("session_end", F.col("session_window.end"))
+        .drop("session_window")
+    )
+
+
+def stateful_running_totals(
+    stream: DataFrame,
+    key: str,
+    value: str,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    escape hatch for semantics no built-in stateful operator expresses
+    (here: cross-micro-batch running (count, sum) per key, emitted
+    every batch; the same plumbing carries sessionizers, CDC state
+    machines, online quantile trackers, …).
+
+    State is a single (count, sum) row per key in the state store —
+    O(distinct keys), partitioned by ``key``, no shuffle beyond the
+    groupBy. Arrow batches stream through the Python worker; memory is
+    bounded per batch, not per key-group history.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key} long, n bigint, total double"
+    state_schema = "n bigint, total double"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        n, total = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key: [key_tuple[0]], "n": [n], "total": [round(total, 2)]}
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     result_stream: DataFrame,
     output_mode: str = "append",
