@@ -97,6 +97,68 @@ def signed_random_projection_buckets(
     return df.withColumn("srp_bucket", srp_bucket_expr(vec_col, planes))
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF-flat cell assignment: cell = argmax cosine(vec, centroid_c)
+    (ties → lowest cell id). Centroids are a driver-side list (metadata
+    scale — nlist ≪ data); each row computes nlist dot products as
+    column expressions, map-side only, no shuffle.
+
+    At 100 TB: assign at ingest, partition/bucket the table by cell,
+    and probes become partition-pruned scans. Centroid quality (k-means
+    vs the deterministic sample used in the catalog query) affects
+    recall, not the execution shape.
+    """
+    v = F.col(vec_col)
+    sims = [cosine_similarity(v, _query_lit(c)) for c in centroids]
+    best = F.greatest(*sims) if len(sims) > 1 else sims[0]
+    cell = F.when(sims[0] == best, F.lit(0))
+    for i in range(1, len(sims)):
+        cell = cell.when(sims[i] == best, F.lit(i))
+    return df.withColumn(cell_col, cell)
+
+
+def ann_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: restrict to the ``nprobe`` cells whose centroids
+    are closest to the query, then exact cosine re-rank. Candidates
+    shrink ~nlist/nprobe×; recall grows with nprobe."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda c: (-cos(query_vec, centroids[c]), c),
+    )
+    probes = ranked[:nprobe]
+    assigned = ivf_assign(df, centroids, vec_col=vec_col)
+    candidates = assigned.filter(F.col("cell").isin(probes))
+    scored = candidates.withColumn(
+        "cosine", F.round(cosine_similarity(F.col(vec_col), _query_lit(query_vec)), 6)
+    )
+    return (
+        scored.select(id_col, "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ann_lsh(
     df: DataFrame,
     query_vec: list[float],

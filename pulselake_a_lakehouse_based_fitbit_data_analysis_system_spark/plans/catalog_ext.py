@@ -711,3 +711,84 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.winnow_fingerprints(
         d, "doc_id", "text", shingle_size=3, window=_WINNOW_W
     )
+
+
+# --- IVF-flat ANN ---------------------------------------------------------
+
+_NLIST = 8
+_IVF_K = 15
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Deterministic centroid sample: embeddings of vec_id 0..nlist-1.
+    (K-means would improve recall, not the execution shape — centroids
+    are driver-side metadata either way.)"""
+    e = _t(spark, sf_dir, "embeddings")
+    rows = e.filter(F.col("vec_id") < _NLIST).orderBy("vec_id").collect()
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def _ivf_scored_cte() -> str:
+    cents = ", ".join(
+        f"(SELECT embedding FROM embeddings WHERE vec_id = {c}) AS c{c}"
+        for c in range(_NLIST)
+    )
+    sims = ",\n         ".join(
+        f"({_dot_sql('e.embedding', f'c{c}')}) / "
+        f"({_norm_sql('e.embedding')} * {_norm_sql(f'c{c}')}) AS s{c}"
+        for c in range(_NLIST)
+    )
+    case = " ".join(f"WHEN s{c} = g THEN {c}" for c in range(_NLIST))
+    greatest = ", ".join(f"s{c}" for c in range(_NLIST))
+    return f"""
+WITH cents AS (SELECT {cents}),
+scored AS (
+  SELECT e.vec_id,
+         {sims}
+  FROM embeddings e, cents
+),
+celled AS (
+  SELECT *, CASE {case} END AS cell
+  FROM (SELECT *, greatest({greatest}) AS g FROM scored)
+)
+"""
+
+
+_IVF_ASSIGN_ORACLE = _ivf_scored_cte() + "SELECT vec_id, cell FROM celled"
+
+_ANN_IVF_ORACLE = (
+    _ivf_scored_cte()
+    + f"""
+SELECT vec_id, round(s0, 6) AS cosine
+FROM celled WHERE cell = 0
+ORDER BY cosine DESC, vec_id ASC LIMIT {_IVF_K}
+"""
+)
+
+
+@_register(
+    "ivf_cell_assign",
+    _IVF_ASSIGN_ORACLE,
+    "IVF-flat cell assignment: argmax-cosine against nlist driver-side "
+    "centroids, computed as column expressions — map-side, no shuffle. "
+    "At scale the table is partitioned by cell at ingest.",
+    tags=("similarity", "ann", "ivf"),
+)
+def q_ivf_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    return similarity.ivf_assign(e, cents).select("vec_id", "cell")
+
+
+@_register(
+    "ann_ivf",
+    _ANN_IVF_ORACLE,
+    "IVF-flat ANN: probe the query's nearest cell (nprobe=1), exact "
+    "cosine re-rank within it — candidates shrink ~nlist×; the "
+    "partition-pruned probe is the 100 TB path alongside SRP-LSH.",
+    tags=("similarity", "ann", "ivf"),
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    return similarity.ann_ivf(e, cents[0], cents, k=_IVF_K, nprobe=1)
