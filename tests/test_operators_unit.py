@@ -1,0 +1,163 @@
+"""Unit tests for operator semantics the oracle gate doesn't reach:
+merge policies, CDC tie-breaking, the archiver sink, Kafka option
+plumbing, and the algorithmic guarantees of the near-dup family."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+    dedup,
+    merge,
+    neardup,
+)
+from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.sources.kafka import (
+    kafka_source_options,
+)
+from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.sources.sinks import (
+    SingleFileArchiver,
+)
+
+
+# --- merge policies -------------------------------------------------------
+
+
+def test_merge_insert_only_is_idempotent(spark):
+    target = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    batch = spark.createDataFrame([Row(k=2, v="CHANGED"), Row(k=3, v="c")])
+    once = merge.merge_insert_only(target, batch, ["k"])
+    twice = merge.merge_insert_only(once, batch, ["k"])
+    rows = {r["k"]: r["v"] for r in twice.collect()}
+    # existing key untouched, new key inserted exactly once
+    assert rows == {1: "a", 2: "b", 3: "c"}
+
+
+def test_merge_scd1_strictly_newer_wins(spark):
+    target = spark.createDataFrame([Row(k=1, ts=10, v="old"), Row(k=2, ts=5, v="x")])
+    batch = spark.createDataFrame(
+        [
+            Row(k=1, ts=20, v="new"),   # newer → replaces
+            Row(k=2, ts=5, v="SAME_TS"),  # tie → target keeps
+            Row(k=3, ts=1, v="ins"),    # new key → insert
+        ]
+    )
+    out = merge.merge_scd1(target, batch, ["k"], order_col="ts")
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows == {1: "new", 2: "x", 3: "ins"}
+
+
+def test_merge_conditional_update_gym_logout(spark):
+    # reference A5: logout corrections win only if they extend the visit
+    target = spark.createDataFrame([Row(k=1, logout=100), Row(k=2, logout=50)])
+    batch = spark.createDataFrame([Row(k=1, logout=90), Row(k=2, logout=80)])
+    out = merge.merge_conditional_update(
+        target,
+        batch,
+        ["k"],
+        update_condition=lambda a, b: F.col("b.logout") > F.col("a.logout"),
+        update_cols=["logout"],
+    )
+    rows = {r["k"]: r["logout"] for r in out.collect()}
+    assert rows == {1: 100, 2: 80}
+
+
+def test_latest_by_key_tie_is_deterministic(spark):
+    # two updates with identical timestamps must yield ONE survivor
+    # (the reference's rank() would keep both → MERGE multi-match error)
+    df = spark.createDataFrame(
+        [Row(k=1, ts=5, v="a"), Row(k=1, ts=5, v="b"), Row(k=1, ts=4, v="c")]
+    )
+    out = dedup.latest_by_key(df, ["k"], "ts").collect()
+    assert len(out) == 1 and out[0]["ts"] == 5
+
+
+# --- sinks / sources ------------------------------------------------------
+
+
+def test_single_file_archiver(spark, tmp_path):
+    arch = SingleFileArchiver(str(tmp_path), "bpm")
+    df1 = spark.createDataFrame([Row(a=1), Row(a=2)])
+    df2 = spark.createDataFrame([Row(a=3)])
+    arch.write(df1, batch_id=0)
+    arch.write(df2, batch_id=1)
+    files = sorted(f for f in os.listdir(tmp_path) if f.endswith(".json"))
+    assert files == ["bpm_1.json", "bpm_2.json"]
+    # counter survives re-instantiation (restart semantics)
+    arch2 = SingleFileArchiver(str(tmp_path), "bpm")
+    arch2.write(df2, batch_id=2)
+    assert os.path.exists(tmp_path / "bpm_3.json")
+    back = spark.read.json(str(tmp_path / "bpm_1.json"))
+    assert back.count() == 2
+
+
+def test_kafka_source_options_shape():
+    opts = kafka_source_options(
+        "broker:9092", "bpm", max_offsets_per_trigger=1_000_000,
+        sasl_jaas="org.apache.kafka.common.security.plain.PlainLoginModule required;",
+    )
+    assert opts["subscribe"] == "bpm"
+    assert opts["maxOffsetsPerTrigger"] == "1000000"
+    assert opts["failOnDataLoss"] == "false"
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+
+
+# --- near-dup guarantees --------------------------------------------------
+
+
+def test_simhash_pigeonhole_finds_close_pairs(spark):
+    # identical docs → Hamming 0; must be found by the chunk join
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=3, text="completely different words entirely unrelated content"),
+        ]
+    )
+    pairs = neardup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert found.get((1, 2)) == 0
+
+
+def test_winnowing_shared_run_shares_fingerprint(spark):
+    # winnowing guarantee: a shared token run of >= window+shingle-1
+    # tokens yields at least one shared fingerprint
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"unique prefix one {shared} trailing bits"),
+            Row(doc_id=2, text=f"other start {shared} different ending"),
+        ]
+    )
+    fps = neardup.winnow_fingerprints(docs, "doc_id", "text", 3, 4)
+    a = {r["fp"] for r in fps.filter(F.col("doc_id") == 1).collect()}
+    b = {r["fp"] for r in fps.filter(F.col("doc_id") == 2).collect()}
+    assert a & b
+
+
+def test_lsh_identical_docs_collide(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one two three four five six seven eight"),
+            Row(doc_id=2, text="one two three four five six seven eight"),
+            Row(doc_id=3, text="nine ten eleven twelve thirteen fourteen"),
+        ]
+    )
+    pairs = neardup.lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=8, bands=4
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_lsh_max_bucket_skew_guard(spark):
+    # 3 identical docs form a 3-doc bucket; max_bucket=2 must drop it
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="same boilerplate text repeated everywhere") for i in range(3)]
+    )
+    pairs = neardup.lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=8, bands=4, max_bucket=2
+    ).collect()
+    assert pairs == []
