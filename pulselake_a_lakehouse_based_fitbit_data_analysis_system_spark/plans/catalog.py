@@ -943,3 +943,4 @@ def q_merge_conditional_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # part 2 (text/neardup/similarity/multimodal/streaming) registers itself
 from . import catalog_ext  # noqa: E402,F401
+from . import catalog_joins  # noqa: E402,F401

@@ -1,0 +1,263 @@
+"""Query catalog, part 3: multi-way join analytics.
+
+The reference's reporting layer (`gym_summary`, dashboard slices —
+`Setup/02-setup.py:244-256`, report PDF ch.7) is a join-then-aggregate
+workload; at 100 TB the join *strategy* dominates. These queries
+exercise the canonical shapes on the star schema: a 3-way
+fact-to-fact join with top-k (TPC-H Q3 shape), a 6-way snowflake join
+with two broadcast dims (Q5 shape), a correlated-EXISTS rewritten as a
+left-semi join (Q4 shape), and distinct aggregation.
+
+Scale notes (see SCALE.md): small dims (region, nation, and at real
+scale customer-sized dims under the broadcast threshold) are joined
+with an explicit ``F.broadcast`` hint so no shuffle ever materializes
+on the fact side for them; the orders⋈lineitem join shuffles both
+sides on orderkey — at 100 TB both tables should be bucketed by
+orderkey at ingest so the shuffle disappears entirely (Spark SMJ over
+bucketed scans). AQE handles skewed orderkeys at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import _register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+# =========================================================================
+# Q3 shape — segment-filtered 3-way join, grouped revenue, top-k
+# =========================================================================
+
+_SHIPPING_PRIORITY_ORACLE = """
+SELECT l.l_orderkey                                        AS orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate                                       AS orderdate
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+"""
+
+
+@_register(
+    "shipping_priority",
+    _SHIPPING_PRIORITY_ORACLE,
+    "TPC-H-Q3-shaped 3-way join: segment filter pushed to the customer "
+    "scan, date filters pushed to orders/lineitem scans, "
+    "customer⋈orders broadcast (filtered side is small), "
+    "orders⋈lineitem shuffled on orderkey (bucket-able at scale), "
+    "grouped revenue, deterministic top-10.",
+    bench=True,
+    tags=("join", "agg", "topk"),
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("orderkey"), "o_orderdate")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .select("orderkey", "revenue", F.col("o_orderdate").alias("orderdate"))
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
+
+
+# =========================================================================
+# Q5 shape — 6-way snowflake join, revenue by nation within a region
+# =========================================================================
+
+_REGIONAL_VOLUME_ORACLE = """
+SELECT n.n_name                                              AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC
+"""
+
+
+@_register(
+    "regional_volume",
+    _REGIONAL_VOLUME_ORACLE,
+    "TPC-H-Q5-shaped 6-way snowflake join: region/nation/supplier "
+    "broadcast (dims stay small at any fact scale), the "
+    "customer⋈orders⋈lineitem chain shuffles on custkey then orderkey; "
+    "the c_nationkey = s_nationkey condition rides the lineitem⋈supplier "
+    "broadcast join as a residual predicate — no extra shuffle.",
+    bench=True,
+    tags=("join", "agg"),
+)
+def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # nation⋈region pre-reduced driver-free: both broadcast-sized
+    asian_nations = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select("n_nationkey", "n_name")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(asian_nations), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+# =========================================================================
+# Q4 shape — EXISTS as left-semi join with a non-equi residual
+# =========================================================================
+
+_LATE_SHIP_ORACLE = """
+SELECT o.o_orderpriority                AS priority,
+       count(*)                         AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o.o_orderpriority
+ORDER BY priority
+"""
+
+
+@_register(
+    "order_priority_semi",
+    _LATE_SHIP_ORACLE,
+    "TPC-H-Q4-shaped correlated EXISTS, expressed directly as a "
+    "left-semi join (the rewrite Catalyst would do for the SQL form): "
+    "orders with any lineitem shipped >90 days after order date, "
+    "counted per priority. Semi join keeps only the probe side — no "
+    "fact-side row multiplication, half the shuffle of an inner join "
+    "+ distinct.",
+    tags=("join", "semi", "agg"),
+)
+def q_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 90 days")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("priority")
+    )
+
+
+# =========================================================================
+# Distinct aggregation — exact (oracle-checked) + HLL sketch variant
+# =========================================================================
+
+_DISTINCT_ORACLE = """
+SELECT o.o_orderpriority              AS priority,
+       count(DISTINCT o.o_custkey)    AS unique_customers,
+       count(*)                       AS orders,
+       round(sum(o.o_totalprice), 2)  AS total_price
+FROM orders o
+GROUP BY o.o_orderpriority
+ORDER BY priority
+"""
+
+
+@_register(
+    "distinct_agg",
+    _DISTINCT_ORACLE,
+    "Exact distinct aggregation alongside plain aggregates: Catalyst "
+    "plans count(DISTINCT) as a two-phase expand+agg; the reference's "
+    "dashboard 'unique visitors per gym' slices (report PDF fig 7.2) "
+    "are this shape.",
+    tags=("agg", "distinct"),
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.countDistinct("o_custkey").alias("unique_customers"),
+            F.count(F.lit(1)).alias("orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+@_register(
+    "approx_distinct_agg",
+    None,  # HLL estimates are engine-specific — rows-only check
+    "approx_count_distinct (HyperLogLog++) variant of distinct_agg: at "
+    "100 TB the exact expand+agg doubles the shuffle volume; the HLL "
+    "sketch is a fixed few-KB per group and merges map-side. "
+    "rsd=0.01. Estimates are engine-specific, so no value oracle; the "
+    "unit test asserts the estimate is within 5% of exact.",
+    tags=("agg", "distinct", "approx"),
+)
+def q_approx_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias(
+                "approx_unique_customers"
+            ),
+            F.count(F.lit(1)).alias("orders"),
+        )
+        .orderBy("priority")
+    )

@@ -161,3 +161,25 @@ def test_lsh_max_bucket_skew_guard(spark):
         docs, "doc_id", "text", num_hashes=8, bands=4, max_bucket=2
     ).collect()
     assert pairs == []
+
+
+# --- approx distinct accuracy --------------------------------------------
+
+
+def test_approx_distinct_within_5pct_of_exact(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import (
+        QUERIES,
+    )
+
+    sf_dir = os.environ.get("PULSELAKE_TEST_SF_DIR", "/root/testdata/sf0.001")
+    exact = {
+        r["priority"]: r["unique_customers"]
+        for r in QUERIES["distinct_agg"].spark(spark, sf_dir).collect()
+    }
+    approx = {
+        r["priority"]: r["approx_unique_customers"]
+        for r in QUERIES["approx_distinct_agg"].spark(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for p, n in exact.items():
+        assert abs(approx[p] - n) <= max(1, 0.05 * n), (p, approx[p], n)
