@@ -104,6 +104,39 @@ def range_join(
     return l.join(r, cond, "inner")
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the fact side, replicate the dim.
+
+    For hot keys too big for AQE's runtime skew split (or engines/
+    modes where AQE is off — streaming foreachBatch plans, for one):
+    the fact side gets a deterministic salt in [0, salt_buckets) hashed
+    from its whole row, the dim side is exploded ``salt_buckets``× so
+    every (key, salt) combination exists, and the join key becomes
+    (keys…, salt). A hot key's rows now spread over ``salt_buckets``
+    reducers instead of one straggler. Dim amplification is the price —
+    use for dims small enough to replicate but too big to broadcast.
+
+    Semantics-preserving for inner/left joins on equi keys (each fact
+    row still matches exactly the dim rows its keys match).
+    """
+    fact_cols = [F.col(c) for c in fact.columns]
+    salted_fact = fact.withColumn(
+        "__salt",
+        F.pmod(F.abs(F.xxhash64(*fact_cols)), F.lit(salt_buckets)).cast("int"),
+    )
+    salted_dim = dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    return salted_fact.join(salted_dim, [*on, "__salt"], how).drop("__salt")
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,

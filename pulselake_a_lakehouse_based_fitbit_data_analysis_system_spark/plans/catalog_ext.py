@@ -792,3 +792,22 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     cents = _ivf_centroids(spark, sf_dir)
     return similarity.ann_ivf(e, cents[0], cents, k=_IVF_K, nprobe=1)
+
+
+@_register(
+    "streaming_dedup_wm",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    "Watermarked streaming dedup on the Spark 3.5+ "
+    "dropDuplicatesWithinWatermark primitive: state is evicted as the "
+    "watermark passes each key (O(keys per window), not O(keys ever "
+    "seen) — the production-scale W1). Same batch-DISTINCT answer.",
+    tags=("streaming", "dedup"),
+)
+def q_streaming_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_ops.stream_table(spark, sf_dir, "events")
+    deduped = stream_ops.streaming_dedup_within_watermark(
+        stream.select("user_id", "event_type", "ts"),
+        keys=["user_id", "event_type"],
+        event_time="ts",
+    ).select("user_id", "event_type")
+    return stream_ops.run_stream_to_memory(deduped, output_mode="append")

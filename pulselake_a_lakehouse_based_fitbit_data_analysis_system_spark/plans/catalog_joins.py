@@ -261,3 +261,50 @@ def q_approx_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# =========================================================================
+# Salted join — manual skew mitigation
+# =========================================================================
+
+_SALTED_JOIN_ORACLE = """
+SELECT c.c_mktsegment                  AS segment,
+       count(*)                        AS n_events,
+       round(sum(e.value), 2)          AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY segment
+"""
+
+
+@_register(
+    "salted_join_agg",
+    _SALTED_JOIN_ORACLE,
+    "Skew-mitigated fact⋈dim join: deterministic fact-side salt + "
+    "dim replication spread each hot key over salt_buckets reducers "
+    "(operators/joins.py::salted_join). Semantics identical to the "
+    "plain equi-join — the oracle is the unsalted SQL. The manual "
+    "fallback when AQE skew-split can't apply (streaming foreachBatch, "
+    "pathological single-key skew).",
+    tags=("join", "skew"),
+)
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import salted_join
+
+    e = _t(spark, sf_dir, "events").select("user_id", "value")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        e.withColumnRenamed("user_id", "c_custkey"),
+        c,
+        on=["c_custkey"],
+        salt_buckets=8,
+    )
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("segment")
+    )

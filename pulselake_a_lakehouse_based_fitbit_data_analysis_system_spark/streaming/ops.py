@@ -76,6 +76,25 @@ def streaming_dedup(
     return stream.withWatermark(event_time, watermark).dropDuplicates(list(keys))
 
 
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    keys: Sequence[str],
+    event_time: str,
+    watermark: str = "365 days",
+) -> DataFrame:
+    """W1 on the tighter Spark 3.5+ primitive: where ``dropDuplicates``
+    keeps one state entry per key *forever within the horizon*,
+    ``dropDuplicatesWithinWatermark`` evicts a key's entry as soon as
+    the watermark passes its event time + delay — state is O(keys per
+    watermark window), not O(keys ever seen). The right choice when
+    duplicates only arrive near each other in event time (retries,
+    at-least-once sources), which is the reference's actual duplicate
+    model (replayed fixture files)."""
+    return stream.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def streaming_interval_join(
     start_stream: DataFrame,
     end_stream: DataFrame,

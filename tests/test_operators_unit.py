@@ -183,3 +183,39 @@ def test_approx_distinct_within_5pct_of_exact(spark):
     assert set(exact) == set(approx)
     for p, n in exact.items():
         assert abs(approx[p] - n) <= max(1, 0.05 * n), (p, approx[p], n)
+
+
+# --- salted join ----------------------------------------------------------
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.joins import (
+        salted_join,
+    )
+
+    # 90% of fact rows share one hot key
+    fact = spark.createDataFrame(
+        [Row(k=1 if i < 90 else i, v=float(i)) for i in range(100)]
+    )
+    dim = spark.createDataFrame(
+        [Row(k=i, name=f"d{i}") for i in range(100)]
+    )
+    plain = {(r["k"], r["v"], r["name"]) for r in fact.join(dim, "k").collect()}
+    salted = {
+        (r["k"], r["v"], r["name"])
+        for r in salted_join(fact, dim, ["k"], salt_buckets=8).collect()
+    }
+    assert salted == plain
+
+    # the hot key's rows really land in multiple salt buckets
+    salted_fact = fact.withColumn(
+        "__salt",
+        F.pmod(F.abs(F.xxhash64(F.col("k"), F.col("v"))), F.lit(8)),
+    )
+    n_buckets = (
+        salted_fact.filter(F.col("k") == 1)
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 1
