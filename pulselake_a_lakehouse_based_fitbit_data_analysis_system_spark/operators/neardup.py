@@ -329,3 +329,64 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Cluster near-dup candidate pairs into components: every node gets
+    ``cluster_id`` = the minimum id reachable through the pair graph
+    (singletons label themselves). The step LSH stops short of — dedup
+    needs *groups*, not pairs, to keep one canonical doc per group.
+
+    Min-label propagation: labels start as own id; each round every
+    node takes the min of its label and its neighbors' labels — one
+    join + one groupBy per round, converging in O(graph diameter)
+    rounds, with ``localCheckpoint`` truncating the growing lineage
+    (the classic iterative-DataFrame failure mode). Near-dup graphs
+    are unions of small cliques, so the diameter — and the round count
+    — stays tiny regardless of corpus size. For adversarial
+    long-chain graphs the large-star/small-star algorithm (Kiveris et
+    al., SoCC'14) drops rounds to O(log n); the per-round plumbing is
+    identical.
+
+    Convergence check: sum(label) is monotone-decreasing and fixed
+    exactly at convergence — one cheap agg per round instead of a
+    changed-rows anti-join.
+    """
+    edges = pairs.select(
+        F.col(pair_a).alias("src"), F.col(pair_b).alias("dst")
+    ).union(pairs.select(F.col(pair_b).alias("src"), F.col(pair_a).alias("dst")))
+    edges = edges.localCheckpoint(eager=True)
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iterations):
+        neighbor_labels = edges.join(
+            labels, edges.src == labels.node, "inner"
+        ).select(F.col("dst").alias("node"), "label")
+        labels = (
+            labels.union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def keep_canonical(
+    clustered: DataFrame, id_col: str, cluster_col: str = "cluster_id"
+) -> DataFrame:
+    """The deduplicated corpus: one canonical doc per cluster (the
+    cluster's min id — deterministic, no arbitrary-row-per-group)."""
+    return clustered.filter(F.col(id_col) == F.col(cluster_col))

@@ -811,3 +811,72 @@ def q_streaming_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_time="ts",
     ).select("user_id", "event_type")
     return stream_ops.run_stream_to_memory(deduped, output_mode="append")
+
+
+# --- near-dup clustering (pairs → components → canonical corpus) ----------
+
+_PAIRS_CTE = _LSH_ORACLE.replace("WITH toks", "WITH RECURSIVE toks").replace(
+    "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b",
+    ", pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b",
+    1,
+) + ")"
+
+_CLUSTERS_ORACLE = (
+    _PAIRS_CTE
+    + """
+, edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON w.node = e.src
+)
+SELECT node AS doc_id, min(label) AS cluster_id
+FROM walk GROUP BY node
+"""
+)
+
+_CANONICAL_ORACLE = (
+    _CLUSTERS_ORACLE
+    + """
+HAVING min(label) = node
+"""
+)
+
+
+@_register(
+    "neardup_clusters",
+    _CLUSTERS_ORACLE,
+    "Near-dup clustering: LSH candidate pairs → connected components "
+    "via iterative min-label propagation (localCheckpoint-truncated "
+    "lineage, O(diameter) rounds — near-dup graphs are small cliques, "
+    "so 2-3 rounds at any corpus size). cluster_id = min doc_id "
+    "reachable; singletons label themselves. Oracle is a recursive "
+    "CTE over the same md5-derived LSH pairs.",
+    tags=("neardup", "cluster", "iterative"),
+)
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pairs = neardup.lsh_candidate_pairs(
+        d, "doc_id", "text", num_hashes=_N_MINHASH, bands=_BANDS, shingle_size=3
+    )
+    return neardup.connected_components(pairs, d, "doc_id")
+
+
+@_register(
+    "dedup_canonical_docs",
+    _CANONICAL_ORACLE,
+    "The deduplicated corpus: keep each cluster's min-id doc — the "
+    "deterministic canonical choice. Output (doc_id, cluster_id) with "
+    "doc_id = cluster_id.",
+    tags=("neardup", "cluster", "dedup"),
+)
+def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pairs = neardup.lsh_candidate_pairs(
+        d, "doc_id", "text", num_hashes=_N_MINHASH, bands=_BANDS, shingle_size=3
+    )
+    clusters = neardup.connected_components(pairs, d, "doc_id")
+    return neardup.keep_canonical(clusters, "doc_id")

@@ -219,3 +219,33 @@ def test_salted_join_matches_plain_join(spark):
         .count()
     )
     assert n_buckets > 1
+
+
+# --- connected components -------------------------------------------------
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    # chain 1-2-3 (diameter > 1 forces multiple propagation rounds),
+    # clique {10,11,12}, singleton 20
+    pairs = spark.createDataFrame(
+        [
+            Row(id_a=1, id_b=2),
+            Row(id_a=2, id_b=3),
+            Row(id_a=10, id_b=11),
+            Row(id_a=10, id_b=12),
+            Row(id_a=11, id_b=12),
+        ]
+    )
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in [1, 2, 3, 10, 11, 12, 20]])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup.connected_components(pairs, nodes, "doc_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+    kept = {
+        r["doc_id"]
+        for r in neardup.keep_canonical(
+            neardup.connected_components(pairs, nodes, "doc_id"), "doc_id"
+        ).collect()
+    }
+    assert kept == {1, 10, 20}
