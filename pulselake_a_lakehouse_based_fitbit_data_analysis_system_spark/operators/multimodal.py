@@ -90,20 +90,108 @@ def decode_images(media: DataFrame) -> DataFrame:
     return media.select("id", "payload").mapInPandas(run, DECODED_IMAGE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "id long, width int, height int, n_bytes long, resized_md5 string"
+)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB — a real implementation re-encodes payloads per batch.
-    Raises until a codec library is provisioned; the signature and
-    schema contract are the deliverable here."""
-    raise NotImplementedError(
-        "image resize requires a codec library (PIL/libvips) not present "
-        "in this container; wire it into decode_image_batch-style "
-        "mapInPandas when available"
-    )
+    """Resize via ``mapInPandas`` — 1→1 row shape, bounded Arrow batches.
+
+    CODEC STUB: the re-encode is a deterministic fake (the "resized"
+    payload is the md5 hex of the original — 32 bytes), so the
+    distributed plumbing (schema contract, per-batch work, new content
+    hash downstream systems key on) is real and oracle-checkable. A
+    real codec (PIL/libvips, absent in this container) replaces only
+    the body of ``fake_resize``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_resize(payload: bytes) -> bytes:
+            return hashlib.md5(payload).hexdigest().encode()
+
+        for pdf in batches:
+            resized = [
+                None if p is None else fake_resize(p) for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": [0 if r is None else len(r) for r in resized],
+                    "resized_md5": [
+                        None if r is None else hashlib.md5(r).hexdigest()
+                        for r in resized
+                    ],
+                }
+            )
+
+    return media.select("id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "id long, frame_idx int, frame_md5 string"
 
 
 def sample_frames(media: DataFrame, every_n: int) -> DataFrame:
-    """STUB — video frame sampling (pyav/ffmpeg) — same contract."""
-    raise NotImplementedError(
-        "video frame sampling requires ffmpeg bindings not present in "
-        "this container"
-    )
+    """Video frame sampling via ``mapInPandas`` — the 1→N row-expansion
+    shape (one output row per sampled frame), still streaming batch by
+    batch so a long video cannot blow out executor memory.
+
+    CODEC STUB: frame count and per-frame hashes are md5-derived fakes
+    (ffmpeg bindings absent); the expansion plumbing, schema, and
+    deterministic frame identity are real.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                digest = hashlib.md5(payload)
+                n_frames = 1 + digest.digest()[0] % 16
+                for fi in range(0, n_frames, every_n):
+                    ids.append(i)
+                    idxs.append(fi)
+                    hashes.append(
+                        hashlib.md5(
+                            f"{digest.hexdigest()}:{fi}".encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "frame_md5": hashes}
+            )
+
+    return media.select("id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = "id long, dim int, value double"
+
+
+def extract_features(media: DataFrame, n_dims: int = 8) -> DataFrame:
+    """Feature extraction via ``mapInPandas`` — payload → ``n_dims``
+    feature values, emitted exploded as (id, dim, value) so every
+    value is oracle-checkable at top level (the array<float> form is
+    ``F.collect_list`` away, and the embeddings table covers the
+    array-typed similarity path).
+
+    CODEC STUB: features are md5 digest bytes scaled to [0,1] — a real
+    model (CLIP et al.) replaces only the per-payload function; the
+    Arrow batch shape and explode are what survive scale.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, dims, vals = [], [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                digest = hashlib.md5(payload).digest()
+                for d in range(n_dims):
+                    ids.append(i)
+                    dims.append(d)
+                    vals.append(round(digest[d] / 255.0, 6))
+            yield pd.DataFrame({"id": ids, "dim": dims, "value": vals})
+
+    return media.select("id", "payload").mapInPandas(run, FEATURE_SCHEMA)

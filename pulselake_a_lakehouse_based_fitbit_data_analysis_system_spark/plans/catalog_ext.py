@@ -880,3 +880,78 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clusters = neardup.connected_components(pairs, d, "doc_id")
     return neardup.keep_canonical(clusters, "doc_id")
+
+
+# --- multimodal: resize / frame-sample / feature-extract ------------------
+
+_RESIZE_ORACLE = """
+SELECT doc_id            AS id,
+       224               AS width,
+       224               AS height,
+       32                AS n_bytes,
+       md5(md5(text))    AS resized_md5
+FROM documents
+"""
+
+
+@_register(
+    "multimodal_resize",
+    _RESIZE_ORACLE,
+    "Image resize plumbing (mapInPandas, 1→1): deterministic fake "
+    "re-encode (md5 hex as payload — codec stubbed), real Arrow batch "
+    "shape, new content hash. Oracle checks every derived value.",
+    tags=("multimodal", "pandas_udf"),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.to_media_column(d, "text", "doc_id", modality="image")
+    return multimodal.resize_images(media, width=224, height=224)
+
+
+_FRAMES_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS id, md5(text) AS cmd5,
+         1 + CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) % 16 AS n_frames
+  FROM documents
+)
+SELECT id, u.frame_idx,
+       md5(cmd5 || ':' || CAST(u.frame_idx AS VARCHAR)) AS frame_md5
+FROM m, UNNEST(generate_series(0, n_frames - 1, 4)) AS u(frame_idx)
+"""
+
+
+@_register(
+    "multimodal_frames",
+    _FRAMES_ORACLE,
+    "Video frame sampling plumbing (mapInPandas, 1→N expansion): "
+    "md5-derived fake frame count, every-4th-frame sampling, "
+    "deterministic per-frame identity hashes — the row-expansion shape "
+    "a real ffmpeg sampler uses, streaming batch-by-batch.",
+    tags=("multimodal", "pandas_udf"),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.to_media_column(d, "text", "doc_id", modality="video")
+    return multimodal.sample_frames(media, every_n=4)
+
+
+_FEATURES_ORACLE = """
+SELECT doc_id AS id, u.dim,
+       round(CAST('0x' || substr(md5(text), 2 * u.dim + 1, 2) AS INTEGER)
+             / 255.0, 6) AS value
+FROM documents, UNNEST(generate_series(0, 7)) AS u(dim)
+"""
+
+
+@_register(
+    "multimodal_features",
+    _FEATURES_ORACLE,
+    "Feature extraction plumbing (mapInPandas): payload → 8 feature "
+    "values (md5-byte fake — a CLIP-style model drops in), exploded to "
+    "(id, dim, value) for full value-level oracle checks.",
+    tags=("multimodal", "pandas_udf", "features"),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.to_media_column(d, "text", "doc_id", modality="image")
+    return multimodal.extract_features(media, n_dims=8)
