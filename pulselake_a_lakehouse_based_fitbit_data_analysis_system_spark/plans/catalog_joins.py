@@ -308,3 +308,86 @@ def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# =========================================================================
+# Reshape: unpivot (wide→long) + explicit GROUPING SETS
+# =========================================================================
+
+_UNPIVOT_ORACLE = """
+SELECT o_orderkey AS orderkey, metric, round(value, 2) AS value
+FROM (
+  SELECT o_orderkey, o_totalprice,
+         CAST(o_custkey AS DOUBLE) AS custkey_num
+  FROM orders WHERE o_orderkey < 1000
+)
+UNPIVOT (value FOR metric IN (o_totalprice AS 'totalprice',
+                              custkey_num AS 'custkey_num'))
+"""
+
+
+@_register(
+    "unpivot_order_metrics",
+    _UNPIVOT_ORACLE,
+    "Wide→long unpivot (df.unpivot / SQL UNPIVOT): the reshape the "
+    "dashboard layer needs to feed metric-name/value stores. Pure "
+    "projection + expand — map-side, no shuffle.",
+    tags=("reshape",),
+)
+def q_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey_num"),
+        )
+    )
+    return (
+        o.unpivot("o_orderkey", ["totalprice", "custkey_num"], "metric", "value")
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            "metric",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT o_orderpriority AS priority, o_orderstatus AS status,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@_register(
+    "grouping_sets_orders",
+    _GROUPING_SETS_ORACLE,
+    "Explicit GROUPING SETS (df.groupingSets, Spark 4): the "
+    "by-priority / by-status / grand-total dashboard slices in ONE "
+    "scan + expand instead of three scans — the grouping-sets workload "
+    "SURVEY §2.4 prescribes for the reference's age×state×gender "
+    "dashboards.",
+    tags=("agg", "grouping_sets"),
+)
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+            "n",
+            "total",
+        )
+    )
