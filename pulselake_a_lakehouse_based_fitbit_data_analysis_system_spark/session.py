@@ -74,6 +74,15 @@ def get_spark(
         # Spark type; read as long and convert at the source boundary
         # (sources.tables handles the micros conversion).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Runtime filters: inject a bloom filter built from the small
+        # side of a shuffle join into the big side's scan — at 100 TB
+        # this prunes most of a fact scan for selective joins
+        # (the Q3 shape: filtered customers → orders → lineitem).
+        # (semiJoinReduction is left at default: enabling it together
+        # with the bloom filter hangs session startup on this Spark
+        # build, and when both are on Spark prefers the bloom filter
+        # anyway.)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Streaming: bound the number of state-store instances locally.
         .config("spark.sql.streaming.stateStore.maintenanceInterval", "300s")
     )
