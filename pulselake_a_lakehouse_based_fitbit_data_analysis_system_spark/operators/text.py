@@ -110,6 +110,34 @@ def detect_language(text: Column | str, min_hits: int = 1) -> Column:
     return expr
 
 
+URL_PATTERN = r"https?://\S+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+
+
+def clean_text(text: Column | str) -> Column:
+    """Training-corpus text cleaning: lowercase, URLs and emails →
+    placeholder tokens, whitespace collapsed. Pure regexp_replace
+    chain (JVM, one pass per pattern); patterns are RE2-safe so the
+    DuckDB oracle applies the same ones verbatim."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.lower(c)
+    c = F.regexp_replace(c, URL_PATTERN, "<url>")
+    c = F.regexp_replace(c, EMAIL_PATTERN, "<email>")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def ngrams(text: Column | str, n: int = 2) -> Column:
+    """Array of word n-grams over the single-space token contract."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
     (A content-defined rolling-hash chunker would go here for partial-

@@ -955,3 +955,64 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     media = multimodal.to_media_column(d, "text", "doc_id", modality="image")
     return multimodal.extract_features(media, n_dims=8)
+
+
+# --- text cleaning + n-gram counts ----------------------------------------
+
+_CLEAN_ORACLE = """
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(lower(text), 'https?://\\S+', '<url>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<email>', 'g'),
+         '\\s+', ' ', 'g')) AS cleaned
+FROM documents
+"""
+
+
+@_register(
+    "clean_text_docs",
+    _CLEAN_ORACLE,
+    "Corpus text cleaning (lowercase, URL/email → placeholder tokens, "
+    "whitespace collapse) as a pure regexp_replace chain — map-side, "
+    "codegen'd, RE2-safe patterns shared verbatim with the oracle.",
+    tags=("text", "clean"),
+)
+def q_clean_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text_ops.clean_text("text").alias("cleaned"))
+
+
+_BIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT unnest(CASE WHEN len(t) >= 2
+       THEN list_transform(generate_series(1, len(t) - 1),
+                           i -> array_to_string(t[i:i+1], ' '))
+       ELSE [] END) AS gram
+  FROM toks
+)
+SELECT gram, count(*) AS n
+FROM grams GROUP BY gram
+HAVING count(*) >= 5
+"""
+
+
+@_register(
+    "bigram_counts",
+    _BIGRAM_ORACLE,
+    "Corpus-wide bigram counts (≥5 occurrences): per-doc n-gram arrays "
+    "map-side, one hash-agg shuffle of (gram, partial count) — the "
+    "co-occurrence / phrase-mining primitive; HAVING prunes the long "
+    "tail before it leaves the aggregation.",
+    tags=("text", "ngram"),
+)
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(text_ops.ngrams("text", 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )

@@ -110,3 +110,51 @@ class SingleFileArchiver:
         for leftover in os.listdir(tmp):
             os.remove(os.path.join(tmp, leftover))
         os.rmdir(tmp)
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Bin-pack a parquet directory's small files — the OSS analog of
+    Delta ``OPTIMIZE`` (the reference leans on Databricks
+    ``delta.autoCompact``, ``Test Scripts/07-run.py:19-20``).
+
+    Streaming append sinks write one file per trigger per partition;
+    at 100 TB that is millions of KB-sized files and scan planning
+    dominates query time. Compaction: size the output file count from
+    actual input bytes / target size, rewrite via ``repartition`` (or
+    ``repartitionByRange`` when a sort column is given — clusters data
+    for min/max skipping), then atomically swap directories.
+
+    Returns the number of output files. Run per partition directory in
+    production so the rewrite parallelizes and partition pruning is
+    preserved.
+    """
+    import shutil
+
+    total_bytes = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total_bytes += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_within_by:
+        from pyspark.sql import functions as F
+
+        df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_within_by])
+        df = df.sortWithinPartitions(*sort_within_by)
+    else:
+        df = df.repartition(n_files)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )

@@ -249,3 +249,32 @@ def test_connected_components_chain_clique_singleton(spark):
         ).collect()
     }
     assert kept == {1, 10, 20}
+
+
+# --- compaction -----------------------------------------------------------
+
+
+def test_compact_table_bin_packs_small_files(spark, tmp_path):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.sources.sinks import (
+        compact_table,
+    )
+
+    path = str(tmp_path / "t")
+    # simulate a streaming sink's many tiny files
+    for i in range(10):
+        spark.range(i * 100, (i + 1) * 100).withColumn(
+            "v", F.col("id") * 2
+        ).coalesce(1).write.mode("append").parquet(path)
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before >= 10
+    before = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+
+    n_after = compact_table(spark, path, target_file_mb=128)
+    assert n_after == 1  # tiny data packs into one target-size file
+    after = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert after == before
+
+    # range-clustered variant keeps data and sorts within files
+    n_after2 = compact_table(spark, path, target_file_mb=128, sort_within_by=["id"])
+    assert n_after2 == 1
+    assert {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()} == before
