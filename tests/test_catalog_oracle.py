@@ -78,3 +78,24 @@ def test_query_matches_oracle(name, spark, duck):
         f"{name}: {len(mismatches)} mismatching rows; first: "
         f"{mismatches[0]}"
     )
+
+
+def test_every_oracle_parses_in_duckdb(duck):
+    """Spark-free regression net: every oracle must EXPLAIN cleanly
+    (catches SQL syntax/identifier drift without paying a Spark run)."""
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            continue
+        try:
+            duck.execute(f"EXPLAIN {q.oracle}")
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"{name}: oracle does not plan: {e}") from e
+
+
+def test_rows_only_queries_are_documented_exceptions():
+    """Every oracle-less query must be a genuinely non-SQL-expressible
+    op (streaming-stateful or engine-specific estimate) — the driver
+    records a weaker check for these, so keep the list tight."""
+    allowed = {"stateful_running_totals", "approx_distinct_agg"}
+    actual = {n for n, q in QUERIES.items() if q.oracle is None}
+    assert actual <= allowed, f"unexpected rows-only queries: {actual - allowed}"

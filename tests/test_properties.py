@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis): algebraic laws the operators must
+hold for ANY input, not just the fixtures — merge-policy laws and the
+structural guarantees of the near-dup family.
+
+Each property runs a handful of examples (Spark jobs are ~1s each);
+the generators bias toward the nasty cases: duplicate keys, equal
+timestamps, empty strings, repeated documents.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Row
+
+from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+    merge,
+    neardup,
+)
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_keys = st.integers(min_value=0, max_value=5)
+_vals = st.text(alphabet="abc", min_size=0, max_size=3)
+
+
+@given(
+    target=st.lists(st.tuples(_keys, _vals), min_size=0, max_size=8),
+    batch=st.lists(st.tuples(_keys, _vals), min_size=1, max_size=8),
+)
+@_SETTINGS
+def test_merge_insert_only_laws(spark, target, batch):
+    """(1) existing keys never change; (2) applying the same batch
+    twice equals once (idempotent); (3) every batch key ends up
+    present."""
+    tdf = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in target], "k int, v string"
+    ).dropDuplicates(["k"])
+    bdf = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in batch], "k int, v string"
+    ).dropDuplicates(["k"])
+    once = merge.merge_insert_only(tdf, bdf, ["k"])
+    twice = merge.merge_insert_only(once, bdf, ["k"])
+    got_once = {r["k"]: r["v"] for r in once.collect()}
+    got_twice = {r["k"]: r["v"] for r in twice.collect()}
+    t_map = {r["k"]: r["v"] for r in tdf.collect()}
+    b_map = {r["k"]: r["v"] for r in bdf.collect()}
+    assert got_twice == got_once
+    for k, v in t_map.items():
+        assert got_once[k] == v
+    assert set(got_once) == set(t_map) | set(b_map)
+
+
+@given(
+    events=st.lists(
+        st.tuples(_keys, st.integers(min_value=0, max_value=4), _vals),
+        min_size=1,
+        max_size=10,
+    )
+)
+@_SETTINGS
+def test_merge_scd1_latest_wins_regardless_of_batch_split(spark, events):
+    """Applying updates in one batch vs one-at-a-time (in any order of
+    arrival) converges to the same final state: per key, the value of
+    the strictly-newest timestamp wins; ties keep the incumbent."""
+    rows = [Row(k=k, ts=ts, v=v) for k, ts, v in events]
+    empty = spark.createDataFrame([], "k int, ts int, v string")
+    all_at_once = merge.merge_scd1(
+        empty,
+        spark.createDataFrame(rows, "k int, ts int, v string"),
+        ["k"],
+        "ts",
+    )
+    one_by_one = empty
+    for r in rows:
+        one_by_one = merge.merge_scd1(
+            one_by_one,
+            spark.createDataFrame([r], "k int, ts int, v string"),
+            ["k"],
+            "ts",
+        )
+    a = {r["k"]: r["ts"] for r in all_at_once.collect()}
+    b = {r["k"]: r["ts"] for r in one_by_one.collect()}
+    # timestamps must agree (values can differ on exact-tie timestamps,
+    # where "newest" is ambiguous by construction)
+    assert a == b
+
+
+_doc = st.text(alphabet="ab ", min_size=0, max_size=40)
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=6))
+@_SETTINGS
+def test_lsh_identical_docs_always_candidates(spark, docs):
+    """Exact duplicates have identical minhash signatures, hence share
+    every band — LSH must always emit the pair (recall=1 for exact
+    dups, the floor guarantee under any banding)."""
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    # duplicate the first doc under a new id
+    rows.append(Row(doc_id=len(docs), text=docs[0]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in neardup.lsh_candidate_pairs(
+            df, "doc_id", "text", num_hashes=8, bands=4
+        ).collect()
+    }
+    assert (0, len(docs)) in pairs
+
+
+@given(
+    shared=st.lists(st.sampled_from(["x", "y", "z"]), min_size=6, max_size=10),
+    pre=st.lists(st.sampled_from(["a", "b"]), min_size=0, max_size=4),
+    post=st.lists(st.sampled_from(["c", "d"]), min_size=0, max_size=4),
+)
+@_SETTINGS
+def test_winnowing_shared_run_guarantee(spark, shared, pre, post):
+    """Winnowing guarantee (SIGMOD'03): two docs sharing a token run of
+    length ≥ window + shingle − 1 share at least one fingerprint."""
+    doc_a = " ".join(pre + shared)
+    doc_b = " ".join(shared + post)
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=doc_a), Row(doc_id=1, text=doc_b)],
+        "doc_id long, text string",
+    )
+    fps = neardup.winnow_fingerprints(df, "doc_id", "text", shingle_size=3, window=4)
+    by_doc: dict[int, set] = {0: set(), 1: set()}
+    for r in fps.collect():
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared run produced no shared fingerprint"
