@@ -42,9 +42,18 @@ def _mac(i: int) -> str:
     return ":".join(f"{(i * 7 + j * 31) % 256:02x}" for j in range(6))
 
 
-def generate_set(set_id: int, n_users: int = 5, seed: int = 42) -> FixtureSet:
+def generate_set(
+    set_id: int,
+    n_users: int = 5,
+    seed: int = 42,
+    bpm_cadence_s: int = BPM_CADENCE_S,
+) -> FixtureSet:
     """One incremental fixture set. Users, sessions and device ids are
-    disjoint across sets (like the reference's set 1 / set 2 files)."""
+    disjoint across sets (like the reference's set 1 / set 2 files).
+
+    ``bpm_cadence_s=1`` reproduces the reference's per-second BPM feed;
+    with ~63 users that lands ≥253,801 bpm rows per set — the
+    reference corpus volume (BASELINE.md)."""
     rng = random.Random(seed + set_id)
     fx = FixtureSet(set_id)
     base_uid = 11_000 + (set_id - 1) * n_users
@@ -114,7 +123,7 @@ def generate_set(set_id: int, n_users: int = 5, seed: int = 42) -> FixtureSet:
                         "session_id": workout_id,
                     }
                 )
-                for ts in range(start + BPM_CADENCE_S, stop + 1, BPM_CADENCE_S):
+                for ts in range(start + bpm_cadence_s, stop + 1, bpm_cadence_s):
                     hr = 75 + 10 * ((ts % 60) / 60) + rng.uniform(-20, 20)
                     if rng.random() < 0.002:
                         hr = 0.0  # invalid reading the silver layer must flag
