@@ -29,7 +29,7 @@ from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans.fitbit 
     FitbitPipeline,
 )
 
-N_USERS = int(os.environ.get("E2E_USERS", "63"))
+N_USERS = int(os.environ.get("E2E_USERS", "64"))
 CADENCE = int(os.environ.get("E2E_BPM_CADENCE_S", "1"))
 REF_BPM_PER_SET = 253_801
 
@@ -54,6 +54,11 @@ def main() -> None:
             assert got == expected, f"set {set_id}: {got} != {expected}"
         total = round(time.perf_counter() - t_all, 3)
         bpm_rows = sum(len(s.bpm) for s in sets)
+        assert min(len(s.bpm) for s in sets) >= REF_BPM_PER_SET, (
+            "fixture volume below reference corpus "
+            f"({min(len(s.bpm) for s in sets)} < {REF_BPM_PER_SET})"
+        )
+        assert total <= 600, f"exceeded reference 600 s budget: {total}"
         print(
             json.dumps(
                 {

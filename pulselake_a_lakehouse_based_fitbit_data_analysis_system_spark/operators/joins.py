@@ -115,20 +115,33 @@ def salted_join(
 
     For hot keys too big for AQE's runtime skew split (or engines/
     modes where AQE is off — streaming foreachBatch plans, for one):
-    the fact side gets a deterministic salt in [0, salt_buckets) hashed
-    from its whole row, the dim side is exploded ``salt_buckets``× so
-    every (key, salt) combination exists, and the join key becomes
-    (keys…, salt). A hot key's rows now spread over ``salt_buckets``
-    reducers instead of one straggler. Dim amplification is the price —
-    use for dims small enough to replicate but too big to broadcast.
+    the fact side gets a salt in [0, salt_buckets) mixed from a hash
+    of its row *plus* ``monotonically_increasing_id()`` — the id term
+    matters: a salt from the row hash alone would send exact-duplicate
+    rows of a hot key (retry/replay workloads) all to one bucket,
+    silently defeating the mitigation. The dim side is exploded
+    ``salt_buckets``× so every (key, salt) combination exists, and the
+    join key becomes (keys…, salt). A hot key's rows now spread over
+    ``salt_buckets`` reducers instead of one straggler. Dim
+    amplification is the price — use for dims small enough to
+    replicate but too big to broadcast.
 
-    Semantics-preserving for inner/left joins on equi keys (each fact
-    row still matches exactly the dim rows its keys match).
+    Semantics-preserving ONLY for inner/left joins on equi keys (each
+    fact row still matches exactly the dim rows its keys match); other
+    join types would duplicate unmatched dim rows ``salt_buckets``×,
+    so they are rejected.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join preserves semantics only for inner/left, got {how!r}"
+        )
     fact_cols = [F.col(c) for c in fact.columns]
     salted_fact = fact.withColumn(
         "__salt",
-        F.pmod(F.abs(F.xxhash64(*fact_cols)), F.lit(salt_buckets)).cast("int"),
+        F.pmod(
+            F.abs(F.xxhash64(*fact_cols, F.monotonically_increasing_id())),
+            F.lit(salt_buckets),
+        ).cast("int"),
     )
     salted_dim = dim.withColumn(
         "__salt",

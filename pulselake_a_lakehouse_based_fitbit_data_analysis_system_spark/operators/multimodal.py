@@ -142,6 +142,10 @@ def sample_frames(media: DataFrame, every_n: int) -> DataFrame:
     (ffmpeg bindings absent); the expansion plumbing, schema, and
     deterministic frame identity are real.
     """
+    # Validate at plan-build time: a bad step would otherwise surface
+    # as an opaque Python-worker failure inside executors mid-job.
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,6 +184,10 @@ def extract_features(media: DataFrame, n_dims: int = 8) -> DataFrame:
     model (CLIP et al.) replaces only the per-payload function; the
     Arrow batch shape and explode are what survive scale.
     """
+    # md5 digests are 16 bytes — validate here, not as an executor-side
+    # IndexError halfway through a job.
+    if not 1 <= n_dims <= 16:
+        raise ValueError(f"n_dims must be in [1, 16], got {n_dims}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -144,6 +144,7 @@ def jaccard_pairs(
     text_col: str,
     shingle_size: int = 3,
     threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -151,11 +152,29 @@ def jaccard_pairs(
     per-doc shingle counts; J = inter / (|a| + |b| − inter). Exact but
     O(pairs sharing a shingle) — the verification path for LSH, and
     fine standalone below ~10^6 docs per shingle bucket.
+
+    ``df_cap`` guards the self-join against boilerplate shingles (the
+    analog of LSH's ``max_bucket`` skew guard): shingles appearing in
+    more than ``df_cap`` documents are dropped from the INTERSECTION
+    join only — a shingle shared by 10^5 docs would otherwise emit
+    10^10 join rows. Doc sizes |a|,|b| still count every shingle, so
+    capped scores are exact-or-under, never inflated; pairs whose
+    overlap is purely boilerplate are missed (acceptable: such pairs
+    are below any useful threshold).
     """
     sh = exploded_shingles(df, id_col, text_col, shingle_size)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    joinable = sh
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        joinable = sh.join(hot, "shingle", "left_anti")
+    a = joinable.select(F.col(id_col).alias("id_a"), "shingle")
+    b = joinable.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -355,9 +374,14 @@ def connected_components(
     al., SoCC'14) drops rounds to O(log n); the per-round plumbing is
     identical.
 
-    Convergence check: sum(label) is monotone-decreasing and fixed
-    exactly at convergence — one cheap agg per round instead of a
-    changed-rows anti-join.
+    Convergence check: one cheap agg per round — ``bit_xor`` of
+    ``xxhash64(node, label)`` over the label table, which changes when
+    any node's label changes (up to astronomically-unlikely 64-bit
+    hash/xor-cancellation coincidences), works for *any* id type, and
+    cannot overflow under ANSI mode. (A plain ``sum(label)`` would
+    return NULL for string ids, making every round look converged
+    after round one — wrong clusters for diameter > 1; ``sum`` of
+    hashes throws ARITHMETIC_OVERFLOW under Spark 4's ANSI default.)
     """
     edges = pairs.select(
         F.col(pair_a).alias("src"), F.col(pair_b).alias("dst")
@@ -366,7 +390,11 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+
+    def _state_digest(lbl: DataFrame):
+        return lbl.agg(F.bit_xor(F.xxhash64("node", "label"))).collect()[0][0]
+
+    prev_digest = _state_digest(labels)
     for _ in range(max_iterations):
         neighbor_labels = edges.join(
             labels, edges.src == labels.node, "inner"
@@ -377,10 +405,10 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
+        cur_digest = _state_digest(labels)
+        if cur_digest == prev_digest:
             break
-        prev_sum = cur_sum
+        prev_digest = cur_digest
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 

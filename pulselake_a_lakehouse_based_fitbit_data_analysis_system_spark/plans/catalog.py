@@ -592,9 +592,11 @@ WITH flagged AS (
   FROM events
 ), numbered AS (
   SELECT user_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_no
+         -- CAST: DuckDB's windowed sum() yields HUGEINT; Spark emits bigint.
+         -- The driver's value-hash is type-sensitive, so align the types.
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_no
   FROM flagged
 )
 SELECT user_id, session_no,

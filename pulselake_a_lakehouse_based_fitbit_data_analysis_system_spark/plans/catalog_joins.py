@@ -111,11 +111,13 @@ ORDER BY revenue DESC
 @_register(
     "regional_volume",
     _REGIONAL_VOLUME_ORACLE,
-    "TPC-H-Q5-shaped 6-way snowflake join: region/nation/supplier "
-    "broadcast (dims stay small at any fact scale), the "
-    "customer⋈orders⋈lineitem chain shuffles on custkey then orderkey; "
-    "the c_nationkey = s_nationkey condition rides the lineitem⋈supplier "
-    "broadcast join as a residual predicate — no extra shuffle.",
+    "TPC-H-Q5-shaped 6-way snowflake join: region/nation broadcast "
+    "(constant-size dims), supplier joins WITHOUT a forced hint — it "
+    "grows linearly with SF (10k rows/SF), so past the broadcast "
+    "threshold Spark/AQE must be free to pick a shuffle join instead "
+    "of OOMing the driver; the customer⋈orders⋈lineitem chain shuffles "
+    "on custkey then orderkey; the c_nationkey = s_nationkey condition "
+    "rides the supplier join as a residual predicate.",
     bench=True,
     tags=("join", "agg"),
 )
@@ -142,8 +144,10 @@ def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
+        # no broadcast hint on supplier: it scales with SF (10k rows/SF),
+        # so the optimizer (auto-broadcast / AQE) must own the choice.
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey)
             & (c.c_nationkey == s.s_nationkey),
         )

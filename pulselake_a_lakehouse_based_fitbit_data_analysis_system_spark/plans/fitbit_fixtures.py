@@ -97,9 +97,15 @@ def generate_set(
             upd["timestamp"] = float(reg_ts + 3_600)
             upd["last_name"] = f"Last{user_id}Updated"
             fx.user_info.append(upd)
-        # gym visits: 1-2 per user, sessions inside with 5-min buffers
+        # gym visits: 1-2 per user, sessions inside with 5-min buffers.
+        # Visits are strictly non-overlapping in time (each login is drawn
+        # after the previous logout): overlapping visits on one device
+        # would emit duplicate (device_id, time) bpm keys, which the
+        # silver dedup (correctly) collapses — like the reference corpus,
+        # the fixture keeps one reading per device-second.
+        next_free = reg_ts
         for _v in range(rng.randint(1, 2)):
-            login = reg_ts + rng.randint(1, 20) * DAY + rng.randint(0, DAY // 2)
+            login = next_free + rng.randint(1, 20) * DAY + rng.randint(0, DAY // 2)
             n_sessions = rng.randint(1, 2)
             t = login + 300  # 5-min entry buffer
             for _s in range(n_sessions):
@@ -137,6 +143,7 @@ def generate_set(
                 workout_id += 1
                 t = stop + rng.randint(4, 7) * 60  # 4-7 min gap
             logout = t + 300  # 5-min exit buffer
+            next_free = logout
             fx.gym_logins.append(
                 {
                     "mac_address": mac,
@@ -209,8 +216,16 @@ def expected_counts(sets: list[FixtureSet]) -> dict[str, int]:
     profiles = users  # one surviving SCD-1 row per user
     workouts = sum(len(s.workouts) for s in sets)
     completed = workouts // 2  # every session has exactly one start+stop
-    bpm = sum(len(s.bpm) for s in sets)
-    # workout_bpm: valid readings strictly inside (start, stop]
+    # heart_rate dedups on (device_id, time) (W1, reference
+    # Silver/05-silver.py:272-273): model the surviving set explicitly,
+    # keeping the first occurrence per key, rather than assuming raw row
+    # counts survive — overlapping sessions on one device would collide.
+    surviving: dict[tuple[int, float], dict] = {}
+    for s in sets:
+        for b in s.bpm:
+            surviving.setdefault((b["device_id"], b["time"]), b)
+    bpm = len(surviving)
+    # workout_bpm: valid *deduped* readings strictly inside (start, stop]
     workout_bpm = 0
     for s in sets:
         starts = {
@@ -225,7 +240,7 @@ def expected_counts(sets: list[FixtureSet]) -> dict[str, int]:
         }
         by_user = {u["user_id"]: u["device_id"] for u in s.users}
         bpm_by_dev: dict[int, list[dict]] = {}
-        for b in s.bpm:
+        for b in surviving.values():
             bpm_by_dev.setdefault(b["device_id"], []).append(b)
         for (uid, wid), t0 in starts.items():
             t1 = stops[(uid, wid)]

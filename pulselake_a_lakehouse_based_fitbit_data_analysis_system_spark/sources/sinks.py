@@ -127,14 +127,30 @@ def compact_table(
     dominates query time. Compaction: size the output file count from
     actual input bytes / target size, rewrite via ``repartition`` (or
     ``repartitionByRange`` when a sort column is given — clusters data
-    for min/max skipping), then atomically swap directories.
+    for min/max skipping), validate the rewrite's row count against the
+    original, then swap directories. The swap is two renames, NOT
+    atomic: a concurrent reader can see a missing path for an instant,
+    and a crash between the renames leaves the data in
+    ``{path}__compact_old`` (kept until validation passes; recover by
+    renaming it back). Take an external lock or quiesce readers if the
+    table is live.
 
-    Returns the number of output files. Run per partition directory in
-    production so the rewrite parallelizes and partition pruning is
-    preserved.
+    Refuses directories written by a streaming file sink (containing
+    ``_spark_metadata``): rewriting those invalidates the sink's
+    transaction log — compact only batch/TableStore-managed dirs, or
+    per partition directory in production so the rewrite parallelizes
+    and partition pruning is preserved.
+
+    Returns the number of output files.
     """
     import shutil
 
+    if os.path.isdir(os.path.join(path, "_spark_metadata")):
+        raise ValueError(
+            f"{path} contains _spark_metadata (streaming file-sink log); "
+            "compacting would orphan the log. Copy the data out or "
+            "compact individual partition dirs instead."
+        )
     total_bytes = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
@@ -142,6 +158,7 @@ def compact_table(
                 total_bytes += os.path.getsize(os.path.join(root, f))
     n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
+    n_rows = df.count()
     if sort_within_by:
         from pyspark.sql import functions as F
 
@@ -151,9 +168,21 @@ def compact_table(
         df = df.repartition(n_files)
     tmp = path.rstrip("/") + "__compact_tmp"
     df.write.mode("overwrite").parquet(tmp)
+    n_rewritten = spark.read.parquet(tmp).count()
+    if n_rewritten != n_rows:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction rewrite lost rows ({n_rewritten} != {n_rows}); "
+            f"original left untouched at {path}"
+        )
     old = path.rstrip("/") + "__compact_old"
     os.rename(path, old)
     os.rename(tmp, path)
+    # Re-validate through the swapped-in path before dropping the backup.
+    if spark.read.parquet(path).count() != n_rows:  # pragma: no cover
+        raise RuntimeError(
+            f"post-swap validation failed; original preserved at {old}"
+        )
     shutil.rmtree(old)
     return sum(
         1 for f in os.listdir(path) if f.endswith(".parquet")

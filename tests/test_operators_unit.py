@@ -278,3 +278,110 @@ def test_compact_table_bin_packs_small_files(spark, tmp_path):
     n_after2 = compact_table(spark, path, target_file_mb=128, sort_within_by=["id"])
     assert n_after2 == 1
     assert {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()} == before
+
+
+# --- round-2 guard fixes (ADVICE.md) --------------------------------------
+
+
+def test_connected_components_string_ids_chain(spark):
+    # ADVICE: sum(label) on string ids returned NULL → premature
+    # convergence after round 1. A 4-chain of string ids needs >=2
+    # propagation rounds to agree on the min label.
+    pairs = spark.createDataFrame(
+        [Row(id_a="a", id_b="b"), Row(id_a="b", id_b="c"), Row(id_a="c", id_b="d")]
+    )
+    nodes = spark.createDataFrame([Row(doc_id=x) for x in ["a", "b", "c", "d", "z"]])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup.connected_components(pairs, nodes, "doc_id").collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "z": "z"}
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.joins import (
+        salted_join,
+    )
+
+    fact = spark.createDataFrame([Row(k=1, v=1.0)])
+    dim = spark.createDataFrame([Row(k=1, name="d")])
+    for bad in ("right", "full", "left_anti", "left_semi"):
+        with pytest.raises(ValueError):
+            salted_join(fact, dim, ["k"], how=bad)
+
+
+def test_salted_join_spreads_exact_duplicate_rows(spark):
+    # ADVICE: row-hash-only salt sends exact-duplicate hot-key rows to
+    # one bucket. With the id mixed in, 64 identical rows must spread.
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.joins import (
+        salted_join,
+    )
+
+    fact = spark.createDataFrame([Row(k=1, v=1.0)] * 64).repartition(8)
+    dim = spark.createDataFrame([Row(k=1, name="hot")])
+    out = salted_join(fact, dim, ["k"], salt_buckets=8)
+    assert out.count() == 64  # semantics preserved under duplication
+    salted = fact.withColumn(
+        "__salt",
+        F.pmod(
+            F.abs(F.xxhash64(F.col("k"), F.col("v"), F.monotonically_increasing_id())),
+            F.lit(8),
+        ),
+    )
+    assert salted.select("__salt").distinct().count() > 1
+
+
+def test_jaccard_df_cap_guards_boilerplate_shingle(spark):
+    # A shingle shared by every doc would drive the self-join quadratic;
+    # with df_cap it is excluded from the intersection join, and pairs
+    # whose overlap is ONLY boilerplate disappear.
+    boiler = "lorem ipsum dolor"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"{boiler} unique{i} tail{i} word{i}") for i in range(6)]
+    )
+    uncapped = neardup.jaccard_pairs(
+        docs, "doc_id", "text", shingle_size=3, threshold=0.0
+    )
+    assert uncapped.count() > 0
+    capped = neardup.jaccard_pairs(
+        docs, "doc_id", "text", shingle_size=3, threshold=0.0, df_cap=3
+    )
+    assert capped.count() == 0
+    # docs sharing a rare run keep their pair under the cap
+    docs2 = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon"),
+            Row(doc_id=2, text="alpha beta gamma delta zeta"),
+            Row(doc_id=3, text="nothing in common here at all"),
+        ]
+    )
+    pairs2 = neardup.jaccard_pairs(
+        docs2, "doc_id", "text", shingle_size=3, threshold=0.1, df_cap=3
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs2} == {(1, 2)}
+
+
+def test_compact_table_refuses_streaming_sink_dir(spark, tmp_path):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.sources.sinks import (
+        compact_table,
+    )
+
+    path = str(tmp_path / "sink")
+    spark.range(10).write.parquet(path)
+    os.makedirs(os.path.join(path, "_spark_metadata"))
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        compact_table(spark, path)
+
+
+def test_multimodal_param_guards(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        multimodal,
+    )
+
+    media = spark.createDataFrame([Row(id=1, payload=bytearray(b"x"))])
+    with pytest.raises(ValueError, match="every_n"):
+        multimodal.sample_frames(media, every_n=0)
+    with pytest.raises(ValueError, match="n_dims"):
+        multimodal.extract_features(media, n_dims=17)
+    with pytest.raises(ValueError, match="n_dims"):
+        multimodal.extract_features(media, n_dims=0)
