@@ -350,6 +350,63 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_pairs_bucketed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 31,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SRP-LSH bucketing — the
+    100 TB path (the all-pairs form above is the recall baseline).
+
+    Candidate generation is an EQUI-join, never a cartesian: each
+    vector gets a ``num_planes``-bit signed-random-projection bucket;
+    side A keys on its own bucket, side B explodes to its bucket plus
+    (when ``multiprobe``) every Hamming-1 neighbor, and the join on the
+    bucket key pairs exactly the vectors whose buckets differ in ≤ 1
+    bit. Each qualifying pair matches on exactly one probe key, so no
+    distinct is needed. Survivors are verified with exact cosine ≥
+    threshold. Shuffle is on the bucket key; candidate volume shrinks
+    ~2^planes/(planes+1)× vs all-pairs. Recall: two vectors at angle θ
+    land in Hamming ≤ 1 buckets with probability given by the SRP
+    collision bound (1 − θ/π per plane); raise recall with fewer
+    planes, more probes, or multiple plane seeds unioned.
+    """
+    from .similarity import hyperplanes, srp_bucket_expr
+
+    planes = hyperplanes(num_planes, dim, seed)
+    bucketed = df.withColumn("srp_bucket", srp_bucket_expr(vec_col, planes))
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("srp_bucket").alias("bucket"),
+    )
+    probe_ids = [F.col("srp_bucket")]
+    if multiprobe:
+        probe_ids += [
+            F.col("srp_bucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(num_planes)
+        ]
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.explode(F.array(*probe_ids)).alias("bucket"),
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,

@@ -287,20 +287,61 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.embedding_neardup_pairs(emb, threshold=0.6)
 
 
-def _ann_oracle() -> str:
-    """SRP-LSH ANN oracle: plane coefficients and probe buckets are the
-    same deterministic md5-derived values the Spark side uses."""
+def _srp_bucket_sql(vec: str = "embedding") -> str:
+    """DuckDB SQL for the 8-plane SRP bucket of ``vec`` — same
+    deterministic md5-derived plane coefficients the Spark side uses."""
     planes = similarity.hyperplanes(8, _DIM, seed=31)
     plane_dots = []
     for p, plane in enumerate(planes):
         terms = " + ".join(
-            f"CAST(embedding[{i}] AS DOUBLE) * {plane[i - 1]!r}"
+            f"CAST({vec}[{i}] AS DOUBLE) * {plane[i - 1]!r}"
             for i in range(1, _DIM + 1)
         )
         plane_dots.append(
             f"CASE WHEN ({terms}) >= 0 THEN {2**p} ELSE 0 END"
         )
-    bucket_sql = " + ".join(plane_dots)
+    return " + ".join(plane_dots)
+
+
+def _emb_neardup_bucketed_oracle() -> str:
+    bucket_sql = _srp_bucket_sql()
+    probe_xors = ", ".join(str(x) for x in [0] + [1 << p for p in range(8)])
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, CAST({bucket_sql} AS BIGINT) AS srp_bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(({_dot_sql("a.embedding", "b.embedding")}) /
+             ({_norm_sql("a.embedding")} * {_norm_sql("b.embedding")}), 6)
+         AS cosine
+FROM bucketed a JOIN bucketed b ON a.vec_id < b.vec_id
+WHERE xor(a.srp_bucket, b.srp_bucket) IN ({probe_xors})
+  AND round(({_dot_sql("a.embedding", "b.embedding")}) /
+            ({_norm_sql("a.embedding")} * {_norm_sql("b.embedding")}), 6) >= 0.4
+"""
+
+
+@_register(
+    "embedding_neardup_bucketed",
+    _emb_neardup_bucketed_oracle(),
+    "Embedding near-dup pairs via SRP-LSH buckets: equi-join on the "
+    "bucket key (+ Hamming-1 multiprobe via explode), exact-cosine "
+    "verify — the 100 TB shape (no BroadcastNestedLoop; candidates "
+    "shrink ~2^planes/(planes+1)x vs the all-pairs baseline above).",
+    tags=("neardup", "similarity", "lsh"),
+)
+def q_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return neardup.embedding_neardup_pairs_bucketed(
+        emb, threshold=0.4, num_planes=8, dim=_DIM, seed=31
+    )
+
+
+def _ann_oracle() -> str:
+    """SRP-LSH ANN oracle: plane coefficients and probe buckets are the
+    same deterministic md5-derived values the Spark side uses."""
+    bucket_sql = _srp_bucket_sql()
     return f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 bucketed AS (

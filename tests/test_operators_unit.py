@@ -385,3 +385,67 @@ def test_multimodal_param_guards(spark):
         multimodal.extract_features(media, n_dims=17)
     with pytest.raises(ValueError, match="n_dims"):
         multimodal.extract_features(media, n_dims=0)
+
+
+# --- bucketed embedding near-dup (round 2) --------------------------------
+
+
+def _synthetic_neardup_vectors(spark, n_base=12, dim=64):
+    # deterministic clusters: each base vector plus a small-perturbation
+    # twin (cosine ~0.99) — md5-derived, no RNG state
+    import hashlib
+
+    def vec(tag):
+        out = []
+        for d in range(dim):
+            h = hashlib.md5(f"{tag}:{d}".encode()).hexdigest()
+            out.append((int(h[:8], 16) % 2000) / 1000.0 - 1.0)
+        return out
+
+    rows = []
+    vid = 0
+    for i in range(n_base):
+        base = vec(f"base{i}")
+        rows.append(Row(vec_id=vid, embedding=base)); vid += 1
+        twin = [x + 0.05 * p for x, p in zip(base, vec(f"perturb{i}"))]
+        rows.append(Row(vec_id=vid, embedding=twin)); vid += 1
+    return spark.createDataFrame(rows)
+
+
+def test_embedding_neardup_bucketed_recall_and_plan(spark):
+    df = _synthetic_neardup_vectors(spark)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in neardup.embedding_neardup_pairs(df, threshold=0.9).collect()
+    }
+    assert len(exact) >= 10  # every twin pair qualifies
+    bucketed_q = neardup.embedding_neardup_pairs_bucketed(
+        df, threshold=0.9, num_planes=8, dim=64, seed=31
+    )
+    bucketed = {(r["id_a"], r["id_b"]) for r in bucketed_q.collect()}
+    # candidates are verified with exact cosine → no false positives
+    assert bucketed <= exact
+    # SRP Hamming<=1 multiprobe keeps recall high on ~0.99-cosine twins
+    recall = len(bucketed & exact) / len(exact)
+    assert recall >= 0.7, f"recall {recall:.2f} over {len(exact)} pairs"
+    # the scale property: equi-join on the bucket key, never a cartesian
+    plan = bucketed_q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_read_json_sql_over_files(spark, tmp_path):
+    # reference S6 (Setup/03-history-loader.py:16-18): SQL over raw
+    # JSON files without a declared table
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.sources.files import (
+        read_json_sql,
+    )
+
+    p = tmp_path / "dates.json"
+    p.write_text(
+        '{"date": "2023-01-01", "week_part": "wk1"}\n'
+        '{"date": "2023-01-02", "week_part": "wk1"}\n'
+    )
+    out = read_json_sql(spark, str(p), projection="date, week_part")
+    assert out.columns == ["date", "week_part"]
+    assert out.count() == 2
