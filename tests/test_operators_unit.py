@@ -449,3 +449,90 @@ def test_read_json_sql_over_files(spark, tmp_path):
     out = read_json_sql(spark, str(p), projection="date, week_part")
     assert out.columns == ["date", "week_part"]
     assert out.count() == 2
+
+
+# --- partition-pruned TableStore merge (round 2) --------------------------
+
+
+def _partition_file_map(path):
+    out = {}
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if os.path.isdir(full):
+            out[entry] = {
+                f: os.stat(os.path.join(full, f)).st_ino
+                for f in sorted(os.listdir(full))
+                if f.endswith(".parquet")
+            }
+    return out
+
+
+def test_partitioned_merge_rewrites_only_affected_buckets(spark, tmp_path):
+    store = merge.TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [Row(k=i, v=f"v{i}", ts=1) for i in range(64)]
+    )
+    store.write_partitioned("t", base, keys=["k"], n_buckets=8)
+    path_before = store.current_path("t")
+    before = _partition_file_map(path_before)
+    assert len(before) == 8  # 64 keys spread over 8 hash buckets
+
+    # a trickle batch touching few keys -> few buckets
+    batch = spark.createDataFrame([Row(k=3, v="NEW", ts=2), Row(k=100, v="ins", ts=2)])
+    store.merge("t", batch, ["k"], policy="scd1", order_col="ts")
+    path_after = store.current_path("t")
+    assert path_after != path_before
+    after = _partition_file_map(path_after)
+
+    from pyspark.sql import functions as FF
+    affected = {
+        f"__bucket={r[0]}"
+        for r in batch.select(
+            FF.pmod(FF.abs(FF.xxhash64("k")), FF.lit(8)).cast("int")
+        ).distinct().collect()
+    }
+    untouched = set(before) - affected
+    assert untouched  # the trickle must not touch every bucket
+    for part in untouched:
+        # hard-linked from the previous version: same inodes -> byte-identical
+        assert after[part] == before[part], part
+    for part in affected:
+        assert after[part] != before.get(part)
+
+    # semantics still correct after the pruned rewrite
+    rows = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert rows[3] == "NEW" and rows[100] == "ins" and rows[5] == "v5"
+    assert len(rows) == 65
+    # __bucket is storage-internal, not part of the table contract
+    assert "__bucket" not in store.read("t").columns
+
+
+def test_partitioned_merge_column_mode(spark, tmp_path):
+    # the reference's week_part pattern: partition by an existing column
+    store = merge.TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [Row(k=i, wk=f"w{i % 3}", v="old") for i in range(30)]
+    )
+    store.write_partitioned("t", base, keys=["k"], partition_column="wk")
+    before = _partition_file_map(store.current_path("t"))
+    batch = spark.createDataFrame([Row(k=0, wk="w0", v="new")])
+    store.merge("t", batch, ["k"], policy="scd1")
+    after = _partition_file_map(store.current_path("t"))
+    assert after["wk=w1"] == before["wk=w1"]
+    assert after["wk=w2"] == before["wk=w2"]
+    assert after["wk=w0"] != before["wk=w0"]
+    rows = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert rows[0] == "new" and rows[1] == "old" and len(rows) == 30
+
+
+def test_partitioned_merge_insert_only_idempotent(spark, tmp_path):
+    store = merge.TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame([Row(k=i, v=i * 10) for i in range(20)])
+    store.write_partitioned("t", base, keys=["k"], n_buckets=4)
+    batch = spark.createDataFrame([Row(k=5, v=999), Row(k=50, v=500)])
+    store.merge("t", batch, ["k"], policy="insert_only")
+    store.merge("t", batch, ["k"], policy="insert_only")  # replay
+    rows = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert rows[5] == 50      # existing key untouched
+    assert rows[50] == 500    # inserted exactly once
+    assert len(rows) == 21
