@@ -171,6 +171,13 @@ class TableStore:
     half-written table and historical versions remain for time-travel
     style debugging (pruned beyond ``keep_versions``).
 
+    ``keep_versions`` is the VACUUM-retention analog: a concurrent
+    reader resolves the pointer, then lazily reads files, so retention
+    must cover the reader's duration × the merge rate — size it up for
+    tables merged every micro-batch with live monitoring readers
+    (readers beyond the window get FileNotFoundException, exactly like
+    reading a vacuumed Delta version).
+
     **Partition-pruned merges** (the Delta-MERGE-file-pruning analog,
     reference ``Silver/05-silver.py:50-115``): a table created with
     ``write_partitioned`` carries a partition spec — either

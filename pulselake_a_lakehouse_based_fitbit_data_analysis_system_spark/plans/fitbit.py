@@ -59,14 +59,40 @@ class FitbitPipeline:
     two-set replay test asserts.
     """
 
-    def __init__(self, spark: SparkSession, workdir: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        available_now: bool = True,
+        processing_time: str = "1 seconds",
+        keep_versions: int | None = None,
+    ) -> None:
         self.spark = spark
         self.workdir = workdir
         self.landing = os.path.join(workdir, "landing")
         self.bronze_dir = os.path.join(workdir, "bronze")
         self.ckpt = os.path.join(workdir, "_checkpoints")
-        self.store = TableStore(spark, os.path.join(workdir, "tables"))
+        # Version retention is the TableStore analog of Delta's VACUUM
+        # window: a concurrent reader resolves the pointer, then reads
+        # files — retention must cover (read duration × merge rate).
+        # Live processingTime mode merges every trigger, so it keeps
+        # more versions for monitoring/reporting readers.
+        if keep_versions is None:
+            keep_versions = 2 if available_now else 8
+        self.store = TableStore(
+            spark, os.path.join(workdir, "tables"), keep_versions=keep_versions
+        )
+        # the reference's dual batch/stream `once` flag
+        # (Bronze/04-bronze.py:39-42): availableNow drain vs live
+        # processingTime micro-batches
+        self.available_now = available_now
+        self.processing_time = processing_time
         os.makedirs(self.landing, exist_ok=True)
+
+    def _trigger(self, writer):
+        if self.available_now:
+            return writer.trigger(availableNow=True)
+        return writer.trigger(processingTime=self.processing_time)
 
     # -- dimensions --------------------------------------------------------
 
@@ -96,8 +122,8 @@ class FitbitPipeline:
             .option("path", os.path.join(self.bronze_dir, name))
             .option("checkpointLocation", os.path.join(self.ckpt, f"bz_{name}"))
             .queryName(f"bz_{name}")
-            .trigger(availableNow=True)
         )
+        writer = self._trigger(writer)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         return writer.start()
@@ -167,14 +193,13 @@ class FitbitPipeline:
     # -- silver wave 1: bronze → entity tables ------------------------------
 
     def _merge_sink(self, df: DataFrame, name: str, upsert):
-        return (
+        writer = (
             df.writeStream.foreachBatch(upsert)
             .outputMode("append")
             .option("checkpointLocation", os.path.join(self.ckpt, f"sv_{name}"))
             .queryName(f"sv_{name}")
-            .trigger(availableNow=True)
-            .start()
         )
+        return self._trigger(writer).start()
 
     def silver_wave1_starters(self):
         store = self.store
@@ -493,6 +518,45 @@ class FitbitPipeline:
                 "minutes_exercising"
             ),
         ).orderBy("date", "gym", "mac_address", "session_id")
+
+    SQL_TABLES = (
+        "date_lookup users gym_logs user_profile workouts heart_rate "
+        "user_bins completed_workouts workout_bpm workout_bpm_summary"
+    ).split()
+
+    # Reference Setup/02-setup.py:244-256 verbatim, minus the
+    # `{catalog}.{db_name}.` prefix and with TEMPORARY added (the
+    # in-memory catalog can't persist a view over temp views).
+    GYM_SUMMARY_VIEW_SQL = """CREATE OR REPLACE TEMPORARY VIEW gym_summary AS
+                    SELECT to_date(login::timestamp) date,
+                    gym, l.mac_address, workout_id, session_id,
+                    round((logout::long - login::long)/60,2) minutes_in_gym,
+                    round((end_time::long - start_time::long)/60,2) minutes_exercising
+                    FROM gym_logs l
+                    JOIN (
+                    SELECT mac_address, workout_id, session_id, start_time, end_time
+                    FROM completed_workouts w INNER JOIN users u ON w.user_id = u.user_id) w
+                    ON l.mac_address = w.mac_address
+                    AND w. start_time BETWEEN l.login AND l.logout
+                    order by date, gym, l.mac_address, session_id
+                """
+
+    def register_sql_catalog(self) -> None:
+        """Expose the medallion tables and the gym_summary view to
+        ``spark.sql`` (reference S11/O1, ``Setup/02-setup.py:18-259``):
+        every TableStore table becomes a session temp view under its
+        reference name, and gym_summary is created with the
+        reference's VIEW SQL — a user coming from the reference can
+        run ``spark.sql("SELECT * FROM gym_summary")`` unchanged.
+
+        Re-run after each pipeline ``run()``: temp views capture the
+        table's current version path, and re-registering re-resolves
+        the pointer (the Delta-catalog analog of version pinning).
+        """
+        for n in self.SQL_TABLES:
+            if self.store.exists(n):
+                self.store.read(n).createOrReplaceTempView(n)
+        self.spark.sql(self.GYM_SUMMARY_VIEW_SQL)
 
     # -- orchestration ------------------------------------------------------
 

@@ -72,3 +72,33 @@ def test_scd1_update_wins(spark, workdir):
     assert updated == n_updates
     # one row per user regardless of update count
     assert profiles.count() == profiles.select("user_id").distinct().count()
+
+
+def test_sql_surface_reference_view(spark, workdir):
+    """S11/O1: the reference's gym_summary VIEW SQL runs verbatim
+    (minus catalog prefix) against the registered SQL catalog, and
+    matches the DataFrame form order-insensitively."""
+    pipe = FitbitPipeline(spark, workdir)
+    pipe.register_sql_catalog()
+
+    # DDL surface: all 10 medallion tables visible to SQL
+    listed = {t.name for t in spark.catalog.listTables()}
+    for n in pipe.SQL_TABLES:
+        assert n in listed, n
+    assert "gym_summary" in listed
+
+    via_sql = spark.sql(
+        "SELECT * FROM gym_summary"
+    ).collect()
+    via_df = pipe.gym_summary().collect()
+    assert sorted(map(tuple, via_sql), key=repr) == sorted(
+        map(tuple, via_df), key=repr
+    )
+    assert {r.session_id for r in via_sql} == {
+        r["session_id"]
+        for r in spark.sql("SELECT session_id FROM completed_workouts").collect()
+    }
+
+    # ad-hoc SQL over silver works like the reference's validate()
+    n_users = spark.sql("SELECT count(*) AS n FROM users").collect()[0]["n"]
+    assert n_users == pipe.store.read("users").count()
