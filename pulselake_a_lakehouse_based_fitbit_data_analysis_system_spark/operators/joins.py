@@ -158,6 +158,7 @@ def as_of_join(
     right_time: str,
     tolerance: str = "interval 24 hours",
     right_tiebreakers: Sequence[str] = (),
+    left_keys: Sequence[str] | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the newest right row with
     ``right_time <= left_time`` within ``tolerance``.
@@ -166,6 +167,12 @@ def as_of_join(
     the fan-out) → row_number over (left identity, right_time desc) →
     keep rank 1. No UDF, no driver loop; survives scale because the
     candidate set per left row is bounded by the tolerance.
+
+    ``left_keys`` names columns that uniquely identify a left row
+    (e.g. its primary key). The rank-1 window partitions by them, so
+    only those columns — not the whole left row — ride the window
+    shuffle. Omitted, it falls back to all left columns: correct, but
+    shuffles wide rows.
     """
     l, r = left.alias("l"), right.alias("r")
     cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in equi_keys]
@@ -173,7 +180,8 @@ def as_of_join(
     cond += [rt <= lt, rt > lt - F.expr(tolerance)]
     joined = l.join(r, cond, "inner")
     order = [rt.desc()] + [F.col(f"r.{c}").desc() for c in right_tiebreakers]
-    w = Window.partitionBy(*[F.col(f"l.{c}") for c in left.columns]).orderBy(*order)
+    identity = list(left_keys) if left_keys is not None else list(left.columns)
+    w = Window.partitionBy(*[F.col(f"l.{c}") for c in identity]).orderBy(*order)
     return joined.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") == 1
     ).drop("__rn")

@@ -452,6 +452,7 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = joins.as_of_join(
         purchases, clicks, ["user_id"], "purchase_ts", "last_click_ts",
         tolerance="interval 7 days", right_tiebreakers=["last_click_id"],
+        left_keys=["purchase_id"],  # rank window shuffles only the key
     )
     return matched.select(
         "purchase_id", "purchase_ts", "last_click_id", "last_click_ts"
