@@ -192,10 +192,30 @@ class TableStore:
     pruning a version unlinks names, never the shared inodes.
     """
 
-    def __init__(self, spark: SparkSession, root: str, keep_versions: int = 2) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        keep_versions: int = 2,
+        changelog: bool = False,
+    ) -> None:
         self.spark = spark
         self.root = root
         self.keep_versions = keep_versions
+        # Change-data-feed analog (reference S4/T8/T9,
+        # ``Silver/05-silver.py:71-76``): when enabled, every commit
+        # appends its applied changes — post-images tagged with
+        # ``_change_type`` ('insert' | 'update_postimage') and a
+        # monotonic ``_commit_version`` — under ``{name}.changelog/``.
+        # ``stream_changes`` turns that into an incremental streaming
+        # source with ``startingVersion`` semantics; deletes never
+        # occur (the store is append/upsert-only), so the reference's
+        # ``ignoreDeletes`` tolerance holds by construction.
+        self.changelog = changelog
+        if changelog and keep_versions < 2:
+            # the merge-diff reads the pre-merge version after the
+            # pointer flip; retention must keep it alive
+            raise ValueError("changelog requires keep_versions >= 2")
         os.makedirs(root, exist_ok=True)
 
     def _pointer(self, name: str) -> str:
@@ -220,7 +240,13 @@ class TableStore:
         # drop() is a no-op for tables that don't carry it
         return self.spark.read.parquet(path).drop("__bucket")
 
-    def write(self, name: str, df: DataFrame, partition_by: Sequence[str] = ()) -> None:
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: Sequence[str] = (),
+        _log_changes: bool = True,
+    ) -> None:
         version_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
         full = os.path.join(self.root, version_dir)
         writer = df.write.mode("overwrite")
@@ -231,7 +257,93 @@ class TableStore:
         with open(tmp_ptr, "w") as f:
             f.write(version_dir)
         os.replace(tmp_ptr, self._pointer(name))
+        if self.changelog and _log_changes:
+            # full refresh/create: the whole table is the change set
+            self._append_changelog(
+                name, self.spark.read.parquet(full).drop("__bucket"), "insert"
+            )
         self._prune(name, keep=version_dir)
+
+    # --- change-data-feed (CDF-lite) --------------------------------------
+
+    def _changelog_dir(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}.changelog")
+
+    def _next_commit_version(self, name: str) -> int:
+        vf = os.path.join(self.root, f"{name}._VERSION")
+        n = 0
+        if os.path.exists(vf):
+            with open(vf) as f:
+                n = int(f.read().strip() or 0)
+        n += 1
+        with open(vf, "w") as f:
+            f.write(str(n))
+        return n
+
+    def _append_changelog(
+        self, name: str, rows: DataFrame, change_type: str
+    ) -> int:
+        ver = self._next_commit_version(name)
+        out = rows.withColumn("_change_type", F.lit(change_type)).withColumn(
+            "_commit_version", F.lit(ver)
+        )
+        out.write.mode("append").parquet(self._changelog_dir(name))
+        return ver
+
+    def _log_merge_changes(
+        self, name: str, pre: DataFrame, post: DataFrame, keys: Sequence[str]
+    ) -> None:
+        """Diff post-merge vs pre-merge state into change rows —
+        policy-agnostic (works for every merge shape): a key absent
+        from pre is an 'insert'; a key whose non-key row hash moved is
+        an 'update_postimage'. Merges never delete, so the feed has no
+        delete records (the reference's ``ignoreDeletes`` holds by
+        construction). Row comparison is xxhash64 over non-key columns
+        (a hash collision would drop one change record —
+        astronomically unlikely, and harmless for at-least-once
+        consumers)."""
+        nonkeys = [c for c in post.columns if c not in keys]
+        pre_h = pre.select(
+            *keys,
+            F.xxhash64(*nonkeys).alias("__pre_hash"),
+            F.lit(1).alias("__pre_marker"),
+        )
+        joined = post.join(pre_h, list(keys), "left")
+        changes = joined.filter(
+            F.col("__pre_marker").isNull()
+            | (F.xxhash64(*nonkeys) != F.col("__pre_hash"))
+        ).select(
+            *post.columns,
+            F.when(F.col("__pre_marker").isNull(), F.lit("insert"))
+            .otherwise(F.lit("update_postimage"))
+            .alias("__ct"),
+        )
+        ver = self._next_commit_version(name)
+        out = changes.withColumnRenamed("__ct", "_change_type").withColumn(
+            "_commit_version", F.lit(ver)
+        )
+        out.write.mode("append").parquet(self._changelog_dir(name))
+
+    def read_changes(self, name: str, starting_version: int = 0) -> DataFrame:
+        """Batch change feed: all change rows with ``_commit_version >=
+        starting_version`` (reference ``startingVersion`` backfill, T9,
+        ``Silver/05-silver.py:46,65-66``)."""
+        df = self.spark.read.parquet(self._changelog_dir(name))
+        return df.filter(F.col("_commit_version") >= starting_version)
+
+    def stream_changes(self, name: str, starting_version: int = 0) -> DataFrame:
+        """Streaming change feed — the engine's stand-in for a Delta
+        CDF streaming source (reference S4,
+        ``Silver/05-silver.py:71-76``): an incremental file stream over
+        the changelog directory. New commits land as new parquet files,
+        so the file source's checkpoint gives exactly-once incremental
+        discovery; ``starting_version`` prunes history and, like the
+        reference's ``startingVersion``, only matters for an empty
+        checkpoint (afterwards the checkpoint's file offsets govern)."""
+        d = self._changelog_dir(name)
+        schema = self.spark.read.parquet(d).schema
+        stream = self.spark.readStream.schema(schema).parquet(d)
+        return stream.filter(F.col("_commit_version") >= starting_version)
 
     def _prune(self, name: str, keep: str) -> None:
         versions = sorted(
@@ -369,6 +481,18 @@ class TableStore:
         with open(tmp_ptr, "w") as f:
             f.write(version_dir)
         os.replace(tmp_ptr, self._pointer(name))
+        if self.changelog:
+            # diff only the affected partitions — untouched ones are
+            # hard-linked and by construction unchanged
+            pre = self.spark.read.parquet(current).filter(
+                F.col(part_col).isin(affected)
+            )
+            post = self.spark.read.parquet(full).filter(
+                F.col(part_col).isin(affected)
+            )
+            if spec["mode"] == "hash":
+                pre, post = pre.drop(part_col), post.drop(part_col)
+            self._log_merge_changes(name, pre, post, keys)
         self._prune(name, keep=version_dir)
 
     def merge(
@@ -411,7 +535,15 @@ class TableStore:
             raise ValueError(f"unknown policy {policy!r}")
         # materialize before the pointer flip; the new version dir is
         # written from the merged plan which still reads the old version
-        self.write(name, merged)
+        old_path = self.current_path(name)
+        self.write(name, merged, _log_changes=False)
+        if self.changelog:
+            self._log_merge_changes(
+                name,
+                self.spark.read.parquet(old_path),
+                self.read(name),
+                keys,
+            )
 
 
 def delta_merge_available() -> bool:

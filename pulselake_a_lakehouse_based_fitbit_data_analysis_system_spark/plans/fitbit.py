@@ -17,9 +17,14 @@ Streaming + the engine's operator library:
   with the BETWEEN reporting join (``Setup/02-setup.py:244-256``).
 
 Storage is the parquet-backed TableStore (delta-spark absent in this
-container — under Delta the same policies map onto DeltaTable.merge
-and waves 2-3 could stream silver tables via CDF instead of
-incremental-batch recompute; see operators.merge.delta_merge).
+container — under Delta the same policies map onto DeltaTable.merge;
+see operators.merge.delta_merge). TableStore's changelog mode provides
+the Delta-CDF analog the reference's silver-on-silver streams rely on
+(S4/T8/T9, ``Silver/05-silver.py:71-76``): ``stream_changes`` is an
+incremental streaming source over per-commit change records with
+``startingVersion`` semantics — waves 2-3 can consume it instead of
+incremental-batch recompute (pattern tested in
+``tests/test_changelog.py``).
 
 Orchestration mirrors the reference's dependency waves with barriers
 (``Silver/05-silver.py:486-503``) via streaming.orchestrator.

@@ -1,0 +1,137 @@
+"""TableStore change-data-feed (CDF-lite) — the engine's stand-in for
+the reference's Delta streaming sources (S4/T8/T9,
+``Silver/05-silver.py:71-76``): ``startingVersion`` backfill control,
+incremental silver-on-silver reads, delete-free feeds
+(``ignoreDeletes`` holds by construction).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+    TableStore,
+)
+
+
+def _store(spark, tmp_path):
+    return TableStore(spark, str(tmp_path), keep_versions=3, changelog=True)
+
+
+def test_changelog_records_each_commit(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    base = spark.createDataFrame([Row(k=1, v="a", ts=1), Row(k=2, v="b", ts=1)])
+    store.write("t", base)  # commit 1: full snapshot as inserts
+
+    batch = spark.createDataFrame([Row(k=2, v="B2", ts=2), Row(k=3, v="c", ts=2)])
+    store.merge("t", batch, ["k"], policy="scd1", order_col="ts")  # commit 2
+
+    feed = store.read_changes("t").collect()
+    by_ver = {}
+    for r in feed:
+        by_ver.setdefault(r["_commit_version"], []).append(r)
+    assert set(by_ver) == {1, 2}
+    assert {r["k"] for r in by_ver[1]} == {1, 2}
+    assert all(r["_change_type"] == "insert" for r in by_ver[1])
+    # commit 2: exactly the applied changes, tagged by kind
+    c2 = {r["k"]: r["_change_type"] for r in by_ver[2]}
+    assert c2 == {2: "update_postimage", 3: "insert"}
+    assert {r["v"] for r in by_ver[2]} == {"B2", "c"}  # post-images
+
+    # an idempotent replay applies nothing -> no change rows
+    store.merge("t", batch, ["k"], policy="scd1", order_col="ts")  # commit 3
+    assert store.read_changes("t", starting_version=3).count() == 0
+
+    # startingVersion backfill: skip the initial snapshot
+    assert {r["k"] for r in store.read_changes("t", starting_version=2).collect()} == {
+        2,
+        3,
+    }
+
+
+def test_changelog_on_partitioned_merge(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    base = spark.createDataFrame([Row(k=i, v="old") for i in range(32)])
+    store.write_partitioned("t", base, keys=["k"], n_buckets=4)
+    batch = spark.createDataFrame([Row(k=3, v="new"), Row(k=100, v="ins")])
+    store.merge("t", batch, ["k"], policy="scd1")
+    c2 = {
+        r["k"]: r["_change_type"]
+        for r in store.read_changes("t", starting_version=2).collect()
+    }
+    assert c2 == {3: "update_postimage", 100: "insert"}
+    # the feed never exposes the storage-internal bucket column
+    assert "__bucket" not in store.read_changes("t").columns
+
+
+def test_stream_changes_incremental_silver_on_silver(spark, tmp_path):
+    """The reference's silver-on-silver pattern: a downstream dim
+    consumes the upstream table's change stream via foreachBatch merge,
+    picking up only new commits across restarts (checkpointed)."""
+    store = _store(spark, tmp_path)
+    base = spark.createDataFrame([Row(k=1, v="a", ts=1), Row(k=2, v="b", ts=1)])
+    store.write("up", base)
+    ckpt = str(tmp_path / "ckpt")
+    sink_name = f"chg_{uuid.uuid4().hex[:8]}"
+
+    def drain(starting_version=0):
+        q = (
+            store.stream_changes("up", starting_version=starting_version)
+            .writeStream.foreachBatch(
+                lambda b, _id: store.merge(
+                    "down",
+                    b.drop("_change_type", "_commit_version"),
+                    ["k"],
+                    policy="scd1",
+                    order_col="ts",
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .queryName(sink_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        assert q.exception() is None
+
+    drain()
+    assert {r["k"]: r["v"] for r in store.read("down").collect()} == {1: "a", 2: "b"}
+
+    # upstream merge -> downstream sees ONLY the delta on the next drain
+    store.merge(
+        "up",
+        spark.createDataFrame([Row(k=2, v="B2", ts=2), Row(k=3, v="c", ts=2)]),
+        ["k"],
+        policy="scd1",
+        order_col="ts",
+    )
+    drain()
+    assert {r["k"]: r["v"] for r in store.read("down").collect()} == {
+        1: "a",
+        2: "B2",
+        3: "c",
+    }
+
+    # restart with nothing new: checkpoint prevents reprocessing
+    n_versions_before = store.read_changes("down").agg(
+        F.max("_commit_version")
+    ).collect()[0][0]
+    drain()
+    n_versions_after = store.read_changes("down").agg(
+        F.max("_commit_version")
+    ).collect()[0][0]
+    # an empty micro-batch may or may not fire; if it does, it must
+    # apply zero changes
+    assert store.read_changes(
+        "down", starting_version=n_versions_before + 1
+    ).count() == 0 or n_versions_after == n_versions_before
+
+
+def test_changelog_requires_retention(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="keep_versions"):
+        TableStore(spark, str(tmp_path), keep_versions=1, changelog=True)
