@@ -145,6 +145,68 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized(text))
 
 
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_bigram_distinct_ratio: float = 0.2,
+) -> DataFrame:
+    """Gopher-style document quality gate (rule shapes from Rae et al.
+    2021, "Scaling Language Models: … Gopher", §A1.1 — public paper):
+    word-count band, mean-word-length band, symbol-to-character ratio
+    cap, and a repetition rule via distinct-bigram ratio (the
+    distinct/total n-gram fraction is the portable stand-in for
+    "fraction of characters in duplicate n-grams").
+
+    Adds the metric columns plus a ``passes_quality`` flag; filtering
+    is the caller's ``.filter("passes_quality")`` — keeping rejects
+    inspectable is the point (quality dashboards audit the kill
+    reasons). All pure column expressions over ONE materialized token
+    array; ANSI-portable, so the whole gate is oracle-checkable.
+    """
+    toks = F.col("__toks")
+    n = F.size(toks)
+    mean_len = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))) / n
+    symbol_ratio = F.length(
+        F.regexp_replace(F.col(text_col), r"[A-Za-z0-9 ]", "")
+    ) / F.length(F.col(text_col))
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigram_ratio = F.when(
+        F.size(F.col("__grams")) > 0,
+        F.size(F.array_distinct(F.col("__grams"))) / F.size(F.col("__grams")),
+    ).otherwise(F.lit(1.0))
+    # gates evaluate the ROUNDED metric columns so the oracle's
+    # identical round(..., 6) arithmetic can't flake at the boundary
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bigram_distinct_ratio") >= min_bigram_distinct_ratio)
+    )
+    return (
+        df.withColumn("__toks", tokens(text_col))
+        .withColumn("__grams", grams)
+        .withColumn("n_words", n)
+        .withColumn("mean_word_len", F.round(mean_len, 6))
+        .withColumn("symbol_ratio", F.round(symbol_ratio, 6))
+        .withColumn("bigram_distinct_ratio", F.round(bigram_ratio, 6))
+        .withColumn("passes_quality", passes)
+        .drop("__toks", "__grams")
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document profile: all metrics as added columns.
 

@@ -1057,3 +1057,117 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+# --- quality gating & deterministic splits (training-data pipeline) -------
+
+_GOPHER_ORACLE = """
+WITH m AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t,
+         CASE WHEN len(string_split(text, ' ')) >= 2
+              THEN list_transform(
+                     generate_series(1, len(string_split(text, ' ')) - 1),
+                     i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))
+              ELSE [] END AS g
+  FROM documents
+), metrics AS (
+  SELECT doc_id,
+         CAST(len(t) AS INTEGER) AS n_words,
+         round(length(replace(text, ' ', '')) / len(t), 6) AS mean_word_len,
+         round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+               / length(text), 6) AS symbol_ratio,
+         round(CASE WHEN len(g) > 0
+                    THEN len(list_distinct(g)) / len(g)
+                    ELSE 1.0 END, 6) AS bigram_distinct_ratio
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bigram_distinct_ratio,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1
+        AND bigram_distinct_ratio >= 0.2) AS passes_quality
+FROM metrics
+"""
+
+
+@_register(
+    "quality_gopher",
+    _GOPHER_ORACLE,
+    "Gopher-style quality gate (Rae et al. 2021 rule shapes): word-count "
+    "band, mean-word-length band, symbol-ratio cap, repetition via "
+    "distinct-bigram ratio — one materialized token array, all column "
+    "expressions, map-side only; rejects stay inspectable behind the "
+    "passes_quality flag.",
+    tags=("text", "quality"),
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.gopher_quality(d).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "bigram_distinct_ratio",
+        "passes_quality",
+    )
+
+
+def _split_oracle() -> str:
+    bucket = f"({_sql_hash64('doc_id', 7)} % 10000)"
+    return f"""
+SELECT doc_id,
+       CASE WHEN {bucket} < 8000 THEN 'train'
+            WHEN {bucket} < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@_register(
+    "split_assign",
+    _split_oracle(),
+    "Deterministic 80/10/10 train/val/test assignment from the id's "
+    "portable md5 hash — the split travels with the KEY (stable under "
+    "repartition/replay; rand() is neither), map-side, zero shuffle.",
+    tags=("sampling", "split"),
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.hash_split(d, "doc_id", seed=7)
+
+
+def _strat_oracle() -> str:
+    bucket = f"({_sql_hash64('event_id', 7)} % 10000)"
+    return f"""
+SELECT event_id, event_type
+FROM events
+WHERE {bucket} < CASE event_type
+                   WHEN 'click' THEN 1000
+                   WHEN 'purchase' THEN 10000
+                   ELSE 0 END
+"""
+
+
+@_register(
+    "stratified_sample_events",
+    _strat_oracle(),
+    "Per-stratum deterministic downsampling (clicks to 10%, purchases "
+    "kept whole, rest dropped) — keep-threshold when-chain on the "
+    "stratum, keep decision from the id hash: map-side, replay-stable, "
+    "no RNG, no shuffle.",
+    tags=("sampling",),
+)
+def q_stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    e = _t(spark, sf_dir, "events")
+    return sampling.stratified_sample(
+        e,
+        "event_id",
+        "event_type",
+        {"click": 0.1, "purchase": 1.0},
+        default_fraction=0.0,
+        seed=7,
+    ).select("event_id", "event_type")

@@ -536,3 +536,89 @@ def test_partitioned_merge_insert_only_idempotent(spark, tmp_path):
     assert rows[5] == 50      # existing key untouched
     assert rows[50] == 500    # inserted exactly once
     assert len(rows) == 21
+
+
+# --- sampling / splits / quality gate (round 2) ---------------------------
+
+
+def test_hash_split_partitions_and_stability(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        sampling,
+    )
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = sampling.hash_split(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert out.count() == 2000  # every row in exactly one split
+    assert 0.75 <= counts["train"] / 2000 <= 0.85
+    assert 0.07 <= counts["val"] / 2000 <= 0.13
+    # stability: identical assignment regardless of partitioning
+    again = sampling.hash_split(df.repartition(13), "doc_id")
+    a = {(r["doc_id"], r["split"]) for r in out.collect()}
+    b = {(r["doc_id"], r["split"]) for r in again.collect()}
+    assert a == b
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.hash_split(df, "doc_id", weights={"a": 0.5, "b": 0.2})
+
+
+def test_hash_sample_deterministic_fraction(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        sampling,
+    )
+
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.2).collect()}
+    s2 = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.2).collect()}
+    assert s1 == s2  # replay-stable, unlike df.sample
+    assert 0.17 <= len(s1) / 5000 <= 0.23
+    # nested property: a smaller fraction is a subset of a larger one
+    s_small = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.05).collect()}
+    assert s_small <= s1
+
+
+def test_stratified_sample_per_stratum(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        sampling,
+    )
+
+    rows = [Row(event_id=i, event_type="click") for i in range(3000)]
+    rows += [Row(event_id=10_000 + i, event_type="purchase") for i in range(100)]
+    rows += [Row(event_id=20_000 + i, event_type="view") for i in range(500)]
+    df = spark.createDataFrame(rows)
+    out = sampling.stratified_sample(
+        df, "event_id", "event_type", {"click": 0.1, "purchase": 1.0}
+    )
+    counts = {r["event_type"]: r["n"] for r in out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("purchase") == 100       # kept whole
+    assert "view" not in counts                 # default fraction 0
+    assert 0.06 <= counts["click"] / 3000 <= 0.14
+
+
+def test_gopher_quality_gate_rules(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        text as text_ops,
+    )
+
+    good = " ".join(f"word{i} other{i} more{i} text{i} here{i}" for i in range(12))
+    repetitive = " ".join(["spam ham"] * 60)
+    short = "too short"
+    symbols = " ".join(["@@@@ ####"] * 40)
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good),
+            Row(doc_id=2, text=repetitive),
+            Row(doc_id=3, text=short),
+            Row(doc_id=4, text=symbols),
+        ]
+    )
+    out = {r["doc_id"]: r for r in text_ops.gopher_quality(df).collect()}
+    assert out[1]["passes_quality"] is True
+    assert out[2]["passes_quality"] is False   # bigram repetition
+    assert out[2]["bigram_distinct_ratio"] < 0.05
+    assert out[3]["passes_quality"] is False   # word-count floor
+    assert out[4]["passes_quality"] is False   # symbol ratio
+    assert out[4]["symbol_ratio"] > 0.1
