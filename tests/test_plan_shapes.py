@@ -1,0 +1,117 @@
+"""Physical-plan regression tests — the ``.explain("formatted")``
+audit from SCALE.md turned into assertions, so a refactor can't
+silently lose predicate pushdown, column pruning, a broadcast hint, or
+reintroduce a cartesian into a scale-path query. These are the
+properties that decide whether a plan survives 100 TB, independent of
+what any row-level test can see.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pytest
+
+from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import (
+    QUERIES,
+)
+
+SF_DIR = os.environ.get("PULSELAKE_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def plan_of(spark, name: str, mode: str = "formatted", execute: bool = False) -> str:
+    df = QUERIES[name].spark(spark, SF_DIR)
+    if execute:
+        # AQE only reveals the final plan (codegen ids, chosen join
+        # strategies) after execution — and only for an action on THIS
+        # DataFrame's own query execution (a write wraps a new plan)
+        df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark):
+    plan = plan_of(spark, "pricing_summary", execute=True)
+    assert "isFinalPlan=true" in plan
+    # the shipdate filter must reach the parquet scan…
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
+    # …and the aggregation must be partial+final (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+    # formatted mode tags codegen'd operators with "[codegen id : N]"
+    assert "codegen id" in plan
+
+
+def test_filter_project_prunes_columns(spark):
+    plan = plan_of(spark, "filter_project")
+    scan = plan.split("ReadSchema")[1].splitlines()[0]
+    # the lineitem scan reads only what the projection needs — a scan
+    # hauling all 16 columns for a narrow projection is wrong at scale
+    assert "l_comment" not in scan
+    assert "PushedFilters: [" in plan
+
+
+def test_dim_joins_broadcast_not_sortmerge(spark):
+    for name in ("session_stats_dim", "dim_join_enrich", "derived_date_dim"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_range_and_interval_joins_are_equi_keyed(spark):
+    # the BETWEEN/interval predicates must ride an equi join as a
+    # residual condition — never a nested-loop over the fact table
+    for name in ("range_join_report", "interval_pairing", "asof_attribution"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "topk_revenue")
+    # global sort + limit must fuse into per-partition heaps
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_neardup_has_no_cartesian_but_baseline_does(spark):
+    bucketed = plan_of(spark, "embedding_neardup_bucketed")
+    assert "BroadcastNestedLoopJoin" not in bucketed
+    assert "CartesianProduct" not in bucketed
+    # the all-pairs baseline IS the nested loop — the contrast this
+    # catalog documents (correctness baseline vs scale path)
+    baseline = plan_of(spark, "embedding_neardup")
+    assert "BroadcastNestedLoopJoin" in baseline
+
+
+def test_lsh_pairs_no_cartesian_and_reuses_bands(spark):
+    plan = plan_of(spark, "minhash_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # cache_bands: the banded table feeds both join sides from memory
+    # instead of recomputing the shingle→hash→agg pipeline twice
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_semi_anti_joins_stay_semi(spark):
+    # EXISTS/NOT EXISTS must not degrade to inner join + distinct
+    for name, kind in (
+        ("semi_join_active", "LeftSemi"),
+        ("anti_join_dormant", "LeftAnti"),
+    ):
+        plan = plan_of(spark, name)
+        assert kind in plan, name
+
+
+@pytest.mark.parametrize(
+    "name", ["quality_gopher", "split_assign", "stratified_sample_events"]
+)
+def test_map_side_ops_have_no_shuffle(spark, name):
+    # quality gating / splits / sampling are pure map work: any
+    # Exchange in the plan means someone added an accidental shuffle
+    plan = plan_of(spark, name)
+    assert "Exchange" not in plan, name
