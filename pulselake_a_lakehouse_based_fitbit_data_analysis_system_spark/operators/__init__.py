@@ -1,4 +1,15 @@
-from . import agg, dedup, joins, merge, multimodal, neardup, similarity, text, topk
+from . import (
+    agg,
+    dedup,
+    joins,
+    merge,
+    multimodal,
+    neardup,
+    sampling,
+    similarity,
+    text,
+    topk,
+)
 
 __all__ = [
     "agg",
@@ -7,6 +18,7 @@ __all__ = [
     "merge",
     "multimodal",
     "neardup",
+    "sampling",
     "similarity",
     "text",
     "topk",

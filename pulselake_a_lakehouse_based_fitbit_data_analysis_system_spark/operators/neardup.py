@@ -395,10 +395,24 @@ def embedding_neardup_pairs_bucketed(
     from .similarity import hyperplanes, srp_bucket_expr
 
     planes = hyperplanes(num_planes, dim, seed)
-    bucketed = df.withColumn("srp_bucket", srp_bucket_expr(vec_col, planes))
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # bucket AND norm are per-ROW quantities: compute them once before
+    # the join (the verify stage then pays only a dot product per
+    # candidate pair — recomputing ||v|| per pair doubles the dominant
+    # cost), and persist so the two join sides don't recompute the SRP
+    # projections (aliased self-join sides never get ReusedExchange)
+    bucketed = df.select(
+        F.col(id_col).alias("__id"),
+        dvec.alias("__v"),
+        srp_bucket_expr(vec_col, planes).alias("srp_bucket"),
+        F.sqrt(
+            F.aggregate(dvec, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("__norm"),
+    ).persist()
     a = bucketed.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("va"),
+        F.col("__norm").alias("na"),
         F.col("srp_bucket").alias("bucket"),
     )
     probe_ids = [F.col("srp_bucket")]
@@ -408,16 +422,20 @@ def embedding_neardup_pairs_bucketed(
             for p in range(num_planes)
         ]
     b = bucketed.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("vb"),
+        F.col("__norm").alias("nb"),
         F.explode(F.array(*probe_ids)).alias("bucket"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     return (
         a.join(b, ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
-        )
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -329,6 +329,7 @@ WHERE xor(a.srp_bucket, b.srp_bucket) IN ({probe_xors})
     "bucket key (+ Hamming-1 multiprobe via explode), exact-cosine "
     "verify — the 100 TB shape (no BroadcastNestedLoop; candidates "
     "shrink ~2^planes/(planes+1)x vs the all-pairs baseline above).",
+    bench=True,
     tags=("neardup", "similarity", "lsh"),
 )
 def q_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1098,6 +1099,7 @@ FROM metrics
     "distinct-bigram ratio — one materialized token array, all column "
     "expressions, map-side only; rejects stay inspectable behind the "
     "passes_quality flag.",
+    bench=True,
     tags=("text", "quality"),
 )
 def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
