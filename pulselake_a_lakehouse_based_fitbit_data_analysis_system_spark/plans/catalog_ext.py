@@ -179,6 +179,54 @@ def q_jaccard_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JACCARD_CAPPED_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh
+  FROM toks, UNNEST(
+    CASE WHEN len(t) >= 1
+         THEN list_transform(generate_series(1, len(t)),
+                             i -> array_to_string(t[i:i], ' '))
+         ELSE [array_to_string(t, ' ')] END
+  ) AS u(sh)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), hot AS (
+  SELECT sh FROM sh GROUP BY sh HAVING count(*) > 25
+), joinable AS (
+  SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM joinable a JOIN joinable b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.82
+"""
+
+
+@_register(
+    "jaccard_pairs_capped",
+    _JACCARD_CAPPED_ORACLE,
+    "Jaccard pairs with the hot-shingle df-cap engaged (df > 25 tokens "
+    "leave the INTERSECTION join only; doc sizes still count them, so "
+    "scores are exact-or-under, never inflated) — the skew guard that "
+    "keeps the exact path alive when boilerplate would make it "
+    "quadratic.",
+    tags=("neardup", "jaccard", "skew"),
+)
+def q_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return neardup.jaccard_pairs(
+        d, "doc_id", "text", shingle_size=1, threshold=0.82, df_cap=25
+    )
+
+
 _SIMHASH_BITS = 32
 _SIMHASH_SEED = 997
 
@@ -215,6 +263,42 @@ SELECT doc_id, CAST({_SIMHASH_ASSEMBLE} AS BIGINT) AS simhash FROM votes
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return neardup.simhash(d, "doc_id", "text", bits=_SIMHASH_BITS, seed=_SIMHASH_SEED)
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, {_sql_hash64("tok", _SIMHASH_SEED)} AS h FROM toks
+), votes AS (
+  SELECT doc_id,
+       {_SIMHASH_VOTES}
+  FROM hashed GROUP BY doc_id
+), fps AS (
+  SELECT doc_id, CAST({_SIMHASH_ASSEMBLE} AS BIGINT) AS simhash FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@_register(
+    "simhash_hamming_pairs",
+    _SIMHASH_PAIRS_ORACLE,
+    "SimHash near-dup pairs within Hamming radius 3 via the pigeonhole "
+    "chunk equi-join (any pair within radius r agrees exactly on one "
+    "of r+1 fingerprint chunks) — no n² stage on the Spark side; the "
+    "oracle does the all-pairs form, which the pigeonhole guarantee "
+    "makes exactly equivalent.",
+    tags=("neardup", "simhash"),
+)
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return neardup.simhash_pairs(
+        d, "doc_id", "text", bits=_SIMHASH_BITS, max_hamming=3
+    )
 
 
 # --- embeddings -----------------------------------------------------------
