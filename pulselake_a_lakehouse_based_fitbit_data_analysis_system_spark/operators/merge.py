@@ -257,7 +257,7 @@ class TableStore:
         with open(tmp_ptr, "w") as f:
             f.write(version_dir)
         os.replace(tmp_ptr, self._pointer(name))
-        if self.changelog and _log_changes:
+        if self._changelog_enabled(name) and _log_changes:
             # full refresh/create: the whole table is the change set
             self._append_changelog(
                 name, self.spark.read.parquet(full).drop("__bucket"), "insert"
@@ -265,6 +265,23 @@ class TableStore:
         self._prune(name, keep=version_dir)
 
     # --- change-data-feed (CDF-lite) --------------------------------------
+
+    def enable_changelog(self, name: str) -> None:
+        """Per-table change-feed opt-in — the Delta
+        ``delta.enableChangeDataFeed`` table-property analog. Commits
+        to THIS table start recording change rows; other tables pay
+        nothing. The store-wide ``changelog`` ctor flag enables it for
+        every table instead."""
+        if self.keep_versions < 2:
+            raise ValueError("changelog requires keep_versions >= 2")
+        marker = os.path.join(self.root, f"{name}._CDF")
+        with open(marker, "w") as f:
+            f.write("1")
+
+    def _changelog_enabled(self, name: str) -> bool:
+        return self.changelog or os.path.exists(
+            os.path.join(self.root, f"{name}._CDF")
+        )
 
     def _changelog_dir(self, name: str) -> str:
         return os.path.join(self.root, f"{name}.changelog")
@@ -481,7 +498,7 @@ class TableStore:
         with open(tmp_ptr, "w") as f:
             f.write(version_dir)
         os.replace(tmp_ptr, self._pointer(name))
-        if self.changelog:
+        if self._changelog_enabled(name):
             # diff only the affected partitions — untouched ones are
             # hard-linked and by construction unchanged
             pre = self.spark.read.parquet(current).filter(
@@ -537,7 +554,7 @@ class TableStore:
         # written from the merged plan which still reads the old version
         old_path = self.current_path(name)
         self.write(name, merged, _log_changes=False)
-        if self.changelog:
+        if self._changelog_enabled(name):
             self._log_merge_changes(
                 name,
                 self.spark.read.parquet(old_path),

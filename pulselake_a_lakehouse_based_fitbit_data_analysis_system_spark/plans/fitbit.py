@@ -71,6 +71,7 @@ class FitbitPipeline:
         available_now: bool = True,
         processing_time: str = "1 seconds",
         keep_versions: int | None = None,
+        incremental_dims: bool = False,
     ) -> None:
         self.spark = spark
         self.workdir = workdir
@@ -87,6 +88,14 @@ class FitbitPipeline:
         self.store = TableStore(
             spark, os.path.join(workdir, "tables"), keep_versions=keep_versions
         )
+        # Incremental dimension maintenance (reference S4 silver-on-
+        # silver reads): user_bins consumes user_profile's CDF-lite
+        # change stream instead of a full recompute per run. Opt-in:
+        # the per-table changelog is the delta.enableChangeDataFeed
+        # analog and costs one diff join per user_profile merge.
+        self.incremental_dims = incremental_dims
+        if incremental_dims:
+            self.store.enable_changelog("user_profile")
         # the reference's dual batch/stream `once` flag
         # (Bronze/04-bronze.py:39-42): availableNow drain vs live
         # processingTime micro-batches
@@ -410,6 +419,46 @@ class FitbitPipeline:
         )
         self.store.merge("user_bins", bins, ["user_id"], "scd1")
 
+    def build_user_bins_incremental(self, timeout_sec: int = 120) -> None:
+        """user_bins maintained from user_profile's change stream — the
+        reference's actual silver-on-silver shape (S4,
+        ``Silver/05-silver.py:329-346``: user_bins streams the users
+        table with ``ignoreChanges``). Each drained micro-batch holds
+        only changed/new profiles; bins recompute for exactly those
+        users and SCD-1 merge into the dim — O(changes), not O(users),
+        per run."""
+        users = self.store.read("users").select("user_id")
+
+        def upsert(batch: DataFrame, _id: int) -> None:
+            profiles = dedup.latest_by_key(
+                batch.drop("_change_type", "_commit_version"),
+                ["user_id"],
+                "updated",
+            )
+            bins = joins.broadcast_dim_join(profiles, users, ["user_id"]).select(
+                "user_id",
+                age_bins("dob").alias("age"),
+                "gender",
+                "city",
+                "state",
+            )
+            self.store.merge("user_bins", bins, ["user_id"], "scd1")
+
+        q = (
+            self.store.stream_changes("user_profile")
+            .writeStream.foreachBatch(upsert)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", os.path.join(self.ckpt, "sv_user_bins_cdf")
+            )
+            .queryName("sv_user_bins_cdf")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.exception() is not None:
+            raise q.exception()
+
     # -- silver wave 3 ------------------------------------------------------
 
     def workout_bpm_starter(self):
@@ -582,7 +631,10 @@ class FitbitPipeline:
             ],
             timeout_sec=timeout_sec,
         )
-        self.build_user_bins()
+        if self.incremental_dims:
+            self.build_user_bins_incremental()
+        else:
+            self.build_user_bins()
         report.update(
             run_waves(
                 self.spark,

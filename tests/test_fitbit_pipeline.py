@@ -102,3 +102,25 @@ def test_sql_surface_reference_view(spark, workdir):
     # ad-hoc SQL over silver works like the reference's validate()
     n_users = spark.sql("SELECT count(*) AS n FROM users").collect()[0]["n"]
     assert n_users == pipe.store.read("users").count()
+
+
+def test_incremental_dims_matches_batch(spark, tmp_path):
+    """S4 silver-on-silver: user_bins maintained from user_profile's
+    CDF-lite change stream must equal the full-recompute dim across a
+    two-set incremental replay."""
+    pipe = FitbitPipeline(spark, str(tmp_path), incremental_dims=True)
+    set1 = fx.generate_set(1)
+    fx.write_landing(set1, pipe.landing)
+    pipe.run()
+    set2 = fx.generate_set(2)
+    fx.write_landing(set2, pipe.landing)
+    pipe.run()
+    assert pipe.table_counts() == fx.expected_counts([set1, set2])
+
+    # the incremental dim equals what a full recompute would build
+    incremental = {
+        tuple(r) for r in pipe.store.read("user_bins").collect()
+    }
+    pipe.build_user_bins()  # overwrite with the batch recompute
+    batch = {tuple(r) for r in pipe.store.read("user_bins").collect()}
+    assert incremental == batch
