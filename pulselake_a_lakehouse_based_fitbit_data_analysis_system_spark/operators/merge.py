@@ -363,10 +363,17 @@ class TableStore:
         return stream.filter(F.col("_commit_version") >= starting_version)
 
     def _prune(self, name: str, keep: str) -> None:
+        # order by creation time, OLDEST first — version dirs are
+        # uuid-named, so a lexicographic sort would prune an arbitrary
+        # version (possibly the newest-but-one, which the changelog
+        # diff still needs)
         versions = sorted(
-            d
-            for d in os.listdir(self.root)
-            if d.startswith(f"{name}.v") and d != keep
+            (
+                d
+                for d in os.listdir(self.root)
+                if d.startswith(f"{name}.v") and d != keep
+            ),
+            key=lambda d: os.path.getmtime(os.path.join(self.root, d)),
         )
         for stale in versions[: max(0, len(versions) - (self.keep_versions - 1))]:
             shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)

@@ -135,3 +135,40 @@ def test_changelog_requires_retention(spark, tmp_path):
 
     with pytest.raises(ValueError, match="keep_versions"):
         TableStore(spark, str(tmp_path), keep_versions=1, changelog=True)
+
+
+def test_change_feed_fold_reconstructs_table(spark, tmp_path):
+    """CDF soundness: replaying the change feed from version 0 —
+    newest post-image per key wins — must reconstruct the current
+    table exactly. This is the invariant that makes downstream
+    consumers (dims, replicas, indexes) correct by construction."""
+    store = _store(spark, tmp_path)
+    store.write("t", spark.createDataFrame(
+        [Row(k=i, v=f"v{i}", ts=1) for i in range(20)]
+    ))
+    store.merge("t", spark.createDataFrame(
+        [Row(k=3, v="b3", ts=2), Row(k=21, v="b21", ts=2)]
+    ), ["k"], policy="scd1", order_col="ts")
+    store.merge("t", spark.createDataFrame(
+        [Row(k=3, v="c3", ts=3), Row(k=5, v="STALE", ts=0)]
+    ), ["k"], policy="scd1", order_col="ts")
+    store.merge("t", spark.createDataFrame(
+        [Row(k=22, v="d22", ts=4)]
+    ), ["k"], policy="insert_only")
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.dedup import (
+        latest_by_key,
+    )
+
+    folded = latest_by_key(
+        store.read_changes("t"), ["k"], "_commit_version"
+    ).drop("_change_type", "_commit_version")
+    table = store.read("t")
+    assert {tuple(r) for r in folded.collect()} == {
+        tuple(r) for r in table.collect()
+    }
+    # the rejected stale update (ts=0 < target's ts) emitted NO change
+    assert (
+        store.read_changes("t").filter("k = 5").count() == 0
+        or store.read_changes("t").filter("k = 5 AND v = 'STALE'").count() == 0
+    )
