@@ -454,16 +454,21 @@ def connected_components(
     (singletons label themselves). The step LSH stops short of — dedup
     needs *groups*, not pairs, to keep one canonical doc per group.
 
-    Min-label propagation: labels start as own id; each round every
-    node takes the min of its label and its neighbors' labels — one
-    join + one groupBy per round, converging in O(graph diameter)
-    rounds, with ``localCheckpoint`` truncating the growing lineage
+    Min-label propagation + pointer jumping: each round every node
+    takes the min over {its label, neighbors' labels, its LABEL's
+    label} — the last term (one extra self-join, "hash-to-min" style;
+    cf. Rastogi et al., ICDE'13; large-star/small-star in Kiveris et
+    al., SoCC'14 is the heavier-duty relative) doubles the effective
+    propagation distance per round, so convergence is O(log diameter)
+    rounds instead of O(diameter): a 10⁶-node chain converges in ~20
+    rounds, not 10⁶. ``localCheckpoint`` truncates the growing lineage
     (the classic iterative-DataFrame failure mode). Near-dup graphs
-    are unions of small cliques, so the diameter — and the round count
-    — stays tiny regardless of corpus size. For adversarial
-    long-chain graphs the large-star/small-star algorithm (Kiveris et
-    al., SoCC'14) drops rounds to O(log n); the per-round plumbing is
-    identical.
+    are unions of small cliques (2-3 rounds); the jump term is what
+    makes adversarial chains safe.
+
+    Raises ``RuntimeError`` if ``max_iterations`` rounds pass without
+    convergence — silently returning partially-propagated labels would
+    be wrong clusters, the worst possible failure mode for dedup.
 
     Convergence check: one cheap agg per round — ``bit_xor`` of
     ``xxhash64(node, label)`` over the label table, which changes when
@@ -486,20 +491,40 @@ def connected_components(
         return lbl.agg(F.bit_xor(F.xxhash64("node", "label"))).collect()[0][0]
 
     prev_digest = _state_digest(labels)
+    converged = False
     for _ in range(max_iterations):
         neighbor_labels = edges.join(
             labels, edges.src == labels.node, "inner"
         ).select(F.col("dst").alias("node"), "label")
+        # pointer jump: node's label's label (label(n) ≤ n, so the
+        # grandparent label is always ≤ — min keeps correctness)
+        lbl = labels.select(
+            F.col("node").alias("j_node"), F.col("label").alias("j_label")
+        )
+        jumped = (
+            labels.join(lbl, labels.label == lbl.j_node, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("j_label"), F.col("label")).alias("label"),
+            )
+        )
         labels = (
-            labels.union(neighbor_labels)
+            jumped.union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
         cur_digest = _state_digest(labels)
         if cur_digest == prev_digest:
+            converged = True
             break
         prev_digest = cur_digest
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds — raise max_iterations (graph diameter exceeds "
+            "2^rounds reach)"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -622,3 +622,27 @@ def test_gopher_quality_gate_rules(spark):
     assert out[3]["passes_quality"] is False   # word-count floor
     assert out[4]["passes_quality"] is False   # symbol ratio
     assert out[4]["symbol_ratio"] > 0.1
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    # a 200-node chain has diameter 199: plain min-label propagation
+    # would need 199 rounds; pointer jumping must converge in O(log n)
+    n = 200
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(n - 1)]
+    )
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(n)])
+    got = neardup.connected_components(
+        pairs, nodes, "doc_id", max_iterations=14
+    )
+    assert {r["cluster_id"] for r in got.collect()} == {0}
+    assert got.count() == n
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(63)]
+    )
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(64)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup.connected_components(pairs, nodes, "doc_id", max_iterations=2)
