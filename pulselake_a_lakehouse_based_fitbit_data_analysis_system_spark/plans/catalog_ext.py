@@ -1257,3 +1257,23 @@ def q_stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_fraction=0.0,
         seed=7,
     ).select("event_id", "event_type")
+
+
+def _sample_oracle() -> str:
+    bucket = f"({_sql_hash64('doc_id', 7)} % 10000)"
+    return f"SELECT doc_id FROM documents WHERE {bucket} < 1000"
+
+
+@_register(
+    "hash_sample_docs",
+    _sample_oracle(),
+    "Deterministic ~10% corpus sample by id hash — replay/retry-stable "
+    "where df.sample re-draws; smaller fractions are nested subsets of "
+    "larger ones (progressive sampling for scaling-law runs).",
+    tags=("sampling",),
+)
+def q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.hash_sample(d, "doc_id", fraction=0.1, seed=7)
