@@ -398,6 +398,33 @@ class TableStore:
             ).cast("int")
         return F.col(spec["column"])  # mode == "column"
 
+    def declare_partitioning(
+        self,
+        name: str,
+        keys: Sequence[str] | None = None,
+        n_buckets: int = 32,
+        partition_column: str | None = None,
+    ) -> None:
+        """Declare a partition spec BEFORE the table exists — the
+        ``CREATE TABLE … PARTITIONED BY`` analog. The first merge that
+        creates the table writes it partitioned, and every later merge
+        takes the pruned path (``_merge_partitioned``). For
+        append-mostly fact tables partition by an event-date column:
+        each micro-batch then touches only the dates it carries, so
+        write amplification is O(days in batch), not O(table)."""
+        if partition_column is not None:
+            spec: dict = {"mode": "column", "column": partition_column}
+        else:
+            spec = {
+                "mode": "hash",
+                "n_buckets": int(n_buckets),
+                "keys": list(keys or []),
+            }
+        tmp_spec = self._spec_path(name) + ".tmp"
+        with open(tmp_spec, "w") as f:
+            json.dump(spec, f)
+        os.replace(tmp_spec, self._spec_path(name))
+
     def write_partitioned(
         self,
         name: str,
@@ -544,7 +571,19 @@ class TableStore:
                 base = latest_by_key(source, keys, kwargs["order_col"])
             elif policy in ("insert_only",):
                 base = source.dropDuplicates(list(keys))
-            self.write(name, base)
+            if spec is not None:
+                # declared-ahead spec (declare_partitioning): create
+                # the table partitioned so merge #2 onward is pruned
+                if spec["mode"] == "hash":
+                    part_col = "__bucket"
+                    base = base.withColumn(
+                        part_col, self._partition_expr(spec, keys)
+                    )
+                else:
+                    part_col = spec["column"]
+                self.write(name, base, partition_by=[part_col])
+            else:
+                self.write(name, base)
             return
         target = self.read(name)
         if policy == "insert_only":

@@ -124,3 +124,22 @@ def test_incremental_dims_matches_batch(spark, tmp_path):
     pipe.build_user_bins()  # overwrite with the batch recompute
     batch = {tuple(r) for r in pipe.store.read("user_bins").collect()}
     assert incremental == batch
+
+    # gold maintained from workout_bpm's change stream equals the
+    # full recompute (reference Gold/06-gold.py streaming-agg shape)
+    incr_gold = {
+        tuple(r) for r in pipe.store.read("workout_bpm_summary").collect()
+    }
+    pipe.build_gold()  # overwrite with the batch recompute
+    batch_gold = {
+        tuple(r) for r in pipe.store.read("workout_bpm_summary").collect()
+    }
+    assert incr_gold == batch_gold
+
+    # fact tables created through the declared spec are date-partitioned
+    # (merge #2 onward rewrote only the batch's p_date partitions)
+    import os
+
+    for t in ("heart_rate", "workout_bpm", "workout_bpm_summary"):
+        path = pipe.store.current_path(t)
+        assert any(e.startswith("p_date=") for e in os.listdir(path)), t
