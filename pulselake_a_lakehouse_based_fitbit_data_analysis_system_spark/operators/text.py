@@ -248,3 +248,127 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fingerprint", fingerprint(text_col))
         .drop("__toks")
     )
+
+
+def tf_idf_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (smoothed idf:
+    ``ln((N+1)/(df+1)) + 1``, sklearn's ``smooth_idf`` form — public
+    formula).
+
+    Shape for scale: one tokenize-explode pass → (doc, term) hash agg
+    for tf → a *second* agg over the already-reduced tf table for df
+    (never over the raw token universe) → equi-join tf⋈df on term →
+    per-doc row_number window for the top-k. The corpus size N rides
+    in as a broadcast single-row aggregate, so the whole thing is one
+    plan — no driver-side ``count()`` action. Shuffles: (doc,term),
+    (term), and doc for the window; the tf⋈df join is AQE's choice
+    (vocabulary is heavy-tailed — often broadcastable after the df
+    agg, but not guaranteed at web scale, so no forced hint).
+
+    Ordering inside a doc is (score desc, term) — (doc, term) is
+    unique, so the top-k set is deterministic. Scores are
+    per-row products of exact counts (no accumulation-order
+    sensitivity); rounded to 6 for oracle alignment.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score", "rank")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval score of every matching document against a fixed
+    query-term set (Robertson/Sparck-Jones Okapi BM25, public formula:
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``; tf saturation with
+    ``k1``, length normalization with ``b``).
+
+    Scale shape: terms are filtered to the query set *before* the tf
+    agg (the explode output shrinks to matching tokens only — at web
+    scale this is the difference between shuffling the corpus and
+    shuffling the hits). df and the (N, avgdl) corpus stats are tiny
+    aggregates broadcast to the hits; doclen joins on doc_id. Returns
+    every matching doc's score (unordered — feed ``topk`` for an
+    ordered fetch; no global window, which would single-partition the
+    result at scale).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    doclen = docs.select(
+        F.col(id_col).alias("doc_id"), token_count(text_col).alias("dl")
+    )
+    corpus = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(corpus))
+        .join(doclen, "doc_id")
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.round(F.sum("contrib"), 6).alias("bm25"),
+        )
+    )

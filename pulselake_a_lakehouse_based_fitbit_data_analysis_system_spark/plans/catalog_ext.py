@@ -1277,3 +1277,92 @@ def q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     return sampling.hash_sample(d, "doc_id", fraction=0.1, seed=7)
+
+
+# --- retrieval scoring (TF-IDF / BM25) ------------------------------------
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (dft.df + 1.0)) + 1.0), 6)
+           AS score
+  FROM tf JOIN dft USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, score, rank
+FROM (
+  SELECT *,
+         CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, term
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+@_register(
+    "tfidf_topk_terms",
+    _TFIDF_ORACLE,
+    "Top-5 TF-IDF terms per document (smoothed idf) — tf agg, df agg "
+    "over the reduced tf table, broadcast corpus-size row, per-doc "
+    "row_number; the keyword-extraction / vocabulary-weighting "
+    "primitive for training corpora.",
+    bench=True,
+    tags=("text", "retrieval"),
+)
+def q_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.tf_idf_topk(d, "doc_id", "text", k=5)
+
+
+_BM25_QUERY_TERMS = ("spark", "join", "window")
+
+_BM25_ORACLE = """
+WITH dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+), corpus AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('spark', 'join', 'window')
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id,
+       count(*) AS n_terms_hit,
+       round(sum(
+         ln(1.0 + (corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl))
+       ), 6) AS bm25
+FROM tf
+JOIN dft USING (term)
+CROSS JOIN corpus
+JOIN dl USING (doc_id)
+GROUP BY tf.doc_id
+"""
+
+
+@_register(
+    "bm25_search",
+    _BM25_ORACLE,
+    "Okapi BM25 score of every document matching a fixed query-term "
+    "set (k1=1.2, b=0.75) — terms filtered before the tf agg so only "
+    "hits shuffle; df/corpus stats broadcast; unordered (feed topk "
+    "for the fetch).",
+    tags=("text", "retrieval"),
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.bm25_scores(d, list(_BM25_QUERY_TERMS), "doc_id", "text")
