@@ -1,0 +1,128 @@
+"""Time-series operators: bucketed series, sliding-window aggregation,
+and similarity search against a reference series.
+
+The similarity shape follows the distributed time-series
+similarity-search literature (e.g. "Time Series Similarity Search for
+Streaming Data in Distributed Systems", EDBT 2019 — public paper):
+align series on time buckets, compare against a *reference* series
+broadcast to the data — a linear scan, never an all-pairs self-join.
+Pearson correlation is computed from explicitly-accumulated moment
+sums (n, Σx, Σy, Σx², Σy², Σxy) so the Spark plan and the DuckDB
+oracle evaluate the *identical* closed-form expression — engine
+built-in ``corr()`` implementations differ in update order and are
+not bit-comparable.
+
+All pure Column expressions; no UDFs, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucketed_series(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Regularize an event stream into a per-key time series: one row
+    per (key, time bucket) with the bucket-mean value, rounded to 6 so
+    downstream moment sums start from oracle-identical inputs."""
+    return (
+        events.groupBy(
+            F.col(key_col).alias("series_key"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(F.round(F.avg(value_col), 6).alias("v"))
+    )
+
+
+def sliding_window_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Overlapping (sliding) window aggregation via ``F.window`` — the
+    hopping-window shape from the Structured Streaming paper (SIGMOD
+    2018). Each event lands in ``width/slide`` windows; windows are
+    epoch-aligned, so the result is deterministic and the identical
+    expression runs under a streaming read with a watermark. One
+    shuffle on (window, group); the window expansion is map-side.
+    """
+    win = F.window(F.col(ts_col), width, slide)
+    return (
+        events.groupBy(win.alias("win"), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(value_col), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            group_col,
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def corr_to_reference(
+    events: DataFrame,
+    reference_key,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+    min_common: int = 5,
+) -> DataFrame:
+    """Similarity search: Pearson correlation of every key's bucketed
+    series against the ``reference_key`` series.
+
+    Scale shape: the reference series is a few-hundred-row DataFrame —
+    broadcast it and equi-join on the time bucket, so the cost is one
+    linear pass over the bucketed series (never an all-pairs series
+    self-join; pairwise-all-users is quadratic in keys and belongs
+    behind a cohort cap if ever needed). Moment sums accumulate in one
+    grouped agg; the correlation is the textbook closed form
+    ``(nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))`` evaluated
+    identically by the oracle. Degenerate series (zero variance on the
+    common support) are filtered on both sides before the division.
+
+    Returns (series_key, n_common, corr) for keys sharing at least
+    ``min_common`` buckets with the reference.
+    """
+    series = bucketed_series(events, key_col, ts_col, value_col, bucket)
+    ref = series.filter(F.col("series_key") == F.lit(reference_key)).select(
+        "bucket", F.col("v").alias("ref_v")
+    )
+    sums = (
+        series.filter(F.col("series_key") != F.lit(reference_key))
+        .join(F.broadcast(ref), "bucket")
+        .groupBy("series_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("v").alias("sx"),
+            F.sum("ref_v").alias("sy"),
+            F.sum(F.col("v") * F.col("v")).alias("sxx"),
+            F.sum(F.col("ref_v") * F.col("ref_v")).alias("syy"),
+            F.sum(F.col("v") * F.col("ref_v")).alias("sxy"),
+        )
+    )
+    varx = F.col("n_common") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n_common") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n_common") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        sums.filter(
+            (F.col("n_common") >= min_common)
+            & (varx > F.lit(1e-9))
+            & (vary > F.lit(1e-9))
+        )
+        .withColumn("corr", F.round(cov / (F.sqrt(varx) * F.sqrt(vary)), 6))
+        .select("series_key", "n_common", "corr")
+    )

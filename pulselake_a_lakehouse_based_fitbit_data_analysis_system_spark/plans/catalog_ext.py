@@ -1366,3 +1366,88 @@ GROUP BY tf.doc_id
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return text_ops.bm25_scores(d, list(_BM25_QUERY_TERMS), "doc_id", "text")
+
+
+# --- time series (sliding windows, similarity search) ---------------------
+
+_SLIDING_ORACLE = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+           - k.k * INTERVAL 30 MINUTE AS window_start,
+         event_type, value
+  FROM events
+  CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+)
+SELECT window_start,
+       window_start + INTERVAL 60 MINUTE AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM expanded
+GROUP BY window_start, event_type
+"""
+
+
+@_register(
+    "sliding_window_agg",
+    _SLIDING_ORACLE,
+    "Overlapping 1h-wide/30min-slide window aggregation (F.window "
+    "hopping form, Structured Streaming paper SIGMOD'18) — each event "
+    "expands map-side into width/slide windows, one shuffle on "
+    "(window, group); same expression streams under a watermark.",
+    tags=("window", "timeseries"),
+)
+def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import timeseries
+
+    e = _t(spark, sf_dir, "events")
+    return timeseries.sliding_window_stats(
+        e, "ts", "event_type", "value", "1 hour", "30 minutes"
+    )
+
+
+_TS_SIMILARITY_ORACLE = """
+WITH series AS (
+  SELECT user_id AS series_key, date_trunc('hour', ts) AS bucket,
+         round(avg(value), 6) AS v
+  FROM events GROUP BY series_key, bucket
+), ref AS (
+  SELECT bucket, v AS ref_v FROM series WHERE series_key = 1
+), sums AS (
+  SELECT s.series_key,
+         count(*) AS n_common,
+         sum(s.v) AS sx, sum(r.ref_v) AS sy,
+         sum(s.v * s.v) AS sxx, sum(r.ref_v * r.ref_v) AS syy,
+         sum(s.v * r.ref_v) AS sxy
+  FROM series s JOIN ref r USING (bucket)
+  WHERE s.series_key <> 1
+  GROUP BY s.series_key
+)
+SELECT series_key, n_common,
+       round((n_common * sxy - sx * sy)
+             / (sqrt(n_common * sxx - sx * sx)
+                * sqrt(n_common * syy - sy * sy)), 6) AS corr
+FROM sums
+WHERE n_common >= 5
+  AND (n_common * sxx - sx * sx) > 1e-9
+  AND (n_common * syy - sy * sy) > 1e-9
+"""
+
+
+@_register(
+    "ts_similarity_search",
+    _TS_SIMILARITY_ORACLE,
+    "Time-series similarity search (EDBT'19 shape): Pearson corr of "
+    "every user's hourly-bucketed value series against a broadcast "
+    "reference series — linear scan + moment-sum agg, never an "
+    "all-pairs series self-join; closed-form corr so the oracle "
+    "evaluates the identical expression.",
+    tags=("timeseries", "similarity"),
+)
+def q_ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import timeseries
+
+    e = _t(spark, sf_dir, "events")
+    return timeseries.corr_to_reference(
+        e, 1, "user_id", "ts", "value", "hour", min_common=5
+    )
