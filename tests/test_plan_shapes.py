@@ -115,3 +115,43 @@ def test_map_side_ops_have_no_shuffle(spark, name):
     # Exchange in the plan means someone added an accidental shuffle
     plan = plan_of(spark, name)
     assert "Exchange" not in plan, name
+
+
+def test_tfidf_no_cartesian_single_broadcast_scalar(spark):
+    plan = plan_of(spark, "tfidf_topk_terms")
+    # corpus-size N must ride in as a broadcast one-row aggregate (the
+    # crossJoin of a 1-row DF becomes BroadcastNestedLoop — fine at
+    # one row), never a CartesianProduct over data-sized inputs
+    assert "CartesianProduct" not in plan
+    # tf and df aggs both partial+final
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_bm25_broadcasts_stats_filters_before_agg(spark):
+    plan = plan_of(spark, "bm25_search")
+    assert "CartesianProduct" not in plan
+    # the query-term filter must run BEFORE the tf aggregation (on the
+    # exploded tokens), so only hits shuffle: in the formatted plan the
+    # isin filter appears below the first HashAggregate
+    assert "term" in plan and "IN (" in plan or "isin" in plan.lower() or "term#" in plan
+    assert "BroadcastHashJoin" in plan  # df join rides a broadcast
+
+
+def test_sliding_window_single_shuffle(spark):
+    import re
+
+    plan = plan_of(spark, "sliding_window_agg")
+    # window expansion is map-side (Expand), then ONE exchange for the
+    # (window, group) agg; formatted mode prints each node twice (tree
+    # + detail), so count the detail-section headers
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Expand" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ts_similarity_broadcasts_reference(spark):
+    plan = plan_of(spark, "ts_similarity_search")
+    # the reference series joins broadcast — the scan stays linear
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
