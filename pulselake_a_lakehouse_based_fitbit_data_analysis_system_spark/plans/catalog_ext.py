@@ -1451,3 +1451,174 @@ def q_ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.corr_to_reference(
         e, 1, "user_id", "ts", "value", "hour", min_common=5
     )
+
+
+# --- corpus hygiene: language ID, boilerplate, decontamination ------------
+
+
+def _lang_oracle() -> str:
+    """DuckDB twin of operators.text.detect_language: marker-word hit
+    counts per language, argmax with fixed-order tie-break, 'und' floor."""
+    langs = list(LANG_MARKERS)
+    hit_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        hit_cols.append(
+            f"CAST(len(list_filter(t, x -> x IN ({lst}))) AS INTEGER)"
+            f" AS {lang}_hits"
+        )
+    hits = ",\n         ".join(hit_cols)
+    g = "greatest(" + ", ".join(f"{lang}_hits" for lang in langs) + ")"
+    case = f"CASE WHEN {g} < 1 THEN 'und'"
+    for lang in langs:
+        case += f"\n            WHEN {lang}_hits = {g} THEN '{lang}'"
+    case += "\n       END"
+    sel = ", ".join(f"{lang}_hits" for lang in langs)
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+h AS (
+  SELECT doc_id,
+         {hits}
+  FROM toks
+)
+SELECT doc_id, {sel},
+       {case} AS lang_pred
+FROM h
+"""
+
+
+@_register(
+    "language_id",
+    _lang_oracle(),
+    "n-gram-heuristic language ID: marker-word hit counts per language "
+    "over ONE token array, argmax with deterministic tie-break, 'und' "
+    "when nothing hits — pure map-side Column expressions (zero "
+    "shuffle, codegen'd), the pre-filter every multilingual corpus "
+    "pipeline runs before language-specific processing.",
+    tags=("text",),
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    scores = text_ops.lang_scores("text")
+    return d.select(
+        "doc_id",
+        *[scores[lang].alias(f"{lang}_hits") for lang in LANG_MARKERS],
+        text_ops.detect_language("text").alias("lang_pred"),
+    )
+
+
+_SHINGLE5_CTE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh
+  FROM toks, UNNEST(
+    CASE WHEN len(t) >= 5
+         THEN list_transform(generate_series(1, len(t) - 4),
+                             i -> array_to_string(t[i:i+4], ' '))
+         ELSE [array_to_string(t, ' ')] END
+  ) AS u(sh)
+)
+"""
+
+_BOILERPLATE_ORACLE = (
+    _SHINGLE5_CTE
+    + """
+, df AS (SELECT sh, count(*) AS d FROM sh GROUP BY sh)
+SELECT s.doc_id,
+       count(*)                                AS n_shingles,
+       count(*) FILTER (WHERE df.d >= 3)       AS n_boiler,
+       round(count(*) FILTER (WHERE df.d >= 3) * 1.0 / count(*), 6)
+                                               AS boiler_ratio
+FROM sh s JOIN df ON s.sh = df.sh
+GROUP BY s.doc_id
+"""
+)
+
+
+@_register(
+    "boilerplate_coverage",
+    _BOILERPLATE_ORACLE,
+    "Inter-document repetition (C4/Gopher-style boilerplate metric): "
+    "fraction of each doc's distinct 5-gram shingles that appear in "
+    ">= 3 documents corpus-wide. Shape: map-side shingle explode + "
+    "distinct, one hash-agg for document frequency, join back on the "
+    "SAME shingle partitioning (no re-shuffle under AQE), per-doc agg. "
+    "The df table is 1 row/shingle so the join back is 1:1 — no "
+    "hot-key blowup by construction. Production: persist the exploded "
+    "shingle set across the two consumers.",
+    tags=("text", "ngram", "dedup"),
+)
+def q_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sh = neardup.exploded_shingles(d, "doc_id", "text", 5)
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("d"))
+    hot = F.count(F.when(F.col("d") >= 3, True))
+    return (
+        sh.join(dfc, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            hot.alias("n_boiler"),
+            F.round(hot / F.count(F.lit(1)), 6).alias("boiler_ratio"),
+        )
+    )
+
+
+def _decontam_oracle() -> str:
+    bench = f"({_sql_hash64('doc_id', 13)} % 10000) < 1000"
+    return f"""
+WITH lab AS (
+  SELECT doc_id, text, {bench} AS is_bench FROM documents
+), toks AS (
+  SELECT doc_id, is_bench, string_split(text, ' ') AS t FROM lab
+), sh AS (
+  SELECT DISTINCT doc_id, is_bench, sh
+  FROM toks, UNNEST(
+    CASE WHEN len(t) >= 5
+         THEN list_transform(generate_series(1, len(t) - 4),
+                             i -> array_to_string(t[i:i+4], ' '))
+         ELSE [array_to_string(t, ' ')] END
+  ) AS u(sh)
+), bg AS (SELECT DISTINCT sh FROM sh WHERE is_bench)
+SELECT s.doc_id, count(*) AS n_overlap_grams
+FROM sh s JOIN bg ON s.sh = bg.sh
+WHERE NOT s.is_bench
+GROUP BY s.doc_id
+"""
+
+
+@_register(
+    "decontam_ngram_overlap",
+    _decontam_oracle(),
+    "Train/test decontamination (GPT-3 appendix-C / Dolma shape): a "
+    "deterministic hash-held-out 10% 'benchmark' slice, then every "
+    "training doc sharing any 5-gram shingle with the benchmark gram "
+    "set is flagged with its overlap count. Shape: benchmark gram set "
+    "is distinct + broadcast (eval suites are tiny vs the corpus; at "
+    "gram-set sizes past the broadcast threshold switch to a shuffle "
+    "semi-join on md5(gram)); training side stays map-side until the "
+    "per-doc agg.",
+    tags=("text", "ngram", "dedup"),
+)
+def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.expressions import portable_hash64
+
+    d = _t(spark, sf_dir, "documents")
+    is_bench = (
+        F.pmod(portable_hash64(F.col("doc_id"), seed=13), F.lit(10000)) < 1000
+    )
+    lab = d.withColumn("is_bench", is_bench)
+    bgrams = (
+        neardup.exploded_shingles(lab.filter("is_bench"), "doc_id", "text", 5)
+        .select("shingle")
+        .distinct()
+    )
+    tsh = neardup.exploded_shingles(
+        lab.filter(~F.col("is_bench")), "doc_id", "text", 5
+    )
+    return (
+        tsh.join(F.broadcast(bgrams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap_grams"))
+    )
