@@ -7,6 +7,12 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is forced end-to-end through the noop sink (computes every
 output column — a bare count() would let Catalyst prune the work).
+
+Measurement protocol: one UNTIMED warm-up pass over the full query set
+(JVM JIT + whole-stage-codegen class compilation dominate first-run
+wall time — observed ~2× on a cold JVM), then one timed pass. The
+printed numbers are the timed pass only: steady-state throughput,
+which is the quantity that projects to a long-lived cluster.
 """
 
 from __future__ import annotations
@@ -34,10 +40,15 @@ def main() -> None:
     spark = pl.get_spark(app_name="pulselake-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on the smallest table so q1 isn't taxed
-    pl.load_table(spark, SF_DIR, "region").count()
-
     names = [n for n, q in QUERIES.items() if q.bench]
+
+    # Untimed warm-up pass: compiles every plan's codegen classes and
+    # warms the JIT so the timed pass measures steady state.
+    for name in names:
+        QUERIES[name].spark(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()

@@ -1541,27 +1541,28 @@ GROUP BY s.doc_id
     _BOILERPLATE_ORACLE,
     "Inter-document repetition (C4/Gopher-style boilerplate metric): "
     "fraction of each doc's distinct 5-gram shingles that appear in "
-    ">= 3 documents corpus-wide. Shape: map-side shingle explode + "
-    "distinct, one hash-agg for document frequency, join back on the "
-    "SAME shingle partitioning (no re-shuffle under AQE), per-doc agg. "
-    "The df table is 1 row/shingle so the join back is 1:1 — no "
-    "hot-key blowup by construction. Production: persist the exploded "
-    "shingle set across the two consumers.",
+    ">= 3 documents corpus-wide. Shape: ONE map-side shingle explode "
+    "(distinct within doc), document frequency as a window count over "
+    "partitionBy(shingle) — one shuffle of the shingle universe, no "
+    "join, no second explode (an agg+join-back formulation computes "
+    "the explode twice and tempts the optimizer into broadcasting the "
+    "corpus-sized df table) — then the per-doc agg.",
+    bench=True,
     tags=("text", "ngram", "dedup"),
 )
 def q_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     d = _t(spark, sf_dir, "documents")
     sh = neardup.exploded_shingles(d, "doc_id", "text", 5)
-    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("d"))
+    dfed = sh.withColumn(
+        "d", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
     hot = F.count(F.when(F.col("d") >= 3, True))
-    return (
-        sh.join(dfc, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            hot.alias("n_boiler"),
-            F.round(hot / F.count(F.lit(1)), 6).alias("boiler_ratio"),
-        )
+    return dfed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        hot.alias("n_boiler"),
+        F.round(hot / F.count(F.lit(1)), 6).alias("boiler_ratio"),
     )
 
 
@@ -1599,6 +1600,7 @@ GROUP BY s.doc_id
     "gram-set sizes past the broadcast threshold switch to a shuffle "
     "semi-join on md5(gram)); training side stays map-side until the "
     "per-doc agg.",
+    bench=True,
     tags=("text", "ngram", "dedup"),
 )
 def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
