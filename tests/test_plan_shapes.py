@@ -155,3 +155,35 @@ def test_ts_similarity_broadcasts_reference(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_language_id_is_pure_map_side(spark):
+    # language ID is per-row column math: any Exchange is a bug
+    plan = plan_of(spark, "language_id")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode — array ops stay packed
+
+
+def test_boilerplate_single_explode_single_big_shuffle(spark):
+    import re
+
+    plan = plan_of(spark, "boilerplate_coverage")
+    # ONE explode (the agg+join-back formulation computed it twice)
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
+    # window by shingle + final doc agg: exactly two exchanges, and
+    # never a broadcast of the corpus-sized df table
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "BroadcastExchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontam_broadcasts_bench_grams_only(spark):
+    plan = plan_of(spark, "decontam_ngram_overlap")
+    # benchmark gram set rides a broadcast; the training side must not
+    # shuffle before its per-doc agg, and nothing goes cartesian
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # hash-sample benchmark split must push to the scan as a filter on
+    # the training side (deterministic pmod(conv(md5)) predicate)
+    assert "pmod" in plan
