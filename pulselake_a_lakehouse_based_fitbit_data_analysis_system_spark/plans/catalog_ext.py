@@ -1624,3 +1624,44 @@ def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap_grams"))
     )
+
+
+def _state_v2_available() -> bool:
+    """Spark 4's transformWithStateInPandas runs a protobuf-based
+    Python state server; this container ships no google.protobuf, so
+    the query registers only where the runtime can actually execute it
+    (same gating policy as delta-spark and the Kafka jar)."""
+    try:
+        import google.protobuf  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+@_register(
+    "stateful_running_totals_tws",
+    """
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY user_id
+    """,
+    "Custom stateful operator on Spark 4's transformWithStateInPandas "
+    "(state v2): typed per-key ValueState in RocksDB with handle "
+    "lifecycle/timers/TTL — the forward path for sessionizers and CDC "
+    "state machines; after a full availableNow drain the emitted "
+    "totals equal the batch groupBy oracle.",
+    tags=("streaming", "stateful", "pandas"),
+) if _state_v2_available() else (lambda fn: fn)
+def q_stateful_running_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # state v2 needs the RocksDB provider; runtime-settable, so vanilla
+    # driver sessions work (reads the conf at stream start)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = stream_ops.stream_table(spark, sf_dir, "events")
+    totals = stream_ops.stateful_running_totals_tws(
+        stream, key="user_id", value="value"
+    )
+    return stream_ops.run_stream_to_memory(totals, output_mode="append")

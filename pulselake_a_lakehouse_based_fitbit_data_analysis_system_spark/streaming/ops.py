@@ -221,3 +221,60 @@ def run_stream_once(
     output_mode: str = "append",
 ) -> DataFrame:
     return run_stream_to_memory(build(spark), output_mode=output_mode)
+
+
+def stateful_running_totals_tws(
+    stream: DataFrame,
+    key: str,
+    value: str,
+) -> DataFrame:
+    """Running (count, sum) per key via ``transformWithStateInPandas``
+    — Spark 4's StatefulProcessor ("state v2") API: typed per-key
+    ``ValueState`` with an explicit handle lifecycle, plus timers,
+    TTL, multiple state variables, and initial-state bootstrap that
+    ``applyInPandasWithState`` never offered. Kept side-by-side with
+    the v1 twin (``stateful_running_totals``) because v2 is the
+    forward path for custom stateful operators.
+
+    State cost is identical to v1: one (count, sum) row per key,
+    partitioned by ``key``, no shuffle beyond the groupBy. Requires
+    the RocksDB state-store provider (the session factory's default
+    here; the HDFS-backed provider does not implement state v2) —
+    callers on a vanilla session must set
+    ``spark.sql.streaming.stateStore.providerClass`` before start.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = f"{key} long, n bigint, total double"
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n bigint, total double"
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            import pandas as pd  # noqa: PLC0415 — executor-side import
+
+            cur = self._totals.get()
+            n, total = cur if cur is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {key: [key_tuple[0]], "n": [n], "total": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="None",
+    )

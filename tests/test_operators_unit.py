@@ -646,3 +646,47 @@ def test_connected_components_raises_when_not_converged(spark):
     nodes = spark.createDataFrame([Row(doc_id=i) for i in range(64)])
     with pytest.raises(RuntimeError, match="did not converge"):
         neardup.connected_components(pairs, nodes, "doc_id", max_iterations=2)
+
+
+# --- transformWithStateInPandas (state v2, environment-gated) -------------
+
+
+def _protobuf_available() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="google.protobuf absent — Spark's state-v2 Python runner "
+    "cannot start in this container",
+)
+def test_stateful_running_totals_tws_matches_batch(spark, tmp_path):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.streaming import (
+        ops as stream_ops,
+    )
+
+    src = str(tmp_path / "events")
+    spark.createDataFrame(
+        [Row(user_id=i % 3, value=float(i)) for i in range(30)]
+    ).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, value double").parquet(src)
+    totals = stream_ops.stateful_running_totals_tws(
+        stream, key="user_id", value="value"
+    )
+    got = {
+        (r["user_id"], r["n"], r["total"])
+        for r in stream_ops.run_stream_to_memory(totals).collect()
+    }
+    want = {
+        (r["user_id"], r["n"], r["total"])
+        for r in spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert got == want
