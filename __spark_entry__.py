@@ -29,6 +29,10 @@ def _prepare(spark: SparkSession) -> None:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # correctness runs are sf<=0.01: 200 default shuffle partitions
+        # means 200 near-empty tasks per streaming stage (no AQE
+        # coalescing in streaming); 32 matches the engine session
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     except Exception:
         pass
 

@@ -138,3 +138,39 @@ def minhash_hash(base: Column, i: int) -> Column:
     """i-th universal hash over a precomputed base-hash Column."""
     a, b = minhash_ab(i)
     return (base * F.lit(a) + F.lit(b)) % MINHASH_P
+
+
+def morton_code(x: Column | str, y: Column | str, bits: int = 10) -> Column:
+    """Z-order (Morton) curve code: interleave the low ``bits`` bits of
+    two non-negative ints — x in the even positions, y in the odd.
+
+    The multi-dimensional clustering key behind Delta/Iceberg's
+    ``OPTIMIZE ZORDER``: sorting or range-partitioning by the code
+    keeps rows close in BOTH dimensions physically close, so per-file
+    min/max statistics prune scans filtered on either column (a plain
+    sort clusters only its leading column). Pure shift/and/or Column
+    arithmetic — JVM-side, codegen'd, and evaluable verbatim in any
+    engine with bit ops, so the operator is oracle-checkable.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    cx = (F.col(x) if isinstance(x, str) else x).cast("long")
+    cy = (F.col(y) if isinstance(y, str) else y).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(cx, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(cy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def sql_morton(xe: str, ye: str, bits: int = 10) -> str:
+    """ANSI-SQL twin of :func:`morton_code` for oracle generation."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({xe}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({ye}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"

@@ -1665,3 +1665,60 @@ def q_stateful_running_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame
         stream, key="user_id", value="value"
     )
     return stream_ops.run_stream_to_memory(totals, output_mode="append")
+
+
+# --- lakehouse maintenance: z-order clustering ----------------------------
+
+
+def _zorder_oracle() -> str:
+    from ..functions.expressions import sql_morton
+
+    z = sql_morton("l_partkey % 1024", "l_suppkey % 1024", 10)
+    return f"""
+WITH coded AS (
+  SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y,
+         ({z} >> 12) AS zbucket
+  FROM lineitem
+)
+SELECT zbucket, count(*) AS n,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y
+FROM coded GROUP BY zbucket
+"""
+
+
+@_register(
+    "zorder_file_stats",
+    _zorder_oracle(),
+    "Z-order clustering (OPTIMIZE ZORDER analog): Morton-interleave "
+    "(l_partkey, l_suppkey) low bits, bucket by the code's high bits — "
+    "each bucket is a would-be file after repartitionByRange(zval) at "
+    "write — and emit the per-bucket min/max of BOTH dimensions: the "
+    "output IS the data-skipping index, and its tight two-sided ranges "
+    "(vs a single-column sort's unbounded second dimension) are the "
+    "point. Pure bit-op Column math + one hash agg; pairs with "
+    "sinks.compact_table(sort_within_by=[zval]) for the physical "
+    "rewrite.",
+    tags=("maintenance", "clustering"),
+)
+def q_zorder_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.expressions import morton_code
+
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.pmod(F.col("l_partkey"), F.lit(1024))
+    y = F.pmod(F.col("l_suppkey"), F.lit(1024))
+    return (
+        li.select(
+            x.alias("x"),
+            y.alias("y"),
+            F.shiftright(morton_code(x, y, 10), 12).alias("zbucket"),
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )

@@ -690,3 +690,40 @@ def test_stateful_running_totals_tws_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+# --- z-order clustering ---------------------------------------------------
+
+
+def test_morton_code_matches_python_reference(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.functions.expressions import (
+        morton_code,
+    )
+
+    def ref(x: int, y: int, bits: int = 10) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    cases = [(0, 0), (1, 0), (0, 1), (1023, 1023), (5, 99), (512, 256)]
+    df = spark.createDataFrame([Row(x=x, y=y) for x, y in cases])
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", morton_code("x", "y", 10)).collect()
+    }
+    assert got == {(x, y): ref(x, y) for x, y in cases}
+    # locality sanity: adjacent points differ in few low-order bits
+    assert ref(2, 3) == 0b1110 and ref(3, 2) == 0b1101
+
+
+def test_morton_code_rejects_bad_bits(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.functions.expressions import (
+        morton_code,
+    )
+
+    with pytest.raises(ValueError, match="bits"):
+        morton_code("x", "y", 0)
+    with pytest.raises(ValueError, match="bits"):
+        morton_code("x", "y", 32)
