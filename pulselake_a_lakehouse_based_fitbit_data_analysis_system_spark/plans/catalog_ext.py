@@ -1722,3 +1722,61 @@ def q_zorder_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("max_y"),
         )
     )
+
+
+# --- count-min sketch heavy hitters ---------------------------------------
+
+_CMS_DEPTH, _CMS_WIDTH, _CMS_MIN = 4, 16, 500
+
+
+def _cms_oracle() -> str:
+    sk_parts = []
+    cell_parts = []
+    for d in range(_CMS_DEPTH):
+        b = f"({_sql_hash64('tok', d)} % {_CMS_WIDTH})"
+        sk_parts.append(
+            f"SELECT {d} AS d, {b} AS bucket, count(*) AS cnt "
+            f"FROM tok GROUP BY {b}"
+        )
+        cell_parts.append(
+            f"SELECT DISTINCT tok, {d} AS d, {b} AS bucket FROM tok"
+        )
+    sk = "\n  UNION ALL ".join(sk_parts)
+    cells = "\n  UNION ALL ".join(cell_parts)
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), sk AS (
+  {sk}
+), cells AS (
+  {cells}
+)
+SELECT cells.tok, min(sk.cnt) AS est
+FROM cells JOIN sk ON cells.d = sk.d AND cells.bucket = sk.bucket
+GROUP BY cells.tok
+HAVING min(sk.cnt) >= {_CMS_MIN}
+"""
+
+
+@_register(
+    "cms_heavy_hitters",
+    _cms_oracle(),
+    "Count-min-sketch heavy hitters: 4x16 sketch built with map-side "
+    "combine (the exchange carries <= depth*width partial cells, never "
+    "the token universe), broadcast back, est = min over depth rows — "
+    "guaranteed est >= true count, so no true heavy hitter is missed; "
+    "the deliberately narrow width forces collisions to exercise the "
+    "min-of-rows bound. Hashes are portable_hash64, so the sketch is "
+    "bit-identical in the DuckDB oracle.",
+    tags=("sketch", "text"),
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketch as sketch_ops
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(text_ops.tokens("text")).alias("tok"))
+    sk = sketch_ops.count_min_sketch(toks, "tok", _CMS_DEPTH, _CMS_WIDTH)
+    est = sketch_ops.cms_estimate(
+        sk, toks.distinct(), "tok", _CMS_DEPTH, _CMS_WIDTH
+    )
+    return est.filter(F.col("est") >= _CMS_MIN)

@@ -727,3 +727,39 @@ def test_morton_code_rejects_bad_bits(spark):
         morton_code("x", "y", 0)
     with pytest.raises(ValueError, match="bits"):
         morton_code("x", "y", 32)
+
+
+# --- count-min sketch -----------------------------------------------------
+
+
+def test_cms_never_undercounts_and_is_fixed_size(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        sketch,
+    )
+
+    items = spark.createDataFrame(
+        [Row(w=w) for w in "a b a c a b d e f a b c".split()]
+    )
+    sk = sketch.count_min_sketch(items, "w", depth=3, width=4)
+    assert sk.count() <= 3 * 4  # sketch size bounded by depth*width
+    est = {
+        r["w"]: r["est"]
+        for r in sketch.cms_estimate(
+            sk, items.distinct(), "w", depth=3, width=4
+        ).collect()
+    }
+    exact = {
+        r["w"]: r["n"]
+        for r in items.groupBy("w").agg(F.count("*").alias("n")).collect()
+    }
+    # the count-min bound: estimates never undercount
+    assert all(est[w] >= n for w, n in exact.items()), (est, exact)
+
+
+def test_cms_rejects_bad_dims(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        sketch,
+    )
+
+    with pytest.raises(ValueError, match="depth/width"):
+        sketch.count_min_sketch(spark.range(1), "id", depth=0)

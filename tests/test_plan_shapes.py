@@ -187,3 +187,13 @@ def test_decontam_broadcasts_bench_grams_only(spark):
     # hash-sample benchmark split must push to the scan as a filter on
     # the training side (deterministic pmod(conv(md5)) predicate)
     assert "pmod" in plan
+
+
+def test_cms_broadcasts_sketch_no_cartesian(spark):
+    plan = plan_of(spark, "cms_heavy_hitters")
+    # the sketch (<= depth*width rows) must ride a broadcast; the token
+    # universe is never sort-merge-shuffled against it
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # sketch build must have map-side partial aggregation
+    assert plan.count("HashAggregate") >= 4
