@@ -1780,3 +1780,45 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk, toks.distinct(), "tok", _CMS_DEPTH, _CMS_WIDTH
     )
     return est.filter(F.col("est") >= _CMS_MIN)
+
+
+# --- full-outer reconciliation audit --------------------------------------
+
+
+@_register(
+    "full_outer_reconcile",
+    """
+    WITH e AS (
+      SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    )
+    SELECT coalesce(e.user_id, c.c_custkey) AS key,
+           coalesce(e.n_events, 0)          AS n_events,
+           CASE WHEN e.user_id IS NULL THEN 'dim_only'
+                WHEN c.c_custkey IS NULL THEN 'fact_only'
+                ELSE 'both' END             AS presence
+    FROM e FULL OUTER JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    "Reconciliation audit via FULL OUTER join (the join type the rest "
+    "of the catalog's semi/anti/inner family lacks): per-user fact "
+    "counts vs the dimension, every key labeled both/fact_only/"
+    "dim_only — the standard CDC completeness check. Both sides are "
+    "pre-aggregated/projected to one row per key BEFORE the join, so "
+    "the full-outer shuffle (never broadcastable by definition) "
+    "carries reduced keysets, not facts.",
+    tags=("join", "audit"),
+)
+def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return e.join(c, e.user_id == c.c_custkey, "full_outer").select(
+        F.coalesce("user_id", "c_custkey").alias("key"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.when(F.col("user_id").isNull(), F.lit("dim_only"))
+        .when(F.col("c_custkey").isNull(), F.lit("fact_only"))
+        .otherwise(F.lit("both"))
+        .alias("presence"),
+    )
