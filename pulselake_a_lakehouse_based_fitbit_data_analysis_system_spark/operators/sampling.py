@@ -100,3 +100,38 @@ def stratified_sample(
         else thresh.otherwise(F.lit(int(round(default_fraction * _BUCKETS))))
     )
     return df.filter(bucket < thresh)
+
+
+def group_cap_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    cap: int,
+    seed: int = 7,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically by
+    id-hash order — the class-balance primitive (cap an over-
+    represented source/domain/language at N docs) where a *fraction*
+    per stratum (``stratified_sample``) can't express "absolute budget
+    per group".
+
+    row_number over (group, hash(id), id) — the id tiebreak makes the
+    selection total-ordered and replay-stable. One shuffle on the
+    group key; a pathologically hot group concentrates its rows on one
+    reducer, but only until the window emits — the output is bounded
+    by cap per group. For extreme skew, pre-filter with
+    ``_hash_bucket(id) < ~2*cap/|group|`` estimates before windowing.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(_hash_bucket(id_col, seed).asc(), F.col(id_col).asc())
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -1822,3 +1822,35 @@ def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("both"))
         .alias("presence"),
     )
+
+
+# --- per-group cap sampling (class balance) -------------------------------
+
+
+def _group_cap_oracle() -> str:
+    bucket = f"({_sql_hash64('doc_id', 7)} % 10000)"
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {bucket} ASC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 15
+"""
+
+
+@_register(
+    "source_cap_sample",
+    _group_cap_oracle(),
+    "Class-balance downsampling: at most 15 docs per source, selected "
+    "by deterministic id-hash order with an id tiebreak (replay-stable "
+    "and engine-portable, unlike rand()) — the absolute-budget-per-"
+    "group complement to fractional stratified sampling. One shuffle "
+    "on the group key; output bounded at cap per group.",
+    tags=("sampling",),
+)
+def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.group_cap_sample(d, "doc_id", "source", cap=15)
