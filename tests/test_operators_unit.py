@@ -763,3 +763,40 @@ def test_cms_rejects_bad_dims(spark):
 
     with pytest.raises(ValueError, match="depth/width"):
         sketch.count_min_sketch(spark.range(1), "id", depth=0)
+
+
+# --- per-group cap sampling -----------------------------------------------
+
+
+def test_group_cap_sample_bounds_and_repartition_stability(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        sampling,
+    )
+
+    df = spark.createDataFrame(
+        [Row(id=i, grp=f"g{i % 3}") for i in range(100)]
+    )
+    capped = sampling.group_cap_sample(df, "id", "grp", cap=5)
+    per_group = {
+        r["grp"]: r["n"]
+        for r in capped.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n <= 5 for n in per_group.values()), per_group
+    # deterministic: the SAME ids survive regardless of physical layout
+    ids_a = {r["id"] for r in capped.collect()}
+    ids_b = {
+        r["id"]
+        for r in sampling.group_cap_sample(
+            df.repartition(7), "id", "grp", cap=5
+        ).collect()
+    }
+    assert ids_a == ids_b
+
+
+def test_group_cap_sample_rejects_bad_cap(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        sampling,
+    )
+
+    with pytest.raises(ValueError, match="cap"):
+        sampling.group_cap_sample(spark.range(1), "id", "id", cap=0)
