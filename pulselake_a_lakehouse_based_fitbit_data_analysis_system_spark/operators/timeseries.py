@@ -54,20 +54,35 @@ def sliding_window_stats(
     epoch-aligned, so the result is deterministic and the identical
     expression runs under a streaming read with a watermark. One
     shuffle on (window, group); the window expansion is map-side.
+
+    ``avg_value`` is the micro-unit-truncated mean: values are floored
+    to integer micro-units before summing (an IEEE double sum varies
+    in its last ulp with aggregation order — observed: 2/7205 windows
+    flipped their 6th rounded decimal between Spark's partial-agg
+    order and DuckDB's at sf0.1 — while an integer sum is associative),
+    and the mean is floored back to micro-units instead of rounded
+    (``round`` on a double differs between engines exactly at the .5
+    midpoints that integer sums land on). Every remaining op is
+    correctly-rounded IEEE arithmetic: bit-identical on any
+    partitioning, any engine, any retry.
     """
     win = F.window(F.col(ts_col), width, slide)
+    micro = F.floor(F.col(value_col) * F.lit(1_000_000.0)).cast("long")
     return (
         events.groupBy(win.alias("win"), F.col(group_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg(value_col), 6).alias("avg_value"),
+            F.sum(micro).alias("__sum_micro"),
         )
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
             group_col,
             "n_events",
-            "avg_value",
+            (
+                F.floor(F.col("__sum_micro") / F.col("n_events"))
+                / F.lit(1_000_000.0)
+            ).alias("avg_value"),
         )
     )
 

@@ -1382,7 +1382,8 @@ SELECT window_start,
        window_start + INTERVAL 60 MINUTE AS window_end,
        event_type,
        count(*) AS n_events,
-       round(avg(value), 6) AS avg_value
+       floor(sum(CAST(floor(value * 1000000.0) AS BIGINT))
+             / count(*)) / 1000000.0 AS avg_value
 FROM expanded
 GROUP BY window_start, event_type
 """
