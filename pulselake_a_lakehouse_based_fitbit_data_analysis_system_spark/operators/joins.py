@@ -104,6 +104,74 @@ def range_join(
     return l.join(r, cond, "inner")
 
 
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point: str,
+    low: str,
+    high: str,
+    bin_width_s: int,
+    max_bins_per_interval: int = 1024,
+) -> DataFrame:
+    """Keyless point-in-interval join via time binning — the scale path
+    when there is NO selective equi key to carry the shuffle (compare
+    ``range_join``, J6, which rides the BETWEEN on an equi join).
+
+    Naively, ``points JOIN intervals ON p BETWEEN lo AND hi`` with no
+    equi key is a BroadcastNestedLoopJoin — O(|points|·|intervals|),
+    the textbook 100 TB scale-killer. Binning converts it to an
+    equi-join: every point lands in exactly ONE time bin
+    (``floor(epoch/width)``), every interval is exploded over the bins
+    it overlaps (``sequence(lo_bin, hi_bin)``), and the join key is the
+    bin. A (point, interval) pair can only meet in the point's single
+    bin, so the output needs NO dedup; the exact BETWEEN rides as a
+    join filter. Shuffle cost: |points| + |intervals|·(span/width + 1).
+    Pick ``bin_width_s`` ≈ the typical interval span so the explode
+    factor stays ~2.
+
+    ``max_bins_per_interval`` turns pathological intervals (a
+    year-long interval at a 1 s bin width would explode 31M rows) into
+    an explicit executor-side error instead of a silent blowup.
+
+    The epoch→double cast is monotonic, so ``lo <= p <= hi`` implies
+    ``bin(p) ∈ [bin(lo), bin(hi)]`` — no boundary losses from float
+    rounding; exactness comes from the timestamp BETWEEN verify.
+    """
+    if bin_width_s < 1:
+        raise ValueError(f"bin_width_s must be >= 1, got {bin_width_s}")
+    p = points.withColumn(
+        "__bin", F.floor(F.col(point).cast("double") / F.lit(bin_width_s))
+    )
+    lo_bin = F.floor(F.col(low).cast("double") / F.lit(bin_width_s))
+    hi_bin = F.floor(F.col(high).cast("double") / F.lit(bin_width_s))
+    i = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.when(
+                hi_bin - lo_bin < F.lit(max_bins_per_interval),
+                F.sequence(lo_bin, hi_bin),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "range_join_binned: interval spans more than "
+                            f"{max_bins_per_interval} bins at width "
+                            f"{bin_width_s}s: "
+                        ),
+                        F.col(low).cast("string"),
+                        F.lit(" .. "),
+                        F.col(high).cast("string"),
+                    )
+                )
+            )
+        ),
+    )
+    joined = p.alias("p").join(i.alias("i"), "__bin").where(
+        F.col(f"p.{point}").between(F.col(f"i.{low}"), F.col(f"i.{high}"))
+    )
+    return joined.drop("__bin")
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

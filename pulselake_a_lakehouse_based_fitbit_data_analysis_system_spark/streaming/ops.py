@@ -37,7 +37,9 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and read incrementally with the declared schema.
 
     TIMESTAMP(NANOS) columns go through the same long→micros conversion
-    as the batch loader (sources.tables.load_table).
+    as the batch loader (sources.tables.load_table) — detected from the
+    batch read's schema rather than assumed, so micros-written testdata
+    streams unchanged.
     """
     stage = tempfile.mkdtemp(prefix=f"pulselake_stream_{name}_")
     shutil.copy(
@@ -46,19 +48,33 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
     schema = TESTDATA_SCHEMAS[name]
     if name == "events":
-        # the parquet stores ts as TIMESTAMP(NANOS) → read as long
         from pyspark.sql import types as T
 
-        raw_schema = T.StructType(
-            [
-                T.StructField(
-                    f.name, T.LongType() if f.name == "ts" else f.dataType
-                )
-                for f in schema.fields
-            ]
+        # Mirror the batch loader's adaptive handling: only when the
+        # file surfaces ts as long (TIMESTAMP(NANOS) under
+        # nanosAsLong) does the long→micros conversion apply.
+        raw_ts = (
+            spark.read.parquet(os.path.join(stage, f"{name}.parquet"))
+            .schema["ts"]
+            .dataType
         )
-        df = spark.readStream.format("parquet").schema(raw_schema).load(stage)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(raw_ts, T.LongType):
+            raw_schema = T.StructType(
+                [
+                    T.StructField(
+                        f.name, T.LongType() if f.name == "ts" else f.dataType
+                    )
+                    for f in schema.fields
+                ]
+            )
+            df = (
+                spark.readStream.format("parquet")
+                .schema(raw_schema)
+                .load(stage)
+            )
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
     return spark.readStream.format("parquet").schema(schema).load(stage)
 
 
