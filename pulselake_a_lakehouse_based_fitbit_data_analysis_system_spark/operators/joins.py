@@ -136,14 +136,38 @@ def range_join_binned(
     The epoch→double cast is monotonic, so ``lo <= p <= hi`` implies
     ``bin(p) ∈ [bin(lo), bin(hi)]`` — no boundary losses from float
     rounding; exactness comes from the timestamp BETWEEN verify.
+
+    Degenerate intervals are non-matches, exactly as in ``range_join``
+    where the BETWEEN evaluates NULL/false: a NULL ``low`` or ``high``
+    and an inverted interval (``high < low``) are filtered out before
+    binning. Without the filter a NULL bound would fall through the
+    span ``when`` into ``raise_error`` (killing the job on one bad
+    row), and an inverted interval's negative span would bypass the
+    max-bins guard while ``sequence(lo, hi)`` with ``lo > hi``
+    generates the full DESCENDING bin array — a silent blowup for a
+    single corrupted row.
     """
     if bin_width_s < 1:
         raise ValueError(f"bin_width_s must be >= 1, got {bin_width_s}")
+
+    def _epoch(df: DataFrame, name: str) -> Column:
+        # TIMESTAMP_NTZ has no direct cast to double (Spark 4); route
+        # through TIMESTAMP. Numeric columns cast straight to double.
+        c = F.col(name)
+        if dict(df.dtypes)[name].startswith("timestamp"):
+            c = c.cast("timestamp")
+        return c.cast("double")
+
     p = points.withColumn(
-        "__bin", F.floor(F.col(point).cast("double") / F.lit(bin_width_s))
+        "__bin", F.floor(_epoch(points, point) / F.lit(bin_width_s))
     )
-    lo_bin = F.floor(F.col(low).cast("double") / F.lit(bin_width_s))
-    hi_bin = F.floor(F.col(high).cast("double") / F.lit(bin_width_s))
+    intervals = intervals.where(
+        F.col(low).isNotNull()
+        & F.col(high).isNotNull()
+        & (F.col(high) >= F.col(low))
+    )
+    lo_bin = F.floor(_epoch(intervals, low) / F.lit(bin_width_s))
+    hi_bin = F.floor(_epoch(intervals, high) / F.lit(bin_width_s))
     i = intervals.withColumn(
         "__bin",
         F.explode(

@@ -47,6 +47,7 @@ _DRIVER_PRIORITY: list[str] = [
     "unpivot_order_metrics",
     "grouping_sets_orders",
     # -- new in round 3 (never had a chance at a driver row) --
+    "range_join_binned_report",
     "sliding_window_avg",
     "decontam_ngram_overlap_shuffle",
     "group_cap_presampled",

@@ -395,3 +395,53 @@ def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+# =========================================================================
+# Keyless range join via time binning — the no-equi-key scale path
+# =========================================================================
+
+_RANGE_BINNED_ORACLE = """
+WITH iv AS (
+    SELECT o_orderpriority,
+           min(o_orderdate)                    AS lo,
+           min(o_orderdate) + INTERVAL 30 DAY  AS hi
+    FROM orders
+    GROUP BY o_orderpriority
+)
+SELECT iv.o_orderpriority AS priority,
+       count(*)           AS n_shipped
+FROM lineitem l
+JOIN iv ON l.l_shipdate BETWEEN iv.lo AND iv.hi
+GROUP BY iv.o_orderpriority
+"""
+
+
+@_register(
+    "range_join_binned_report",
+    _RANGE_BINNED_ORACLE,
+    "KEYLESS point-in-interval join (no selective equi key) — the "
+    "BroadcastNestedLoopJoin trap rewritten as a bin equi-join: each "
+    "shipment lands in one week bin, each 30-day campaign window "
+    "explodes over ~5 bins, and the exact BETWEEN rides as a join "
+    "filter (operators/joins.py::range_join_binned). Shuffle is "
+    "O(points + intervals·bins), never O(points·intervals).",
+    tags=("join", "range", "binned"),
+)
+def q_range_join_binned_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import joins
+
+    li = _t(spark, sf_dir, "lineitem").select("l_shipdate")
+    o = _t(spark, sf_dir, "orders")
+    iv = (
+        o.groupBy("o_orderpriority")
+        .agg(F.min("o_orderdate").alias("lo"))
+        .withColumn("hi", F.col("lo") + F.expr("INTERVAL 30 DAY"))
+    )
+    joined = joins.range_join_binned(
+        li, iv, point="l_shipdate", low="lo", high="hi",
+        bin_width_s=7 * 86400,
+    )
+    return joined.groupBy(
+        F.col("i.o_orderpriority").alias("priority")
+    ).agg(F.count(F.lit(1)).alias("n_shipped"))

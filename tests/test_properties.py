@@ -14,6 +14,7 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import Row
 
 from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+    joins,
     merge,
     neardup,
 )
@@ -132,3 +133,76 @@ def test_winnowing_shared_run_guarantee(spark, shared, pre, post):
     for r in fps.collect():
         by_doc[r["doc_id"]].add(r["fp"])
     assert by_doc[0] & by_doc[1], "shared run produced no shared fingerprint"
+
+
+# --- range_join_binned ----------------------------------------------------
+
+_epochs = st.integers(min_value=0, max_value=40)
+# spans bias toward degenerate cases: inverted (negative), zero-width,
+# and bin-boundary-straddling intervals at bin_width_s=5
+_spans = st.integers(min_value=-6, max_value=12)
+_bounds = st.one_of(st.none(), _epochs)
+
+
+@given(
+    points=st.lists(_epochs, min_size=0, max_size=10),
+    intervals=st.lists(st.tuples(_bounds, _spans), min_size=0, max_size=8),
+)
+@_SETTINGS
+def test_range_join_binned_equals_naive_between(spark, points, intervals):
+    """range_join_binned == the naive cross-join BETWEEN on arbitrary
+    data, including points exactly on bin boundaries (epochs are small
+    ints, bin_width_s=5 → multiples of 5 are boundary points), NULL
+    bounds (non-matches), and inverted intervals (non-matches)."""
+    pdf = spark.createDataFrame(
+        [Row(pid=i, p=p) for i, p in enumerate(points)], "pid int, p long"
+    )
+    rows = []
+    for i, (lo, span) in enumerate(intervals):
+        hi = None if lo is None else lo + span
+        rows.append(Row(iid=i, lo=lo, hi=hi))
+    idf = spark.createDataFrame(rows, "iid int, lo long, hi long")
+    got = {
+        (r["pid"], r["iid"])
+        for r in joins.range_join_binned(
+            pdf, idf, "p", "lo", "hi", bin_width_s=5
+        ).collect()
+    }
+    want = {
+        (pid, i)
+        for pid, p in enumerate(points)
+        for i, (lo, span) in enumerate(intervals)
+        if lo is not None and lo <= p <= lo + span
+    }
+    assert got == want
+
+
+def test_range_join_binned_max_bins_error(spark):
+    """A genuinely oversized (but well-formed) interval must fail loudly,
+    not silently explode."""
+    pdf = spark.createDataFrame([Row(pid=0, p=5)], "pid int, p long")
+    idf = spark.createDataFrame([Row(iid=0, lo=0, hi=10_000)], "iid int, lo long, hi long")
+    with pytest.raises(Exception, match="range_join_binned"):
+        joins.range_join_binned(
+            pdf, idf, "p", "lo", "hi", bin_width_s=1, max_bins_per_interval=100
+        ).collect()
+
+
+def test_range_join_binned_degenerate_rows_do_not_abort(spark):
+    """One NULL-bound row and one inverted row must not kill the job
+    (they are BETWEEN non-matches), and must not trip the max-bins
+    guard via a negative span."""
+    pdf = spark.createDataFrame([Row(pid=0, p=7)], "pid int, p long")
+    idf = spark.createDataFrame(
+        [
+            Row(iid=0, lo=None, hi=100),       # NULL low
+            Row(iid=1, lo=0, hi=None),         # NULL high
+            Row(iid=2, lo=10_000, hi=0),       # inverted: would be a 10k-bin
+            Row(iid=3, lo=5, hi=9),            # the one real match
+        ],
+        "iid int, lo long, hi long",
+    )
+    got = joins.range_join_binned(
+        pdf, idf, "p", "lo", "hi", bin_width_s=1, max_bins_per_interval=100
+    ).collect()
+    assert [(r["pid"], r["iid"]) for r in got] == [(0, 3)]
