@@ -758,16 +758,18 @@ def q_streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY user_id
     """,
     "Custom stateful operator (applyInPandasWithState): cross-batch "
-    "running (count, sum) per key in the state store; after a full "
-    "availableNow drain the emitted totals equal the batch groupBy — "
-    "the plumbing for sessionizers/CDC state machines Spark lacks "
-    "built-ins for.",
+    "running (count, sum) per key in the state store, emitted every "
+    "micro-batch the key appears in; the drained sink is reduced to "
+    "final-per-key rows (arg-max n), so the result equals the batch "
+    "groupBy oracle for ANY number of micro-batches — the plumbing "
+    "for sessionizers/CDC state machines Spark lacks built-ins for.",
     tags=("streaming", "stateful", "pandas"),
 )
 def q_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_ops.stream_table(spark, sf_dir, "events")
     totals = stream_ops.stateful_running_totals(stream, key="user_id", value="value")
-    return stream_ops.run_stream_to_memory(totals, output_mode="append")
+    sink = stream_ops.run_stream_to_memory(totals, output_mode="append")
+    return stream_ops.finalize_running_totals(sink, "user_id")
 
 
 @_register(
@@ -1665,7 +1667,8 @@ def q_stateful_running_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame
     totals = stream_ops.stateful_running_totals_tws(
         stream, key="user_id", value="value"
     )
-    return stream_ops.run_stream_to_memory(totals, output_mode="append")
+    sink = stream_ops.run_stream_to_memory(totals, output_mode="append")
+    return stream_ops.finalize_running_totals(sink, "user_id")
 
 
 # --- lakehouse maintenance: z-order clustering ----------------------------

@@ -31,22 +31,59 @@ from pyspark.sql import functions as F
 from ..schemas import TESTDATA_SCHEMAS
 
 
-def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Open a driver testdata table as a *stream* — the file is staged
-    into a scratch directory (streaming file sources list directories)
-    and read incrementally with the declared schema.
+def stream_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    n_files: int = 4,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Open a driver testdata table as a *stream* — the table is staged
+    into a scratch directory as ``n_files`` row-sliced parquet files
+    (streaming file sources list directories) and read incrementally
+    with the declared schema and ``maxFilesPerTrigger`` =
+    ``max_files_per_trigger``.
+
+    Multi-file staging is what makes the drained streams REAL
+    multi-batch evidence: an ``availableNow`` drain respects
+    ``maxFilesPerTrigger``, so with the defaults every streaming
+    catalog query crosses ≥ ``n_files`` micro-batch boundaries —
+    dedup/join/session state genuinely persists across batches in the
+    state store instead of being exercised on a single batch. Files
+    are row-order slices with strictly increasing modification times,
+    so arrival order is deterministic and equals the table's row order
+    (the file source processes oldest-first).
 
     TIMESTAMP(NANOS) columns go through the same long→micros conversion
     as the batch loader (sources.tables.load_table) — detected from the
     batch read's schema rather than assumed, so micros-written testdata
     streams unchanged.
     """
+    import time
+
+    import pyarrow.parquet as pq
+
     stage = tempfile.mkdtemp(prefix=f"pulselake_stream_{name}_")
-    shutil.copy(
-        os.path.join(sf_dir, f"{name}.parquet"),
-        os.path.join(stage, f"{name}.parquet"),
-    )
+    table = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
+    n = max(1, min(n_files, max(1, table.num_rows)))
+    step = -(-table.num_rows // n) if table.num_rows else 1
+    base = time.time() - 3600
+    for i in range(n):
+        chunk = table.slice(i * step, step)
+        if chunk.num_rows == 0 and i > 0:
+            break
+        path = os.path.join(stage, f"part-{i:05d}.parquet")
+        # version=2.6 keeps TIMESTAMP(NANOS) columns nanos, matching
+        # the driver testdata files byte-for-type
+        pq.write_table(chunk, path, version="2.6")
+        os.utime(path, (base + i, base + i))
     schema = TESTDATA_SCHEMAS[name]
+
+    def _reader():
+        return spark.readStream.format("parquet").option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+
     if name == "events":
         from pyspark.sql import types as T
 
@@ -54,7 +91,7 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # file surfaces ts as long (TIMESTAMP(NANOS) under
         # nanosAsLong) does the long→micros conversion apply.
         raw_ts = (
-            spark.read.parquet(os.path.join(stage, f"{name}.parquet"))
+            spark.read.parquet(os.path.join(stage, "part-00000.parquet"))
             .schema["ts"]
             .dataType
         )
@@ -67,15 +104,11 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     for f in schema.fields
                 ]
             )
-            df = (
-                spark.readStream.format("parquet")
-                .schema(raw_schema)
-                .load(stage)
-            )
+            df = _reader().schema(raw_schema).load(stage)
             return df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-    return spark.readStream.format("parquet").schema(schema).load(stage)
+    return _reader().schema(schema).load(stage)
 
 
 def streaming_dedup(
@@ -211,9 +244,16 @@ def run_stream_to_memory(
     result_stream: DataFrame,
     output_mode: str = "append",
     timeout_sec: int = 300,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Drain a streaming DataFrame with trigger(availableNow) into a
-    memory sink; return the sink contents as a batch DataFrame."""
+    memory sink; return the sink contents as a batch DataFrame.
+
+    ``stats_out``, when given, receives ``{"num_batches": N}`` — the
+    number of micro-batches the drain executed (from the query's
+    progress log), so tests can assert the stream actually crossed
+    batch boundaries rather than collapsing to a single batch.
+    """
     name = f"sink_{uuid.uuid4().hex[:12]}"
     q = (
         result_stream.writeStream.format("memory")
@@ -224,11 +264,37 @@ def run_stream_to_memory(
     )
     try:
         q.awaitTermination(timeout_sec)
+        if stats_out is not None:
+            stats_out["num_batches"] = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0
+            )
     finally:
         if q.isActive:
             q.stop()
     spark = result_stream.sparkSession
     return spark.table(name)
+
+
+def finalize_running_totals(sink: DataFrame, key: str) -> DataFrame:
+    """Reduce an append-mode running-totals sink to final-per-key rows.
+
+    ``stateful_running_totals`` emits the running (n, total) for a key
+    on EVERY micro-batch that key appears in — that is the operator's
+    contract (a live running total). A drained sink therefore holds
+    one row per (key, batch) pair, and only the LAST emission per key
+    equals the batch-groupBy oracle. ``n`` is strictly increasing per
+    key (a key is only invoked on batches with ≥1 of its rows), so the
+    final row is the arg-max of ``n`` — making the drained result
+    batch-count-invariant: correct for 1 file or N files per trigger.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(F.col("n").desc())
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def run_stream_once(

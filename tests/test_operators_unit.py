@@ -800,3 +800,72 @@ def test_group_cap_sample_rejects_bad_cap(spark):
 
     with pytest.raises(ValueError, match="cap"):
         sampling.group_cap_sample(spark.range(1), "id", "id", cap=0)
+
+
+# --- multi-batch streaming evidence ---------------------------------------
+
+
+def test_stream_table_stages_multiple_batches(spark):
+    """stream_table stages n_files row-slices with maxFilesPerTrigger=1,
+    so an availableNow drain runs one micro-batch per file — the
+    streaming operators genuinely cross batch boundaries."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.streaming import (
+        ops as stream_ops,
+    )
+
+    sf_dir = os.environ.get("PULSELAKE_TEST_SF_DIR", "/root/testdata/sf0.001")
+    stats: dict = {}
+    stream = stream_ops.stream_table(spark, sf_dir, "events", n_files=4)
+    deduped = stream_ops.streaming_dedup(
+        stream.select("user_id", "event_type", "ts"),
+        keys=["user_id", "event_type"],
+        event_time="ts",
+    ).select("user_id", "event_type")
+    sink = stream_ops.run_stream_to_memory(
+        deduped, output_mode="append", stats_out=stats
+    )
+    assert stats["num_batches"] >= 3, stats
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.sources.tables import (
+        load_table,
+    )
+
+    batch = load_table(spark, sf_dir, "events")
+    assert sink.count() == batch.select("user_id", "event_type").distinct().count()
+
+
+def test_stateful_running_totals_multi_batch_final_per_key(spark):
+    """Across >=3 micro-batches the append-mode sink holds one row per
+    (key, batch); finalize_running_totals reduces it to exactly the
+    batch groupBy — the oracle must hold for ANY batch count."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.sources.tables import (
+        load_table,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.streaming import (
+        ops as stream_ops,
+    )
+
+    sf_dir = os.environ.get("PULSELAKE_TEST_SF_DIR", "/root/testdata/sf0.001")
+    stats: dict = {}
+    stream = stream_ops.stream_table(spark, sf_dir, "events", n_files=4)
+    totals = stream_ops.stateful_running_totals(stream, key="user_id", value="value")
+    sink = stream_ops.run_stream_to_memory(
+        totals, output_mode="append", stats_out=stats
+    )
+    assert stats["num_batches"] >= 3, stats
+    n_keys = sink.select("user_id").distinct().count()
+    assert sink.count() > n_keys, "expected per-batch emissions, got one batch"
+    final = stream_ops.finalize_running_totals(sink, "user_id")
+    got = {
+        r["user_id"]: (r["n"], r["total"]) for r in final.collect()
+    }
+    batch = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
