@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 from collections.abc import Callable, Sequence
@@ -190,6 +191,16 @@ class TableStore:
     O(affected partitions) write amplification per micro-batch instead
     of O(table). Versions are immutable so link sharing is safe:
     pruning a version unlinks names, never the shared inodes.
+
+    **File-level min/max skipping** (the Delta data-skipping analog):
+    partitioned writes range-cluster rows on (partition, merge key) so
+    files within a partition hold disjoint key ranges, and a
+    ``_FILESTATS.json`` sidecar records each file's [min, max] merge-
+    key bounds from the parquet footer. A merge then rewrites only the
+    files whose range can contain a source key and hard-links the rest
+    of the partition — a hot single key rewrites ONE file, not a ~3 TB
+    bucket. Non-integer keys and escape-encoded partition values fall
+    back to whole-partition rewrites (conservative, never incorrect).
     """
 
     def __init__(
@@ -378,6 +389,93 @@ class TableStore:
         for stale in versions[: max(0, len(versions) - (self.keep_versions - 1))]:
             shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)
 
+    # --- file-level min/max pruning (Delta data-skipping analog) ----------
+
+    _FILESTATS = "_FILESTATS.json"
+
+    @staticmethod
+    def _file_key_bounds(path: str, key: str) -> list | None:
+        """[min, max] of ``key`` in one parquet file, from the FOOTER
+        statistics only (no data read). Returns None — meaning "cannot
+        prune, always rewrite" — for missing/non-integer stats; string
+        parquet stats may be truncated by writers (a truncated max is
+        NOT a valid upper bound), so only integer keys are pruned."""
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            if key not in names:
+                return None
+            ci = names.index(key)
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn, mx = st.min, st.max
+                if isinstance(mn, bool) or not isinstance(mn, int):
+                    return None
+                if isinstance(mx, bool) or not isinstance(mx, int):
+                    return None
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            return None if lo is None else [lo, hi]
+        except Exception:
+            return None
+
+    def _write_file_stats(
+        self, version_full: str, key: str, carry: dict | None = None
+    ) -> None:
+        """Sidecar ``_FILESTATS.json`` inside the version dir: per-file
+        [min, max] of the merge key. Hard-linked files keep their
+        relative path across versions, so their stats are carried over
+        from the previous sidecar instead of re-read; only newly
+        written files pay a footer read (metadata-scale). The leading
+        underscore keeps Spark's parquet reader from touching it."""
+        carry = carry or {}
+        files: dict[str, list | None] = {}
+        for entry in os.listdir(version_full):
+            pdir = os.path.join(version_full, entry)
+            if not os.path.isdir(pdir):
+                continue
+            for fname in os.listdir(pdir):
+                if not fname.endswith(".parquet"):
+                    continue
+                rel = f"{entry}/{fname}"
+                files[rel] = (
+                    carry[rel]
+                    if rel in carry
+                    else self._file_key_bounds(os.path.join(pdir, fname), key)
+                )
+        tmp = os.path.join(version_full, self._FILESTATS + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"key": key, "files": files}, f)
+        os.replace(tmp, os.path.join(version_full, self._FILESTATS))
+
+    def _load_file_stats(self, version_full: str) -> dict | None:
+        p = os.path.join(version_full, self._FILESTATS)
+        if not os.path.exists(p):
+            return None
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except Exception:
+            return None
+
+    @staticmethod
+    def _simple_partition_dir(part_col: str, value) -> str | None:
+        """Spark's partition-dir name for a value, or None when the
+        value needs Spark's escape encoding (then file pruning is
+        skipped — conservative, never incorrect)."""
+        if isinstance(value, bool) or value is None:
+            return None
+        if isinstance(value, int):
+            return f"{part_col}={value}"
+        if isinstance(value, str) and re.fullmatch(r"[A-Za-z0-9._-]+", value):
+            return f"{part_col}={value}"
+        return None
+
     # --- partition-pruned merge path -------------------------------------
 
     def _spec_path(self, name: str) -> str:
@@ -454,7 +552,12 @@ class TableStore:
         with open(tmp_spec, "w") as f:
             json.dump(spec, f)
         os.replace(tmp_spec, self._spec_path(name))
+        # range-cluster on (partition, merge key): files within a
+        # partition get disjoint key ranges, so the min/max sidecar can
+        # actually skip files on later merges
+        out = out.repartitionByRange(F.col(part_col), F.col(keys[0]))
         self.write(name, out, partition_by=[part_col])
+        self._write_file_stats(self.current_path(name), keys[0])
 
     def _merge_partitioned(
         self,
@@ -476,13 +579,94 @@ class TableStore:
         affected = [r[0] for r in src.select(part_col).distinct().collect()]
         current = self.current_path(name)
         target_all = self.spark.read.parquet(current)
-        # Partition pruning: the filter on the partition column reaches
-        # the scan, so unaffected partitions are never read.
-        target_affected = target_all.filter(F.col(part_col).isin(affected)).drop(
-            part_col
-        ) if spec["mode"] == "hash" else target_all.filter(
-            F.col(part_col).isin(affected)
+
+        # File-level pruning within affected partitions (the Delta
+        # data-skipping analog): the sidecar has per-file [min, max] of
+        # the merge key; only files whose key range can contain a
+        # source key are rewritten — the rest are hard-linked. Applies
+        # when the sidecar matches keys[0], the key is integral, and
+        # every affected partition value maps to its dir name without
+        # Spark's escape encoding; otherwise all files of affected
+        # partitions rewrite (the round-2 behavior — still correct).
+        key0 = keys[0]
+        stats = self._load_file_stats(current)
+        src_key_dtype = dict(src.dtypes).get(key0, "")
+        affected_dirs: dict[str, object] = {}
+        use_stats = (
+            stats is not None
+            and stats.get("key") == key0
+            and src_key_dtype in ("tinyint", "smallint", "int", "bigint")
         )
+        if use_stats:
+            for v in affected:
+                d = self._simple_partition_dir(part_col, v)
+                if d is None:
+                    use_stats = False
+                    break
+                affected_dirs[d] = v
+        hit_by_dir: dict[str, set[str]] = {}
+        if use_stats:
+            bounded_rows = []
+            for d in affected_dirs:
+                pdir = os.path.join(current, d)
+                if not os.path.isdir(pdir):
+                    continue  # new partition value — nothing to rewrite
+                for fname in os.listdir(pdir):
+                    if not fname.endswith(".parquet"):
+                        continue
+                    b = (stats.get("files") or {}).get(f"{d}/{fname}")
+                    if b is None:
+                        # no usable stats → cannot exclude → rewrite
+                        hit_by_dir.setdefault(d, set()).add(fname)
+                    else:
+                        bounded_rows.append((d, fname, int(b[0]), int(b[1])))
+            if bounded_rows:
+                stats_df = self.spark.createDataFrame(
+                    bounded_rows, "d string, fname string, lo long, hi long"
+                )
+                src_keys = (
+                    src.select(
+                        F.concat(
+                            F.lit(f"{part_col}="), F.col(part_col).cast("string")
+                        ).alias("d"),
+                        F.col(key0).cast("long").alias("k"),
+                    )
+                    .where(F.col("k").isNotNull())
+                    .distinct()
+                )
+                hits = (
+                    src_keys.join(F.broadcast(stats_df), "d")
+                    .where(F.col("k").between(F.col("lo"), F.col("hi")))
+                    .select("d", "fname")
+                    .distinct()
+                    .collect()
+                )
+                for r in hits:
+                    hit_by_dir.setdefault(r["d"], set()).add(r["fname"])
+        if use_stats:
+            hit_paths = [
+                os.path.join(current, d, fname)
+                for d, fnames in hit_by_dir.items()
+                for fname in sorted(fnames)
+            ]
+            if hit_paths:
+                # basePath keeps the partition column visible when
+                # reading individual files
+                target_affected = self.spark.read.option(
+                    "basePath", current
+                ).parquet(*hit_paths)
+            else:
+                target_affected = target_all.filter(F.lit(False))
+            if spec["mode"] == "hash":
+                target_affected = target_affected.drop(part_col)
+        else:
+            # Partition pruning: the filter on the partition column
+            # reaches the scan, so unaffected partitions are never read.
+            target_affected = target_all.filter(
+                F.col(part_col).isin(affected)
+            ).drop(part_col) if spec["mode"] == "hash" else target_all.filter(
+                F.col(part_col).isin(affected)
+            )
         src_plain = src.drop(part_col) if spec["mode"] == "hash" else src
         if policy == "insert_only":
             merged = merge_insert_only(target_affected, src_plain, keys)
@@ -498,12 +682,19 @@ class TableStore:
             raise ValueError(f"unknown policy {policy!r}")
         if spec["mode"] == "hash":
             merged = merged.withColumn(part_col, self._partition_expr(spec, keys))
-        # Write ONLY the affected partitions to a scratch dir...
+        # Write ONLY the affected partitions to a scratch dir. Range-
+        # clustering on (partition, merge key) makes the files WITHIN a
+        # partition carry disjoint key ranges — that is what gives the
+        # min/max sidecar real skipping power on the next merge (random
+        # key placement would make every file's range span everything).
+        merged = merged.repartitionByRange(F.col(part_col), F.col(key0))
         scratch = os.path.join(self.root, f"{name}.merge{uuid.uuid4().hex[:12]}")
         merged.write.mode("overwrite").partitionBy(part_col).parquet(scratch)
         # ...then assemble the new version: hard-link every untouched
         # partition dir from the current version (byte-identical, no
-        # data movement), move the rewritten ones in, flip the pointer.
+        # data movement), move the rewritten ones in — and, under
+        # file-level pruning, hard-link the non-hit files of rewritten
+        # partitions next to the fresh ones — then flip the pointer.
         version_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
         full = os.path.join(self.root, version_dir)
         os.makedirs(full)
@@ -514,20 +705,45 @@ class TableStore:
             for e in os.listdir(scratch)
             if os.path.isdir(os.path.join(scratch, e))
         }
+        for entry in rewritten:
+            os.rename(os.path.join(scratch, entry), os.path.join(full, entry))
+        shutil.rmtree(scratch, ignore_errors=True)
         for entry in os.listdir(current):
             src_path = os.path.join(current, entry)
-            if not os.path.isdir(src_path) or entry in rewritten:
+            if not os.path.isdir(src_path):
                 continue
-            os.makedirs(os.path.join(full, entry))
-            for fname in os.listdir(src_path):
-                os.link(
-                    os.path.join(src_path, fname), os.path.join(full, entry, fname)
-                )
-        for entry in os.listdir(scratch):
-            src_path = os.path.join(scratch, entry)
-            if os.path.isdir(src_path):
-                os.rename(src_path, os.path.join(full, entry))
-        shutil.rmtree(scratch, ignore_errors=True)
+            if entry in rewritten:
+                if not use_stats:
+                    continue  # whole partition was rewritten
+                hit = hit_by_dir.get(entry, set())
+                for fname in os.listdir(src_path):
+                    if fname in hit:
+                        continue  # rewritten content; fresh file has it
+                    if (
+                        fname.startswith(".")
+                        and fname.endswith(".crc")
+                        and fname[1:-4] in hit
+                    ):
+                        continue  # checksum of a rewritten file
+                    os.link(
+                        os.path.join(src_path, fname),
+                        os.path.join(full, entry, fname),
+                    )
+            else:
+                os.makedirs(os.path.join(full, entry))
+                for fname in os.listdir(src_path):
+                    os.link(
+                        os.path.join(src_path, fname),
+                        os.path.join(full, entry, fname),
+                    )
+        # refresh the data-skipping sidecar: linked files carry their
+        # bounds over (same relative path), new files pay a footer read
+        carry = (
+            stats.get("files")
+            if stats is not None and stats.get("key") == key0
+            else None
+        )
+        self._write_file_stats(full, key0, carry=carry)
         tmp_ptr = self._pointer(name) + ".tmp"
         with open(tmp_ptr, "w") as f:
             f.write(version_dir)
@@ -581,7 +797,11 @@ class TableStore:
                     )
                 else:
                     part_col = spec["column"]
+                base = base.repartitionByRange(
+                    F.col(part_col), F.col(keys[0])
+                )
                 self.write(name, base, partition_by=[part_col])
+                self._write_file_stats(self.current_path(name), keys[0])
             else:
                 self.write(name, base)
             return

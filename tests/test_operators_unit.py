@@ -869,3 +869,72 @@ def test_stateful_running_totals_multi_batch_final_per_key(spark):
         .collect()
     }
     assert got == want
+
+
+def test_merge_file_level_pruning_single_key_multi_file_partition(spark, tmp_path):
+    """File-level min/max skipping (round-3 VERDICT #3): merging ONE key
+    into a partition that holds many key-ranged files rewrites only the
+    file whose range contains that key — every other file in the SAME
+    partition survives inode-equal (hard-linked, byte-identical)."""
+    store = merge.TableStore(spark, str(tmp_path))
+    # n_buckets=1 -> a single partition; disable AQE so repartitionByRange
+    # keeps 8 range tasks -> 8 key-disjoint files inside that partition
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        base = spark.createDataFrame([Row(k=i, v=i * 10) for i in range(1000)])
+        store.write_partitioned("t", base, keys=["k"], n_buckets=1)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    v1 = store.current_path("t")
+    before = _partition_file_map(v1)["__bucket=0"]
+    assert len(before) >= 4, f"need a multi-file partition, got {before}"
+
+    batch = spark.createDataFrame([Row(k=5, v=999)])
+    store.merge("t", batch, ["k"], policy="scd1")
+    v2 = store.current_path("t")
+    assert v2 != v1
+    after = _partition_file_map(v2)["__bucket=0"]
+
+    surviving = {f for f in before if f in after and after[f] == before[f]}
+    rewritten = set(after) - surviving
+    # exactly the one file whose range held k=5 was rewritten
+    assert len(surviving) == len(before) - 1, (before, after)
+    assert len(rewritten) >= 1
+    # semantics intact
+    rows = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert rows[5] == 999 and rows[6] == 60 and len(rows) == 1000
+
+
+def test_merge_file_pruning_sidecar_carries_and_replays(spark, tmp_path):
+    """The _FILESTATS sidecar is refreshed every merge: linked files
+    carry bounds over, new files get footer-read bounds — so skipping
+    keeps working across consecutive merges."""
+    import json as _json
+
+    store = merge.TableStore(spark, str(tmp_path))
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        base = spark.createDataFrame([Row(k=i, v=i) for i in range(1000)])
+        store.write_partitioned("t", base, keys=["k"], n_buckets=1)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    for key in (1, 998):
+        store.merge(
+            "t",
+            spark.createDataFrame([Row(k=key, v=-key)]),
+            ["k"],
+            policy="scd1",
+        )
+        side = os.path.join(store.current_path("t"), "_FILESTATS.json")
+        assert os.path.exists(side)
+        stats = _json.load(open(side))
+        assert stats["key"] == "k"
+        # every live parquet file has a stats entry with integer bounds
+        live = _partition_file_map(store.current_path("t"))["__bucket=0"]
+        for f in live:
+            b = stats["files"][f"__bucket=0/{f}"]
+            assert b is not None and b[0] <= b[1]
+    rows = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert rows[1] == -1 and rows[998] == -998 and len(rows) == 1000
