@@ -1592,21 +1592,25 @@ GROUP BY s.doc_id
 """
 
 
-@_register(
-    "decontam_ngram_overlap",
-    _decontam_oracle(),
-    "Train/test decontamination (GPT-3 appendix-C / Dolma shape): a "
-    "deterministic hash-held-out 10% 'benchmark' slice, then every "
-    "training doc sharing any 5-gram shingle with the benchmark gram "
-    "set is flagged with its overlap count. Shape: benchmark gram set "
-    "is distinct + broadcast (eval suites are tiny vs the corpus; at "
-    "gram-set sizes past the broadcast threshold switch to a shuffle "
-    "semi-join on md5(gram)); training side stays map-side until the "
-    "per-doc agg.",
-    bench=True,
-    tags=("text", "ngram", "dedup"),
-)
-def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _decontam_overlap(
+    spark: SparkSession,
+    sf_dir: str,
+    strategy: str = "auto",
+    broadcast_max_grams: int = 5_000_000,
+) -> DataFrame:
+    """Decontamination builder with a SIZE-GUARDED join strategy.
+
+    ``auto`` counts the distinct benchmark gram set (one cheap job over
+    the held-out slice only) and broadcasts it when it fits
+    (<= ``broadcast_max_grams`` ≈ low hundreds of MB of gram text —
+    eval suites normally are that small); past the guard it switches
+    to a SHUFFLE semi-join carried on an 8-byte ``xxhash64(gram)`` key
+    instead of the gram text, so the shuffle moves ~8 bytes per
+    training gram rather than the full shingle string. At 100 TB the
+    guard makes the scale-safe path automatic instead of a docstring
+    footnote. (A 64-bit gram-key collision would count one phantom
+    overlap — odds ~n²/2⁶⁵, negligible against the metric's purpose.)
+    """
     from ..functions.expressions import portable_hash64
 
     d = _t(spark, sf_dir, "documents")
@@ -1622,11 +1626,56 @@ def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsh = neardup.exploded_shingles(
         lab.filter(~F.col("is_bench")), "doc_id", "text", 5
     )
-    return (
-        tsh.join(F.broadcast(bgrams), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap_grams"))
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if bgrams.count() <= broadcast_max_grams else "shuffle"
+        )
+    if strategy == "broadcast":
+        joined = tsh.join(F.broadcast(bgrams), "shingle")
+    elif strategy == "shuffle":
+        bkeys = bgrams.select(F.xxhash64("shingle").alias("__gk")).distinct()
+        joined = tsh.withColumn("__gk", F.xxhash64("shingle")).join(
+            bkeys.hint("shuffle_hash"), "__gk", "left_semi"
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_overlap_grams")
     )
+
+
+@_register(
+    "decontam_ngram_overlap",
+    _decontam_oracle(),
+    "Train/test decontamination (GPT-3 appendix-C / Dolma shape): a "
+    "deterministic hash-held-out 10% 'benchmark' slice, then every "
+    "training doc sharing any 5-gram shingle with the benchmark gram "
+    "set is flagged with its overlap count. The join strategy is "
+    "size-guarded: the distinct benchmark gram set broadcasts when it "
+    "fits, else a shuffle semi-join on xxhash64(gram) — see "
+    "_decontam_overlap; training side stays map-side until the "
+    "per-doc agg.",
+    bench=True,
+    tags=("text", "ngram", "dedup"),
+)
+def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decontam_overlap(spark, sf_dir, strategy="auto")
+
+
+@_register(
+    "decontam_ngram_overlap_shuffle",
+    _decontam_oracle(),
+    "The decontamination query FORCED onto its past-the-broadcast-"
+    "threshold path: shuffle semi-join on an 8-byte xxhash64(gram) "
+    "key (what `auto` picks when the benchmark gram set exceeds the "
+    "size guard). Same oracle as decontam_ngram_overlap — both "
+    "strategies must agree.",
+    tags=("text", "ngram", "dedup"),
+)
+def q_decontam_ngram_overlap_shuffle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _decontam_overlap(spark, sf_dir, strategy="shuffle")
 
 
 def _state_v2_available() -> bool:

@@ -189,6 +189,37 @@ def test_decontam_broadcasts_bench_grams_only(spark):
     assert "pmod" in plan
 
 
+def test_decontam_shuffle_variant_avoids_broadcast(spark):
+    plan = plan_of(spark, "decontam_ngram_overlap_shuffle")
+    # the forced past-the-threshold path: gram semi-join must be a
+    # shuffled join on the 8-byte hash key, never a broadcast of a
+    # (by assumption oversized) gram set, never cartesian
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontam_auto_guard_switches_on_size(spark):
+    """The size guard actually steers: a tiny threshold forces the
+    shuffle path, and both strategies return identical results."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans.catalog_ext import (
+        _decontam_overlap,
+    )
+
+    wide = _decontam_overlap(spark, SF_DIR, strategy="auto")
+    narrow = _decontam_overlap(
+        spark, SF_DIR, strategy="auto", broadcast_max_grams=1
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        narrow.explain(mode="formatted")
+    assert "BroadcastHashJoin" not in buf.getvalue()
+    a = {(r["doc_id"], r["n_overlap_grams"]) for r in wide.collect()}
+    b = {(r["doc_id"], r["n_overlap_grams"]) for r in narrow.collect()}
+    assert a == b and a
+
+
 def test_cms_broadcasts_sketch_no_cartesian(spark):
     plan = plan_of(spark, "cms_heavy_hitters")
     # the sketch (<= depth*width rows) must ride a broadcast; the token
