@@ -47,6 +47,7 @@ def sliding_window_stats(
     value_col: str = "value",
     width: str = "1 hour",
     slide: str = "30 minutes",
+    mean: str = "true",
 ) -> DataFrame:
     """Overlapping (sliding) window aggregation via ``F.window`` — the
     hopping-window shape from the Structured Streaming paper (SIGMOD
@@ -55,35 +56,50 @@ def sliding_window_stats(
     expression runs under a streaming read with a watermark. One
     shuffle on (window, group); the window expansion is map-side.
 
-    ``avg_value`` is the micro-unit-truncated mean: values are floored
-    to integer micro-units before summing (an IEEE double sum varies
-    in its last ulp with aggregation order — observed: 2/7205 windows
-    flipped their 6th rounded decimal between Spark's partial-agg
-    order and DuckDB's at sf0.1 — while an integer sum is associative),
-    and the mean is floored back to micro-units instead of rounded
-    (``round`` on a double differs between engines exactly at the .5
-    midpoints that integer sums land on). Every remaining op is
-    correctly-rounded IEEE arithmetic: bit-identical on any
-    partitioning, any engine, any retry.
+    ``mean`` picks the mean semantics:
+
+    - ``"true"`` (default): the standard ``F.avg``, rounded to 5
+      decimals — what a user means by "average". 5 decimals absorbs
+      the last-ulp aggregation-order wobble of an IEEE double sum for
+      cross-engine comparison (at 6 decimals, 2/7205 windows flipped
+      between Spark's partial-agg order and DuckDB's at sf0.1).
+    - ``"micro_truncated"``: values floored to integer micro-units
+      before summing (an integer sum is associative, so the value is
+      bit-identical on any partitioning/engine/retry), mean floored
+      back to micro-units. Emitted as ``avg_value_micro_truncated`` —
+      the name says it is NOT the standard mean (biased low by up to
+      1e-6): use it where byte-stable replay comparison matters more
+      than the last decimal, e.g. golden-file regression gates.
     """
     win = F.window(F.col(ts_col), width, slide)
+    if mean == "true":
+        mean_agg = F.round(F.avg(value_col), 5).alias("avg_value")
+    elif mean == "micro_truncated":
+        mean_agg = None  # computed from the micro sum below
+    else:
+        raise ValueError(f"unknown mean={mean!r}")
     micro = F.floor(F.col(value_col) * F.lit(1_000_000.0)).cast("long")
-    return (
-        events.groupBy(win.alias("win"), F.col(group_col))
-        .agg(
+    grouped = events.groupBy(win.alias("win"), F.col(group_col))
+    if mean_agg is not None:
+        agged = grouped.agg(
+            F.count(F.lit(1)).alias("n_events"), mean_agg
+        )
+        value_cols = ["n_events", "avg_value"]
+    else:
+        agged = grouped.agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(micro).alias("__sum_micro"),
+        ).withColumn(
+            "avg_value_micro_truncated",
+            F.floor(F.col("__sum_micro") / F.col("n_events"))
+            / F.lit(1_000_000.0),
         )
-        .select(
-            F.col("win.start").alias("window_start"),
-            F.col("win.end").alias("window_end"),
-            group_col,
-            "n_events",
-            (
-                F.floor(F.col("__sum_micro") / F.col("n_events"))
-                / F.lit(1_000_000.0)
-            ).alias("avg_value"),
-        )
+        value_cols = ["n_events", "avg_value_micro_truncated"]
+    return agged.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        group_col,
+        *value_cols,
     )
 
 

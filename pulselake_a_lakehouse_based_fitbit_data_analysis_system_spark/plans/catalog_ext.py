@@ -1372,7 +1372,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- time series (sliding windows, similarity search) ---------------------
 
-_SLIDING_ORACLE = """
+_SLIDING_EXPANDED = """
 WITH expanded AS (
   SELECT time_bucket(INTERVAL 30 MINUTE, ts)
            - k.k * INTERVAL 30 MINUTE AS window_start,
@@ -1380,24 +1380,59 @@ WITH expanded AS (
   FROM events
   CROSS JOIN (SELECT unnest([0, 1]) AS k) k
 )
+"""
+
+_SLIDING_ORACLE = _SLIDING_EXPANDED + """
 SELECT window_start,
        window_start + INTERVAL 60 MINUTE AS window_end,
        event_type,
        count(*) AS n_events,
        floor(sum(CAST(floor(value * 1000000.0) AS BIGINT))
-             / count(*)) / 1000000.0 AS avg_value
+             / count(*)) / 1000000.0 AS avg_value_micro_truncated
+FROM expanded
+GROUP BY window_start, event_type
+"""
+
+_SLIDING_AVG_ORACLE = _SLIDING_EXPANDED + """
+SELECT window_start,
+       window_start + INTERVAL 60 MINUTE AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(avg(value), 5) AS avg_value
 FROM expanded
 GROUP BY window_start, event_type
 """
 
 
 @_register(
+    "sliding_window_avg",
+    _SLIDING_AVG_ORACLE,
+    "Overlapping 1h-wide/30min-slide window aggregation (F.window "
+    "hopping form, Structured Streaming paper SIGMOD'18) with the "
+    "STANDARD mean (F.avg, rounded to 5 for cross-engine comparison) "
+    "— each event expands map-side into width/slide windows, one "
+    "shuffle on (window, group); same expression streams under a "
+    "watermark.",
+    tags=("window", "timeseries"),
+)
+def q_sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import timeseries
+
+    e = _t(spark, sf_dir, "events")
+    return timeseries.sliding_window_stats(
+        e, "ts", "event_type", "value", "1 hour", "30 minutes", mean="true"
+    )
+
+
+@_register(
     "sliding_window_agg",
     _SLIDING_ORACLE,
-    "Overlapping 1h-wide/30min-slide window aggregation (F.window "
-    "hopping form, Structured Streaming paper SIGMOD'18) — each event "
-    "expands map-side into width/slide windows, one shuffle on "
-    "(window, group); same expression streams under a watermark.",
+    "The sliding-window aggregation with the BYTE-STABLE mean variant "
+    "(integer micro-unit sum, floor-truncated; biased low by <= 1e-6 "
+    "and named avg_value_micro_truncated to say so) — for golden-file "
+    "replay gates where bit-identity across partitionings/engines/"
+    "retries matters more than the last decimal. The standard mean is "
+    "sliding_window_avg.",
     tags=("window", "timeseries"),
 )
 def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1405,7 +1440,13 @@ def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return timeseries.sliding_window_stats(
-        e, "ts", "event_type", "value", "1 hour", "30 minutes"
+        e,
+        "ts",
+        "event_type",
+        "value",
+        "1 hour",
+        "30 minutes",
+        mean="micro_truncated",
     )
 
 
