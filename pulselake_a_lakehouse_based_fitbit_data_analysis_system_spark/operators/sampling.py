@@ -108,6 +108,8 @@ def group_cap_sample(
     group_col: str,
     cap: int,
     seed: int = 7,
+    est_group_sizes: Mapping | None = None,
+    oversample: float = 4.0,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per group, chosen deterministically by
     id-hash order — the class-balance primitive (cap an over-
@@ -117,21 +119,89 @@ def group_cap_sample(
 
     row_number over (group, hash(id), id) — the id tiebreak makes the
     selection total-ordered and replay-stable. One shuffle on the
-    group key; a pathologically hot group concentrates its rows on one
-    reducer, but only until the window emits — the output is bounded
-    by cap per group. For extreme skew, pre-filter with
-    ``_hash_bucket(id) < ~2*cap/|group|`` estimates before windowing.
+    group key; the output is bounded by cap per group.
+
+    **Hot-group pre-filter** (``est_group_sizes``): without it, a
+    group with 10⁹ rows funnels all 10⁹ through ONE window reducer
+    before the cap truncates. Passing estimated sizes for the known-
+    hot groups (from table stats / a prior count — they need only be
+    roughly right) pre-filters each such group to hash buckets below
+    ``oversample·cap/est`` BEFORE the shuffle, so the reducer sees
+    ~``oversample × cap`` rows instead of the full group. The final
+    selection is IDENTICAL to the unfiltered one by construction:
+    the selection keeps the ``cap`` hash-smallest rows, and any row
+    the pre-filter drops hashes above at least ``cap`` surviving
+    rows — provided the pre-filter kept ≥ cap rows. That proviso is
+    enforced, not assumed: after capping, the (few, driver-listed)
+    pre-filtered groups are counted, and any that came up short —
+    a wildly overestimated size — are recomputed without the filter
+    (one extra metadata-scale job that fires only on estimate
+    failure). Groups not listed are untouched.
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(_hash_bucket(id_col, seed).asc(), F.col(id_col).asc())
-    )
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= cap)
-        .drop("__rn")
-    )
+    def _cap(frame: DataFrame) -> DataFrame:
+        w = Window.partitionBy(group_col).orderBy(
+            _hash_bucket(id_col, seed).asc(), F.col(id_col).asc()
+        )
+        return (
+            frame.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap)
+            .drop("__rn")
+        )
+
+    if not est_group_sizes:
+        return _cap(df)
+    import math
+
+    thresholds = {}
+    for g, n in est_group_sizes.items():
+        if n and n > 0:
+            t = min(
+                _BUCKETS, int(math.ceil(_BUCKETS * oversample * cap / float(n)))
+            )
+            if t < _BUCKETS:
+                thresholds[g] = t
+    if not thresholds:
+        return _cap(df)
+    thresh_expr = None
+    for g, t in thresholds.items():
+        cond = F.col(group_col) == F.lit(g)
+        thresh_expr = (
+            F.when(cond, F.lit(t))
+            if thresh_expr is None
+            else thresh_expr.when(cond, F.lit(t))
+        )
+    thresh_expr = thresh_expr.otherwise(F.lit(_BUCKETS))
+    capped = _cap(df.filter(_hash_bucket(id_col, seed) < thresh_expr))
+    hot = list(thresholds)
+    # exactness guard: hot groups whose pre-filter survivors fell below
+    # cap might have lost selectable rows — recompute those (and only
+    # those) from the unfiltered frame. len(hot) is driver-provided and
+    # small, so this count is metadata-scale.
+    short = [
+        r[0]
+        for r in capped.filter(F.col(group_col).isin(hot))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") < cap)
+        .select(group_col)
+        .collect()
+    ]
+    # a hot group with NO surviving rows never shows up in the count —
+    # it is short too unless the group is absent from df entirely;
+    # recomputing absent groups is a no-op, so just include them
+    seen = {
+        r[0]
+        for r in capped.filter(F.col(group_col).isin(hot))
+        .select(group_col)
+        .distinct()
+        .collect()
+    }
+    short += [g for g in hot if g not in seen]
+    if not short:
+        return capped
+    exact = _cap(df.filter(F.col(group_col).isin(short)))
+    return capped.filter(~F.col(group_col).isin(short)).unionByName(exact)

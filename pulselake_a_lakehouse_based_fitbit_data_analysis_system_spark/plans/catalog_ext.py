@@ -1948,3 +1948,37 @@ def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return sampling.group_cap_sample(d, "doc_id", "source", cap=15)
+
+
+def _group_cap_presampled_oracle() -> str:
+    bucket = f"({_sql_hash64('doc_id', 7)} % 10000)"
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {bucket} ASC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
+@_register(
+    "group_cap_presampled",
+    _group_cap_presampled_oracle(),
+    "Per-group cap WITH the hot-group pre-filter engaged: estimated "
+    "group sizes pre-filter each listed group to ~oversample*cap "
+    "hash-smallest candidates BEFORE the window shuffle, so a 10^9-row "
+    "group feeds its reducer ~cap rows, not 10^9. The oracle is the "
+    "plain unfiltered cap — the pre-filter provably (and, when an "
+    "estimate fails, via the built-in recompute guard) never changes "
+    "the selection.",
+    tags=("sampling",),
+)
+def q_group_cap_presampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    est = {f"src{i}": 25 for i in range(20)}
+    return sampling.group_cap_sample(
+        d, "doc_id", "source", cap=5, est_group_sizes=est, oversample=1.5
+    )

@@ -206,3 +206,36 @@ def test_range_join_binned_degenerate_rows_do_not_abort(spark):
         pdf, idf, "p", "lo", "hi", bin_width_s=1, max_bins_per_interval=100
     ).collect()
     assert [(r["pid"], r["iid"]) for r in got] == [(0, 3)]
+
+
+# --- group_cap_sample hot-group pre-filter --------------------------------
+
+_groups = st.sampled_from(["a", "b", "c"])
+
+
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 500), _groups), min_size=1,
+                  max_size=40, unique_by=lambda t: t[0]),
+    ests=st.dictionaries(_groups, st.integers(-5, 10_000), max_size=3),
+    cap=st.integers(min_value=1, max_value=4),
+)
+@_SETTINGS
+def test_group_cap_prefilter_identity(spark, rows, ests, cap):
+    """The hot-group pre-filter NEVER changes the selection — for any
+    data, any cap, and arbitrarily WRONG size estimates (too small →
+    filter inert; too large → filter over-drops and the recompute
+    guard restores exactness)."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        sampling,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, grp=g) for i, g in rows], "doc_id long, grp string"
+    )
+    plain = sampling.group_cap_sample(df, "doc_id", "grp", cap)
+    pre = sampling.group_cap_sample(
+        df, "doc_id", "grp", cap, est_group_sizes=ests, oversample=1.0
+    )
+    a = {(r["doc_id"], r["grp"]) for r in plain.collect()}
+    b = {(r["doc_id"], r["grp"]) for r in pre.collect()}
+    assert a == b
