@@ -51,6 +51,7 @@ _DRIVER_PRIORITY: list[str] = [
     "sliding_window_avg",
     "decontam_ngram_overlap_shuffle",
     "group_cap_presampled",
+    "skewed_join_plain",
     "skewed_join_salted",
     # -- checked only in round 1 (stale; re-verify) --
     "neardup_clusters",

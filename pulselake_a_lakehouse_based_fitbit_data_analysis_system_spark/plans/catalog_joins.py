@@ -445,3 +445,99 @@ def q_range_join_binned_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.col("i.o_orderpriority").alias("priority")
     ).agg(F.count(F.lit(1)).alias("n_shipped"))
+
+
+# =========================================================================
+# Measured skew: a hot key holding ~20% of the fact side
+# =========================================================================
+#
+# The bench corpus is uniform, so the skew machinery was previously
+# claimed, not measured. These two queries build a deterministically
+# skewed fact (a hash-chosen ~20% of events re-keyed to user 1 — no
+# extra fixture files, replayable in any engine) and run the SAME
+# fact⋈dim aggregation twice: plain shuffle join vs salted_join. Both
+# carry the same unsalted oracle; bench.py times them side by side and
+# SCALE.md records the numbers. The dim side is hinted merge/shuffle —
+# with a broadcastable dim there is no skew problem to measure (that
+# is itself the first mitigation; this measures the non-broadcastable
+# regime).
+
+
+def _sql_hash64_j(expr: str, seed: int) -> str:
+    return f"CAST('0x' || substr(md5('{seed}:' || {expr}), 1, 15) AS BIGINT)"
+
+
+_SKEWED_JOIN_ORACLE = f"""
+WITH skewed AS (
+  SELECT CASE WHEN ({_sql_hash64_j('event_id', 3)} % 5) = 0
+              THEN 1 ELSE user_id END AS s_user,
+         value
+  FROM events
+)
+SELECT c.c_mktsegment AS segment,
+       count(*) AS n_events,
+       round(sum(s.value), 2) AS total_value
+FROM skewed s JOIN customer c ON s.s_user = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def _skewed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.expressions import portable_hash64
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    hot = F.pmod(portable_hash64(F.col("event_id"), seed=3), F.lit(5)) == 0
+    return e.select(
+        F.when(hot, F.lit(1)).otherwise(F.col("user_id")).alias("s_user"),
+        "value",
+    )
+
+
+@_register(
+    "skewed_join_plain",
+    _SKEWED_JOIN_ORACLE,
+    "The skewed fact⋈dim aggregation WITHOUT mitigation: one key owns "
+    "~20% of the fact side and lands on one reducer of the hinted "
+    "shuffle join (AQE's runtime skew split applies where eligible). "
+    "The measured straggler baseline for skewed_join_salted.",
+    bench=True,
+    tags=("join", "skew", "bench"),
+)
+def q_skewed_join_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _skewed_events(spark, sf_dir)
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = s.join(
+        c.hint("merge"), s.s_user == c.c_custkey, "inner"
+    )
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@_register(
+    "skewed_join_salted",
+    _SKEWED_JOIN_ORACLE,
+    "The same skewed aggregation THROUGH salted_join: the fact side "
+    "salts into 8 buckets, the dim replicates 8x, the hot key spreads "
+    "over 8 reducers. Same unsalted oracle as skewed_join_plain — "
+    "mitigation must not change semantics; bench.py times the pair.",
+    bench=True,
+    tags=("join", "skew", "bench"),
+)
+def q_skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import salted_join
+
+    s = _skewed_events(spark, sf_dir).withColumnRenamed("s_user", "c_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(s, c.hint("merge"), on=["c_custkey"], salt_buckets=8)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
