@@ -72,6 +72,16 @@ def test_range_and_interval_joins_are_equi_keyed(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_range_join_binned_is_equi_join_on_bin(spark):
+    # the KEYLESS range join: binning must turn the BETWEEN into an
+    # equi join on the bin column — the whole point of the rewrite is
+    # that no nested-loop ever materializes without an equi key
+    plan = plan_of(spark, "range_join_binned_report")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # a real join happened, on the derived bin
+
+
 def test_topk_uses_take_ordered(spark):
     plan = plan_of(spark, "topk_revenue")
     # global sort + limit must fuse into per-partition heaps
