@@ -238,3 +238,57 @@ def test_cms_broadcasts_sketch_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     # sketch build must have map-side partial aggregation
     assert plan.count("HashAggregate") >= 4
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """SCALE.md's bucketing-at-ingest prescription, proven: the
+    orders⋈lineitem spine join over tables bucketed the same way on
+    the join key plans ZERO Exchange (rows co-located by bucket file),
+    while the identical plain-parquet join plans one per side."""
+    import contextlib as _ctx
+    import io as _io
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.sources import (
+        bucketed,
+        load_table,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+
+    def plan(df) -> str:
+        buf = _io.StringIO()
+        with _ctx.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return buf.getvalue()
+
+    # model the at-scale condition: neither spine side is broadcastable
+    # (at 100 TB they aren't) — otherwise the planner broadcasts the
+    # tiny test table and disables bucketed scans entirely
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = o.join(li, o.o_orderkey == li.l_orderkey)
+        assert plan(plain).count("Exchange") >= 2  # both sides shuffle
+        bucketed.ingest_bucketed(o, "t_orders_b", ["o_orderkey"], n_buckets=8)
+        bucketed.ingest_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "t_lineitem_b",
+            ["o_orderkey"],
+            n_buckets=8,
+        )
+        ob = bucketed.read_bucketed(spark, "t_orders_b")
+        lb = bucketed.read_bucketed(spark, "t_lineitem_b")
+        joined = ob.join(lb, "o_orderkey")
+        p = plan(joined)
+        assert "Exchange" not in p, p
+        assert "SortMergeJoin" in p
+        # and it actually runs, producing the same rows as the plain join
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
