@@ -53,6 +53,8 @@ _DRIVER_PRIORITY: list[str] = [
     "group_cap_presampled",
     "skewed_join_plain",
     "skewed_join_salted",
+    "embedding_quantize_int8",
+    "knn_int8",
     # -- checked only in round 1 (stale; re-verify) --
     "neardup_clusters",
     "dedup_canonical_docs",

@@ -938,3 +938,58 @@ def test_merge_file_pruning_sidecar_carries_and_replays(spark, tmp_path):
             assert b is not None and b[0] <= b[1]
     rows = {r["k"]: r["v"] for r in store.read("t").collect()}
     assert rows[1] == -1 and rows[998] == -998 and len(rows) == 1000
+
+
+# --- int8 embedding quantization ------------------------------------------
+
+
+def test_quantize_int8_reconstruction_bound(spark):
+    """|x - q/scale| <= 0.5/scale per element (half-up rounding bound),
+    and all quantized values fit int8's [-127, 127]."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        similarity,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    quant = similarity.quantize_int8(emb)
+    checked = quant.select(
+        F.array_max(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("q_vec"),
+                lambda x, q: F.when(
+                    F.col("q_scale") > 0,
+                    F.abs(x.cast("double") - q / F.col("q_scale"))
+                    * F.col("q_scale"),
+                ).otherwise(F.abs(x.cast("double"))),
+            )
+        ).alias("max_scaled_err"),
+        F.array_max(F.transform(F.col("q_vec"), F.abs)).alias("max_q"),
+    )
+    row = checked.agg(
+        F.max("max_scaled_err").alias("err"), F.max("max_q").alias("q")
+    ).first()
+    assert row["err"] <= 0.5 + 1e-9
+    assert row["q"] <= 127
+
+
+def test_knn_int8_close_to_float_baseline(spark):
+    """The quantized top-10 must substantially agree with the float
+    top-10 (int8 error ~1e-2 dwarfs typical cosine gaps only near
+    ties)."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        similarity,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    float_ids = [r["vec_id"] for r in similarity.knn_brute_force(emb, qvec, k=10).collect()]
+    int8_ids = [r["vec_id"] for r in similarity.knn_int8(emb, qvec, k=10).collect()]
+    assert len(set(float_ids) & set(int8_ids)) >= 7
+    assert int8_ids[0] == 0  # the query vector itself stays rank 1
