@@ -126,6 +126,45 @@ def clean_text(text: Column | str) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_PATTERN = r"\+?\d{1,2}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}"
+
+# replacement order matters: URLs first (emails/IPs can appear inside
+# them), then emails, then IPs (before phones — a phone regex would
+# chew IP digit runs), phones last
+PII_PATTERNS = (
+    ("url", URL_PATTERN),
+    ("email", EMAIL_PATTERN),
+    ("ip", IPV4_PATTERN),
+    ("phone", PHONE_PATTERN),
+)
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction for training corpora: URLs, emails, IPv4s, and
+    phone-shaped digit runs → typed placeholder tokens, with a per-doc
+    count of each redaction kind (the audit column a compliance
+    pipeline filters/reports on). One regexp_count + regexp_replace
+    chain per pattern — JVM-side, map-side only, zero shuffle; all
+    patterns are RE2-safe (no backtracking blowup on adversarial
+    documents, and DuckDB runs the identical patterns verbatim for the
+    oracle). Each count is taken on the text AS IT STANDS when that
+    pattern's replacement runs, so the counts are exactly what was
+    redacted: an email inside a URL counts once as a URL (the URL
+    rewrite already consumed it), never double.
+
+    Returns (id, redacted, n_url, n_email, n_ip, n_phone).
+    """
+    cur = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, f"<{kind}>")
+    return df.select(id_col, cur.alias("redacted"), *counts)
+
+
 def ngrams(text: Column | str, n: int = 2) -> Column:
     """Array of word n-grams over the single-space token contract."""
     toks = tokens(text)

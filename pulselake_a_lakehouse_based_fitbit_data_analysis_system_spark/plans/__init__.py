@@ -55,6 +55,7 @@ _DRIVER_PRIORITY: list[str] = [
     "skewed_join_salted",
     "embedding_quantize_int8",
     "knn_int8",
+    "redact_pii_docs",
     # -- checked only in round 1 (stale; re-verify) --
     "neardup_clusters",
     "dedup_canonical_docs",

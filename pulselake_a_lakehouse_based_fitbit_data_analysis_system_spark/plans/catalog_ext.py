@@ -2086,3 +2086,41 @@ def q_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_int8(emb, list(qvec), k=10).withColumnRenamed(
         "cosine_q", "cosine_q"
     )
+
+
+# --- PII redaction --------------------------------------------------------
+
+
+def _redact_oracle() -> str:
+    from ..operators.text import PII_PATTERNS
+
+    sql = "WITH s0 AS (SELECT doc_id, text AS t FROM documents)"
+    prev = "s0"
+    carried: list[str] = []
+    for i, (kind, pat) in enumerate(PII_PATTERNS, start=1):
+        cols = ", ".join(carried + [
+            f"len(regexp_extract_all(t, '{pat}')) AS n_{kind}",
+            f"regexp_replace(t, '{pat}', '<{kind}>', 'g') AS t",
+        ])
+        sql += f", s{i} AS (SELECT doc_id, {cols} FROM {prev})"
+        prev = f"s{i}"
+        carried.append(f"n_{kind}")
+    return (
+        sql
+        + f" SELECT doc_id, t AS redacted, {', '.join(carried)} FROM {prev}"
+    )
+
+
+@_register(
+    "redact_pii_docs",
+    _redact_oracle(),
+    "PII redaction with an audit trail: URLs/emails/IPv4s/phone-shaped "
+    "runs -> typed placeholders plus a per-doc count of each kind, "
+    "counted on the text as it stands when that pattern runs (an email "
+    "inside a URL counts once, as the URL). RE2-safe patterns, pure "
+    "regexp Column chain: map-side, zero shuffle, no UDF.",
+    tags=("text", "pii"),
+)
+def q_redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.redact_pii(d, "doc_id", "text")

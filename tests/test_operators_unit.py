@@ -993,3 +993,33 @@ def test_knn_int8_close_to_float_baseline(spark):
     int8_ids = [r["vec_id"] for r in similarity.knn_int8(emb, qvec, k=10).collect()]
     assert len(set(float_ids) & set(int8_ids)) >= 7
     assert int8_ids[0] == 0  # the query vector itself stays rank 1
+
+
+def test_redact_pii_counts_and_placeholders(spark):
+    """Synthetic PII: each kind is replaced by its typed placeholder
+    and counted exactly once per occurrence; an email inside a URL
+    counts as the URL, not again as an email."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        text as text_ops,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail me at bob@example.com or call +1 (555) 123-4567"),
+            Row(doc_id=2, text="see https://x.io/a?user=a@b.com from 10.0.0.1 twice 10.0.0.2"),
+            Row(doc_id=3, text="nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in text_ops.redact_pii(df).collect()}
+    r1 = got[1]
+    assert r1["n_email"] == 1 and r1["n_phone"] == 1
+    assert "<email>" in r1["redacted"] and "<phone>" in r1["redacted"]
+    assert "bob@example.com" not in r1["redacted"]
+    r2 = got[2]
+    # the in-URL email was consumed by the URL rewrite: counts once
+    assert r2["n_url"] == 1 and r2["n_email"] == 0 and r2["n_ip"] == 2
+    assert "10.0.0.1" not in r2["redacted"] and "<ip>" in r2["redacted"]
+    r3 = got[3]
+    assert (r3["n_url"], r3["n_email"], r3["n_ip"], r3["n_phone"]) == (0, 0, 0, 0)
+    assert r3["redacted"] == "nothing here"
