@@ -292,3 +292,37 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_ivf_cell_partitioned_probe_prunes_partitions(spark, tmp_path):
+    """The IVF docstring's at-scale prescription, proven: assign cells
+    at ingest, write partitioned by cell, and a probe restricted to
+    nprobe cells plans a scan whose PartitionFilters prune the other
+    cells — the probe reads candidate partitions only, never the full
+    corpus."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        similarity,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.sources import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = [
+        list(r["embedding"])
+        for r in emb.filter(emb.vec_id < 4).orderBy("vec_id").collect()
+    ]
+    assigned = similarity.ivf_assign(emb, cents)
+    path = str(tmp_path / "ivf_cells")
+    assigned.write.partitionBy("cell").parquet(path)
+
+    probe = spark.read.parquet(path).filter("cell IN (0, 2)")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain(mode="formatted")
+    plan = buf.getvalue()
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in pf  # the cell filter prunes at the partition layer
+    # and pruning is real: only the probed partitions' rows are read
+    full = spark.read.parquet(path)
+    assert probe.count() == full.filter("cell IN (0, 2)").count() < full.count()
