@@ -2078,6 +2078,7 @@ LIMIT 10
     "doubles, order-independent) over 4x-smaller arrays, equal to the "
     "cosine of the reconstructed vectors; within quantization error "
     "(~1e-2) of the float baseline knn_brute_force.",
+    bench=True,
     tags=("similarity", "knn", "quantize"),
 )
 def q_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2119,6 +2120,7 @@ def _redact_oracle() -> str:
     "counted on the text as it stands when that pattern runs (an email "
     "inside a URL counts once, as the URL). RE2-safe patterns, pure "
     "regexp Column chain: map-side, zero shuffle, no UDF.",
+    bench=True,
     tags=("text", "pii"),
 )
 def q_redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
