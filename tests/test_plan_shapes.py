@@ -326,3 +326,23 @@ def test_ivf_cell_partitioned_probe_prunes_partitions(spark, tmp_path):
     # and pruning is real: only the probed partitions' rows are read
     full = spark.read.parquet(path)
     assert probe.count() == full.filter("cell IN (0, 2)").count() < full.count()
+
+
+def test_skewed_join_pair_shapes(spark):
+    # the skew pair must measure SHUFFLE joins: the merge hint keeps
+    # the dim off the broadcast path on both variants, and the salted
+    # variant must not plan a cartesian for the dim replication
+    for name in ("skewed_join_plain", "skewed_join_salted"):
+        plan = plan_of(spark, name)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name", ["redact_pii_docs", "embedding_quantize_int8"]
+)
+def test_new_map_side_ops_have_no_shuffle(spark, name):
+    # PII redaction and int8 quantization are per-row column math: any
+    # Exchange means an accidental shuffle crept in
+    plan = plan_of(spark, name)
+    assert "Exchange" not in plan, name
