@@ -1668,6 +1668,10 @@ def _decontam_overlap(
         lab.filter(~F.col("is_bench")), "doc_id", "text", 5
     )
     if strategy == "auto":
+        # persist BEFORE counting: the guard's count materializes the
+        # gram set once, and the join build then reads the cache
+        # instead of recomputing the explode+distinct a second time
+        bgrams = bgrams.persist()
         strategy = (
             "broadcast" if bgrams.count() <= broadcast_max_grams else "shuffle"
         )

@@ -1,4 +1,5 @@
 from .ops import (
+    finalize_running_totals,
     run_stream_to_memory,
     stream_table,
     streaming_dedup,
@@ -7,6 +8,7 @@ from .ops import (
 from .orchestrator import StreamWave, run_waves
 
 __all__ = [
+    "finalize_running_totals",
     "run_stream_to_memory",
     "stream_table",
     "streaming_dedup",
