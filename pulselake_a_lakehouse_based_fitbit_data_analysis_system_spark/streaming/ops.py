@@ -30,6 +30,20 @@ from pyspark.sql import functions as F
 
 from ..schemas import TESTDATA_SCHEMAS
 
+# staged scratch dirs are process-lifetime (the stream may be drained
+# long after stream_table returns); swept on interpreter exit
+_STAGED_DIRS: list[str] = []
+
+
+def _sweep_staged_dirs() -> None:
+    for d in _STAGED_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_sweep_staged_dirs)
+
 
 def stream_table(
     spark: SparkSession,
@@ -64,6 +78,7 @@ def stream_table(
     import pyarrow.parquet as pq
 
     stage = tempfile.mkdtemp(prefix=f"pulselake_stream_{name}_")
+    _STAGED_DIRS.append(stage)
     table = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
     n = max(1, min(n_files, max(1, table.num_rows)))
     step = -(-table.num_rows // n) if table.num_rows else 1
