@@ -829,6 +829,91 @@ class TableStore:
             )
 
 
+    def optimize(
+        self,
+        name: str,
+        partitions: Sequence | None = None,
+        key: str | None = None,
+    ) -> None:
+        """Compact a partitioned table's files — the OPTIMIZE analog
+        for the merge path. Each trickle merge leaves an affected
+        partition with fresh output files next to its hard-linked
+        survivors; over many micro-batches that is the classic
+        small-file problem. ``optimize`` rewrites each selected
+        partition (default: all) as one range-clustered file set
+        (AQE sizes the count; files regain disjoint merge-key ranges,
+        restoring maximal skipping power), hard-links unselected
+        partitions, refreshes the data-skipping sidecar, and validates
+        row-count identity before the pointer flip. Logically a no-op:
+        the changelog records nothing.
+
+        ``key`` defaults to the sidecar's stats key (or the hash
+        spec's first key) — pass it explicitly for column-partitioned
+        tables created before any merge.
+        """
+        spec = self.partition_spec(name)
+        if spec is None:
+            raise ValueError(f"{name} has no partition spec — nothing to optimize")
+        part_col = "__bucket" if spec["mode"] == "hash" else spec["column"]
+        current = self.current_path(name)
+        if current is None:
+            raise FileNotFoundError(f"table {name} does not exist")
+        stats = self._load_file_stats(current)
+        if key is None:
+            key = (stats or {}).get("key") or (spec.get("keys") or [None])[0]
+        if key is None:
+            raise ValueError("pass key=<merge key> for this table")
+        df_all = self.spark.read.parquet(current)
+        sub = (
+            df_all
+            if partitions is None
+            else df_all.filter(F.col(part_col).isin(list(partitions)))
+        )
+        n_before = sub.count()
+        out = sub.repartitionByRange(F.col(part_col), F.col(key))
+        scratch = os.path.join(self.root, f"{name}.opt{uuid.uuid4().hex[:12]}")
+        out.write.mode("overwrite").partitionBy(part_col).parquet(scratch)
+        n_scratch = self.spark.read.parquet(scratch).count()
+        if n_scratch != n_before:
+            shutil.rmtree(scratch, ignore_errors=True)
+            raise RuntimeError(
+                f"optimize validation failed: {n_scratch} rows written "
+                f"vs {n_before} read — table untouched"
+            )
+        version_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
+        full = os.path.join(self.root, version_dir)
+        os.makedirs(full)
+        rewritten = {
+            e
+            for e in os.listdir(scratch)
+            if os.path.isdir(os.path.join(scratch, e))
+        }
+        for entry in rewritten:
+            os.rename(os.path.join(scratch, entry), os.path.join(full, entry))
+        shutil.rmtree(scratch, ignore_errors=True)
+        for entry in os.listdir(current):
+            src_path = os.path.join(current, entry)
+            if not os.path.isdir(src_path) or entry in rewritten:
+                continue
+            os.makedirs(os.path.join(full, entry))
+            for fname in os.listdir(src_path):
+                os.link(
+                    os.path.join(src_path, fname),
+                    os.path.join(full, entry, fname),
+                )
+        carry = (
+            stats.get("files")
+            if stats is not None and stats.get("key") == key
+            else None
+        )
+        self._write_file_stats(full, key, carry=carry)
+        tmp_ptr = self._pointer(name) + ".tmp"
+        with open(tmp_ptr, "w") as f:
+            f.write(version_dir)
+        os.replace(tmp_ptr, self._pointer(name))
+        self._prune(name, keep=version_dir)
+
+
 def delta_merge_available() -> bool:
     try:
         import delta  # noqa: F401

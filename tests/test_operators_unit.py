@@ -1023,3 +1023,59 @@ def test_redact_pii_counts_and_placeholders(spark):
     r3 = got[3]
     assert (r3["n_url"], r3["n_email"], r3["n_ip"], r3["n_phone"]) == (0, 0, 0, 0)
     assert r3["redacted"] == "nothing here"
+
+
+def test_table_store_optimize_compacts_and_preserves(spark, tmp_path):
+    """OPTIMIZE analog: after a run of trickle merges accumulates
+    files, optimize compacts each partition back to a range-clustered
+    file set with identical data, refreshes the sidecar, and later
+    merges still file-prune."""
+    store = merge.TableStore(spark, str(tmp_path))
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        base = spark.createDataFrame([Row(k=i, v=i) for i in range(800)])
+        store.write_partitioned("t", base, keys=["k"], n_buckets=2)
+        for key in (3, 401, 663):  # trickle merges accumulate files
+            store.merge(
+                "t", spark.createDataFrame([Row(k=key, v=-key)]), ["k"],
+                policy="scd1",
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    before_files = _partition_file_map(store.current_path("t"))
+    n_files_before = sum(len(v) for v in before_files.values())
+    before_rows = {r["k"]: r["v"] for r in store.read("t").collect()}
+
+    store.optimize("t")
+
+    after_files = _partition_file_map(store.current_path("t"))
+    n_files_after = sum(len(v) for v in after_files.values())
+    assert n_files_after < n_files_before
+    after_rows = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert after_rows == before_rows
+    assert after_rows[3] == -3 and after_rows[401] == -401
+    side = os.path.join(store.current_path("t"), "_FILESTATS.json")
+    assert os.path.exists(side)
+    # skipping still works post-optimize: a one-key merge into the
+    # compacted table leaves every other file inode-equal
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        store.optimize("t")  # re-cluster with 8 range tasks under no-AQE
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    v1 = store.current_path("t")
+    files1 = _partition_file_map(v1)
+    store.merge("t", spark.createDataFrame([Row(k=5, v=999)]), ["k"],
+                policy="scd1")
+    files2 = _partition_file_map(store.current_path("t"))
+    surviving = sum(
+        1
+        for part, fmap in files1.items()
+        for f, ino in fmap.items()
+        if files2.get(part, {}).get(f) == ino
+    )
+    total1 = sum(len(v) for v in files1.values())
+    assert surviving == total1 - 1, (files1, files2)
+    assert {r["k"]: r["v"] for r in store.read("t").collect()}[5] == 999
