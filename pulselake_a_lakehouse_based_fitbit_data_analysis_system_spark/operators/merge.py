@@ -46,6 +46,41 @@ def _check_columns(target: DataFrame, source: DataFrame) -> None:
         raise ValueError(f"source is missing target columns: {sorted(missing)}")
 
 
+def align_for_evolution(
+    target: DataFrame, source: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Schema evolution (the Delta ``mergeSchema``/``autoMerge``
+    analog): widen both frames to the UNION of their columns, filling
+    each side's missing columns with typed NULLs — new source columns
+    become new table columns (NULL for pre-existing rows), and a
+    source missing some target columns inserts NULLs there instead of
+    erroring. Column types are taken from whichever side has the
+    column; a column present on both sides with conflicting types is a
+    real error and stays one."""
+    t_fields = {f.name: f.dataType for f in target.schema.fields}
+    s_fields = {f.name: f.dataType for f in source.schema.fields}
+    for name in t_fields.keys() & s_fields.keys():
+        if t_fields[name] != s_fields[name]:
+            raise ValueError(
+                f"column {name!r} has conflicting types: "
+                f"{t_fields[name]} vs {s_fields[name]}"
+            )
+    ordered = list(t_fields) + [c for c in s_fields if c not in t_fields]
+    out_t = target.select(
+        *[
+            F.col(c) if c in t_fields else F.lit(None).cast(s_fields[c]).alias(c)
+            for c in ordered
+        ]
+    )
+    out_s = source.select(
+        *[
+            F.col(c) if c in s_fields else F.lit(None).cast(t_fields[c]).alias(c)
+            for c in ordered
+        ]
+    )
+    return out_t, out_s
+
+
 def merge_insert_only(
     target: DataFrame, source: DataFrame, keys: Sequence[str]
 ) -> DataFrame:
@@ -247,9 +282,10 @@ class TableStore:
         path = self.current_path(name)
         if path is None:
             raise FileNotFoundError(f"table {name} does not exist in {self.root}")
-        # the derived hash-bucket partition column is storage-internal;
-        # drop() is a no-op for tables that don't carry it
-        return self.spark.read.parquet(path).drop("__bucket")
+        # schema-aware read (evolution-safe); the derived hash-bucket
+        # partition column is storage-internal — drop() is a no-op for
+        # tables that don't carry it
+        return self._read_version(path).drop("__bucket")
 
     def write(
         self,
@@ -264,6 +300,7 @@ class TableStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(full)
+        self._write_schema(full, df)
         tmp_ptr = self._pointer(name) + ".tmp"
         with open(tmp_ptr, "w") as f:
             f.write(version_dir)
@@ -271,7 +308,7 @@ class TableStore:
         if self._changelog_enabled(name) and _log_changes:
             # full refresh/create: the whole table is the change set
             self._append_changelog(
-                name, self.spark.read.parquet(full).drop("__bucket"), "insert"
+                name, self._read_version(full).drop("__bucket"), "insert"
             )
         self._prune(name, keep=version_dir)
 
@@ -330,6 +367,11 @@ class TableStore:
         (a hash collision would drop one change record —
         astronomically unlikely, and harmless for at-least-once
         consumers)."""
+        if set(post.columns) - set(pre.columns):
+            # schema-evolution merge: widen pre with NULL new columns
+            # so the hash diff compares like with like (a pre row whose
+            # post twin still has NULL there hashes equal — unchanged)
+            pre, post = align_for_evolution(pre, post)
         nonkeys = [c for c in post.columns if c not in keys]
         pre_h = pre.select(
             *keys,
@@ -388,6 +430,38 @@ class TableStore:
         )
         for stale in versions[: max(0, len(versions) - (self.keep_versions - 1))]:
             shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)
+
+    # --- schema sidecar (evolution support) -------------------------------
+
+    _SCHEMAFILE = "_SCHEMA.json"
+
+    def _write_schema(self, version_full: str, df: DataFrame) -> None:
+        """Persist the version's table schema (the Delta-log schema
+        analog). After a schema-evolution merge a version holds MIXED
+        parquet schemas — hard-linked pre-evolution files plus widened
+        new ones — and a plain read would surface whichever schema the
+        sampled footer has; reading with the stored schema fills the
+        old files' missing columns with NULLs instead."""
+        tmp = os.path.join(version_full, self._SCHEMAFILE + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(df.schema.json())
+        os.replace(tmp, os.path.join(version_full, self._SCHEMAFILE))
+
+    def _stored_schema(self, version_full: str):
+        p = os.path.join(version_full, self._SCHEMAFILE)
+        if not os.path.exists(p):
+            return None
+        from pyspark.sql import types as T
+
+        with open(p) as f:
+            return T.StructType.fromJson(json.load(f))
+
+    def _read_version(self, path: str) -> DataFrame:
+        schema = self._stored_schema(path)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(path)
 
     # --- file-level min/max pruning (Delta data-skipping analog) ----------
 
@@ -578,7 +652,7 @@ class TableStore:
         # cardinality), the one deliberate driver collect.
         affected = [r[0] for r in src.select(part_col).distinct().collect()]
         current = self.current_path(name)
-        target_all = self.spark.read.parquet(current)
+        target_all = self._read_version(current)
 
         # File-level pruning within affected partitions (the Delta
         # data-skipping analog): the sidecar has per-file [min, max] of
@@ -651,10 +725,14 @@ class TableStore:
             ]
             if hit_paths:
                 # basePath keeps the partition column visible when
-                # reading individual files
-                target_affected = self.spark.read.option(
-                    "basePath", current
-                ).parquet(*hit_paths)
+                # reading individual files; the stored schema keeps
+                # mixed-schema versions (post-evolution) reading with
+                # NULL-filled new columns
+                reader = self.spark.read.option("basePath", current)
+                stored = self._stored_schema(current)
+                if stored is not None:
+                    reader = reader.schema(stored)
+                target_affected = reader.parquet(*hit_paths)
             else:
                 target_affected = target_all.filter(F.lit(False))
             if spec["mode"] == "hash":
@@ -668,6 +746,10 @@ class TableStore:
                 F.col(part_col).isin(affected)
             )
         src_plain = src.drop(part_col) if spec["mode"] == "hash" else src
+        if kwargs.pop("evolve_schema", False):
+            target_affected, src_plain = align_for_evolution(
+                target_affected, src_plain
+            )
         if policy == "insert_only":
             merged = merge_insert_only(target_affected, src_plain, keys)
         elif policy == "scd1":
@@ -690,6 +772,7 @@ class TableStore:
         merged = merged.repartitionByRange(F.col(part_col), F.col(key0))
         scratch = os.path.join(self.root, f"{name}.merge{uuid.uuid4().hex[:12]}")
         merged.write.mode("overwrite").partitionBy(part_col).parquet(scratch)
+        merged_schema_src = merged
         # ...then assemble the new version: hard-link every untouched
         # partition dir from the current version (byte-identical, no
         # data movement), move the rewritten ones in — and, under
@@ -744,6 +827,7 @@ class TableStore:
             else None
         )
         self._write_file_stats(full, key0, carry=carry)
+        self._write_schema(full, merged_schema_src)
         tmp_ptr = self._pointer(name) + ".tmp"
         with open(tmp_ptr, "w") as f:
             f.write(version_dir)
@@ -751,10 +835,10 @@ class TableStore:
         if self._changelog_enabled(name):
             # diff only the affected partitions — untouched ones are
             # hard-linked and by construction unchanged
-            pre = self.spark.read.parquet(current).filter(
+            pre = self._read_version(current).filter(
                 F.col(part_col).isin(affected)
             )
-            post = self.spark.read.parquet(full).filter(
+            post = self._read_version(full).filter(
                 F.col(part_col).isin(affected)
             )
             if spec["mode"] == "hash":
@@ -776,11 +860,19 @@ class TableStore:
         Tables created with ``write_partitioned`` take the
         partition-pruned path: only partitions containing source keys
         are rewritten (O(affected) write amplification, not O(table)).
+
+        ``evolve_schema=True`` enables schema evolution (the Delta
+        ``autoMerge`` analog): new source columns become new table
+        columns (NULL for pre-existing rows; old parquet files are NOT
+        rewritten — the per-version schema sidecar fills the gap at
+        read time), and a source missing target columns inserts NULLs
+        there instead of erroring.
         """
         spec = self.partition_spec(name)
         if spec is not None and self.exists(name):
             self._merge_partitioned(name, source, keys, policy, spec, **kwargs)
             return
+        evolve = kwargs.pop("evolve_schema", False)
         if not self.exists(name):
             base = source
             if policy == "scd1" and kwargs.get("order_col"):
@@ -806,6 +898,8 @@ class TableStore:
                 self.write(name, base)
             return
         target = self.read(name)
+        if evolve:
+            target, source = align_for_evolution(target, source)
         if policy == "insert_only":
             merged = merge_insert_only(target, source, keys)
         elif policy == "scd1":
@@ -823,7 +917,7 @@ class TableStore:
         if self._changelog_enabled(name):
             self._log_merge_changes(
                 name,
-                self.spark.read.parquet(old_path),
+                self._read_version(old_path),
                 self.read(name),
                 keys,
             )
@@ -863,7 +957,7 @@ class TableStore:
             key = (stats or {}).get("key") or (spec.get("keys") or [None])[0]
         if key is None:
             raise ValueError("pass key=<merge key> for this table")
-        df_all = self.spark.read.parquet(current)
+        df_all = self._read_version(current)
         sub = (
             df_all
             if partitions is None
@@ -907,6 +1001,7 @@ class TableStore:
             else None
         )
         self._write_file_stats(full, key, carry=carry)
+        self._write_schema(full, df_all)
         tmp_ptr = self._pointer(name) + ".tmp"
         with open(tmp_ptr, "w") as f:
             f.write(version_dir)

@@ -1079,3 +1079,66 @@ def test_table_store_optimize_compacts_and_preserves(spark, tmp_path):
     total1 = sum(len(v) for v in files1.values())
     assert surviving == total1 - 1, (files1, files2)
     assert {r["k"]: r["v"] for r in store.read("t").collect()}[5] == 999
+
+
+# --- schema evolution -----------------------------------------------------
+
+
+def test_merge_schema_evolution_plain_table(spark, tmp_path):
+    """evolve_schema=True: a new source column becomes a table column
+    (NULL for pre-existing rows); a source missing a target column
+    inserts NULLs there; without the flag the old strictness holds."""
+    store = merge.TableStore(spark, str(tmp_path))
+    store.write("t", spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")]))
+    batch = spark.createDataFrame([Row(k=2, v="B", extra=9), Row(k=3, v="c", extra=7)])
+    store.merge("t", batch, ["k"], policy="scd1", evolve_schema=True)
+    got = {r["k"]: (r["v"], r["extra"]) for r in store.read("t").collect()}
+    assert got == {1: ("a", None), 2: ("B", 9), 3: ("c", 7)}
+    # a source missing 'v' entirely now inserts NULL v instead of erroring
+    store.merge(
+        "t",
+        spark.createDataFrame([Row(k=4, extra=1)]),
+        ["k"],
+        policy="insert_only",
+        evolve_schema=True,
+    )
+    got = {r["k"]: (r["v"], r["extra"]) for r in store.read("t").collect()}
+    assert got[4] == (None, 1) and len(got) == 4
+    # strict mode still rejects a short source
+    with pytest.raises(ValueError, match="missing target columns"):
+        store.merge(
+            "t", spark.createDataFrame([Row(k=5, extra=2)]), ["k"],
+            policy="insert_only",
+        )
+
+
+def test_merge_schema_evolution_partitioned_links_old_files(spark, tmp_path):
+    """Evolution on the partitioned path must NOT rewrite untouched
+    partitions: old-schema files stay hard-linked and read back with
+    NULL-filled new columns via the per-version schema sidecar."""
+    store = merge.TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame([Row(k=i, v=f"v{i}") for i in range(64)])
+    store.write_partitioned("t", base, keys=["k"], n_buckets=8)
+    before = _partition_file_map(store.current_path("t"))
+    batch = spark.createDataFrame([Row(k=3, v="NEW", extra=42)])
+    store.merge("t", batch, ["k"], policy="scd1", evolve_schema=True)
+    after = _partition_file_map(store.current_path("t"))
+    untouched = [
+        p for p in before
+        if p in after and after[p] == before[p]
+    ]
+    assert len(untouched) >= 6, (before, after)  # old-schema files linked
+    rows = {r["k"]: (r["v"], r["extra"]) for r in store.read("t").collect()}
+    assert rows[3] == ("NEW", 42)
+    assert rows[5] == ("v5", None)  # old row from a linked old-schema file
+    assert len(rows) == 64
+    # a second, non-evolving merge on the mixed-schema table still works
+    store.merge(
+        "t",
+        spark.createDataFrame([Row(k=5, v="X", extra=None)],
+                              "k bigint, v string, extra bigint"),
+        ["k"],
+        policy="scd1",
+    )
+    rows = {r["k"]: (r["v"], r["extra"]) for r in store.read("t").collect()}
+    assert rows[5] == ("X", None) and rows[3] == ("NEW", 42)
