@@ -923,6 +923,38 @@ class TableStore:
             )
 
 
+    def versions(self, name: str) -> list[str]:
+        """Version directory names surviving retention, oldest →
+        newest (creation-time order) — the Delta ``DESCRIBE HISTORY``
+        analog, bounded by ``keep_versions``."""
+        return sorted(
+            (
+                d
+                for d in os.listdir(self.root)
+                if d.startswith(f"{name}.v")
+                and os.path.isdir(os.path.join(self.root, d))
+            ),
+            key=lambda d: os.path.getmtime(os.path.join(self.root, d)),
+        )
+
+    def read_at(self, name: str, version: str | int) -> DataFrame:
+        """Time-travel read (``VERSION AS OF`` analog): ``version`` is
+        a version dir name from ``versions()`` or a negative index
+        into it (-1 = current, -2 = previous, …). Only versions inside
+        the ``keep_versions`` retention window exist."""
+        if isinstance(version, int):
+            vs = self.versions(name)
+            if not vs:
+                raise FileNotFoundError(f"table {name} has no versions")
+            version = vs[version]
+        path = os.path.join(self.root, version)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"version {version} of {name} not found (outside the "
+                f"keep_versions={self.keep_versions} retention window?)"
+            )
+        return self._read_version(path).drop("__bucket")
+
     def optimize(
         self,
         name: str,

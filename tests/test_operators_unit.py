@@ -1142,3 +1142,21 @@ def test_merge_schema_evolution_partitioned_links_old_files(spark, tmp_path):
     )
     rows = {r["k"]: (r["v"], r["extra"]) for r in store.read("t").collect()}
     assert rows[5] == ("X", None) and rows[3] == ("NEW", 42)
+
+
+def test_table_store_time_travel(spark, tmp_path):
+    """read_at(-2) sees the pre-merge state while read()/read_at(-1)
+    see the post-merge state — bounded by keep_versions retention."""
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=2)
+    store.write("t", spark.createDataFrame([Row(k=1, v="a")]))
+    store.merge("t", spark.createDataFrame([Row(k=1, v="A2"), Row(k=2, v="b")]),
+                ["k"], policy="scd1")
+    assert len(store.versions("t")) == 2
+    now = {r["k"]: r["v"] for r in store.read_at("t", -1).collect()}
+    old = {r["k"]: r["v"] for r in store.read_at("t", -2).collect()}
+    assert now == {1: "A2", 2: "b"}
+    assert old == {1: "a"}
+    # retention: a third commit prunes the oldest version
+    store.merge("t", spark.createDataFrame([Row(k=3, v="c")]), ["k"])
+    assert len(store.versions("t")) == 2
+    assert {r["k"] for r in store.read_at("t", -2).collect()} == {1, 2}
