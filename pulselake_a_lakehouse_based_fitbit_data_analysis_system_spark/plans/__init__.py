@@ -56,6 +56,8 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_quantize_int8",
     "knn_int8",
     "redact_pii_docs",
+    "cdf_stream_changes",
+    "cdf_changes_since",
     # -- checked only in round 1 (stale; re-verify) --
     "neardup_clusters",
     "dedup_canonical_docs",

@@ -2130,3 +2130,94 @@ def _redact_oracle() -> str:
 def q_redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return text_ops.redact_pii(d, "doc_id", "text")
+
+
+# --- CDF-lite change feed (S4/T9) — driver-visible value oracles ----------
+#
+# The changelog was previously pytest-only evidence. These queries
+# build a changelogged TableStore from DETERMINISTIC events-derived
+# state (so the feed's exact content is SQL-predictable), apply one
+# SCD-1 merge, and return the feed — commit 1 logs every initial row
+# as an insert, commit 2 logs exactly the rows whose value changed as
+# update_postimage (hash-diff semantics). The oracle reconstructs both
+# commits relationally. cdf_stream_changes drains the STREAMING feed
+# source (S4); cdf_changes_since reads the batch feed with
+# startingVersion=2 (T9 backfill pruning).
+
+_CDF_BASE_ORACLE = """
+WITH t0 AS (
+  SELECT user_id, round(sum(value), 2) AS total
+  FROM events GROUP BY user_id
+), b AS (
+  SELECT user_id, round(sum(value) * 2, 2) AS total
+  FROM events WHERE user_id % 5 = 0 GROUP BY user_id
+)
+"""
+
+_CDF_STREAM_ORACLE = _CDF_BASE_ORACLE + """
+SELECT user_id, total, 'insert' AS _change_type,
+       CAST(1 AS INTEGER) AS _commit_version
+FROM t0
+UNION ALL
+SELECT b.user_id, b.total, 'update_postimage', CAST(2 AS INTEGER)
+FROM b JOIN t0 USING (user_id)
+WHERE b.total <> t0.total
+"""
+
+_CDF_SINCE_ORACLE = _CDF_BASE_ORACLE + """
+SELECT b.user_id, b.total, 'update_postimage' AS _change_type,
+       CAST(2 AS INTEGER) AS _commit_version
+FROM b JOIN t0 USING (user_id)
+WHERE b.total <> t0.total
+"""
+
+
+def _cdf_store(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from ..operators.merge import TableStore
+
+    e = _t(spark, sf_dir, "events")
+    t0 = e.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("total"))
+    batch = (
+        e.filter(F.col("user_id") % 5 == 0)
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value") * 2, 2).alias("total"))
+    )
+    root = tempfile.mkdtemp(prefix="pulselake_cdf_")
+    stream_ops._STAGED_DIRS.append(root)  # swept on interpreter exit
+    store = TableStore(spark, root, changelog=True)
+    store.write("t", t0)
+    store.merge("t", batch, ["user_id"], policy="scd1")
+    return store
+
+
+@_register(
+    "cdf_stream_changes",
+    _CDF_STREAM_ORACLE,
+    "CDF-lite change feed, STREAMED (S4, the Delta CDF streaming-"
+    "source analog): a changelogged store built from deterministic "
+    "events-derived state + one SCD-1 merge; the drained stream must "
+    "hold exactly commit 1's inserts plus commit 2's changed-row "
+    "post-images (hash-diff semantics), value-checked against the "
+    "relational reconstruction.",
+    tags=("cdf", "streaming", "merge"),
+)
+def q_cdf_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _cdf_store(spark, sf_dir)
+    feed = store.stream_changes("t", starting_version=0)
+    return stream_ops.run_stream_to_memory(feed, output_mode="append")
+
+
+@_register(
+    "cdf_changes_since",
+    _CDF_SINCE_ORACLE,
+    "CDF-lite startingVersion backfill (T9): read_changes(starting_"
+    "version=2) must return ONLY commit 2's changed-row post-images — "
+    "history before the cursor is pruned, exactly the reference's "
+    "startingVersion semantics (Silver/05-silver.py:46,65-66).",
+    tags=("cdf", "merge"),
+)
+def q_cdf_changes_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _cdf_store(spark, sf_dir)
+    return store.read_changes("t", starting_version=2)
