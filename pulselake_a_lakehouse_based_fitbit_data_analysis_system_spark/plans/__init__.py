@@ -58,6 +58,7 @@ _DRIVER_PRIORITY: list[str] = [
     "redact_pii_docs",
     "cdf_stream_changes",
     "cdf_changes_since",
+    "store_merge_pruned",
     # -- checked only in round 1 (stale; re-verify) --
     "neardup_clusters",
     "dedup_canonical_docs",

@@ -2221,3 +2221,40 @@ def q_cdf_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cdf_changes_since(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _cdf_store(spark, sf_dir)
     return store.read_changes("t", starting_version=2)
+
+
+_STORE_MERGE_ORACLE = _CDF_BASE_ORACLE + """
+SELECT t0.user_id, coalesce(b.total, t0.total) AS total
+FROM t0 LEFT JOIN b USING (user_id)
+"""
+
+
+@_register(
+    "store_merge_pruned",
+    _STORE_MERGE_ORACLE,
+    "The partitioned TableStore merge path END-TO-END under the "
+    "driver: write_partitioned (hash buckets, range-clustered files, "
+    "min/max sidecar) + one SCD-1 trickle merge (partition-pruned, "
+    "file-level min/max skipping, hard-linked survivors) + read-back "
+    "through the schema sidecar — the post-merge state must equal the "
+    "relational source-wins upsert.",
+    tags=("merge", "store"),
+)
+def q_store_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.merge import TableStore
+
+    e = _t(spark, sf_dir, "events")
+    t0 = e.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("total"))
+    batch = (
+        e.filter(F.col("user_id") % 5 == 0)
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value") * 2, 2).alias("total"))
+    )
+    root = tempfile.mkdtemp(prefix="pulselake_storemerge_")
+    stream_ops._STAGED_DIRS.append(root)
+    store = TableStore(spark, root)
+    store.write_partitioned("t", t0, keys=["user_id"], n_buckets=8)
+    store.merge("t", batch, ["user_id"], policy="scd1")
+    return store.read("t")
