@@ -375,3 +375,100 @@ def stateful_running_totals_tws(
         outputMode="Append",
         timeMode="None",
     )
+
+
+def stateful_sessionize(
+    stream: DataFrame,
+    key: str,
+    event_time: str,
+    gap_seconds: int = 1800,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Gap sessionizer on ``applyInPandasWithState`` with EVENT-TIME
+    TIMEOUT — the timer half of the custom-stateful surface that
+    ``stateful_running_totals`` (NoTimeout) does not exercise.
+
+    Per key the state holds one open session (start, end, n). Each
+    batch folds its rows into the session: a row within ``gap`` of the
+    session end extends it; a later row CLOSES it (emitted) and opens
+    a new one. The open session registers a timeout at ``end + gap``;
+    when the event-time watermark passes that point with no new rows,
+    the timeout fires and the session is emitted and cleared — exactly
+    how ``F.session_window`` evicts, but under user control (the same
+    plumbing carries auction-close / order-abandon / heartbeat-loss
+    operators). State is one row per OPEN key; closed sessions leave
+    the store immediately.
+
+    Assumes per-key event-time order within the fed batches (true for
+    replayed logs; out-of-order rows within ``gap`` still merge, a
+    too-late row would start a spurious session — size the watermark
+    to the real lateness bound).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key} long, session_start timestamp, session_end timestamp, "
+        "n bigint"
+    )
+    state_schema = "start double, end double, n bigint"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]],
+                    "session_start": [pd.Timestamp(start, unit="s")],
+                    "session_end": [pd.Timestamp(end, unit="s")],
+                    "n": [n],
+                }
+            )
+            return
+        cur = state.get if state.exists else None
+        closed = []
+        times: list[float] = []
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[event_time])
+            times.extend(t.timestamp() for t in ts)
+        times.sort()
+        for t in times:
+            if cur is None:
+                cur = (t, t, 0)
+            start, end, n = cur
+            if t - end > gap_seconds:
+                closed.append((start, end, n))
+                cur = (t, t, 1)
+            else:
+                cur = (start, max(end, t), n + 1)
+        if cur is not None:
+            state.update(cur)
+            # fire when the event-time watermark passes end + gap
+            state.setTimeoutTimestamp(int((cur[1] + gap_seconds) * 1000))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s, unit="s") for s, _, _ in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="s") for _, e, _ in closed
+                    ],
+                    "n": [n for _, _, n in closed],
+                }
+            )
+
+    return (
+        stream.withWatermark(event_time, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

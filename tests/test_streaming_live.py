@@ -84,3 +84,75 @@ def test_live_processing_time_convergence(spark, tmp_path):
     # counts hold after shutdown (no half-applied merge)
     final = {n: live.store.read(n).count() for n in LIVE_TABLES}
     assert final == want
+
+
+def test_stateful_sessionize_event_time_timeout(spark, tmp_path):
+    """EventTimeTimeout actually fires across micro-batches: key 1's
+    first session closes by DATA (a too-late row in the same batch);
+    its second session closes by TIMER when a later batch from another
+    key advances the event-time watermark past end + gap."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.streaming import (
+        ops as stream_ops,
+    )
+
+    t0 = 1_700_000_000  # epoch seconds
+    gap = 60
+
+    def write_file(i, rows):
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [int(r[1] * 1_000_000) for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        p = str(tmp_path / f"part-{i:05d}.parquet")
+        pq.write_table(tbl, p)
+        base = _time.time() - 600
+        import os as _os
+
+        _os.utime(p, (base + i, base + i))
+
+    # batch 1: key 1 — session A (3 rows), then a far row -> session A
+    # closes by data, session B opens
+    write_file(0, [(1, t0), (1, t0 + 10), (1, t0 + 20), (1, t0 + 500)])
+    # batch 2: key 2, far in the future -> watermark jumps past
+    # session B's end + gap
+    write_file(1, [(2, t0 + 10_000)])
+    # batch 3: key 3, even later -> the batch where key 1's timer fires
+    write_file(2, [(3, t0 + 20_000)])
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(tmp_path))
+    )
+    sessions = stream_ops.stateful_sessionize(
+        stream, key="user_id", event_time="ts", gap_seconds=gap
+    )
+    stats: dict = {}
+    sink = stream_ops.run_stream_to_memory(
+        sessions, output_mode="append", stats_out=stats
+    )
+    rows = {
+        (r["user_id"], int(r["session_start"].timestamp()), r["n"])
+        for r in sink.collect()
+    }
+    assert stats["num_batches"] >= 3, stats
+    # session A: closed by data within batch 1
+    assert (1, t0, 3) in rows, rows
+    # session B: closed by the TIMER (no further key-1 data ever came)
+    assert (1, t0 + 500, 1) in rows, rows
+    # key 2's timer fires too: batch 3's data pushed the watermark past
+    # its end + gap, and availableNow runs a final timeout-only batch
+    assert (2, t0 + 10_000, 1) in rows, rows
+    # key 3 stays open — the watermark never passed ITS end + gap
+    assert not any(k == 3 for k, _, _ in rows), rows
