@@ -59,6 +59,7 @@ _DRIVER_PRIORITY: list[str] = [
     "cdf_stream_changes",
     "cdf_changes_since",
     "store_merge_pruned",
+    "stateful_sessionize_gaps",
     # -- checked only in round 1 (stale; re-verify) --
     "neardup_clusters",
     "dedup_canonical_docs",

@@ -2258,3 +2258,56 @@ def q_store_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.write_partitioned("t", t0, keys=["user_id"], n_buckets=8)
     store.merge("t", batch, ["user_id"], policy="scd1")
     return store.read("t")
+
+
+# --- custom stateful sessionizer with event-time timers -------------------
+
+_STATEFUL_SESSIONIZE_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), g AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+), s AS (
+  SELECT user_id, sess,
+         min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n
+  FROM g GROUP BY user_id, sess
+), x AS (
+  SELECT *, max(sess) OVER (PARTITION BY user_id) AS last_sess FROM s
+)
+SELECT user_id, session_start, session_end, n
+FROM x
+WHERE sess < last_sess                                    -- closed by DATA
+   OR session_end + INTERVAL 30 MINUTE
+        <= (SELECT max(ts) FROM events)                   -- closed by TIMER
+"""
+
+
+@_register(
+    "stateful_sessionize_gaps",
+    _STATEFUL_SESSIONIZE_ORACLE,
+    "Custom stateful sessionizer (applyInPandasWithState + EVENT-TIME "
+    "TIMEOUT): gap sessions close either by a later row (data path) "
+    "or by the watermark passing end + gap (timer path — the final "
+    "availableNow batch fires pending timers). Oracle: gaps-and-"
+    "islands sessions MINUS each key's trailing session where the "
+    "global watermark never reached end + gap. Runs >=4 real micro-"
+    "batches; state is one open session per key.",
+    tags=("streaming", "stateful", "session", "timers"),
+)
+def q_stateful_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_ops.stream_table(spark, sf_dir, "events")
+    sessions = stream_ops.stateful_sessionize(
+        stream.select("user_id", "ts"),
+        key="user_id",
+        event_time="ts",
+        gap_seconds=1800,
+    )
+    return stream_ops.run_stream_to_memory(sessions, output_mode="append")

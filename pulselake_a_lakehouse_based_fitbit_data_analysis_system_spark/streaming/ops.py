@@ -410,7 +410,10 @@ def stateful_sessionize(
         f"{key} long, session_start timestamp, session_end timestamp, "
         "n bigint"
     )
-    state_schema = "start double, end double, n bigint"
+    # integer MICROseconds — exact under Arrow round-trips where float
+    # epoch seconds would wobble in the sub-microsecond bits
+    state_schema = "start long, end long, n bigint"
+    gap_us = gap_seconds * 1_000_000
 
     def update(key_tuple, pdfs, state: GroupState):
         import pandas as pd  # noqa: PLC0415 — executor-side import
@@ -421,24 +424,26 @@ def stateful_sessionize(
             yield pd.DataFrame(
                 {
                     key: [key_tuple[0]],
-                    "session_start": [pd.Timestamp(start, unit="s")],
-                    "session_end": [pd.Timestamp(end, unit="s")],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(end, unit="us")],
                     "n": [n],
                 }
             )
             return
         cur = state.get if state.exists else None
         closed = []
-        times: list[float] = []
+        times: list[int] = []
         for pdf in pdfs:
-            ts = pd.to_datetime(pdf[event_time])
-            times.extend(t.timestamp() for t in ts)
+            ts = pd.to_datetime(pdf[event_time]).astype("int64") // 1000
+            times.extend(int(t) for t in ts)
         times.sort()
         for t in times:
             if cur is None:
                 cur = (t, t, 0)
             start, end, n = cur
-            if t - end > gap_seconds:
+            # close at >= gap — F.session_window semantics ([ts, ts+gap)
+            # windows merge only when they overlap)
+            if t - end >= gap_us:
                 closed.append((start, end, n))
                 cur = (t, t, 1)
             else:
@@ -446,16 +451,16 @@ def stateful_sessionize(
         if cur is not None:
             state.update(cur)
             # fire when the event-time watermark passes end + gap
-            state.setTimeoutTimestamp(int((cur[1] + gap_seconds) * 1000))
+            state.setTimeoutTimestamp(-(-(cur[1] + gap_us) // 1000))
         if closed:
             yield pd.DataFrame(
                 {
                     key: [key_tuple[0]] * len(closed),
                     "session_start": [
-                        pd.Timestamp(s, unit="s") for s, _, _ in closed
+                        pd.Timestamp(s, unit="us") for s, _, _ in closed
                     ],
                     "session_end": [
-                        pd.Timestamp(e, unit="s") for _, e, _ in closed
+                        pd.Timestamp(e, unit="us") for _, e, _ in closed
                     ],
                     "n": [n for _, _, n in closed],
                 }
