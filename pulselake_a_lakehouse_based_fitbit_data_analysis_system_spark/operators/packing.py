@@ -1,0 +1,102 @@
+"""Sequence packing for LLM training — distributed prefix sums.
+
+Training pipelines concatenate tokenized documents in a deterministic
+order and slice the token stream into fixed-capacity sequences
+("packing"); each document needs its global token offset to know which
+sequence(s) it lands in. The global offset is a PREFIX SUM over a
+total order — the textbook anti-pattern is a single-partition window
+(``Window.orderBy`` with no partition: one task sees every row). The
+scale shape here is the classic two-level distributed scan:
+
+1. order every doc by a deterministic hash key and split the key
+   space into ``n_ranges`` ordered RANGES (the bucket is the hash's
+   high bits, so bucket order == global order);
+2. local prefix sums per bucket — ``n_ranges`` independent windows,
+   each a fraction of the data;
+3. bucket token totals (``n_ranges`` rows — metadata scale) →
+   exclusive bucket prefixes on the driver → broadcast join back;
+4. global offset = bucket prefix + local prefix.
+
+Everything is column math + one tiny collect; the same pattern carries
+global row numbering, cumulative histograms, and file-offset
+assignment at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.expressions import portable_hash64
+
+# portable_hash64 yields 15 hex chars = 60 bits
+_HASH_BITS = 60
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    capacity: int = 2048,
+    n_ranges: int = 64,
+) -> DataFrame:
+    """Assign each document its global token span and sequence ids
+    under concat-then-chunk packing.
+
+    Order is (portable_hash64(id), id) — deterministic, replay-stable,
+    engine-portable (the oracle computes the identical order). Returns
+    the input columns plus:
+
+    - ``start_offset`` / ``end_offset``: the doc's half-open global
+      token span
+    - ``pack_first`` / ``pack_last``: ids of the capacity-sized
+      sequences the span touches (equal unless the doc straddles a
+      boundary; empty docs get ``pack_first`` for both)
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    if n_ranges < 1:
+        raise ValueError(f"n_ranges must be >= 1, got {n_ranges}")
+    bucket_width = (2**_HASH_BITS) // n_ranges + 1
+    h = portable_hash64(F.col(id_col))
+    withb = df.withColumn("__h", h).withColumn(
+        "__b", F.floor(F.col("__h") / F.lit(bucket_width)).cast("int")
+    )
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(F.col("__h"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = withb.withColumn("__cum", F.sum(tokens_col).over(w))
+    # bucket totals: n_ranges rows — the one deliberate driver collect
+    totals = {
+        r["__b"]: r["t"]
+        for r in withb.groupBy("__b")
+        .agg(F.sum(tokens_col).alias("t"))
+        .collect()
+    }
+    prefix, acc = {}, 0
+    for b in sorted(totals):
+        prefix[b] = acc
+        acc += totals[b]
+    spark = df.sparkSession
+    prefix_df = spark.createDataFrame(
+        [(b, p) for b, p in prefix.items()], "__b int, __prefix long"
+    )
+    out = local.join(F.broadcast(prefix_df), "__b")
+    start = (F.col("__prefix") + F.col("__cum") - F.col(tokens_col)).cast(
+        "long"
+    )
+    end = (F.col("__prefix") + F.col("__cum")).cast("long")
+    pack_first = F.floor(start / F.lit(capacity)).cast("long")
+    pack_last = F.when(
+        F.col(tokens_col) > 0, F.floor((end - 1) / F.lit(capacity))
+    ).otherwise(pack_first).cast("long")
+    return (
+        out.withColumn("start_offset", start)
+        .withColumn("end_offset", end)
+        .withColumn("pack_first", pack_first)
+        .withColumn("pack_last", pack_last)
+        .drop("__h", "__b", "__cum", "__prefix")
+    )

@@ -60,6 +60,7 @@ _DRIVER_PRIORITY: list[str] = [
     "cdf_changes_since",
     "store_merge_pruned",
     "stateful_sessionize_gaps",
+    "pack_sequences_docs",
     # -- checked only in round 1 (stale; re-verify) --
     "neardup_clusters",
     "dedup_canonical_docs",

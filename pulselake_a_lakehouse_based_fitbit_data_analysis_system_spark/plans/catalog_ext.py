@@ -2311,3 +2311,51 @@ def q_stateful_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap_seconds=1800,
     )
     return stream_ops.run_stream_to_memory(sessions, output_mode="append")
+
+
+# --- sequence packing (distributed prefix sum) ----------------------------
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_sql_hash64('doc_id', 0)} AS h,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST(cum AS BIGINT)            AS end_offset,
+       CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_first,
+       CAST(CASE WHEN n_tokens > 0 THEN floor((cum - 1) / 2048)
+                 ELSE floor((cum - n_tokens) / 2048) END AS BIGINT)
+         AS pack_last
+FROM c
+"""
+
+
+@_register(
+    "pack_sequences_docs",
+    _PACK_ORACLE,
+    "Sequence packing (concat-then-chunk, capacity 2048): every doc's "
+    "global token span and the training sequences it lands in, via a "
+    "TWO-LEVEL distributed prefix sum — hash-range buckets, local "
+    "window scans per bucket, metadata-scale bucket totals broadcast "
+    "back — never the single-partition global window that serializes "
+    "the corpus through one task. The same scan pattern carries "
+    "global row numbering and file-offset assignment at 100 TB.",
+    tags=("text", "packing", "prefix_sum"),
+)
+def q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import packing
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return packing.pack_sequences(
+        d, id_col="doc_id", tokens_col="n_tokens", capacity=2048
+    )

@@ -239,3 +239,48 @@ def test_group_cap_prefilter_identity(spark, rows, ests, cap):
     a = {(r["doc_id"], r["grp"]) for r in plain.collect()}
     b = {(r["doc_id"], r["grp"]) for r in pre.collect()}
     assert a == b
+
+
+# --- sequence packing (distributed prefix sum) ----------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 50)),
+        min_size=1, max_size=30, unique_by=lambda t: t[0],
+    ),
+    n_ranges=st.sampled_from([1, 4, 64]),
+)
+@_SETTINGS
+def test_pack_sequences_prefix_sum_laws(spark, rows, n_ranges):
+    """(1) bucket count never changes the result (the two-level scan
+    equals the global scan); (2) spans tile [0, total) contiguously
+    in hash order with no overlap; (3) pack ids match the spans."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        packing,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, n=n) for i, n in rows], "doc_id long, n long"
+    )
+    out = packing.pack_sequences(
+        df, "doc_id", "n", capacity=7, n_ranges=n_ranges
+    ).collect()
+    base = packing.pack_sequences(
+        df, "doc_id", "n", capacity=7, n_ranges=1
+    ).collect()
+    key = lambda r: (r["doc_id"], r["start_offset"], r["end_offset"],
+                     r["pack_first"], r["pack_last"])
+    assert sorted(map(key, out)) == sorted(map(key, base))
+    spans = sorted((r["start_offset"], r["end_offset"]) for r in out)
+    pos = 0
+    for s, e in spans:
+        assert s == pos and e >= s
+        pos = e
+    assert pos == sum(n for _, n in rows)
+    for r in out:
+        if r["n"] > 0:
+            assert r["pack_first"] == r["start_offset"] // 7
+            assert r["pack_last"] == (r["end_offset"] - 1) // 7
+        else:
+            assert r["pack_first"] == r["pack_last"]
