@@ -205,3 +205,55 @@ def group_cap_sample(
         return capped
     exact = _cap(df.filter(F.col(group_col).isin(short)))
     return capped.filter(~F.col(group_col).isin(short)).unionByName(exact)
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Temperature-flattened source mixture (the multilingual /
+    data-mixing standard: sample sources ∝ n_s^alpha, alpha < 1
+    up-weights small sources): keep-rate for source s is
+
+        rate_s = min(1, target_fraction · N · n_s^(alpha-1) / Σ n^alpha)
+
+    so the kept corpus has ≈ ``target_fraction·N`` rows distributed
+    ∝ n_s^alpha. Source counts are one metadata-scale agg; the keep
+    decision is the usual deterministic id-hash threshold (replay-
+    stable, zero shuffle on the data path). Thresholds use half-up
+    ``floor(x·10⁴ + 0.5)`` — portable across engines, unlike
+    banker's-rounding ``round``. For ``alpha=0.5`` the power is
+    computed via IEEE-exact ``sqrt`` so an ANSI oracle reproduces the
+    thresholds bit-for-bit (a generic ``pow`` is not correctly
+    rounded).
+    """
+    import math
+
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).count().collect()
+        if r[0] is not None
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+
+    def _pow_alpha(n: int) -> float:
+        return math.sqrt(float(n)) if alpha == 0.5 else float(n) ** alpha
+
+    n_total = sum(counts.values())
+    denom = sum(_pow_alpha(counts[s]) for s in sorted(counts))
+    bucket = _hash_bucket(id_col, seed)
+    thresh = None
+    for s in sorted(counts):
+        n = counts[s]
+        rate = min(1.0, target_fraction * n_total * _pow_alpha(n) / (n * denom))
+        th = int(math.floor(rate * _BUCKETS + 0.5))
+        cond = F.col(source_col) == F.lit(s)
+        thresh = (
+            F.when(cond, F.lit(th)) if thresh is None else thresh.when(cond, F.lit(th))
+        )
+    return df.filter(bucket < thresh.otherwise(F.lit(0)))

@@ -61,6 +61,7 @@ _DRIVER_PRIORITY: list[str] = [
     "store_merge_pruned",
     "stateful_sessionize_gaps",
     "pack_sequences_docs",
+    "temperature_mixture_sample",
     # -- checked only in round 1 (stale; re-verify) --
     "neardup_clusters",
     "dedup_canonical_docs",

@@ -2359,3 +2359,46 @@ def q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_sequences(
         d, id_col="doc_id", tokens_col="n_tokens", capacity=2048
     )
+
+
+# --- temperature mixture sampling -----------------------------------------
+
+
+def _temperature_oracle() -> str:
+    bucket = f"({_sql_hash64('doc_id', 7)} % 10000)"
+    return f"""
+WITH c AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n) AS nt, sum(sqrt(CAST(n AS DOUBLE))) AS d FROM c
+), r AS (
+  SELECT source,
+         CAST(floor(least(1.0,
+                0.5 * nt * sqrt(CAST(n AS DOUBLE)) / (n * d))
+              * 10000 + 0.5) AS BIGINT) AS th
+  FROM c, tot
+)
+SELECT doc.doc_id, doc.source
+FROM documents doc JOIN r USING (source)
+WHERE {bucket} < r.th
+"""
+
+
+@_register(
+    "temperature_mixture_sample",
+    _temperature_oracle(),
+    "Temperature-flattened source mixture (alpha=0.5, the "
+    "multilingual-sampling standard): keep-rates proportional to "
+    "n_s^alpha computed from one metadata-scale source-count agg, "
+    "applied as deterministic id-hash thresholds — replay-stable, "
+    "zero shuffle on the data path; sqrt-based power + half-up "
+    "thresholds keep the oracle bit-exact.",
+    tags=("sampling", "mixture"),
+)
+def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.temperature_sample(
+        d, "doc_id", "source", alpha=0.5, target_fraction=0.5
+    )

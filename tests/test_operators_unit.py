@@ -1160,3 +1160,33 @@ def test_table_store_time_travel(spark, tmp_path):
     store.merge("t", spark.createDataFrame([Row(k=3, v="c")]), ["k"])
     assert len(store.versions("t")) == 2
     assert {r["k"] for r in store.read_at("t", -2).collect()} == {1, 2}
+
+
+def test_temperature_sample_upweights_small_sources(spark):
+    """alpha=0.5 flattening: with a 1900/100 source split and a 50%
+    budget, the small source's keep RATE must exceed the big source's
+    (sqrt flattening), totals near the budget, and the assignment must
+    be replay-stable under repartitioning."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        sampling,
+    )
+
+    rows = [Row(doc_id=i, source="big" if i < 1900 else "small")
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = sampling.temperature_sample(
+        df, "doc_id", "source", alpha=0.5, target_fraction=0.5
+    )
+    counts = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    rate_big = counts.get("big", 0) / 1900
+    rate_small = counts.get("small", 0) / 100
+    assert rate_small > rate_big * 2  # sqrt flattening: ~4.36x nominal
+    total = sum(counts.values())
+    assert 0.35 * 2000 <= total <= 0.65 * 2000  # near the 50% budget
+    again = sampling.temperature_sample(
+        df.repartition(13), "doc_id", "source", alpha=0.5, target_fraction=0.5
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {
+        r["doc_id"] for r in again.collect()
+    }
