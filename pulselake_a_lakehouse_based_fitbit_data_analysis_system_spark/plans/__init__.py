@@ -62,6 +62,7 @@ _DRIVER_PRIORITY: list[str] = [
     "stateful_sessionize_gaps",
     "pack_sequences_docs",
     "temperature_mixture_sample",
+    "top_bigram_concentration",
     # -- checked only in round 1 (stale; re-verify) --
     "neardup_clusters",
     "dedup_canonical_docs",

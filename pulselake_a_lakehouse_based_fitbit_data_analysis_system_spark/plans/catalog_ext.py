@@ -2402,3 +2402,61 @@ def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.temperature_sample(
         d, "doc_id", "source", alpha=0.5, target_fraction=0.5
     )
+
+
+# --- Gopher repetition: top-bigram concentration --------------------------
+
+_TOP_BIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         unnest(CASE WHEN len(t) >= 2
+                     THEN list_transform(generate_series(1, len(t) - 1),
+                                         i -> t[i] || ' ' || t[i+1])
+                     ELSE [] END) AS gram
+  FROM toks
+), counts AS (
+  SELECT doc_id, n_tokens, gram, count(*) AS c
+  FROM grams GROUP BY doc_id, n_tokens, gram
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       max(c) AS top_bigram_count,
+       round(max(c) * 2.0 / n_tokens, 6) AS top_bigram_frac
+FROM counts
+GROUP BY doc_id, n_tokens
+"""
+
+
+@_register(
+    "top_bigram_concentration",
+    _TOP_BIGRAM_ORACLE,
+    "Gopher's repetition-concentration signal: the fraction of a "
+    "doc's tokens covered by its single most frequent bigram "
+    "(complements quality_gopher's distinct-bigram DIVERSITY ratio — "
+    "boilerplate shows up as one dominating gram). Shape: one "
+    "explode, per-(doc, gram) count, per-doc max — two cascaded "
+    "hash aggs on the same doc-keyed exchange.",
+    tags=("text", "quality", "ngram"),
+)
+def q_top_bigram_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("t"),
+    ).select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.explode(text_ops.ngrams(F.concat_ws(" ", "t"), 2)).alias("gram"),
+    )
+    counts = toks.groupBy("doc_id", "n_tokens", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("doc_id", "n_tokens").agg(
+        F.max("c").alias("top_bigram_count"),
+        F.round(F.max("c") * 2.0 / F.col("n_tokens"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
