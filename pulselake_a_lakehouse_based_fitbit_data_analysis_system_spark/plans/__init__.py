@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pack_sequences_docs",
     "temperature_mixture_sample",
     "top_bigram_concentration",
+    "training_corpus_funnel",
     # -- checked only in round 1 (stale; re-verify) --
     "neardup_clusters",
     "dedup_canonical_docs",

@@ -2460,3 +2460,76 @@ def q_top_bigram_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_bigram_frac"
         ),
     )
+
+
+# --- capstone: training-corpus funnel -------------------------------------
+
+
+def _funnel_oracle() -> str:
+    bucket = f"({_sql_hash64('doc_id', 7)} % 10000)"
+    return f"""
+WITH m AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS t,
+         CASE WHEN len(string_split(text, ' ')) >= 2
+              THEN list_transform(
+                     generate_series(1, len(string_split(text, ' ')) - 1),
+                     i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))
+              ELSE [] END AS g
+  FROM documents
+), metrics AS (
+  SELECT doc_id, source, text,
+         CAST(len(t) AS INTEGER) AS n_words,
+         round(length(replace(text, ' ', '')) / len(t), 6) AS mean_word_len,
+         round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+               / length(text), 6) AS symbol_ratio,
+         round(CASE WHEN len(g) > 0
+                    THEN len(list_distinct(g)) / len(g)
+                    ELSE 1.0 END, 6) AS bigram_distinct_ratio
+  FROM m
+), q AS (
+  SELECT doc_id, source, text, n_words FROM metrics
+  WHERE n_words >= 50 AND n_words <= 100000
+    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+    AND symbol_ratio <= 0.1 AND bigram_distinct_ratio >= 0.2
+), f AS (
+  SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM q
+), c AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS mn FROM f
+)
+SELECT doc_id, source, n_words,
+       CASE WHEN {bucket} < 8000 THEN 'train'
+            WHEN {bucket} < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM c WHERE doc_id = mn
+"""
+
+
+@_register(
+    "training_corpus_funnel",
+    _funnel_oracle(),
+    "The end-to-end cleaning funnel a training-data pipeline runs, "
+    "composed from the catalog's own operators: Gopher quality gate "
+    "(map-side) -> exact dedup keeping the min-id canonical per "
+    "content fingerprint (one window) -> deterministic 80/10/10 hash "
+    "split (map-side). One shuffle total (the fingerprint window); "
+    "every stage is individually oracle-checked elsewhere, this query "
+    "checks their COMPOSITION.",
+    tags=("text", "quality", "dedup", "split", "pipeline"),
+)
+def q_training_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    q = text_ops.gopher_quality(d).filter("passes_quality")
+    fp = q.withColumn("fingerprint", text_ops.fingerprint("text"))
+    canon = (
+        fp.withColumn(
+            "__mn", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+        )
+        .filter(F.col("doc_id") == F.col("__mn"))
+        .select("doc_id", "source", "n_words")
+    )
+    return sampling.hash_split(canon, "doc_id", seed=7)
