@@ -764,12 +764,15 @@ class TableStore:
             raise ValueError(f"unknown policy {policy!r}")
         if spec["mode"] == "hash":
             merged = merged.withColumn(part_col, self._partition_expr(spec, keys))
-        # Write ONLY the affected partitions to a scratch dir. Range-
-        # clustering on (partition, merge key) makes the files WITHIN a
-        # partition carry disjoint key ranges — that is what gives the
-        # min/max sidecar real skipping power on the next merge (random
-        # key placement would make every file's range span everything).
-        merged = merged.repartitionByRange(F.col(part_col), F.col(key0))
+        # Write ONLY the affected partitions to a scratch dir. No
+        # per-merge range clustering: a trickle batch's output is tiny
+        # and an extra exchange per micro-batch measurably hurts (the
+        # fitbit E2E replay paid ~40% wall for it); the new files'
+        # bounds are still footer-recorded in the sidecar, so later
+        # merges prune against them correctly — range DISJOINTNESS
+        # (maximal skipping) is established at write_partitioned and
+        # re-established by optimize(), the compaction cadence any
+        # trickle-merged table needs anyway.
         scratch = os.path.join(self.root, f"{name}.merge{uuid.uuid4().hex[:12]}")
         merged.write.mode("overwrite").partitionBy(part_col).parquet(scratch)
         merged_schema_src = merged
