@@ -96,6 +96,6 @@ def test_rows_only_queries_are_documented_exceptions():
     """Every oracle-less query must be a genuinely non-SQL-expressible
     op (streaming-stateful or engine-specific estimate) — the driver
     records a weaker check for these, so keep the list tight."""
-    allowed = {"approx_distinct_agg"}
+    allowed: set[str] = set()  # r4: approx_distinct_agg gained a within_rsd oracle
     actual = {n for n, q in QUERIES.items() if q.oracle is None}
     assert actual <= allowed, f"unexpected rows-only queries: {actual - allowed}"
