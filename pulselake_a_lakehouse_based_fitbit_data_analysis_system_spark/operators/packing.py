@@ -53,6 +53,14 @@ def pack_sequences(
     - ``pack_first`` / ``pack_last``: ids of the capacity-sized
       sequences the span touches (equal unless the doc straddles a
       boundary; empty docs get ``pack_first`` for both)
+
+    A NULL ``tokens_col`` is treated as 0 tokens (an empty document):
+    NULLs would otherwise poison the prefix sums — ``sum`` skips them
+    so ``__cum`` stays finite, but ``start = __cum - tokens`` and the
+    bucket totals go NULL, which used to surface as a driver-side
+    ``TypeError`` on ``acc += None``. Coalescing at the source keeps
+    the scan total and deterministic; callers who want to EXCLUDE
+    un-tokenized docs should filter them out before packing.
     """
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
@@ -60,20 +68,23 @@ def pack_sequences(
         raise ValueError(f"n_ranges must be >= 1, got {n_ranges}")
     bucket_width = (2**_HASH_BITS) // n_ranges + 1
     h = portable_hash64(F.col(id_col))
-    withb = df.withColumn("__h", h).withColumn(
-        "__b", F.floor(F.col("__h") / F.lit(bucket_width)).cast("int")
+    tok = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    withb = (
+        df.withColumn("__h", h)
+        .withColumn("__b", F.floor(F.col("__h") / F.lit(bucket_width)).cast("int"))
+        .withColumn("__tok", tok)
     )
     w = (
         Window.partitionBy("__b")
         .orderBy(F.col("__h"), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = withb.withColumn("__cum", F.sum(tokens_col).over(w))
+    local = withb.withColumn("__cum", F.sum("__tok").over(w))
     # bucket totals: n_ranges rows — the one deliberate driver collect
     totals = {
         r["__b"]: r["t"]
         for r in withb.groupBy("__b")
-        .agg(F.sum(tokens_col).alias("t"))
+        .agg(F.sum("__tok").alias("t"))
         .collect()
     }
     prefix, acc = {}, 0
@@ -85,18 +96,18 @@ def pack_sequences(
         [(b, p) for b, p in prefix.items()], "__b int, __prefix long"
     )
     out = local.join(F.broadcast(prefix_df), "__b")
-    start = (F.col("__prefix") + F.col("__cum") - F.col(tokens_col)).cast(
+    start = (F.col("__prefix") + F.col("__cum") - F.col("__tok")).cast(
         "long"
     )
     end = (F.col("__prefix") + F.col("__cum")).cast("long")
     pack_first = F.floor(start / F.lit(capacity)).cast("long")
     pack_last = F.when(
-        F.col(tokens_col) > 0, F.floor((end - 1) / F.lit(capacity))
+        F.col("__tok") > 0, F.floor((end - 1) / F.lit(capacity))
     ).otherwise(pack_first).cast("long")
     return (
         out.withColumn("start_offset", start)
         .withColumn("end_offset", end)
         .withColumn("pack_first", pack_first)
         .withColumn("pack_last", pack_last)
-        .drop("__h", "__b", "__cum", "__prefix")
+        .drop("__h", "__b", "__cum", "__prefix", "__tok")
     )

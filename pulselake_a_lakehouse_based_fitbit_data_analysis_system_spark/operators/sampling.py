@@ -204,7 +204,14 @@ def group_cap_sample(
     if not short:
         return capped
     exact = _cap(df.filter(F.col(group_col).isin(short)))
-    return capped.filter(~F.col(group_col).isin(short)).unionByName(exact)
+    # NOT isin(short) is NULL (not true) for NULL group values — without
+    # the isNull() branch every NULL-group row would be silently dropped
+    # whenever any hot group came up short, breaking the "selection is
+    # IDENTICAL" guarantee (NULL groups are never in `hot`, so they are
+    # never recomputed and must pass through untouched).
+    return capped.filter(
+        (~F.col(group_col).isin(short)) | F.col(group_col).isNull()
+    ).unionByName(exact)
 
 
 def temperature_sample(
@@ -230,29 +237,47 @@ def temperature_sample(
     computed via IEEE-exact ``sqrt`` so an ANSI oracle reproduces the
     thresholds bit-for-bit (a generic ``pow`` is not correctly
     rounded).
+
+    Rows with a NULL source are treated as their OWN source bucket
+    (counted, weighted, and sampled like any other) rather than being
+    silently dropped — an unlabeled corpus slice loses rows only at
+    its own temperature-flattened rate.
     """
     import math
 
-    counts = {
-        r[0]: r[1]
-        for r in df.groupBy(source_col).count().collect()
-        if r[0] is not None
-    }
-    if not counts:
+    counts: dict = {}
+    null_count = 0
+    for r in df.groupBy(source_col).count().collect():
+        if r[0] is None:
+            null_count = r[1]
+        else:
+            counts[r[0]] = r[1]
+    if not counts and not null_count:
         return df.filter(F.lit(False))
 
     def _pow_alpha(n: int) -> float:
         return math.sqrt(float(n)) if alpha == 0.5 else float(n) ** alpha
 
-    n_total = sum(counts.values())
+    n_total = sum(counts.values()) + null_count
     denom = sum(_pow_alpha(counts[s]) for s in sorted(counts))
+    if null_count:
+        denom += _pow_alpha(null_count)
+
+    def _thresh(n: int) -> int:
+        rate = min(1.0, target_fraction * n_total * _pow_alpha(n) / (n * denom))
+        return int(math.floor(rate * _BUCKETS + 0.5))
+
     bucket = _hash_bucket(id_col, seed)
     thresh = None
     for s in sorted(counts):
-        n = counts[s]
-        rate = min(1.0, target_fraction * n_total * _pow_alpha(n) / (n * denom))
-        th = int(math.floor(rate * _BUCKETS + 0.5))
         cond = F.col(source_col) == F.lit(s)
+        th = _thresh(counts[s])
+        thresh = (
+            F.when(cond, F.lit(th)) if thresh is None else thresh.when(cond, F.lit(th))
+        )
+    if null_count:
+        cond = F.col(source_col).isNull()
+        th = _thresh(null_count)
         thresh = (
             F.when(cond, F.lit(th)) if thresh is None else thresh.when(cond, F.lit(th))
         )

@@ -47,7 +47,7 @@ def sliding_window_stats(
     value_col: str = "value",
     width: str = "1 hour",
     slide: str = "30 minutes",
-    mean: str = "true",
+    mean: str | bool = "avg",
 ) -> DataFrame:
     """Overlapping (sliding) window aggregation via ``F.window`` — the
     hopping-window shape from the Structured Streaming paper (SIGMOD
@@ -56,9 +56,12 @@ def sliding_window_stats(
     expression runs under a streaming read with a watermark. One
     shuffle on (window, group); the window expansion is map-side.
 
-    ``mean`` picks the mean semantics:
+    ``mean`` picks the mean semantics (``"avg"`` / ``"micro_truncated"``;
+    the legacy spellings ``"true"`` and boolean ``True`` are accepted as
+    ``"avg"`` so callers passing a real bool don't trip a stringly-typed
+    comparison):
 
-    - ``"true"`` (default): the standard ``F.avg``, rounded to 5
+    - ``"avg"`` (default): the standard ``F.avg``, rounded to 5
       decimals — what a user means by "average". 5 decimals absorbs
       the last-ulp aggregation-order wobble of an IEEE double sum for
       cross-engine comparison (at 6 decimals, 2/7205 windows flipped
@@ -72,12 +75,14 @@ def sliding_window_stats(
       than the last decimal, e.g. golden-file regression gates.
     """
     win = F.window(F.col(ts_col), width, slide)
-    if mean == "true":
+    if mean is True or mean in ("true", "avg"):
         mean_agg = F.round(F.avg(value_col), 5).alias("avg_value")
     elif mean == "micro_truncated":
         mean_agg = None  # computed from the micro sum below
     else:
-        raise ValueError(f"unknown mean={mean!r}")
+        raise ValueError(
+            f"unknown mean={mean!r}; expected 'avg' or 'micro_truncated'"
+        )
     micro = F.floor(F.col(value_col) * F.lit(1_000_000.0)).cast("long")
     grouped = events.groupBy(win.alias("win"), F.col(group_col))
     if mean_agg is not None:

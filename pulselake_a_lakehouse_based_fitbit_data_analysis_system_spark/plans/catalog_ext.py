@@ -1420,7 +1420,7 @@ def q_sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return timeseries.sliding_window_stats(
-        e, "ts", "event_type", "value", "1 hour", "30 minutes", mean="true"
+        e, "ts", "event_type", "value", "1 hour", "30 minutes", mean="avg"
     )
 
 

@@ -4,6 +4,7 @@ plumbing, and the algorithmic guarantees of the near-dup family."""
 
 from __future__ import annotations
 
+import datetime
 import os
 
 import pytest
@@ -800,6 +801,97 @@ def test_group_cap_sample_rejects_bad_cap(spark):
 
     with pytest.raises(ValueError, match="cap"):
         sampling.group_cap_sample(spark.range(1), "id", "id", cap=0)
+
+
+def test_group_cap_sample_keeps_null_groups_when_hot_group_short(spark):
+    """Regression (round-4 advice): the exactness-guard recompute used
+    ``~isin(short)``, which is NULL (not true) for NULL group values —
+    all NULL-group rows vanished whenever any hot group's size estimate
+    was wildly high (pre-filter survivors < cap)."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        sampling,
+    )
+
+    rows = [Row(id=i, grp="hot") for i in range(10)]
+    rows += [Row(id=100 + i, grp=None) for i in range(7)]
+    df = spark.createDataFrame(rows, "id int, grp string")
+    # est size 10_000 for a 10-row group → pre-filter keeps almost
+    # nothing → "hot" comes up short → recompute path fires
+    capped = sampling.group_cap_sample(
+        df, "id", "grp", cap=5, est_group_sizes={"hot": 10_000}
+    )
+    by_grp = {
+        r["grp"]: r["n"]
+        for r in capped.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_grp.get(None, 0) == 5, by_grp  # NULL group capped, not dropped
+    assert by_grp.get("hot", 0) == 5, by_grp
+    # and identical to the unfiltered selection
+    plain_ids = {
+        r["id"] for r in sampling.group_cap_sample(df, "id", "grp", cap=5).collect()
+    }
+    assert {r["id"] for r in capped.collect()} == plain_ids
+
+
+def test_temperature_sample_null_source_is_own_bucket(spark):
+    """Regression (round-4 advice): NULL sources used to be silently
+    dropped; now they form their own source bucket."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        sampling,
+    )
+
+    rows = [Row(id=i, src="a") for i in range(200)]
+    rows += [Row(id=1000 + i, src=None) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, src string")
+    kept = sampling.temperature_sample(
+        df, "id", "src", alpha=0.5, target_fraction=0.5
+    )
+    by_src = {
+        r["src"]: r["n"]
+        for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    # equal-sized sources → equal keep rates; NULL bucket must be present
+    assert by_src.get(None, 0) > 0, by_src
+    assert abs(by_src[None] - by_src["a"]) <= 40, by_src
+
+
+def test_pack_sequences_null_tokens_treated_as_empty(spark):
+    """Regression (round-4 advice): NULL token counts used to raise a
+    driver-side TypeError on the bucket-total prefix accumulation (and
+    NULL out the offsets); they now pack as 0-token documents."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        packing,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=f"d{i}", n_tokens=None if i % 3 == 0 else 10) for i in range(30)],
+        "doc_id string, n_tokens int",
+    )
+    out = packing.pack_sequences(df, "doc_id", "n_tokens", capacity=16, n_ranges=4)
+    rows = out.collect()
+    assert len(rows) == 30
+    assert all(r["start_offset"] is not None for r in rows)
+    null_rows = [r for r in rows if r["n_tokens"] is None]
+    assert all(r["end_offset"] == r["start_offset"] for r in null_rows)
+    assert max(r["end_offset"] for r in rows) == 200  # 20 docs × 10 tokens
+
+
+def test_sliding_window_stats_accepts_bool_and_avg(spark):
+    """Regression (round-4 advice): mean=True (a real bool) used to
+    fail the stringly == "true" check."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        timeseries,
+    )
+
+    df = spark.createDataFrame(
+        [Row(ts=datetime.datetime(2024, 1, 1, 0, m), event_type="x", value=1.0)
+         for m in range(10)]
+    )
+    for flag in (True, "true", "avg"):
+        out = timeseries.sliding_window_stats(df, mean=flag)
+        assert "avg_value" in out.columns
+    with pytest.raises(ValueError, match="micro_truncated"):
+        timeseries.sliding_window_stats(df, mean="bogus")
 
 
 # --- multi-batch streaming evidence ---------------------------------------
