@@ -92,6 +92,42 @@ def test_every_oracle_parses_in_duckdb(duck):
             raise AssertionError(f"{name}: oracle does not plan: {e}") from e
 
 
+def test_readme_counts_are_generated():
+    """README's query counts and provenance table must match the
+    registry + committed CORRECTNESS artifacts — regenerating must be a
+    no-op. On failure run `python tools/gen_docs.py` (round-3 verdict,
+    'What's wrong' #4: hand-maintained counts drift)."""
+    import importlib.util
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "gen_docs", root / "tools" / "gen_docs.py"
+    )
+    gen_docs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen_docs)
+    readme = (root / "README.md").read_text()
+    assert gen_docs.regenerate(readme) == readme, (
+        "README.md is stale — run `python tools/gen_docs.py`"
+    )
+
+
+def test_driver_priority_orders_never_green_then_stalest():
+    """The generated enumeration puts never-green queries first, then
+    ascending last-green round, and QUERIES iterates in that order
+    (what __spark_entry__.queries() exposes to the driver)."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import (
+        driver_priority,
+        last_green_rounds,
+    )
+
+    green = last_green_rounds()
+    order = driver_priority()
+    assert order == list(QUERIES), "QUERIES dict order must match priority"
+    rounds = [green.get(n, 0) for n in order]
+    assert rounds == sorted(rounds), "not ordered by last-green round"
+
+
 def test_rows_only_queries_are_documented_exceptions():
     """Every oracle-less query must be a genuinely non-SQL-expressible
     op (streaming-stateful or engine-specific estimate) — the driver
