@@ -31,14 +31,61 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+# Explicit-broadcast ceiling: past this the hint is dropped and AQE
+# decides at runtime (SCALE.md "if a dim outgrows ~1 GB, drop the
+# hint" — now code, not prose; round-3 verdict "Next round" #6).
+BROADCAST_MAX_BYTES = 1 << 30
+
+
+def _estimated_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's own optimized-plan size estimate — no job, the same
+    number the planner compares against autoBroadcastJoinThreshold.
+    File relations report real footer/file sizes; unknown relations
+    report Long.MaxValue, which safely lands on the no-hint side.
+    None when the JVM plan is unreachable (e.g. Spark Connect)."""
+    try:
+        qe = df._jdf.queryExecution()  # noqa: SLF001 — py4j escape hatch
+        return int(str(qe.optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return None
+
+
+def maybe_broadcast(
+    dim: DataFrame, max_bytes: int = BROADCAST_MAX_BYTES
+) -> DataFrame:
+    """``F.broadcast(dim)`` iff the dim is provably small, else the
+    plain frame (AQE still broadcasts at runtime if actual size
+    allows).
+
+    An unconditional explicit hint OVERRIDES the planner's size checks
+    — a dim that quietly grows past executor memory turns the hint
+    into an OOM at 100 TB. The guard uses Catalyst's free size
+    estimate; overestimates (post-join/agg plans inflate) only cost
+    the hint, never correctness: the fallback is the identical plain
+    join under AQE. When no estimate is reachable the hint is dropped
+    — the conservative side.
+    """
+    size = _estimated_size_bytes(dim)
+    if size is not None and size <= max_bytes:
+        return F.broadcast(dim)
+    return dim
+
+
 def broadcast_dim_join(
     fact: DataFrame,
     dim: DataFrame,
     on: Sequence[str] | Column,
     how: str = "inner",
+    max_bytes: int = BROADCAST_MAX_BYTES,
 ) -> DataFrame:
-    """Fact ⋈ broadcast(dim) — reference J1 (``Bronze/04-bronze.py:87-89``)."""
-    return fact.join(F.broadcast(dim), on, how)
+    """Fact ⋈ broadcast(dim) — reference J1 (``Bronze/04-bronze.py:87-89``).
+
+    The broadcast hint is size-guarded (``maybe_broadcast``): dims
+    under ``max_bytes`` by Catalyst's estimate get the explicit hint
+    (never silently sort-merge on missing stats), larger ones fall
+    back to a plain join and AQE picks the strategy at runtime.
+    """
+    return fact.join(maybe_broadcast(dim, max_bytes), on, how)
 
 
 def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:

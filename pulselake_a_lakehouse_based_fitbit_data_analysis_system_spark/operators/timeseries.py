@@ -133,13 +133,18 @@ def corr_to_reference(
     Returns (series_key, n_common, corr) for keys sharing at least
     ``min_common`` buckets with the reference.
     """
+    from .joins import maybe_broadcast
+
     series = bucketed_series(events, key_col, ts_col, value_col, bucket)
     ref = series.filter(F.col("series_key") == F.lit(reference_key)).select(
         "bucket", F.col("v").alias("ref_v")
     )
     sums = (
         series.filter(F.col("series_key") != F.lit(reference_key))
-        .join(F.broadcast(ref), "bucket")
+        # one row per bucket of ONE key — ordinarily tiny, but the hint
+        # is size-guarded like every dim hint (a decade of 1 s buckets
+        # would be ~10^8 rows; past the guard AQE decides)
+        .join(maybe_broadcast(ref), "bucket")
         .groupBy("series_key")
         .agg(
             F.count(F.lit(1)).alias("n_common"),
