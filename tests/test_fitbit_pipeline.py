@@ -56,6 +56,79 @@ def test_two_set_replay(spark, workdir):
     assert all(r.minutes_exercising <= r.minutes_in_gym for r in rows)
 
 
+def test_optimize_after_replay_restores_disjoint_ranges_and_pruning(
+    spark, workdir
+):
+    """Round-3 verdict #7: the trickle-merge story depends on
+    compaction cadence (per-merge range clustering was dropped for its
+    ~40% E2E cost — commit c912a2c). Prove the cadence works at E2E
+    scale: after the two-set replay's accumulated merges,
+    ``TableStore.optimize`` restores file-disjoint merge-key ranges in
+    every partition of the merge-heavy fact table, and a post-optimize
+    single-key merge prunes to exactly ONE rewritten file (every other
+    file hard-link-survives by inode)."""
+    import json
+    import os
+
+    pipe = FitbitPipeline(spark, workdir)
+    store = pipe.store
+    table = "heart_rate"  # p_date-partitioned, merged every batch
+
+    rows_before = {
+        (r["device_id"], r["time"]): r["heartrate"]
+        for r in store.read(table).collect()
+    }
+    store.optimize(table)
+    assert {
+        (r["device_id"], r["time"]): r["heartrate"]
+        for r in store.read(table).collect()
+    } == rows_before, "optimize changed data"
+
+    current = store.current_path(table)
+    with open(os.path.join(current, "_FILESTATS.json")) as f:
+        stats = json.load(f)
+    assert stats["key"] == "device_id"
+    by_dir: dict[str, list[tuple[int, int]]] = {}
+    for relpath, (lo, hi) in stats["files"].items():
+        by_dir.setdefault(relpath.split("/")[0], []).append((int(lo), int(hi)))
+    assert by_dir, "no file stats recorded"
+    for d, ranges in by_dir.items():
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2, (
+                f"overlapping post-optimize key ranges in {d}: "
+                f"[{lo1},{hi1}] vs [{lo2},{hi2}]"
+            )
+
+    def inode_map(path):
+        out = {}
+        for entry in os.listdir(path):
+            pdir = os.path.join(path, entry)
+            if not os.path.isdir(pdir):
+                continue
+            for fname in os.listdir(pdir):
+                if fname.endswith(".parquet"):
+                    out[f"{entry}/{fname}"] = os.stat(
+                        os.path.join(pdir, fname)
+                    ).st_ino
+        return out
+
+    files_before = inode_map(current)
+    # a single existing row as the merge source: insert_only dedups it
+    # (no data change), but the merge still rewrites whichever files
+    # could contain the key — post-optimize that must be exactly one
+    src = store.read(table).limit(1)
+    store.merge(table, src, ["device_id", "time"], "insert_only")
+    files_after = inode_map(store.current_path(table))
+    surviving = sum(
+        1 for f, ino in files_before.items() if files_after.get(f) == ino
+    )
+    assert surviving == len(files_before) - 1, (
+        f"expected exactly 1 rewritten file, got "
+        f"{len(files_before) - surviving} of {len(files_before)}"
+    )
+
+
 def test_scd1_update_wins(spark, workdir):
     """CDC updates must overwrite the 'new' profile (reference A6)."""
     pipe = FitbitPipeline(spark, workdir)
