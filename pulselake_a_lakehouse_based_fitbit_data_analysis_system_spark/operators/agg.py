@@ -83,3 +83,53 @@ def sessionize(
         )
         .withColumnRenamed("__session_no", "session_no")
     )
+
+
+def flag_above_quantile(
+    df: DataFrame,
+    value_col: str,
+    q_bp: int = 9900,
+    flag_col: str = "is_outlier",
+    threshold_col: str = "threshold",
+) -> DataFrame:
+    """Exact distributed quantile flagging — the outlier-length gate of
+    a corpus pipeline (drop/route docs past the p99 length) WITHOUT
+    ``approx_percentile`` (engine-specific estimates) and WITHOUT a
+    global sort (single-partition window over the data).
+
+    The q-quantile of a bounded-domain column is computed from its
+    VALUE HISTOGRAM: one hash agg to (value, count) — |distinct
+    values| rows, metadata-scale for lengths/scores/ratings — then a
+    cumulative sum over that tiny frame (the only ordered window, over
+    the histogram, never the data), and the threshold is the smallest
+    value whose cumulative count reaches ``q_bp`` basis points of the
+    total (integer cross-multiplication — no float rounding to drift
+    across engines). The threshold broadcasts back; the flag is
+    map-side.
+
+    ``q_bp`` is the quantile in basis points (9900 = p99). NULL values
+    are excluded from the histogram and flagged false. Rows with
+    ``value > threshold`` are flagged — at most ``1 - q_bp/10^4`` of
+    the corpus by construction.
+    """
+    if not 0 < q_bp <= 10_000:
+        raise ValueError(f"q_bp must be in (0, 10000], got {q_bp}")
+    v = F.col(value_col)
+    hist = (
+        df.filter(v.isNotNull())
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("__cum", F.sum("__n").over(w))
+    total = hist.agg(F.sum("__n").alias("__total"))
+    threshold = (
+        cum.crossJoin(F.broadcast(total))
+        .filter(F.col("__cum") * 10_000 >= F.lit(q_bp) * F.col("__total"))
+        .agg(F.min(value_col).alias(threshold_col))
+    )
+    return df.crossJoin(F.broadcast(threshold)).withColumn(
+        flag_col, F.coalesce(v > F.col(threshold_col), F.lit(False))
+    )

@@ -111,3 +111,46 @@ def pack_sequences(
         .withColumn("pack_last", pack_last)
         .drop("__h", "__b", "__cum", "__prefix", "__tok")
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    shard_tokens: int = 1 << 20,
+    n_ranges: int = 64,
+) -> DataFrame:
+    """Training-shard manifest: assign every document to the output
+    shard its global token offset starts in, and roll each shard up to
+    the numbers a shard writer needs (doc count, token load, offset
+    span).
+
+    This is ``pack_sequences`` composed with one hash agg: shard id =
+    ``floor(start_offset / shard_tokens)`` (a doc belongs to the shard
+    where it STARTS; a straddling doc's tokens count toward its home
+    shard, so ``n_tokens`` can exceed ``shard_tokens`` by at most one
+    doc's tail — exactly how fixed-size shard writers behave). The
+    manifest is |shards| rows — metadata scale — but is computed
+    distributed: the prefix sums come from the two-level scan, the
+    rollup is a single groupBy(shard_id).
+
+    Returns (shard_id, n_docs, n_tokens, start_offset, end_offset),
+    one row per non-empty shard.
+    """
+    if shard_tokens < 1:
+        raise ValueError(f"shard_tokens must be >= 1, got {shard_tokens}")
+    packed = pack_sequences(
+        df, id_col, tokens_col, capacity=shard_tokens, n_ranges=n_ranges
+    )
+    return (
+        packed.withColumn("shard_id", F.col("pack_first"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("end_offset") - F.col("start_offset")).alias(
+                "n_tokens"
+            ),
+            F.min("start_offset").alias("start_offset"),
+            F.max("end_offset").alias("end_offset"),
+        )
+    )

@@ -177,6 +177,84 @@ def ngrams(text: Column | str, n: int = 2) -> Column:
     )
 
 
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 10,
+    max_df: int = 1,
+) -> DataFrame:
+    """Cross-corpus segment-level dedup with document reassembly — the
+    CCNet/Dolma line-dedup shape (drop every copy of a segment that
+    repeats across the corpus: boilerplate headers, nav bars, license
+    blocks) expressed as three relational passes:
+
+    1. segment each doc (explode with position);
+    2. corpus-wide document frequency per segment — a count window
+       partitioned by the segment (one shuffle; same shape as
+       ``boilerplate_coverage``, no join back needed);
+    3. reassemble: group by doc, sort surviving segments by position
+       (``array_sort`` over (pos, segment) structs — pos is unique per
+       doc), concat. Docs whose every segment was dropped still emit a
+       row with ``clean_text = ''``.
+
+    The segmenter here is fixed non-overlapping ``seg_tokens``-token
+    chunks because the synthetic corpus has no newlines; on a real
+    corpus pass the text pre-split on newline into a (pos, segment)
+    frame and start at pass 2 — the dedup semantics don't depend on
+    the segmenter. Segments with corpus df > ``max_df`` are dropped
+    (all occurrences, CCNet semantics — repeated content is assumed
+    boilerplate, the first copy is no more canonical than the rest).
+
+    Scale: shuffle 1 keys on the segment text (at 100 TB, window on
+    ``xxhash64(segment)`` instead to shuffle 8-byte keys; kept textual
+    here for bit-exact oracle checks), shuffle 2 on doc_id; both are
+    hash aggs over the exploded segments, never all-pairs. Per-doc
+    state in pass 3 is the doc's own segments — bounded by doc length.
+    """
+    toks = tokens(text_col)
+    n_segs = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int"), F.lit(1)
+    )
+    seg = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__t"), n_segs.alias("__n")
+    ).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("__n") - 1)).alias("pos"),
+        F.col("__t"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.array_join(
+            F.slice(
+                F.col("__t"), F.col("pos") * seg_tokens + 1, seg_tokens
+            ),
+            " ",
+        ).alias("segment"),
+    )
+    from pyspark.sql.window import Window
+
+    with_df = seg.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("segment"))
+    )
+    kept_struct = F.when(
+        F.col("__df") <= max_df, F.struct("pos", "segment")
+    )  # null (collect_list-skipped) for dropped segments
+    return with_df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(
+            F.when(F.col("__df") > max_df, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s.segment,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
     (A content-defined rolling-hash chunker would go here for partial-

@@ -2540,3 +2540,133 @@ def q_training_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_words")
     )
     return sampling.hash_split(canon, "doc_id", seed=7)
+
+
+# --- CCNet-style segment-level corpus dedup (round 4) ---------------------
+
+_SEGMENT_DEDUP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), segs AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[(i*10+1):(i*10+10)], ' ') AS segment
+  FROM toks, UNNEST(generate_series(
+         0, CAST(greatest(ceil(len(t)/10.0), 1) AS INT) - 1)) AS u(i)
+), cf AS (
+  SELECT doc_id, pos, segment,
+         count(*) OVER (PARTITION BY segment) AS df
+  FROM segs
+)
+SELECT doc_id,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       coalesce(array_to_string(
+         list(segment ORDER BY pos) FILTER (WHERE df <= 1), ' '), '')
+         AS clean_text
+FROM cf
+GROUP BY doc_id
+"""
+
+
+@_register(
+    "segment_dedup_docs",
+    _SEGMENT_DEDUP_ORACLE,
+    "CCNet/Dolma line-dedup shape: drop every copy of any segment "
+    "repeated ANYWHERE in the corpus (boilerplate removal), then "
+    "reassemble each doc from its surviving segments in order. "
+    "Explode-with-position -> corpus df via a count window on the "
+    "segment -> groupBy(doc) reassembly with array_sort — two "
+    "shuffles, no join, no all-pairs. Segmenter here: fixed 10-token "
+    "chunks (the synthetic corpus has no newlines); the dedup is "
+    "segmenter-agnostic.",
+    tags=("text", "dedup", "segments"),
+)
+def q_segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.segment_dedup(d, "doc_id", "text", seg_tokens=10)
+
+
+# --- training-shard manifest (round 4) ------------------------------------
+
+_SHARD_MANIFEST_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_sql_hash64('doc_id', 0)} AS h,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(min(cum - n_tokens) AS BIGINT) AS start_offset,
+       CAST(max(cum) AS BIGINT) AS end_offset
+FROM c
+GROUP BY 1
+"""
+
+
+@_register(
+    "shard_manifest_docs",
+    _SHARD_MANIFEST_ORACLE,
+    "Training-shard manifest: every doc assigned to the fixed-size "
+    "output shard its global token offset STARTS in (pack_sequences "
+    "composed with one hash agg), rolled up to what a shard writer "
+    "needs — doc count, token load, offset span per shard. The "
+    "prefix sums are the two-level distributed scan; the manifest "
+    "itself is |shards| rows, metadata-scale. Shard capacity 512 "
+    "tokens here so the testdata yields a real shard distribution.",
+    tags=("text", "packing", "shards"),
+)
+def q_shard_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import packing
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return packing.shard_manifest(
+        d, id_col="doc_id", tokens_col="n_tokens", shard_tokens=512
+    )
+
+
+# --- exact distributed quantile outlier flags (round 4) -------------------
+
+_LENGTH_P99_ORACLE = """
+WITH hist AS (
+  SELECT n_chars, count(*) AS n FROM documents
+  WHERE n_chars IS NOT NULL GROUP BY n_chars
+), c AS (
+  SELECT n_chars,
+         sum(n) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER () AS total
+  FROM hist
+), th AS (
+  SELECT min(n_chars) AS threshold FROM c WHERE cum * 10000 >= 9900 * total
+)
+SELECT d.doc_id, d.n_chars, th.threshold,
+       coalesce(d.n_chars > th.threshold, false) AS is_outlier
+FROM documents d, th
+"""
+
+
+@_register(
+    "length_p99_flags",
+    _LENGTH_P99_ORACLE,
+    "Exact p99 outlier gate WITHOUT approx_percentile (engine-specific "
+    "estimates) and WITHOUT a global data sort: the quantile comes "
+    "from the column's VALUE HISTOGRAM — one hash agg to (value, "
+    "count), a cumulative sum over that metadata-scale frame (the "
+    "only ordered window runs over the histogram, never the data), "
+    "integer basis-point cross-multiplication for a drift-free "
+    "threshold, broadcast back for a map-side flag.",
+    tags=("agg", "quantile", "quality"),
+)
+def q_length_p99_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.agg import flag_above_quantile
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return flag_above_quantile(d, "n_chars", q_bp=9900)

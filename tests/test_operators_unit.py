@@ -1282,3 +1282,97 @@ def test_temperature_sample_upweights_small_sources(spark):
     assert {r["doc_id"] for r in kept.collect()} == {
         r["doc_id"] for r in again.collect()
     }
+
+
+# --- round-4 extensions: segment dedup, shard manifest, exact quantile ----
+
+
+def test_segment_dedup_drops_repeated_segments_and_reassembles(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        text as text_ops,
+    )
+
+    boiler = "w1 w2 w3"  # 3-token segment shared by docs 1 and 2
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{boiler} a b c"),
+            Row(doc_id=2, text=f"{boiler} d e f"),
+            Row(doc_id=3, text="g h i j k l"),
+            Row(doc_id=4, text=boiler),  # every segment dropped
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.segment_dedup(
+            df, "doc_id", "text", seg_tokens=3
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "a b c" and out[1]["n_dropped"] == 1
+    assert out[2]["clean_text"] == "d e f" and out[2]["n_dropped"] == 1
+    assert out[3]["clean_text"] == "g h i j k l" and out[3]["n_dropped"] == 0
+    # all segments dropped -> row survives with empty text
+    assert out[4]["clean_text"] == "" and out[4]["n_dropped"] == 1
+    assert out[1]["n_segments"] == 2 and out[4]["n_segments"] == 1
+
+
+def test_segment_dedup_order_preserved_multi_segment(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        text as text_ops,
+    )
+
+    # 9 tokens -> 3 segments at width 3; middle segment duplicated
+    dup = "x x x"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"a1 a2 a3 {dup} c1 c2 c3"),
+            Row(doc_id=2, text=f"{dup} q r s"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in text_ops.segment_dedup(
+            df, "doc_id", "text", seg_tokens=3
+        ).collect()
+    }
+    assert out[1] == "a1 a2 a3 c1 c2 c3"  # order kept, middle removed
+    assert out[2] == "q r s"
+
+
+def test_shard_manifest_partitions_token_stream(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        packing,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=f"d{i}", n_tokens=7) for i in range(100)]
+    )
+    shards = packing.shard_manifest(
+        df, "doc_id", "n_tokens", shard_tokens=50
+    ).collect()
+    assert sum(r["n_docs"] for r in shards) == 100
+    assert sum(r["n_tokens"] for r in shards) == 700
+    by_id = sorted(shards, key=lambda r: r["shard_id"])
+    # every doc starts in its shard's token range
+    for r in by_id:
+        assert r["start_offset"] >= r["shard_id"] * 50
+        assert r["start_offset"] < (r["shard_id"] + 1) * 50
+    # shard ids are the dense prefix of the offset space
+    assert [r["shard_id"] for r in by_id] == list(range(len(by_id)))
+
+
+def test_flag_above_quantile_exact_threshold_and_nulls(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.agg import (
+        flag_above_quantile,
+    )
+
+    # 100 rows of value 1..100 -> p90 threshold = 90, flags 91..100
+    rows = [Row(id=i, v=i) for i in range(1, 101)] + [Row(id=999, v=None)]
+    df = spark.createDataFrame(rows, "id int, v int")
+    out = {r["id"]: r for r in flag_above_quantile(df, "v", q_bp=9000).collect()}
+    assert all(r["threshold"] == 90 for r in out.values())
+    flagged = {i for i, r in out.items() if r["is_outlier"]}
+    assert flagged == set(range(91, 101))
+    assert out[999]["is_outlier"] is False  # NULL -> not an outlier
+
+    with pytest.raises(ValueError, match="q_bp"):
+        flag_above_quantile(df, "v", q_bp=0)

@@ -220,6 +220,45 @@ def test_boilerplate_single_explode_single_big_shuffle(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_segment_dedup_two_shuffles_one_explode(spark):
+    import re
+
+    plan = plan_of(spark, "segment_dedup_docs")
+    # one explode (position sequence), window by segment + doc
+    # reassembly agg = exactly two exchanges; the corpus never
+    # broadcasts and nothing goes cartesian
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "BroadcastExchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_manifest_no_global_window(spark):
+    plan = plan_of(spark, "shard_manifest_docs")
+    # the prefix sums run per hash-range bucket; a Window with an empty
+    # partition spec would serialize the corpus through one task
+    assert "Window" in plan
+    assert "PartitionBy: []" not in plan and "partitionBy=[]" not in plan
+    # bucket prefixes ride a broadcast join; no cartesian
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_length_p99_ordered_window_over_histogram_only(spark):
+    import re
+
+    plan = plan_of(spark, "length_p99_flags")
+    # the cumulative sum's single-partition sort runs AFTER the
+    # histogram agg (metadata-scale input): in the formatted plan the
+    # Window node must sit above a HashAggregate, and the data-sized
+    # side joins the 1-row threshold via broadcast (BNLJ at one row is
+    # the intended shape), never a CartesianProduct or SortMergeJoin
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_decontam_broadcasts_bench_grams_only(spark):
     plan = plan_of(spark, "decontam_ngram_overlap")
     # benchmark gram set rides a broadcast; the training side must not
