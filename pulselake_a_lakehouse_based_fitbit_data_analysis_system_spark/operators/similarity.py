@@ -280,3 +280,93 @@ def knn_int8(
         .orderBy(F.col("cosine_q").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 1,
+    scale: int = 1000,
+) -> DataFrame:
+    """Lloyd's k-means as a driver-coordinated iterative Spark job —
+    the algorithm that builds the IVF coarse quantizer
+    (``ivf_assign``'s centroids) for real, instead of taking them as
+    given. Returns one row per cluster: (cluster_id, n_vectors,
+    inertia) after ``iters`` refinement rounds from deterministic
+    seeds (the ``k`` lowest-id vectors).
+
+    Everything is EXACT integer arithmetic so the result is
+    bit-identical across engines and partition orders:
+
+    - vectors are quantized once to ``floor(x·scale + 0.5)`` longs
+      (per-element, order-free);
+    - assignment is argmin of integer squared-L2 against k LITERAL
+      centroid arrays — a pure map (zip_with + fold per centroid),
+      ties to the lowest cluster id via ``array_position``;
+    - the update step is ONE hash aggregation with d ``sum`` columns
+      per cluster (map-side partials; no posexplode d× row blowup),
+      collecting k×(d+1) numbers — metadata-scale, the same
+      driver-coordination shape as MLlib's own KMeans;
+    - new centroid components use the engine-neutral rounding formula
+      ``floor((2·sum + n) / (2·n))`` (evaluated in IEEE double on both
+      sides; sums fit 53 bits) — clusters that lose every member keep
+      their previous centroid.
+
+    Per iteration: one shuffle (the k-row update agg). The final
+    cluster-size/inertia rollup is a second k-row agg. At 100 TB this
+    is exactly MLlib's cost model; there is no cheaper exact shape.
+    """
+    import math
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    base = df.select(F.col(id_col).alias("__id"), q.alias("__q"))
+    seed_rows = base.orderBy("__id").limit(k).collect()  # k vectors: metadata
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")
+    cents: list[list[int]] = [list(r["__q"]) for r in seed_rows]
+    d = len(cents[0])
+
+    def dist_to(c: list[int]) -> Column:
+        lit_c = F.array(*[F.lit(int(ci)) for ci in c])
+        return F.aggregate(
+            F.zip_with(F.col("__q"), lit_c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def assigned() -> DataFrame:
+        dists = F.array(*[dist_to(c) for c in cents])
+        return base.withColumn(
+            "__cl", (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+        ).withColumn("__dist", F.array_min(dists))
+
+    for _ in range(iters):
+        sums = assigned().groupBy("__cl").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.sum(F.element_at("__q", i + 1)).alias(f"__s{i}") for i in range(d)],
+        )
+        by_cl = {int(r["__cl"]): r for r in sums.collect()}  # k rows: metadata
+        cents = [
+            [
+                int(math.floor((2.0 * by_cl[j][f"__s{i}"] + by_cl[j]["__n"])
+                               / (2.0 * by_cl[j]["__n"])))
+                for i in range(d)
+            ]
+            if j in by_cl
+            else cents[j]
+            for j in range(k)
+        ]
+
+    return (
+        assigned()
+        .groupBy("__cl")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.sum("__dist").alias("inertia"))
+        .select(F.col("__cl").alias("cluster_id"), "n_vectors", "inertia")
+    )

@@ -2670,3 +2670,249 @@ def q_length_p99_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return flag_above_quantile(d, "n_chars", q_bp=9900)
+
+
+# --- linear model inference (round 4) -------------------------------------
+
+_QUALITY_CLF_WEIGHTS = {
+    "spark": 900, "fast": 700, "vector": 500, "window": 300,
+    "slow": -800, "dup": -600, "error": -400, "small": -200,
+}
+_QUALITY_CLF_BIAS = -500
+
+_QUALITY_CLF_ORACLE = """
+WITH w(tok, w_mb) AS (VALUES
+  ('spark', 900), ('fast', 700), ('vector', 500), ('window', 300),
+  ('slow', -800), ('dup', -600), ('error', -400), ('small', -200)),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+s AS (
+  SELECT t.doc_id, coalesce(sum(w.w_mb), 0) AS tok_sum
+  FROM tok t LEFT JOIN w ON w.tok = t.tok
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(-500 + coalesce(s.tok_sum, 0) AS BIGINT) AS score_mb,
+       (-500 + coalesce(s.tok_sum, 0)) > 0 AS label
+FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+"""
+
+
+@_register(
+    "quality_classifier_score",
+    _QUALITY_CLF_ORACLE,
+    "fastText-style linear bag-of-words quality classifier run as "
+    "map-side inference: the vocabulary->weight table is a broadcast "
+    "literal map, scoring is an integer left fold over the token "
+    "array inside codegen — zero exchanges, zero Python. Integer "
+    "milli-unit weights make the logit exact and engine-portable; "
+    "label = logit > 0 (sigmoid is monotone). This is the shape of "
+    "every 'looks like a reference page' corpus gate at 100 TB.",
+    bench=True,
+    tags=("text", "classifier", "inference"),
+)
+def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import linear_bow_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return linear_bow_score(
+        d, "text", _QUALITY_CLF_WEIGHTS, bias_mb=_QUALITY_CLF_BIAS
+    ).select("doc_id", "score_mb", "label")
+
+
+# --- iterative k-means (IVF coarse quantizer training, round 4) -----------
+
+_KMEANS_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, qv AS cv
+  FROM (SELECT id, qv FROM q ORDER BY id LIMIT 8)
+),
+d1 AS (
+  SELECT q.id, q.qv, s.cid,
+         list_sum(list_transform(range(1, len(q.qv)+1),
+                  i -> (q.qv[i]-s.cv[i])*(q.qv[i]-s.cv[i]))) AS dist
+  FROM q CROSS JOIN seeds s
+),
+a1 AS (
+  SELECT id, qv, cid AS cl FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM d1
+  ) WHERE rn = 1
+),
+u AS (
+  SELECT cl, unnest(qv) AS comp, unnest(range(1, len(qv)+1)) AS pos FROM a1
+),
+c2 AS (
+  SELECT cl, pos,
+         CAST(floor((2.0*sum(comp) + count(*)) / (2.0*count(*))) AS BIGINT) AS comp
+  FROM u GROUP BY cl, pos
+),
+cent2 AS (
+  SELECT cl, list(comp ORDER BY pos) AS cv FROM c2 GROUP BY cl
+),
+centf AS (
+  SELECT s.cid, coalesce(c.cv, s.cv) AS cv
+  FROM seeds s LEFT JOIN cent2 c ON c.cl = s.cid
+),
+d2 AS (
+  SELECT q.id, s.cid,
+         list_sum(list_transform(range(1, len(q.qv)+1),
+                  i -> (q.qv[i]-s.cv[i])*(q.qv[i]-s.cv[i]))) AS dist
+  FROM q CROSS JOIN centf s
+),
+a2 AS (
+  SELECT id, cid AS cl, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM d2
+  ) WHERE rn = 1
+)
+SELECT cl AS cluster_id, count(*) AS n_vectors, CAST(sum(dist) AS BIGINT) AS inertia
+FROM a2 GROUP BY cl
+"""
+
+
+@_register(
+    "kmeans_refine_embeddings",
+    _KMEANS_ORACLE,
+    "Lloyd's k-means (1 refinement round, k=8, deterministic lowest-id "
+    "seeds) over the embedding table — the iterative driver-coordinated "
+    "job that trains ivf_cell_assign's coarse quantizer. Assignment is "
+    "a pure map against literal centroids (integer squared-L2, exact); "
+    "the update step is one hash agg with d sum columns per cluster "
+    "(k x (d+1) numbers collected — metadata-scale, MLlib's own cost "
+    "model). The oracle replays the identical integer iteration in SQL, "
+    "so even the intermediate centroids are value-checked.",
+    tags=("similarity", "iterative", "kmeans"),
+)
+def q_kmeans_refine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_refine
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_refine(e, "embedding", "vec_id", k=8, iters=1)
+
+
+# --- numeric data profiling (round 4) -------------------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+_PROFILE_ORACLE = """
+WITH a AS (
+  SELECT count(*) AS n_rows,
+    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_1,
+    count(DISTINCT l_quantity) AS nd_1,
+    CAST(min(l_quantity) AS DOUBLE) AS min_1,
+    CAST(max(l_quantity) AS DOUBLE) AS max_1,
+    CAST(sum(CAST(floor(CAST(l_quantity AS DOUBLE)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_1,
+    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS null_2,
+    count(DISTINCT l_extendedprice) AS nd_2,
+    CAST(min(l_extendedprice) AS DOUBLE) AS min_2,
+    CAST(max(l_extendedprice) AS DOUBLE) AS max_2,
+    CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_2,
+    sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS null_3,
+    count(DISTINCT l_discount) AS nd_3,
+    CAST(min(l_discount) AS DOUBLE) AS min_3,
+    CAST(max(l_discount) AS DOUBLE) AS max_3,
+    CAST(sum(CAST(floor(CAST(l_discount AS DOUBLE)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_3,
+    sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS null_4,
+    count(DISTINCT l_tax) AS nd_4,
+    CAST(min(l_tax) AS DOUBLE) AS min_4,
+    CAST(max(l_tax) AS DOUBLE) AS max_4,
+    CAST(sum(CAST(floor(CAST(l_tax AS DOUBLE)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_4
+  FROM lineitem
+)
+SELECT 'l_quantity' AS column, n_rows, null_1 AS n_null, nd_1 AS n_distinct,
+       min_1 AS min_v, max_1 AS max_v, sum_1 AS sum_cents FROM a
+UNION ALL
+SELECT 'l_extendedprice', n_rows, null_2, nd_2, min_2, max_2, sum_2 FROM a
+UNION ALL
+SELECT 'l_discount', n_rows, null_3, nd_3, min_3, max_3, sum_3 FROM a
+UNION ALL
+SELECT 'l_tax', n_rows, null_4, nd_4, min_4, max_4, sum_4 FROM a
+"""
+
+
+@_register(
+    "numeric_profile_lineitem",
+    _PROFILE_ORACLE,
+    "Deequ-style numeric profiler: row/null/exact-distinct counts, "
+    "min/max, fixed-point sum for four measure columns in ONE "
+    "aggregation pass (Catalyst plans the multi-column exact distincts "
+    "as a single Expand + two-level hash agg — one shuffle, not one "
+    "scan per column). Sums quantize each value to integer cents "
+    "before summing so the result is order-free and engine-exact; the "
+    "wide 1-row agg is unpivoted with stack (metadata-scale).",
+    bench=True,
+    tags=("agg", "profiling", "quality"),
+)
+def q_numeric_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.agg import numeric_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return numeric_profile(li, list(_PROFILE_COLS))
+
+
+# --- robust outlier stats (round 4) ---------------------------------------
+
+_ROBUST_ORACLE = """
+WITH hist AS (
+  SELECT event_type AS g,
+         CAST(floor(CAST(value AS DOUBLE)*100 + 0.5) AS BIGINT) AS v,
+         count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT g, sum(n) AS total FROM hist GROUP BY g),
+med AS (
+  SELECT g, min(v) AS med FROM (
+    SELECT h.g, h.v,
+           sum(h.n) OVER (PARTITION BY h.g ORDER BY h.v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+           t.total
+    FROM hist h JOIN tot t USING (g)
+  ) WHERE cum * 2 >= total GROUP BY g
+),
+dev AS (
+  SELECT h.g, m.med, abs(h.v - m.med) AS dev, sum(h.n) AS n
+  FROM hist h JOIN med m USING (g) GROUP BY 1, 2, 3
+),
+mad AS (
+  SELECT g, med, min(dev) AS mad FROM (
+    SELECT d.g, d.med, d.dev,
+           sum(d.n) OVER (PARTITION BY d.g ORDER BY d.dev
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+           t.total
+    FROM dev d JOIN tot t USING (g)
+  ) WHERE cum * 2 >= total GROUP BY g, med
+)
+SELECT d.g AS event_type, t.total AS n, m.med AS median_c, m.mad AS mad_c,
+       CAST(sum(CASE WHEN d.dev * 10000 > 44478 * m.mad
+                     THEN d.n ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (g) JOIN tot t USING (g)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@_register(
+    "robust_outlier_events",
+    _ROBUST_ORACLE,
+    "Per-event-type robust outlier statistics (median, MAD, count past "
+    "|v - med| > 3*1.4826*MAD) computed EXACTLY with a single data "
+    "shuffle: every statistic derives from the group's value histogram "
+    "(values quantized to integer cents). The MAD histogram is the "
+    "value histogram re-keyed by |v - median| — a map over the "
+    "histogram, never a second data pass — and the outlier count is a "
+    "histogram sum. Ordered windows only ever run over per-group "
+    "histograms (metadata-scale). Integer cross-multiplied threshold: "
+    "no float drift across engines.",
+    bench=True,
+    tags=("agg", "quality", "robust-stats"),
+)
+def q_robust_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.agg import robust_outlier_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return robust_outlier_stats(ev, "event_type", "value")

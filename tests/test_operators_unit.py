@@ -1376,3 +1376,117 @@ def test_flag_above_quantile_exact_threshold_and_nulls(spark):
 
     with pytest.raises(ValueError, match="q_bp"):
         flag_above_quantile(df, "v", q_bp=0)
+
+
+# --- round 4: classifier / kmeans / profiling / robust stats --------------
+
+
+def test_linear_bow_score_exact_and_missing_tokens(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.classifier import (
+        linear_bow_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "good good bad"), (2, "meh"), (3, "")],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: (r["score_mb"], r["label"])
+        for r in linear_bow_score(
+            df, "text", {"good": 1000, "bad": -1500}, bias_mb=100
+        ).collect()
+    }
+    # 100 + 1000 + 1000 - 1500 = 600 ; unknown-only = bias ; empty = bias
+    assert out == {1: (600, True), 2: (100, True), 3: (100, True)}
+
+
+def test_linear_bow_score_rejects_empty_vocab(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.classifier import (
+        linear_bow_score,
+    )
+
+    df = spark.createDataFrame([(1, "x")], ["id", "text"])
+    with pytest.raises(ValueError):
+        linear_bow_score(df, "text", {})
+
+
+def test_kmeans_refine_converges_to_obvious_clusters(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.similarity import (
+        kmeans_refine,
+    )
+
+    # two tight blobs far apart; seeds (ids 0,1) land one per blob
+    rows = [
+        (0, [0.0, 0.0]), (2, [0.1, -0.1]), (4, [-0.1, 0.1]),
+        (1, [10.0, 10.0]), (3, [10.1, 9.9]), (5, [9.9, 10.1]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["cluster_id"]: (r["n_vectors"], r["inertia"])
+        for r in kmeans_refine(df, "embedding", "vec_id", k=2, iters=2).collect()
+    }
+    assert got[0][0] == 3 and got[1][0] == 3
+    # quantized blob spread: each non-centroid point is 100 units off
+    # per axis after the mean snaps to the blob centre
+    assert got[0][1] < 100_000 and got[1][1] < 100_000
+
+
+def test_kmeans_refine_needs_k_vectors(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.similarity import (
+        kmeans_refine,
+    )
+
+    df = spark.createDataFrame([(0, [1.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        kmeans_refine(df, "embedding", "vec_id", k=2)
+
+
+def test_numeric_profile_counts_nulls_and_fixed_point_sum(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.agg import (
+        numeric_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1.25, 10.0), (2.25, None), (1.25, 30.5)], ["a", "b"]
+    )
+    got = {r["column"]: r.asDict() for r in numeric_profile(df, ["a", "b"]).collect()}
+    assert got["a"]["n_rows"] == 3 and got["a"]["n_null"] == 0
+    assert got["a"]["n_distinct"] == 2
+    assert got["a"]["sum_cents"] == 125 + 225 + 125
+    assert got["b"]["n_null"] == 1 and got["b"]["n_distinct"] == 2
+    assert got["b"]["sum_cents"] == 1000 + 3050
+    assert got["b"]["min_v"] == 10.0 and got["b"]["max_v"] == 30.5
+
+
+def test_robust_outlier_stats_hand_computed(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.agg import (
+        robust_outlier_stats,
+    )
+
+    # group g: values 1..5 plus a wild 100 → median of 6 values
+    # (lower median rule: smallest v with 2*cum >= 6 → 3.0),
+    # devs |v-300| in cents: 200,100,0,100,200,9700 → MAD=100 reaches
+    # 2*cum>=6 at dev 100? cum(0)=1, cum(100)=3 → 2*3>=6 → MAD=100.
+    # threshold: dev*10000 > 44478*100 → dev > 444.78 → only 9700.
+    vals = [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 5.0), ("g", 100.0)]
+    df = spark.createDataFrame(vals + [("h", None)], ["k", "v"])
+    got = {r["k"]: r.asDict() for r in robust_outlier_stats(df, "k", "v").collect()}
+    assert got["g"]["n"] == 6
+    assert got["g"]["median_c"] == 300
+    assert got["g"]["mad_c"] == 100
+    assert got["g"]["n_outliers"] == 1
+    assert "h" not in got  # all-NULL group has no histogram rows
+
+
+def test_robust_outlier_stats_null_group_is_its_own_group(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.agg import (
+        robust_outlier_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), ("a", 5.0)], ["k", "v"]
+    )
+    rows = robust_outlier_stats(df, "k", "v").collect()
+    by_key = {r["k"]: r for r in rows}
+    assert by_key[None]["n"] == 2 and by_key[None]["median_c"] == 100
+    assert by_key["a"]["n"] == 1 and by_key["a"]["mad_c"] == 0

@@ -11,6 +11,7 @@ from __future__ import annotations
 import contextlib
 import io
 import os
+import re
 
 import pytest
 
@@ -418,3 +419,40 @@ def test_new_map_side_ops_have_no_shuffle(spark, name):
     # Exchange means an accidental shuffle crept in
     plan = plan_of(spark, name)
     assert "Exchange" not in plan, name
+
+
+def test_quality_classifier_is_pure_map(spark):
+    # model inference must be map-side: literal weight map + fold,
+    # zero exchanges, and the scan reads only (doc_id, text)
+    plan = plan_of(spark, "quality_classifier_score")
+    assert "Exchange" not in plan
+    schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in schema and "lang" not in schema and "source" not in schema
+
+
+def test_numeric_profile_single_pass(spark):
+    # 4 columns x (nulls, exact distinct, min, max, sum) must plan as
+    # ONE Expand-based multi-distinct aggregation — not a scan per
+    # column: exactly one parquet scan, partial+final aggs
+    plan = plan_of(spark, "numeric_profile_lineitem")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_robust_outlier_stats_one_data_scan(spark):
+    # every statistic (median, MAD, outlier count) must derive from the
+    # persisted value histogram: exactly ONE scan of the events table;
+    # all ordered windows run over the cached histogram, never the data
+    plan = plan_of(spark, "robust_outlier_events")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_refine_assignment_is_map_side(spark):
+    # final assignment = literal centroids (no join, no cartesian);
+    # the only exchange is the k-row cluster rollup
+    plan = plan_of(spark, "kmeans_refine_embeddings")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
