@@ -489,3 +489,43 @@ def bm25_scores(
             F.round(F.sum("contrib"), 6).alias("bm25"),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """First step of BPE tokenizer induction: the corpus-wide frequency
+    of every adjacent character pair, i.e. the statistic whose argmax
+    becomes the first merge rule.
+
+    Computed the way real BPE trainers do it at scale — over the
+    VOCABULARY, not the corpus: explode to words and hash-agg to
+    (word, count) first (map-side combine collapses each partition to
+    its local vocabulary, so the first shuffle carries ~|vocab| rows,
+    not |corpus| words); then pairs are derived per DISTINCT word and
+    weighted by the word's count, so the second shuffle is
+    |vocab| x word-length — metadata-scale however big the corpus is.
+    The result is identical to counting pairs over raw text.
+
+    Top-n selection is ``TakeOrderedAndProject`` (per-partition heaps)
+    with the deterministic tie-break (count desc, pair asc).
+    """
+    words = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("__w")
+    )
+    vocab = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__wc"))
+    chars = F.regexp_extract_all(F.col("__w"), F.lit("."), 0)
+    pairs = F.zip_with(
+        F.slice(chars, 1, F.greatest(F.size(chars) - 1, F.lit(0))),
+        F.slice(chars, 2, F.greatest(F.size(chars) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, b),
+    )
+    return (
+        vocab.select(F.explode(pairs).alias("pair"), F.col("__wc"))
+        .groupBy("pair")
+        .agg(F.sum("__wc").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )

@@ -2916,3 +2916,44 @@ def q_robust_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return robust_outlier_stats(ev, "event_type", "value")
+
+
+# --- BPE tokenizer induction (round 4) ------------------------------------
+
+_BPE_PAIRS_ORACLE = """
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (
+  SELECT word, count(*) AS wc FROM w GROUP BY word
+),
+ch AS (
+  SELECT word, wc, regexp_extract_all(word, '.') AS cs FROM vocab
+),
+p AS (
+  SELECT unnest(list_transform(range(1, len(cs)), i -> cs[i] || cs[i+1])) AS pair, wc
+  FROM ch
+)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50
+"""
+
+
+@_register(
+    "bpe_pair_counts",
+    _BPE_PAIRS_ORACLE,
+    "First BPE merge statistic: corpus-wide adjacent character-pair "
+    "frequencies, computed over the VOCABULARY the way real tokenizer "
+    "trainers scale — words hash-agg to (word, count) first (map-side "
+    "combine makes the first shuffle ~|vocab| rows), pairs derive per "
+    "DISTINCT word weighted by its count, so the pair shuffle is "
+    "|vocab| x word-length regardless of corpus size. Identical result "
+    "to counting over raw text; deterministic (count desc, pair asc) "
+    "top-50 via per-partition heaps.",
+    tags=("text", "tokenizer", "bpe"),
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_pair_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(d, "text", top_n=50)

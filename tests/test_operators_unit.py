@@ -1490,3 +1490,14 @@ def test_robust_outlier_stats_null_group_is_its_own_group(spark):
     by_key = {r["k"]: r for r in rows}
     assert by_key[None]["n"] == 2 and by_key[None]["median_c"] == 100
     assert by_key["a"]["n"] == 1 and by_key["a"]["mad_c"] == 0
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.text import (
+        bpe_pair_counts,
+    )
+
+    # "ab ab abc" → vocab {ab:2, abc:1}; pairs: ab→(a,b)x2 ; abc→ab,bc
+    df = spark.createDataFrame([("ab ab abc",), ("x",)], ["text"])
+    got = {r["pair"]: r["n"] for r in bpe_pair_counts(df, "text", 10).collect()}
+    assert got == {"ab": 3, "bc": 1}  # 1-char word 'x' contributes none

@@ -456,3 +456,11 @@ def test_kmeans_refine_assignment_is_map_side(spark):
     plan = plan_of(spark, "kmeans_refine_embeddings")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_bpe_pair_counts_aggregates_over_vocab(spark):
+    # pair derivation must hang off the (word, count) aggregate — two
+    # hash-agg levels, top-n as TakeOrderedAndProject, no global Sort
+    plan = plan_of(spark, "bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
