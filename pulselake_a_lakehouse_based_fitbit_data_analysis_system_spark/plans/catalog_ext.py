@@ -2957,3 +2957,106 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return bpe_pair_counts(d, "text", top_n=50)
+
+
+# --- behavioral analytics (round 4) ---------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s1 ON s1.u = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s2 ON s2.u = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+)
+SELECT 1 AS step_no, 'view' AS step, count(*) AS n_users FROM s1
+UNION ALL SELECT 2, 'click', count(*) FROM s2
+UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+"""
+
+
+@_register(
+    "funnel_conversion",
+    _FUNNEL_ORACLE,
+    "STRICT ordered funnel (view -> click -> purchase): each step "
+    "counts only events strictly after the user's first qualifying "
+    "previous-step event. A cascade of per-step min-agg + equi-join on "
+    "user_id, each stage filtering to ONE event type before its "
+    "shuffle — the shuffled input shrinks monotonically down the "
+    "funnel; no per-user sort of the whole log.",
+    tags=("behavior", "funnel", "agg"),
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import behavior
+
+    ev = _t(spark, sf_dir, "events")
+    return behavior.funnel_conversion(ev, ["view", "click", "purchase"])
+
+
+_COHORT_ORACLE = """
+WITH ev AS (
+  SELECT user_id AS u,
+         CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS w
+  FROM events
+),
+f AS (SELECT u, min(w) AS cohort_week FROM ev GROUP BY u)
+SELECT f.cohort_week, ev.w - f.cohort_week AS week_offset,
+       count(DISTINCT ev.u) AS n_active
+FROM ev JOIN f ON f.u = ev.u
+WHERE ev.w - f.cohort_week < 4
+GROUP BY 1, 2
+"""
+
+
+@_register(
+    "cohort_retention",
+    _COHORT_ORACLE,
+    "Weekly cohort retention: distinct active users per (first-seen "
+    "cohort week, week offset 0-3). Week = days-since-epoch / 7 — "
+    "engine-neutral integer arithmetic instead of date_trunc "
+    "semantics. One first-seen agg, one keyed shuffle join back on "
+    "user_id (the one genuinely data-sized join), one count-distinct "
+    "rollup.",
+    tags=("behavior", "cohort", "agg"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import behavior
+
+    ev = _t(spark, sf_dir, "events")
+    return behavior.cohort_retention(ev, max_weeks=4)
+
+
+_TRANSITIONS_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS prev_type, event_type AS next_type, count(*) AS n
+FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
+@_register(
+    "event_transitions",
+    _TRANSITIONS_ORACLE,
+    "Markov transition matrix of the event log: (prev_type, "
+    "next_type) adjacency counts per user sequence. One lag window "
+    "partitioned BY USER (frames stay per-user-sized at any scale; "
+    "deterministic (ts, event_id) tie-break) + one hash-agg rollup to "
+    "|types|^2 rows.",
+    bench=True,
+    tags=("behavior", "window", "agg"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import behavior
+
+    ev = _t(spark, sf_dir, "events")
+    return behavior.event_transitions(ev)

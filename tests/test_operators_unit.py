@@ -1501,3 +1501,76 @@ def test_bpe_pair_counts_weighted_by_word_frequency(spark):
     df = spark.createDataFrame([("ab ab abc",), ("x",)], ["text"])
     got = {r["pair"]: r["n"] for r in bpe_pair_counts(df, "text", 10).collect()}
     assert got == {"ab": 3, "bc": 1}  # 1-char word 'x' contributes none
+
+
+def test_funnel_conversion_strict_ordering(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.behavior import (
+        funnel_conversion,
+    )
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1 converts fully in order
+        (1, 1, "a", T(1)), (2, 1, "b", T(2)), (3, 1, "c", T(3)),
+        # u2 does b BEFORE a → b must not count
+        (4, 2, "b", T(1)), (5, 2, "a", T(2)),
+        # u3 only a
+        (6, 3, "a", T(5)),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    got = {r["step"]: r["n_users"] for r in funnel_conversion(df, ["a", "b", "c"]).collect()}
+    assert got == {"a": 3, "b": 1, "c": 1}
+
+
+def test_funnel_conversion_rejects_empty_steps(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.behavior import (
+        funnel_conversion,
+    )
+
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, 1, "a", dt.datetime(2024, 1, 1))],
+        ["event_id", "user_id", "event_type", "ts"],
+    )
+    with pytest.raises(ValueError):
+        funnel_conversion(df, [])
+
+
+def test_cohort_retention_offsets(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.behavior import (
+        cohort_retention,
+    )
+    import datetime as dt
+
+    rows = [
+        # u1 first in week of 2024-01-01, active again 2 weeks later
+        (1, dt.datetime(2024, 1, 1)), (1, dt.datetime(2024, 1, 15)),
+        # u2 same cohort, only week 0
+        (2, dt.datetime(2024, 1, 2)),
+        # u1 far-future event beyond max_weeks is excluded
+        (1, dt.datetime(2024, 6, 1)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {(r["cohort_week"], r["week_offset"]): r["n_active"]
+           for r in cohort_retention(df, max_weeks=4).collect()}
+    offsets = {off: n for (_, off), n in got.items()}
+    assert offsets[0] == 2 and offsets[2] == 1 and 1 not in offsets
+
+
+def test_event_transitions_tie_break_deterministic(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.behavior import (
+        event_transitions,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [  # same timestamp: event_id breaks the tie → a->b, b->c
+        (1, 1, "a", t0), (2, 1, "b", t0), (3, 1, "c", t0),
+        (4, 2, "a", t0),  # single event: no transition
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    got = {(r["prev_type"], r["next_type"]): r["n"]
+           for r in event_transitions(df).collect()}
+    assert got == {("a", "b"): 1, ("b", "c"): 1}

@@ -464,3 +464,21 @@ def test_bpe_pair_counts_aggregates_over_vocab(spark):
     plan = plan_of(spark, "bpe_pair_counts")
     assert "TakeOrderedAndProject" in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_funnel_steps_filter_before_shuffle(spark):
+    # each funnel stage must push its event_type filter into the scan
+    # (PushedFilters) so only that step's events shuffle — and the
+    # user joins must stay equi (no nested loop)
+    plan = plan_of(spark, "funnel_conversion")
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "event_type" in pushed
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_event_transitions_single_window_shuffle(spark):
+    # one exchange for the per-user window, one for the pair rollup
+    plan = plan_of(spark, "event_transitions")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
