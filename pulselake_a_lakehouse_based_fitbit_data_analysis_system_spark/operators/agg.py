@@ -192,18 +192,24 @@ def robust_outlier_stats(
             F.broadcast(r), F.col("__g").eqNullSafe(F.col("__g2"))
         ).drop("__g2")
 
-    totals = hist.groupBy("__g").agg(F.sum("__n").alias("__total"))
+    # the group total rides the SAME window partitioning as the
+    # cumulative sum (full-frame variant) — no separate totals agg, no
+    # extra join per consumer
+    wtot = Window.partitionBy("__g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     med = (
-        nsjoin(hist.withColumn("__cum", F.sum("__n").over(wcum)), totals)
+        hist.withColumn("__cum", F.sum("__n").over(wcum))
+        .withColumn("__total", F.sum("__n").over(wtot))
         .filter(F.col("__cum") * 2 >= F.col("__total"))
         .groupBy("__g")
-        .agg(F.min("__v").alias("__med"))
+        .agg(F.min("__v").alias("__med"), F.max("__total").alias("__total"))
     )
     # deviation histogram: re-key the value histogram, no data pass
     dev_hist = (
         nsjoin(hist, med)
         .withColumn("__dev", F.abs(F.col("__v") - F.col("__med")))
-        .groupBy("__g", "__med", "__dev")
+        .groupBy("__g", "__med", "__total", "__dev")
         .agg(F.sum("__n").alias("__n"))
     )
     wdev = (
@@ -212,14 +218,14 @@ def robust_outlier_stats(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     mad = (
-        nsjoin(dev_hist.withColumn("__cum", F.sum("__n").over(wdev)), totals)
+        dev_hist.withColumn("__cum", F.sum("__n").over(wdev))
         .filter(F.col("__cum") * 2 >= F.col("__total"))
         .groupBy("__g", "__med")
         .agg(F.min("__dev").alias("__mad"))
     )
-    outliers = (
-        nsjoin(dev_hist.drop("__med"), mad)
-        .groupBy("__g", "__med", "__mad")
+    return (
+        nsjoin(dev_hist, mad.drop("__med"))
+        .groupBy("__g", "__med", "__total", "__mad")
         .agg(
             F.sum(
                 F.when(
@@ -228,9 +234,6 @@ def robust_outlier_stats(
                 ).otherwise(F.lit(0))
             ).alias("n_outliers")
         )
-    )
-    return (
-        nsjoin(outliers, totals)
         .select(
             F.col("__g").alias(group_col),
             F.col("__total").alias("n"),
