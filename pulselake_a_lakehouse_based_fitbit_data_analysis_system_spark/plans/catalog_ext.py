@@ -3060,3 +3060,52 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return behavior.event_transitions(ev)
+
+
+_STREAM_CLF_ORACLE = """
+WITH w(tok, w_mb) AS (VALUES
+  ('spark', 900), ('fast', 700), ('vector', 500), ('window', 300),
+  ('slow', -800), ('dup', -600), ('error', -400), ('small', -200)),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+s AS (
+  SELECT t.doc_id, coalesce(sum(w.w_mb), 0) AS tok_sum
+  FROM tok t LEFT JOIN w ON w.tok = t.tok
+  GROUP BY t.doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+         CAST(-500 + coalesce(s.tok_sum, 0) AS BIGINT) AS score_mb
+  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+)
+SELECT doc_id, score_mb FROM scored WHERE score_mb > 0
+"""
+
+
+@_register(
+    "streaming_classifier_gate",
+    _STREAM_CLF_ORACLE,
+    "The quality-classifier gate applied to a DOCUMENT STREAM: "
+    "linear_bow_score is stateless map-side Column math, so it runs "
+    "unchanged inside Structured Streaming (no watermark, no state "
+    "store) — the shape of an ingest-time corpus filter. Drained with "
+    "availableNow into a memory sink; output equals the batch "
+    "classifier filtered to accepted docs.",
+    tags=("streaming", "classifier", "inference"),
+)
+def q_streaming_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import linear_bow_score
+
+    stream = stream_ops.stream_table(spark, sf_dir, "documents")
+    gated = (
+        linear_bow_score(
+            stream.select("doc_id", "text"),
+            "text",
+            _QUALITY_CLF_WEIGHTS,
+            bias_mb=_QUALITY_CLF_BIAS,
+        )
+        .filter(F.col("label"))
+        .select("doc_id", "score_mb")
+    )
+    return stream_ops.run_stream_to_memory(gated, output_mode="append")
