@@ -284,3 +284,116 @@ def test_pack_sequences_prefix_sum_laws(spark, rows, n_ranges):
             assert r["pack_last"] == (r["end_offset"] - 1) // 7
         else:
             assert r["pack_first"] == r["pack_last"]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.floats(min_value=-100, max_value=100,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_SETTINGS
+def test_robust_outlier_stats_matches_bruteforce(spark, rows):
+    """median_c / mad_c / n_outliers must equal the brute-force
+    definition on the quantized values for ANY input: lower median
+    (smallest value with 2*cum >= n), MAD as lower median of absolute
+    deviations, outliers past 10000*dev > 44478*mad."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.agg import (
+        robust_outlier_stats,
+    )
+    import math
+
+    df = spark.createDataFrame(
+        [Row(k=k, v=float(v)) for k, v in rows], "k string, v double"
+    )
+    got = {r["k"]: r.asDict() for r in robust_outlier_stats(df, "k", "v").collect()}
+
+    def lower_median(sorted_vals):
+        n = len(sorted_vals)
+        cum = 0
+        for i, v in enumerate(sorted_vals):
+            cum += 1
+            if 2 * cum >= n:
+                return v
+        raise AssertionError
+
+    by_group: dict[str, list[int]] = {}
+    for k, v in rows:
+        by_group.setdefault(k, []).append(int(math.floor(v * 100 + 0.5)))
+    for k, cents in by_group.items():
+        med = lower_median(sorted(cents))
+        devs = sorted(abs(c - med) for c in cents)
+        mad = lower_median(devs)
+        n_out = sum(1 for d in devs if d * 10_000 > 44_478 * mad)
+        assert got[k]["n"] == len(cents), k
+        assert got[k]["median_c"] == med, k
+        assert got[k]["mad_c"] == mad, k
+        assert got[k]["n_outliers"] == n_out, k
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.floats(min_value=-5, max_value=5,
+                      allow_nan=False, allow_infinity=False),
+            st.floats(min_value=-5, max_value=5,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    iters=st.integers(min_value=1, max_value=2),
+)
+@_SETTINGS
+def test_kmeans_refine_matches_bruteforce_lloyd(spark, vecs, iters):
+    """Cluster sizes and inertia must equal a pure-Python replay of the
+    identical quantized Lloyd iteration (same seeds, same tie-breaks,
+    same engine-neutral centroid rounding)."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.similarity import (
+        kmeans_refine,
+    )
+    import math
+
+    k = 2
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(a), float(b)]) for i, (a, b) in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["cluster_id"]: (r["n_vectors"], r["inertia"])
+        for r in kmeans_refine(df, "embedding", "vec_id", k=k, iters=iters).collect()
+    }
+
+    q = [[int(math.floor(x * 1000 + 0.5)) for x in v] for v in vecs]
+    cents = [list(q[0]), list(q[1])]
+
+    def assign(qv):
+        dists = [sum((a - b) ** 2 for a, b in zip(qv, c)) for c in cents]
+        best = dists.index(min(dists))  # first-match tie-break
+        return best, dists[best]
+
+    for _ in range(iters):
+        groups: dict[int, list[list[int]]] = {}
+        for qv in q:
+            cl, _ = assign(qv)
+            groups.setdefault(cl, []).append(qv)
+        for j in range(k):
+            if j in groups:
+                n = len(groups[j])
+                cents[j] = [
+                    int(math.floor((2.0 * sum(m[i] for m in groups[j]) + n) / (2.0 * n)))
+                    for i in range(2)
+                ]
+    expect: dict[int, list[int]] = {}
+    for qv in q:
+        cl, d = assign(qv)
+        if cl not in expect:
+            expect[cl] = [0, 0]
+        expect[cl][0] += 1
+        expect[cl][1] += d
+    assert got == {cl: (n, inert) for cl, (n, inert) in expect.items()}
