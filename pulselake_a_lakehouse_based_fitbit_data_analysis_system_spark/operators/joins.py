@@ -324,3 +324,42 @@ def as_of_join(
     return joined.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") == 1
     ).drop("__rn")
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block: Column,
+    max_dist: int = 4,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: names within Levenshtein
+    distance ``max_dist``, restricted to pairs sharing a BLOCKING key
+    (e.g. a name token, a phonetic code, a sorted-neighborhood
+    prefix). Emits (id_a, id_b, name_a, name_b, dist) with
+    ``id_a < id_b``.
+
+    The blocking key turns the all-pairs O(n²) comparison into an
+    equi-join: only same-block rows meet, so cost is Σ|block|² — the
+    operator's scale contract is choosing blocks whose sizes stay
+    bounded (the same contract as LSH banding in ``neardup``; a hot
+    block is data skew and salting/AQE applies). The Levenshtein
+    filter rides the join as a residual predicate, JVM-side.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("name_a"),
+        block.alias("__blk"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("name_b"),
+        block.alias("__blk"),
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )

@@ -167,3 +167,33 @@ def corr_to_reference(
         .withColumn("corr", F.round(cov / (F.sqrt(varx) * F.sqrt(vary)), 6))
         .select("series_key", "n_common", "corr")
     )
+
+
+def locf_fill(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    filled_col: str | None = None,
+) -> DataFrame:
+    """Last-observation-carried-forward gap filling: NULLs in
+    ``value_col`` take the most recent non-NULL value within the same
+    key, in ``order_cols`` order (include a unique id as the final
+    order column for a total order — exactness under any physical row
+    layout depends on it). Leading NULLs (no prior observation) stay
+    NULL.
+
+    One window shuffle partitioned by key — frames stay key-sized at
+    any scale, the same skew posture as any per-entity window. The fill
+    itself is ``last(value, ignorenulls=true)`` over the running frame,
+    a single pass with O(1) state per row.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = filled_col or f"{value_col}_filled"
+    return df.withColumn(out, F.last(value_col, ignorenulls=True).over(w))

@@ -3109,3 +3109,83 @@ def q_streaming_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score_mb")
     )
     return stream_ops.run_stream_to_memory(gated, output_mode="append")
+
+
+# --- LOCF gap filling + fuzzy entity resolution (round 4) -----------------
+
+_LOCF_ORACLE = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS v_filled
+FROM events
+"""
+
+
+@_register(
+    "locf_gap_fill",
+    _LOCF_ORACLE,
+    "Last-observation-carried-forward gap repair: readings during "
+    "'error' events are treated as sensor dropouts (NULLed) and "
+    "forward-filled from the user's most recent good reading — "
+    "last(value, ignorenulls) over a running per-user window with the "
+    "deterministic (ts, event_id) total order. One key-partitioned "
+    "window shuffle; frames stay user-sized at any scale; leading "
+    "NULLs stay NULL.",
+    tags=("timeseries", "window", "gap-fill"),
+)
+def q_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import locf_fill
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    return locf_fill(
+        ev, ["user_id"], ["ts", "event_id"], "v", "v_filled"
+    ).select("event_id", "user_id", "v_filled")
+
+
+_FUZZY_ORACLE = """
+WITH pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+         levenshtein(a.p_name, b.p_name) AS dist
+  FROM part a JOIN part b
+    ON list_extract(string_split(a.p_name, ' '), 2)
+     = list_extract(string_split(b.p_name, ' '), 2)
+   AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 2
+)
+SELECT id_a, count(*) AS n_matches,
+       CAST(min(dist) AS BIGINT) AS best_dist,
+       min(id_b) AS min_match_id
+FROM pairs GROUP BY id_a
+"""
+
+
+@_register(
+    "fuzzy_match_parts",
+    _FUZZY_ORACLE,
+    "Entity-resolution fuzzy self-join: part names within Levenshtein "
+    "distance 2, BLOCKED on the name's noun token so the all-pairs "
+    "O(n^2) comparison becomes an equi-join (cost sum|block|^2 — the "
+    "LSH-banding scale contract; a hot block is ordinary key skew). "
+    "The distance filter rides the join as a JVM residual predicate. "
+    "Rolled up per left id (match count, best distance, lowest partner "
+    "id) so the checked artifact stays |entities|-sized.",
+    tags=("joins", "fuzzy", "entity-resolution"),
+)
+def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import blocked_fuzzy_pairs
+
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    blk = F.split(F.col("p_name"), " ").getItem(1)
+    pairs = blocked_fuzzy_pairs(pt, "p_partkey", "p_name", blk, max_dist=2)
+    return pairs.groupBy("id_a").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("dist").cast("long").alias("best_dist"),
+        F.min("id_b").alias("min_match_id"),
+    )

@@ -1574,3 +1574,38 @@ def test_event_transitions_tie_break_deterministic(spark):
     got = {(r["prev_type"], r["next_type"]): r["n"]
            for r in event_transitions(df).collect()}
     assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_locf_fill_carries_forward_within_key_only(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.timeseries import (
+        locf_fill,
+    )
+
+    rows = [
+        ("u1", 1, None), ("u1", 2, 5.0), ("u1", 3, None), ("u1", 4, None),
+        ("u2", 1, None),  # other key: must NOT see u1's 5.0
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "v"])
+    got = {(r["k"], r["seq"]): r["v_filled"]
+           for r in locf_fill(df, ["k"], ["seq"], "v").collect()}
+    assert got == {("u1", 1): None, ("u1", 2): 5.0, ("u1", 3): 5.0,
+                   ("u1", 4): 5.0, ("u2", 1): None}
+
+
+def test_blocked_fuzzy_pairs_blocks_and_orders(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.joins import (
+        blocked_fuzzy_pairs,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "red rod"), (2, "blue rod"),      # same block, dist 4
+        (3, "red ring"),                       # different block from rods
+        (4, "ted rod"),                        # dist 1 from red rod
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    blk = F.split(F.col("name"), " ").getItem(1)
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in blocked_fuzzy_pairs(df, "id", "name", blk, max_dist=4).collect()}
+    # cross-block pair (red rod, red ring) absent despite dist 3
+    assert got == {(1, 2): 4, (1, 4): 1, (2, 4): 4}

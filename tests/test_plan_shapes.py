@@ -482,3 +482,18 @@ def test_event_transitions_single_window_shuffle(spark):
     plan = plan_of(spark, "event_transitions")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_fuzzy_match_is_equi_join_on_block(spark):
+    # the blocking key must carry the join: equi join, never a
+    # cartesian/nested-loop over the part table
+    plan = plan_of(spark, "fuzzy_match_parts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_locf_single_window_shuffle(spark):
+    plan = plan_of(spark, "locf_gap_fill")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
