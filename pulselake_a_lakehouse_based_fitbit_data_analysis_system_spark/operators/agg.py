@@ -292,3 +292,53 @@ def flag_above_quantile(
     return df.crossJoin(F.broadcast(threshold)).withColumn(
         flag_col, F.coalesce(v > F.col(threshold_col), F.lit(False))
     )
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """Exact equi-depth (equal-frequency) binning — the histogram a
+    cost-based optimizer or feature-bucketizer wants, computed without
+    approx_percentile and without a global data sort.
+
+    Same machinery as ``flag_above_quantile``: values quantize to
+    integer cents, one hash agg builds the (cents, count) histogram,
+    and the ONLY ordered window runs over that metadata-scale frame.
+    A value's bin is ``floor(cum_before * n_bins / total)`` (integer
+    cross-multiplication; cum_before = cumulative count strictly below
+    the value), so bins hold ~total/n_bins rows except where a heavy
+    repeated value straddles — it lands wholly in one bin, the exact
+    semantics a cost model wants for skew detection. Emits one row per
+    non-empty bin: (bin_no, lo_c, hi_c, n_rows).
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    cents = F.floor(F.col(value_col).cast("double") * cents_scale + F.lit(0.5)).cast(
+        "long"
+    )
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(cents.alias("__v"))
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    wcum = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    binned = (
+        hist.withColumn("__cum", F.sum("__n").over(wcum))
+        .withColumn("__total", F.sum("__n").over(wtot))
+        .withColumn(
+            "bin_no",
+            F.floor(
+                (F.col("__cum") - F.col("__n")) * n_bins / F.col("__total")
+            ).cast("long"),
+        )
+    )
+    return binned.groupBy("bin_no").agg(
+        F.min("__v").alias("lo_c"),
+        F.max("__v").alias("hi_c"),
+        F.sum("__n").alias("n_rows"),
+    )

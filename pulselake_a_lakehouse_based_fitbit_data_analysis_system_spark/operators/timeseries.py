@@ -197,3 +197,44 @@ def locf_fill(
     )
     out = filled_col or f"{value_col}_filled"
     return df.withColumn(out, F.last(value_col, ignorenulls=True).over(w))
+
+
+def merge_intervals(
+    df: DataFrame,
+    keys: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Flatten overlapping/touching intervals per key into maximal
+    disjoint episodes (the warehouse 'coverage' problem: contract
+    validity, sensor uptime, session stitching).
+
+    Gaps-and-islands with a RUNNING MAX instead of a lag: an interval
+    starts a new episode iff its start exceeds the max end seen so far
+    (handles nested intervals that a plain lag-based rule gets wrong).
+    Two window passes over one (keys, start) partitioning — a single
+    shuffle; per-key frames, no global sort. Emits one row per episode
+    with its span and member count.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        F.col(start_col) > prev_max_end, F.lit(1)
+    ).otherwise(F.lit(0))  # first row: NULL comparison → 0, episode 0
+    episodes = df.withColumn(
+        "__ep",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        episodes.groupBy(*keys, "__ep")
+        .agg(
+            F.min(start_col).alias("episode_start"),
+            F.max(end_col).alias("episode_end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .withColumnRenamed("__ep", "episode_no")
+    )

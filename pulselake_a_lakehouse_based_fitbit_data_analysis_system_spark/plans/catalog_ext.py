@@ -3189,3 +3189,90 @@ def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dist").cast("long").alias("best_dist"),
         F.min("id_b").alias("min_match_id"),
     )
+
+
+# --- interval coverage + equi-depth binning (round 4) ---------------------
+
+_MERGE_INTERVALS_ORACLE = """
+WITH iv AS (
+  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS s,
+         CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS e
+  FROM orders
+),
+m AS (
+  SELECT k, s, e,
+         max(e) OVER (PARTITION BY k ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv
+),
+ep AS (
+  SELECT k, s, e,
+         sum(CASE WHEN pme IS NULL OR s <= pme THEN 0 ELSE 1 END)
+           OVER (PARTITION BY k ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS epn
+  FROM m
+)
+SELECT k AS o_custkey, epn AS episode_no,
+       min(s) AS episode_start, max(e) AS episode_end,
+       count(*) AS n_intervals
+FROM ep GROUP BY 1, 2
+"""
+
+
+@_register(
+    "merge_intervals_orders",
+    _MERGE_INTERVALS_ORACLE,
+    "Interval coverage (merge overlapping/touching spans): each order "
+    "opens a 30-day activity window per customer; overlaps flatten "
+    "into maximal disjoint episodes via gaps-and-islands with a "
+    "RUNNING MAX of interval ends (correct for nested intervals where "
+    "a lag-based rule fails). Two window passes on one (key, start) "
+    "partitioning — a single shuffle, per-customer frames.",
+    tags=("timeseries", "window", "intervals"),
+)
+def q_merge_intervals_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import merge_intervals
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("e"),
+    )
+    return merge_intervals(o, ["o_custkey"], "s", "e").select(
+        "o_custkey", "episode_no", "episode_start", "episode_end", "n_intervals"
+    )
+
+
+_EQUI_DEPTH_ORACLE = """
+WITH hist AS (
+  SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE)*100 + 0.5) AS BIGINT) AS v,
+         count(*) AS n
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+),
+c AS (
+  SELECT v, n,
+         sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER () AS total
+  FROM hist
+)
+SELECT CAST(floor((cum - n) * 10.0 / total) AS BIGINT) AS bin_no,
+       min(v) AS lo_c, max(v) AS hi_c, CAST(sum(n) AS BIGINT) AS n_rows
+FROM c GROUP BY 1
+"""
+
+
+@_register(
+    "equi_depth_price_bins",
+    _EQUI_DEPTH_ORACLE,
+    "Exact equi-depth histogram (10 bins over l_extendedprice) — the "
+    "optimizer/bucketizer statistic — via the value-histogram trick: "
+    "one hash agg to (cents, count), the only ordered window over the "
+    "metadata-scale histogram, bin = floor(cum_before*bins/total) in "
+    "integer cross-multiplication. Heavy repeated values land wholly "
+    "in one bin (the skew-detection semantics a cost model wants).",
+    tags=("agg", "quantile", "profiling"),
+)
+def q_equi_depth_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.agg import equi_depth_bins
+
+    li = _t(spark, sf_dir, "lineitem")
+    return equi_depth_bins(li, "l_extendedprice", n_bins=10)

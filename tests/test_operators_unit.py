@@ -1609,3 +1609,47 @@ def test_blocked_fuzzy_pairs_blocks_and_orders(spark):
            for r in blocked_fuzzy_pairs(df, "id", "name", blk, max_dist=4).collect()}
     # cross-block pair (red rod, red ring) absent despite dist 3
     assert got == {(1, 2): 4, (1, 4): 1, (2, 4): 4}
+
+
+def test_merge_intervals_handles_nested_and_touching(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.timeseries import (
+        merge_intervals,
+    )
+
+    rows = [
+        # [1,10] contains [2,3]; [10,12] touches (start <= running max);
+        # [20,21] is separate
+        ("k", 1, 10), ("k", 2, 3), ("k", 10, 12), ("k", 20, 21),
+    ]
+    df = spark.createDataFrame(rows, ["k", "s", "e"])
+    got = sorted(
+        (r["episode_start"], r["episode_end"], r["n_intervals"])
+        for r in merge_intervals(df, ["k"], "s", "e").collect()
+    )
+    assert got == [(1, 12, 3), (20, 21, 1)]
+
+
+def test_equi_depth_bins_exact_counts(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.agg import (
+        equi_depth_bins,
+    )
+
+    # 1..8 in cents → 4 bins of exactly 2 values each
+    df = spark.createDataFrame([(float(i),) for i in range(1, 9)], ["v"])
+    got = sorted(tuple(r) for r in equi_depth_bins(df, "v", n_bins=4).collect())
+    assert got == [(0, 100, 200, 2), (1, 300, 400, 2),
+                   (2, 500, 600, 2), (3, 700, 800, 2)]
+    with pytest.raises(ValueError):
+        equi_depth_bins(df, "v", n_bins=0)
+
+
+def test_equi_depth_bins_heavy_value_single_bin(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.agg import (
+        equi_depth_bins,
+    )
+
+    # one value holds 90% of rows: it must land wholly in one bin
+    rows = [(1.0,)] * 9 + [(2.0,)]
+    df = spark.createDataFrame(rows, ["v"])
+    got = sorted(tuple(r) for r in equi_depth_bins(df, "v", n_bins=2).collect())
+    assert got == [(0, 100, 100, 9), (1, 200, 200, 1)]
