@@ -342,3 +342,47 @@ def equi_depth_bins(
         F.max("__v").alias("hi_c"),
         F.sum("__n").alias("n_rows"),
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression (closed-form OLS) as PURE
+    AGGREGATION — no applyInPandas needed for a closed-form model: the
+    slope is ``(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)``, five sums with
+    map-side partials and one shuffle, however many rows each group
+    holds.
+
+    ``x_col``/``y_col`` must already be INTEGER features (quantize
+    upstream — e.g. days-since-epoch, value cents): integer sums are
+    order-free so the emitted exact fraction (slope_num, slope_den) is
+    bit-identical across engines and partitionings. A float sum would
+    drift in the last ulps with aggregation order. slope_den = 0 (a
+    group with a constant x) yields a NULL-slope fraction consumers
+    can detect. At extreme n·x·y magnitudes move the two final
+    products to decimal(38,0); the sums themselves stay long.
+
+    ``tests/test_operators_unit.py`` keeps an ``applyInPandas`` twin of
+    this computation — the grouped-Arrow escape hatch demonstrated on
+    a real model fit — and asserts it matches this plan exactly.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    sums = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    num = F.col("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    return sums.select(
+        group_col,
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+    )

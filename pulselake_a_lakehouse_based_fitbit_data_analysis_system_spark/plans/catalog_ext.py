@@ -3276,3 +3276,52 @@ def q_equi_depth_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return equi_depth_bins(li, "l_extendedprice", n_bins=10)
+
+
+# --- grouped OLS (closed-form model fit as aggregation, round 4) ----------
+
+_OLS_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+         CAST(floor(CAST(value AS DOUBLE)*100 + 0.5) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*y) AS sxy, sum(x*x) AS sxx
+  FROM q GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(n*sxy - sx*sy AS BIGINT) AS slope_num,
+       CAST(n*sxx - sx*sx AS BIGINT) AS slope_den
+FROM s
+"""
+
+
+@_register(
+    "ols_trend_by_type",
+    _OLS_ORACLE,
+    "Per-group closed-form OLS (value trend over days, by event type) "
+    "as PURE AGGREGATION: five integer sums with map-side partials, "
+    "one shuffle, slope emitted as an exact (num, den) fraction — no "
+    "applyInPandas for a closed-form model (the grouped-Arrow twin of "
+    "this computation lives in the unit tests and must match exactly). "
+    "Integer features make the result order-free and engine-exact.",
+    tags=("agg", "regression", "inference"),
+)
+def q_ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.agg import grouped_ols
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias("x"),
+            F.floor(F.col("value").cast("double") * 100 + 0.5)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    return grouped_ols(ev, "event_type", "x", "y")

@@ -1653,3 +1653,56 @@ def test_equi_depth_bins_heavy_value_single_bin(spark):
     df = spark.createDataFrame(rows, ["v"])
     got = sorted(tuple(r) for r in equi_depth_bins(df, "v", n_bins=2).collect())
     assert got == [(0, 100, 100, 9), (1, 200, 200, 1)]
+
+
+def test_grouped_ols_matches_apply_in_pandas_twin(spark):
+    """The JVM aggregation plan and a grouped-Arrow (applyInPandas)
+    implementation of the same closed-form OLS must agree exactly —
+    this is the catalog's demonstration that the escape hatch is
+    available but unnecessary for closed-form models."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.agg import (
+        grouped_ols,
+    )
+    import pandas as pd
+
+    rows = [
+        ("a", 1, 10), ("a", 2, 30), ("a", 3, 20), ("a", 4, 50),
+        ("b", 1, 5), ("b", 2, 5),          # constant y → slope 0/den
+        ("c", 7, 9),                        # single point → den 0
+    ]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    jvm = {r["g"]: (r["n"], r["slope_num"], r["slope_den"])
+           for r in grouped_ols(df, "g", "x", "y").collect()}
+
+    def ols(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        sx, sy = int(pdf.x.sum()), int(pdf.y.sum())
+        sxy = int((pdf.x * pdf.y).sum())
+        sxx = int((pdf.x * pdf.x).sum())
+        return pd.DataFrame(
+            {"g": [pdf.g.iloc[0]], "n": [n],
+             "slope_num": [n * sxy - sx * sy],
+             "slope_den": [n * sxx - sx * sx]}
+        )
+
+    arrow = {
+        r["g"]: (r["n"], r["slope_num"], r["slope_den"])
+        for r in df.groupBy("g")
+        .applyInPandas(ols, "g string, n long, slope_num long, slope_den long")
+        .collect()
+    }
+    assert jvm == arrow
+    assert jvm["c"][2] == 0  # degenerate group exposes den 0, not a crash
+
+
+def test_grouped_ols_known_slope(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.agg import (
+        grouped_ols,
+    )
+
+    # perfect line y = 3x + 1 → num/den == 3 exactly
+    df = spark.createDataFrame(
+        [("g", x, 3 * x + 1) for x in range(1, 6)], ["g", "x", "y"]
+    )
+    r = grouped_ols(df, "g", "x", "y").collect()[0]
+    assert r["slope_num"] == 3 * r["slope_den"] != 0
