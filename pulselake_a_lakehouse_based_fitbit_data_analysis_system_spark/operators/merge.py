@@ -36,6 +36,7 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .dedup import latest_by_key
 
@@ -196,6 +197,48 @@ def merge_full_upsert(
     ).select(*target.columns)
     inserts = source.select(*target.columns).join(target, list(keys), "left_anti")
     return updated.unionByName(inserts)
+
+
+def merge_apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a full I/U/D changelog batch — the Delta MERGE with a
+    ``WHEN MATCHED AND op = 'D' THEN DELETE`` clause, the one CDC
+    shape the reference's upsert-only Silver merges never need
+    (``Silver/05-silver.py:50-115`` has no delete path; Debezium/DMS
+    feeds do).
+
+    Per key, only the LATEST change by ``seq_col`` decides (the
+    rank-latest W2 primitive — row_number over (keys, seq desc) so a
+    batch containing insert→update→delete for one key nets to the
+    delete). Then:
+
+    - latest op == ``delete_op``  → the key disappears;
+    - any other latest op         → the change row upserts (full-row
+      payload, reference A12 semantics);
+    - keys without changes        → target rows pass through.
+
+    Shuffle shape: one window over the CHANGE BATCH (batch-sized, not
+    table-sized), one anti-join of target against the batch's key set,
+    one union — exactly the cost of the existing upsert merges plus
+    nothing; deletes ride the same anti-join that updates already pay
+    for. Idempotent: re-applying the same batch yields the same table.
+    """
+    key_list = list(keys)
+    w = Window.partitionBy(*key_list).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upserts = latest.filter(F.col(op_col) != delete_op).select(*target.columns)
+    survivors = target.join(latest.select(*key_list), key_list, "left_anti")
+    return survivors.unionByName(upserts)
 
 
 class TableStore:

@@ -3325,3 +3325,71 @@ def q_ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return grouped_ols(ev, "event_type", "x", "y")
+
+
+# --- CDC merge with deletes (round 4) -------------------------------------
+
+_CDC_DELETE_ORACLE = """
+WITH changes AS (
+  SELECT o_custkey AS c_custkey,
+         'upd#' || CAST(o_custkey AS VARCHAR) AS c_name,
+         CAST(floor(CAST(o_totalprice AS DOUBLE)*100 + 0.5) AS BIGINT) AS bal_c,
+         o_orderkey AS seq,
+         CASE WHEN o_orderstatus = 'F' THEN 'D'
+              WHEN o_orderstatus = 'O' THEN 'U' ELSE 'I' END AS op
+  FROM orders
+),
+latest AS (
+  SELECT * FROM (
+    SELECT c_custkey, c_name, bal_c, op,
+           row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+),
+tgt AS (
+  SELECT c_custkey, c_name,
+         CAST(floor(CAST(c_acctbal AS DOUBLE)*100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer
+)
+SELECT t.c_custkey, t.c_name, t.bal_c
+FROM tgt t LEFT JOIN latest l USING (c_custkey) WHERE l.c_custkey IS NULL
+UNION ALL
+SELECT c_custkey, c_name, bal_c FROM latest WHERE op <> 'D'
+"""
+
+
+@_register(
+    "merge_cdc_with_deletes",
+    _CDC_DELETE_ORACLE,
+    "Full I/U/D changelog application — the MERGE 'WHEN MATCHED AND "
+    "op = D THEN DELETE' clause the reference's upsert-only merges "
+    "never need but every Debezium/DMS feed does. Per key only the "
+    "latest change by sequence decides (rank-latest over the BATCH, "
+    "batch-sized window); deletes ride the same target anti-join "
+    "updates already pay for. Idempotent (unit-tested). Here: orders "
+    "replayed as a synthetic customer changelog (status F = delete).",
+    tags=("merge", "cdc", "deletes"),
+)
+def q_merge_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_apply_cdc
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.floor(F.col("c_acctbal").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("bal_c"),
+    )
+    changes = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("upd#"), F.col("o_custkey").cast("string")).alias("c_name"),
+        F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("bal_c"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderstatus") == "F", "D")
+        .when(F.col("o_orderstatus") == "O", "U")
+        .otherwise("I")
+        .alias("op"),
+    )
+    return merge_apply_cdc(cust, changes, ["c_custkey"], "seq")

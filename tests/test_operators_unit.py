@@ -1706,3 +1706,27 @@ def test_grouped_ols_known_slope(spark):
     )
     r = grouped_ols(df, "g", "x", "y").collect()[0]
     assert r["slope_num"] == 3 * r["slope_den"] != 0
+
+
+def test_merge_apply_cdc_latest_op_wins_and_idempotent(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        merge_apply_cdc,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 10, "U"),  # update k=1
+            (2, "x", 10, "U"), (2, "x", 20, "D"),  # net delete k=2
+            (4, "d", 10, "I"), (4, "d2", 20, "U"),  # insert-then-update k=4
+            (5, "e", 10, "D"),  # delete of absent key: no-op
+        ],
+        ["k", "v", "seq", "op"],
+    )
+    once = merge_apply_cdc(target, changes, ["k"], "seq")
+    got = {r["k"]: r["v"] for r in once.collect()}
+    assert got == {1: "a2", 3: "c", 4: "d2"}
+    twice = merge_apply_cdc(once, changes, ["k"], "seq")
+    assert {r["k"]: r["v"] for r in twice.collect()} == got
