@@ -282,3 +282,36 @@ def temperature_sample(
             F.when(cond, F.lit(th)) if thresh is None else thresh.when(cond, F.lit(th))
         )
     return df.filter(bucket < thresh.otherwise(F.lit(0)))
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    step: int,
+) -> DataFrame:
+    """EXACT weighted sampling without randomness: systematic (grid)
+    sampling over the cumulative weight line. Concatenate every row's
+    weight along the deterministic (portable_hash64(id), id) order —
+    the ``pack_sequences`` two-level distributed prefix sum, never a
+    single-partition window — and select the rows whose weight span
+    covers a multiple of ``step``. Selection probability is
+    proportional to weight, expected sample size is
+    total_weight / step, replay-stable across runs/engines (the
+    property 'random' weighted sampling can't give an oracle), and a
+    row heavier than ``step`` is always selected.
+
+    Zero/NULL-weight rows have an empty span and are never selected.
+    The mark-count test is pure integer/floor math:
+    ``floor((end−1)/step) − floor((start−1)/step) > 0``.
+    """
+    from .packing import pack_sequences
+
+    if step < 1:
+        raise ValueError(f"step must be >= 1, got {step}")
+    packed = pack_sequences(df, id_col, weight_col, capacity=step)
+    start, end = F.col("start_offset"), F.col("end_offset")
+    marks = F.floor((end - 1) / F.lit(step)) - F.floor((start - 1) / F.lit(step))
+    return packed.filter(marks > 0).select(
+        *df.columns, "start_offset", "end_offset"
+    )

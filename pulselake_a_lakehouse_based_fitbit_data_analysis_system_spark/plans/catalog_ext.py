@@ -3393,3 +3393,95 @@ def q_merge_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
     )
     return merge_apply_cdc(cust, changes, ["c_custkey"], "seq")
+
+
+# --- period-over-period reporting (round 4) -------------------------------
+
+_WOW_ORACLE = """
+WITH wk AS (
+  SELECT CAST(floor(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) / 7) AS BIGINT) AS week,
+         CAST(sum(CAST(floor(CAST(o_totalprice AS DOUBLE)*100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1
+)
+SELECT week, rev_c,
+       lag(rev_c) OVER (ORDER BY week) AS prev_rev_c,
+       rev_c - lag(rev_c) OVER (ORDER BY week) AS delta_c
+FROM wk
+"""
+
+
+@_register(
+    "weekly_revenue_wow",
+    _WOW_ORACLE,
+    "Week-over-week revenue deltas: one hash agg collapses the fact "
+    "table to |weeks| rows (order values quantized to integer cents "
+    "BEFORE summing — order-free, engine-exact), then the lag window "
+    "runs over that metadata-scale series; the single-partition window "
+    "is over weeks, never data. Delta emitted exactly; consumers "
+    "derive percentages.",
+    tags=("agg", "window", "reporting"),
+)
+def q_weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    week = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01")) / 7
+    ).cast("long")
+    cents = F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5).cast("long")
+    wk = (
+        o.select(week.alias("week"), cents.alias("__c"))
+        .groupBy("week")
+        .agg(F.sum("__c").alias("rev_c"))
+    )
+    w = W.orderBy("week")
+    return wk.select(
+        "week",
+        "rev_c",
+        F.lag("rev_c").over(w).alias("prev_rev_c"),
+        (F.col("rev_c") - F.lag("rev_c").over(w)).alias("delta_c"),
+    )
+
+
+# --- systematic weighted sampling (round 4) -------------------------------
+
+_SYSTEMATIC_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         {_sql_hash64('doc_id', 0)} AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY h, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, n_chars,
+       CAST(cum - n_chars AS BIGINT) AS start_offset,
+       CAST(cum AS BIGINT) AS end_offset
+FROM c
+WHERE floor((cum - 1) / 5000.0)
+    - floor((cum - n_chars - 1) / 5000.0) > 0
+"""
+
+
+@_register(
+    "systematic_weighted_sample",
+    _SYSTEMATIC_ORACLE,
+    "EXACT weighted sampling with no randomness: rows line up on the "
+    "cumulative weight axis in deterministic (hash, id) order (the "
+    "pack_sequences two-level distributed prefix sum) and a row is "
+    "selected iff its weight span covers a multiple of the step — "
+    "probability proportional to weight, expected size total/step, "
+    "replay-stable across engines (which is what makes a weighted "
+    "sampler value-checkable at all). Docs heavier than the step are "
+    "always kept.",
+    tags=("sampling", "weighted", "prefix-sum"),
+)
+def q_systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import systematic_weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return systematic_weighted_sample(d, "doc_id", "n_chars", step=5000)

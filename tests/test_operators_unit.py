@@ -1730,3 +1730,27 @@ def test_merge_apply_cdc_latest_op_wins_and_idempotent(spark):
     assert got == {1: "a2", 3: "c", 4: "d2"}
     twice = merge_apply_cdc(once, changes, ["k"], "seq")
     assert {r["k"]: r["v"] for r in twice.collect()} == got
+
+
+def test_systematic_weighted_sample_laws(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.sampling import (
+        systematic_weighted_sample,
+    )
+
+    rows = [(i, w) for i, w in enumerate([0, 5, 50, 3, 0, 7, 120, 1])]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = systematic_weighted_sample(df, "id", "w", step=10).collect()
+    ids = {r["id"] for r in got}
+    # zero-weight rows never selected
+    assert 0 not in ids and 4 not in ids
+    # rows heavier than the step are always selected
+    assert 2 in ids and 6 in ids
+    # every selected span really covers a multiple of 10
+    for r in got:
+        s, e = r["start_offset"], r["end_offset"]
+        assert any(s <= m < e for m in range(0, e + 10, 10))
+    # determinism: same result on re-run
+    again = {r["id"] for r in systematic_weighted_sample(df, "id", "w", step=10).collect()}
+    assert again == ids
+    with pytest.raises(ValueError):
+        systematic_weighted_sample(df, "id", "w", step=0)
