@@ -497,3 +497,26 @@ def test_locf_single_window_shuffle(spark):
     plan = plan_of(spark, "locf_gap_fill")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_systematic_sample_no_global_window(spark):
+    # the prefix sum must stay two-level (bucket-partitioned windows +
+    # broadcast prefix join) — a SinglePartition exchange would mean
+    # the textbook one-task global cumsum crept back in
+    plan = plan_of(spark, "systematic_weighted_sample")
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1  # bucket-local
+
+
+def test_weekly_wow_window_over_aggregated_series(spark):
+    # the lag window must run over the |weeks| aggregate, not the fact
+    # table: plan order is scan -> partial/final agg -> single-partition
+    # window; the window input is the aggregated series
+    plan = plan_of(spark, "weekly_revenue_wow")
+    assert plan.count("HashAggregate") >= 2   # partial + final first
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    # window comes after the aggregation (formatted mode numbers nodes
+    # leaf-first, so the downstream window carries the HIGHER id)
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window", plan)]
+    assert min(win_ids) > max(agg_ids)
