@@ -241,6 +241,53 @@ def merge_apply_cdc(
     return survivors.unionByName(upserts)
 
 
+def apply_cdc_versioned(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Order-ROBUST I/U/D application for incremental pipelines: the
+    target table keeps each row's ``seq_col`` (and an ``op_col``
+    tombstone), so a change batch arriving LATE (lower sequence than
+    what the table already holds) is correctly ignored — the guard
+    ``merge_apply_cdc`` does not have, and the reason a streaming
+    foreachBatch CDC applier needs this variant.
+
+    Semantics: union target and batch, keep the highest-``seq_col``
+    record per key (target wins ties — already-applied data beats a
+    replayed duplicate), keep delete tombstones IN the table so a
+    late pre-delete update cannot resurrect the key; readers filter
+    ``op != delete_op``. Result is invariant under ANY split of the
+    changelog into batches, in any order (property-tested) — exactly
+    once per key regardless of delivery.
+
+    Cost: one window shuffle over target+batch. Under ``TableStore``
+    the partitioned merge prunes that to affected partitions/files.
+    Compact tombstones by age out-of-band when the upstream can no
+    longer replay below a watermark.
+    """
+    cols = list(target.columns)
+    if set(cols) != set(changes.columns):
+        raise ValueError(
+            f"target/changes schemas differ: {sorted(cols)} vs "
+            f"{sorted(changes.columns)}"
+        )
+    tagged = target.withColumn("__pri", F.lit(1)).unionByName(
+        changes.select(*cols).withColumn("__pri", F.lit(0))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(), F.col("__pri").desc()
+    )
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*cols)
+    )
+
+
 class TableStore:
     """Parquet-backed managed tables with atomic replace — the engine's
     stand-in for Delta managed tables when delta-spark is absent.

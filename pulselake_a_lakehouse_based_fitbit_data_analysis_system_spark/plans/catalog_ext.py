@@ -3485,3 +3485,104 @@ def q_systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return systematic_weighted_sample(d, "doc_id", "n_chars", step=5000)
+
+
+# --- streaming CDC apply with deletes (round 4) ---------------------------
+
+_STREAM_CDC_ORACLE = """
+WITH changes AS (
+  SELECT o_custkey AS c_custkey,
+         'upd#' || CAST(o_custkey AS VARCHAR) AS c_name,
+         CAST(floor(CAST(o_totalprice AS DOUBLE)*100 + 0.5) AS BIGINT) AS bal_c,
+         o_orderkey AS seq,
+         CASE WHEN o_orderstatus = 'F' THEN 'D'
+              WHEN o_orderstatus = 'O' THEN 'U' ELSE 'I' END AS op
+  FROM orders
+),
+tgt AS (
+  SELECT c_custkey, c_name,
+         CAST(floor(CAST(c_acctbal AS DOUBLE)*100 + 0.5) AS BIGINT) AS bal_c,
+         CAST(-1 AS BIGINT) AS seq, 'U' AS op
+  FROM customer
+),
+u AS (
+  SELECT * FROM tgt
+  UNION ALL
+  SELECT c_custkey, c_name, bal_c, seq, op FROM changes
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                 ORDER BY seq DESC) AS rn
+    FROM u
+  ) WHERE rn = 1
+)
+SELECT c_custkey, c_name, bal_c, seq
+FROM latest WHERE op <> 'D'
+"""
+
+
+@_register(
+    "streaming_cdc_apply",
+    _STREAM_CDC_ORACLE,
+    "Streaming CDC WITH DELETES end to end: the synthetic customer "
+    "changelog streams in >= 4 micro-batches (row slices — sequence "
+    "numbers deliberately interleaved across batches), each batch "
+    "applied to a TableStore-persisted target via foreachBatch + "
+    "apply_cdc_versioned. The versioned applier keeps per-row seq and "
+    "delete TOMBSTONES in the table, so late/duplicate deliveries are "
+    "ignored and the final state is invariant under ANY batch split — "
+    "which is exactly what lets a streaming pipeline share a batch "
+    "oracle. Readers filter op <> 'D'.",
+    tags=("streaming", "cdc", "merge", "deletes"),
+)
+def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators.merge import TableStore, apply_cdc_versioned
+    from ..sources.sinks import start_foreach_batch_sink
+
+    store = TableStore(spark, _tf.mkdtemp(prefix="pulselake_cdc_apply_"))
+    target = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.floor(F.col("c_acctbal").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("bal_c"),
+        F.lit(-1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    store.write("t", target)
+
+    stream = stream_ops.stream_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("upd#"), F.col("o_custkey").cast("string")).alias("c_name"),
+        F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("bal_c"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderstatus") == "F", "D")
+        .when(F.col("o_orderstatus") == "O", "U")
+        .otherwise("I")
+        .alias("op"),
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        store.write(
+            "t",
+            apply_cdc_versioned(
+                store.read("t"), batch_df, ["c_custkey"], "seq", "op"
+            ),
+        )
+
+    q = start_foreach_batch_sink(
+        stream,
+        apply_batch,
+        checkpoint=_tf.mkdtemp(prefix="pulselake_cdc_apply_ckpt_"),
+    )
+    q.awaitTermination(300)
+    return (
+        store.read("t")
+        .filter(F.col("op") != "D")
+        .select("c_custkey", "c_name", "bal_c", "seq")
+    )

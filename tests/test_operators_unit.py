@@ -1754,3 +1754,23 @@ def test_systematic_weighted_sample_laws(spark):
     assert again == ids
     with pytest.raises(ValueError):
         systematic_weighted_sample(df, "id", "w", step=0)
+
+
+def test_apply_cdc_versioned_ignores_late_and_keeps_tombstones(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        apply_cdc_versioned,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "cur", 10, "U"), (2, "dead", 20, "D")],
+        ["k", "v", "seq", "op"],
+    )
+    late = spark.createDataFrame(
+        [(1, "stale", 5, "U"),   # lower seq than table: ignored
+         (2, "zombie", 15, "U")],  # update older than the delete: stays dead
+        ["k", "v", "seq", "op"],
+    )
+    got = {r["k"]: (r["v"], r["seq"], r["op"])
+           for r in apply_cdc_versioned(target, late, ["k"], "seq").collect()}
+    assert got[1] == ("cur", 10, "U")
+    assert got[2] == ("dead", 20, "D")  # tombstone survives in the table

@@ -397,3 +397,48 @@ def test_kmeans_refine_matches_bruteforce_lloyd(spark, vecs, iters):
         expect[cl][0] += 1
         expect[cl][1] += d
     assert got == {cl: (n, inert) for cl, (n, inert) in expect.items()}
+
+
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),           # key
+            st.integers(min_value=1, max_value=50),          # seq
+            st.sampled_from(["I", "U", "D"]),
+        ),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda t: t[1],  # unique seqs (a real changelog's LSN)
+    ),
+    split=st.integers(min_value=0, max_value=9),
+)
+@_SETTINGS
+def test_apply_cdc_versioned_batch_split_invariance(spark, changes, split):
+    """Applying the changelog as ONE batch, as TWO batches at any split
+    point, or with the batches REVERSED (late delivery) must all
+    produce the same table — the property that lets the streaming
+    foreachBatch applier share a batch oracle."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        apply_cdc_versioned,
+    )
+
+    target = spark.createDataFrame(
+        [Row(k=9, v="seed", seq=-1, op="U")], "k int, v string, seq long, op string"
+    )
+    rows = [Row(k=k, v=f"v{s}", seq=s, op=op) for k, s, op in changes]
+    schema = "k int, v string, seq long, op string"
+
+    def apply_batches(batches):
+        t = target
+        for b in batches:
+            if b:
+                t = apply_cdc_versioned(
+                    t, spark.createDataFrame(b, schema), ["k"], "seq", "op"
+                )
+        return sorted(tuple(r) for r in t.collect())
+
+    i = min(split, len(rows))
+    one = apply_batches([rows])
+    two = apply_batches([rows[:i], rows[i:]])
+    rev = apply_batches([rows[i:], rows[:i]])
+    assert one == two == rev
