@@ -386,3 +386,59 @@ def grouped_ols(
         num.alias("slope_num"),
         den.alias("slope_den"),
     )
+
+
+def constraint_checks(
+    df_by_name: dict[str, DataFrame],
+    checks: Sequence[tuple[str, object]],
+) -> DataFrame:
+    """Deequ-style declarative data-quality suite: each check reduces a
+    table to ONE violation count; the suite is the union of those
+    1-row aggregates — |checks| rows total, embarrassingly parallel on
+    a cluster (each check is a filter+count with map-side partials;
+    only the referential check pays a join, because the join IS the
+    check).
+
+    ``checks`` entries are ``(name, spec)``; the table is the prefix
+    of ``name`` before ``:``. Spec forms:
+
+    - boolean ``Column``            — rows where it is true VIOLATE;
+    - ``("unique", [keys])``        — violations = count(*) − count
+      of distinct keys (duplicate rows beyond the first per key);
+    - ``("fk", child, parent, child_keys, parent_keys)`` — violations
+      = child rows whose key has no parent row (left-anti count on
+      the zipped key columns).
+
+    Emits (constraint, n_violations, passed).
+    """
+    out: DataFrame | None = None
+    for name, spec in checks:
+        table = name.split(":", 1)[0]
+        if isinstance(spec, tuple) and spec[0] == "fk":
+            _, child, parent, child_keys, parent_keys = spec
+            cond = [
+                df_by_name[child][ck] == df_by_name[parent][pk]
+                for ck, pk in zip(child_keys, parent_keys)
+            ]
+            bad = df_by_name[child].join(df_by_name[parent], cond, "left_anti")
+            row = bad.agg(F.count(F.lit(1)).alias("n_violations"))
+        elif isinstance(spec, tuple) and spec[0] == "unique":
+            keys = spec[1]
+            row = df_by_name[table].agg(
+                (F.count(F.lit(1)) - F.countDistinct(*keys)).alias("n_violations")
+            )
+        else:
+            row = df_by_name[table].agg(
+                F.sum(F.when(spec, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violations")
+            )
+        row = row.select(
+            F.lit(name).alias("constraint"),
+            F.coalesce(F.col("n_violations"), F.lit(0)).alias("n_violations"),
+            (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("passed"),
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("checks must be non-empty")
+    return out

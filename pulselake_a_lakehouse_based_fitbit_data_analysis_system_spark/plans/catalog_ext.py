@@ -3586,3 +3586,69 @@ def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("op") != "D")
         .select("c_custkey", "c_name", "bal_c", "seq")
     )
+
+
+# --- declarative data-quality suite (round 4) -----------------------------
+
+_CONSTRAINTS_ORACLE = """
+SELECT 'orders:custkey_not_null' AS constraint,
+       CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations,
+       coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'customer:custkey_unique',
+       CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT),
+       count(*) - count(DISTINCT c_custkey) = 0
+FROM customer
+UNION ALL
+SELECT 'orders:customer_fk',
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) = 0
+UNION ALL
+SELECT 'lineitem:discount_range',
+       CAST(coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                              THEN 1 ELSE 0 END), 0) AS BIGINT),
+       coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                         THEN 1 ELSE 0 END), 0) = 0
+FROM lineitem
+"""
+
+
+@_register(
+    "constraint_checks_suite",
+    _CONSTRAINTS_ORACLE,
+    "Deequ-style declarative data-quality suite: NOT NULL, key "
+    "uniqueness, referential integrity (orders -> customer), and a "
+    "value-range rule, each reduced to one violation count "
+    "(filter+count with map-side partials; only the FK check pays a "
+    "join — the join IS the check). |checks| rows out; the gate a "
+    "pipeline runs before promoting bronze to silver.",
+    tags=("agg", "quality", "constraints"),
+)
+def q_constraint_checks_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.agg import constraint_checks
+
+    tables = {
+        "orders": _t(spark, sf_dir, "orders"),
+        "customer": _t(spark, sf_dir, "customer"),
+        "lineitem": _t(spark, sf_dir, "lineitem"),
+    }
+    return constraint_checks(
+        tables,
+        [
+            ("orders:custkey_not_null", F.col("o_custkey").isNull()),
+            ("customer:custkey_unique", ("unique", ["c_custkey"])),
+            (
+                "orders:customer_fk",
+                ("fk", "orders", "customer", ["o_custkey"], ["c_custkey"]),
+            ),
+            (
+                "lineitem:discount_range",
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+            ),
+        ],
+    )

@@ -1774,3 +1774,32 @@ def test_apply_cdc_versioned_ignores_late_and_keeps_tombstones(spark):
            for r in apply_cdc_versioned(target, late, ["k"], "seq").collect()}
     assert got[1] == ("cur", 10, "U")
     assert got[2] == ("dead", 20, "D")  # tombstone survives in the table
+
+
+def test_constraint_checks_each_spec_form(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.agg import (
+        constraint_checks,
+    )
+
+    child = spark.createDataFrame(
+        [(1, None), (1, 2.0), (2, 99.0), (9, 1.0)], ["k", "v"]
+    )
+    parent = spark.createDataFrame([(1,), (2,)], ["k"])
+    got = {
+        r["constraint"]: (r["n_violations"], r["passed"])
+        for r in constraint_checks(
+            {"child": child, "parent": parent},
+            [
+                ("child:v_not_null", F.col("v").isNull()),
+                ("child:k_unique", ("unique", ["k"])),
+                ("child:parent_fk", ("fk", "child", "parent", ["k"], ["k"])),
+                ("child:v_range", F.col("v") > 50),
+            ],
+        ).collect()
+    }
+    assert got["child:v_not_null"] == (1, False)
+    assert got["child:k_unique"] == (1, False)   # k=1 twice
+    assert got["child:parent_fk"] == (1, False)  # k=9 has no parent
+    assert got["child:v_range"] == (1, False)    # 99.0
+    with pytest.raises(ValueError):
+        constraint_checks({"child": child}, [])
