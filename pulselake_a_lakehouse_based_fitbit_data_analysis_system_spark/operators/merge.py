@@ -850,6 +850,15 @@ class TableStore:
             merged = merge_full_upsert(
                 target_affected, src_plain, keys, kwargs.get("update_cols")
             )
+        elif policy == "cdc_versioned":
+            merged = apply_cdc_versioned(
+                target_affected,
+                src_plain,
+                keys,
+                kwargs["seq_col"],
+                kwargs.get("op_col", "op"),
+                kwargs.get("delete_op", "D"),
+            )
         else:
             raise ValueError(f"unknown policy {policy!r}")
         if spec["mode"] == "hash":
@@ -948,7 +957,9 @@ class TableStore:
         **kwargs,
     ) -> None:
         """Apply a merge policy and persist. Policies: insert_only,
-        scd1, conditional_update, full_upsert (kwargs forwarded).
+        scd1, conditional_update, full_upsert, cdc_versioned (kwargs
+        forwarded; cdc_versioned requires ``seq_col`` and applies
+        I/U/D changelogs order-robustly — see ``apply_cdc_versioned``).
 
         Tables created with ``write_partitioned`` take the
         partition-pruned path: only partitions containing source keys
@@ -1001,6 +1012,15 @@ class TableStore:
             merged = merge_conditional_update(target, source, keys, **kwargs)
         elif policy == "full_upsert":
             merged = merge_full_upsert(target, source, keys, kwargs.get("update_cols"))
+        elif policy == "cdc_versioned":
+            merged = apply_cdc_versioned(
+                target,
+                source,
+                keys,
+                kwargs["seq_col"],
+                kwargs.get("op_col", "op"),
+                kwargs.get("delete_op", "D"),
+            )
         else:
             raise ValueError(f"unknown policy {policy!r}")
         # materialize before the pointer flip; the new version dir is

@@ -3528,8 +3528,10 @@ FROM latest WHERE op <> 'D'
     "Streaming CDC WITH DELETES end to end: the synthetic customer "
     "changelog streams in >= 4 micro-batches (row slices — sequence "
     "numbers deliberately interleaved across batches), each batch "
-    "applied to a TableStore-persisted target via foreachBatch + "
-    "apply_cdc_versioned. The versioned applier keeps per-row seq and "
+    "applied via foreachBatch + store.merge(policy=cdc_versioned) "
+    "into a hash-partitioned TableStore — each micro-batch rewrites "
+    "only the buckets its keys hit (O(affected) write amplification, "
+    "not O(table)). The versioned applier keeps per-row seq and "
     "delete TOMBSTONES in the table, so late/duplicate deliveries are "
     "ignored and the final state is invariant under ANY batch split — "
     "which is exactly what lets a streaming pipeline share a batch "
@@ -3539,7 +3541,7 @@ FROM latest WHERE op <> 'D'
 def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile as _tf
 
-    from ..operators.merge import TableStore, apply_cdc_versioned
+    from ..operators.merge import TableStore
     from ..sources.sinks import start_foreach_batch_sink
 
     store = TableStore(spark, _tf.mkdtemp(prefix="pulselake_cdc_apply_"))
@@ -3552,7 +3554,9 @@ def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("seq"),
         F.lit("U").alias("op"),
     )
-    store.write("t", target)
+    # partitioned target: each micro-batch merge rewrites only the hash
+    # buckets its keys land in (O(affected), not O(table) per batch)
+    store.write_partitioned("t", target, keys=["c_custkey"], n_buckets=8)
 
     stream = stream_ops.stream_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey"),
@@ -3568,11 +3572,8 @@ def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        store.write(
-            "t",
-            apply_cdc_versioned(
-                store.read("t"), batch_df, ["c_custkey"], "seq", "op"
-            ),
+        store.merge(
+            "t", batch_df, ["c_custkey"], policy="cdc_versioned", seq_col="seq"
         )
 
     q = start_foreach_batch_sink(

@@ -1803,3 +1803,39 @@ def test_constraint_checks_each_spec_form(spark):
     assert got["child:v_range"] == (1, False)    # 99.0
     with pytest.raises(ValueError):
         constraint_checks({"child": child}, [])
+
+
+def test_tablestore_merge_cdc_versioned_policy(spark, tmp_path):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "cdcstore"))
+    base = spark.createDataFrame(
+        [(k, f"v{k}", -1, "U") for k in range(8)],
+        "k long, v string, seq long, op string",
+    )
+    store.write_partitioned("t", base, keys=["k"], n_buckets=4)
+    batch = spark.createDataFrame(
+        [(1, "new1", 10, "U"), (2, "gone", 10, "D"), (99, "ins", 10, "I")],
+        "k long, v string, seq long, op string",
+    )
+    store.merge("t", batch, ["k"], policy="cdc_versioned", seq_col="seq")
+    live = {
+        r["k"]: r["v"]
+        for r in store.read("t").filter("op <> 'D'").collect()
+    }
+    assert live[1] == "new1" and live[99] == "ins"
+    assert 2 not in live  # tombstoned
+    assert live[0] == "v0" and len(live) == 8  # 8 - deleted + inserted
+    # late replay of a LOWER seq must not resurrect or downgrade
+    late = spark.createDataFrame(
+        [(2, "zombie", 5, "U"), (1, "stale", 3, "U")],
+        "k long, v string, seq long, op string",
+    )
+    store.merge("t", late, ["k"], policy="cdc_versioned", seq_col="seq")
+    live2 = {
+        r["k"]: r["v"]
+        for r in store.read("t").filter("op <> 'D'").collect()
+    }
+    assert live2 == live
