@@ -107,6 +107,8 @@ def numeric_profile(
     engines and partitionings — a raw double sum would drift in the
     last ulps with aggregation order.
     """
+    if not cols:
+        raise ValueError("cols must be non-empty")
     aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
         v = F.col(c)
@@ -371,6 +373,9 @@ def grouped_ols(
     """
     x = F.col(x_col).cast("long")
     y = F.col(y_col).cast("long")
+    # rows with a NULL feature must not count toward n while the sums
+    # skip them (that would silently bias the slope): drop the pair
+    df = df.filter(x.isNotNull() & y.isNotNull())
     sums = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("__sx"),

@@ -44,6 +44,10 @@ def linear_bow_score(
     corpus convention used across the text operators: split on single
     spaces (documents are pre-normalized).
 
+    A NULL ``text_col`` yields a NULL score and NULL label (unknown
+    in, unknown out) — filter or coalesce upstream to score them as
+    empty documents instead.
+
     Plan shape: zero exchanges — the model is a literal map, the fold
     runs per row. Vocabulary size is bounded by what fits in a literal
     (~10⁴ terms comfortably); beyond that, broadcast-join an exploded

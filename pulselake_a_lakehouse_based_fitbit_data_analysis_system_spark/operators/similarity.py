@@ -326,7 +326,12 @@ def kmeans_refine(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
     )
-    base = df.select(F.col(id_col).alias("__id"), q.alias("__q"))
+    # NULL vectors would propagate NULL distances into a NULL cluster id
+    # and crash the driver-side centroid update — exclude them, as MLlib
+    # does; callers wanting them must impute upstream
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), q.alias("__q")
+    )
     seed_rows = base.orderBy("__id").limit(k).collect()  # k vectors: metadata
     if len(seed_rows) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")

@@ -1839,3 +1839,33 @@ def test_tablestore_merge_cdc_versioned_policy(spark, tmp_path):
         for r in store.read("t").filter("op <> 'D'").collect()
     }
     assert live2 == live
+
+
+def test_round4_null_edges(spark):
+    """NULL-input contracts of the round-4 operators (the ADVICE.md
+    failure pattern): no crashes, no silent bias."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.agg import (
+        grouped_ols,
+        numeric_profile,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.similarity import (
+        kmeans_refine,
+    )
+
+    # kmeans: NULL vector must be excluded, not crash the update step
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [9.0, 9.0]), (2, None), (3, [9.1, 8.9])],
+        "vec_id long, embedding array<double>",
+    )
+    got = kmeans_refine(df, "embedding", "vec_id", k=2, iters=1)
+    assert sum(r["n_vectors"] for r in got.collect()) == 3
+
+    # grouped_ols: a NULL-x row must not inflate n
+    df2 = spark.createDataFrame(
+        [("g", 1, 2), ("g", 2, 4), ("g", None, 99)], ["k", "x", "y"]
+    )
+    r = grouped_ols(df2, "k", "x", "y").collect()[0]
+    assert r["n"] == 2 and r["slope_num"] == 2 * r["slope_den"] != 0
+
+    with pytest.raises(ValueError):
+        numeric_profile(spark.range(1), [])
