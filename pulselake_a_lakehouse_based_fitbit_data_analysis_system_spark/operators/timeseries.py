@@ -238,3 +238,36 @@ def merge_intervals(
         )
         .withColumnRenamed("__ep", "episode_no")
     )
+
+
+def densify_periods(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    agg_col: str = "n",
+) -> DataFrame:
+    """Dimension densification: a (group, period, count) series gains
+    explicit ZERO rows for every period in the global [min, max] range
+    that a group has no data for — what every dashboard/forecasting
+    consumer needs before resampling or windowing.
+
+    The grid is |groups| × |periods| — metadata-scale however big the
+    underlying data was (the inputs here are already aggregated). The
+    period spine is ``sequence(min, max)`` from a 1-row bounds
+    aggregate (exploded — a few thousand rows at most), cross-joined
+    with the distinct groups (broadcast — both sides tiny), then the
+    real counts left-join in. No data-sized operation anywhere.
+    """
+    from pyspark.sql.window import Window  # noqa: F401  (kept for symmetry)
+
+    bounds = df.agg(
+        F.min(period_col).alias("__lo"), F.max(period_col).alias("__hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias(period_col)
+    )
+    groups = df.select(group_col).distinct()
+    grid = groups.crossJoin(F.broadcast(spine))
+    return grid.join(df, [group_col, period_col], "left").withColumn(
+        agg_col, F.coalesce(F.col(agg_col), F.lit(0))
+    )

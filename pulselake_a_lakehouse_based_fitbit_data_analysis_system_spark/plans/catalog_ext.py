@@ -3653,3 +3653,52 @@ def q_constraint_checks_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ],
     )
+
+
+# --- dimension densification (round 4) ------------------------------------
+
+_DENSIFY_ORACLE = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(date_diff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) / 7) AS BIGINT) AS week
+  FROM events
+),
+counts AS (SELECT event_type, week, count(*) AS n FROM ev GROUP BY 1, 2),
+bounds AS (SELECT min(week) AS lo, max(week) AS hi FROM ev),
+grid AS (
+  SELECT t.event_type, gs.week
+  FROM (SELECT DISTINCT event_type FROM ev) t
+  CROSS JOIN (SELECT unnest(range(lo, hi + 1)) AS week FROM bounds) gs
+)
+SELECT g.event_type, g.week, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM grid g LEFT JOIN counts c
+  ON c.event_type = g.event_type AND c.week = g.week
+"""
+
+
+@_register(
+    "densify_weekly_events",
+    _DENSIFY_ORACLE,
+    "Dimension densification: weekly per-type event counts gain "
+    "explicit zero rows for every week in the global range a type was "
+    "silent — the resample-ready series a dashboard or forecaster "
+    "needs. The data collapses to |groups x weeks| in one hash agg "
+    "first; the period spine is sequence(min,max) off a 1-row bounds "
+    "agg cross-joined with the distinct groups (both broadcast-tiny), "
+    "so nothing data-sized happens after the first aggregation.",
+    tags=("timeseries", "densify", "reporting"),
+)
+def q_densify_weekly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import densify_periods
+
+    ev = _t(spark, sf_dir, "events")
+    week = (
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) / 7
+    ).cast("long")
+    counts = (
+        ev.select("event_type", week.alias("week"))
+        .groupBy("event_type", "week")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return densify_periods(counts, "event_type", "week", "n")

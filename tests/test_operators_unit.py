@@ -1869,3 +1869,17 @@ def test_round4_null_edges(spark):
 
     with pytest.raises(ValueError):
         numeric_profile(spark.range(1), [])
+
+
+def test_densify_periods_fills_gaps_with_zeros(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.timeseries import (
+        densify_periods,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 3, 7), ("b", 2, 9)], ["g", "p", "n"]
+    )
+    got = {(r["g"], r["p"]): r["n"] for r in densify_periods(df, "g", "p").collect()}
+    # global range 1..3 for both groups, gaps filled with 0
+    assert got == {("a", 1): 5, ("a", 2): 0, ("a", 3): 7,
+                   ("b", 1): 0, ("b", 2): 9, ("b", 3): 0}
