@@ -442,3 +442,101 @@ def test_apply_cdc_versioned_batch_split_invariance(spark, changes, split):
     two = apply_batches([rows[:i], rows[i:]])
     rev = apply_batches([rows[i:], rows[:i]])
     assert one == two == rev
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),        # user
+            st.sampled_from(["a", "b", "c"]),             # step/type
+            st.integers(min_value=0, max_value=20),       # second
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@_SETTINGS
+def test_funnel_counts_non_increasing_and_bounded(spark, events):
+    """Strict funnels can never gain users down the funnel, and step 1
+    equals the distinct users with that event type."""
+    import datetime as dt
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.behavior import (
+        funnel_conversion,
+    )
+
+    rows = [
+        Row(event_id=i, user_id=u, event_type=t,
+            ts=dt.datetime(2024, 1, 1, 0, 0, s))
+        for i, (u, t, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {r["step_no"]: r["n_users"]
+           for r in funnel_conversion(df, ["a", "b", "c"]).collect()}
+    assert got[1] >= got[2] >= got[3] >= 0
+    assert got[1] == len({u for u, t, _ in events if t == "a"})
+
+
+@given(
+    intervals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_SETTINGS
+def test_merge_intervals_episodes_disjoint_and_cover(spark, intervals):
+    """Episodes must (1) be pairwise disjoint with a gap between them,
+    (2) jointly contain every input interval, (3) account for every
+    interval exactly once."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.timeseries import (
+        merge_intervals,
+    )
+
+    rows = [("k", s, s + w) for s, w in intervals]
+    df = spark.createDataFrame(rows, ["k", "s", "e"])
+    eps = sorted(
+        (r["episode_start"], r["episode_end"], r["n_intervals"])
+        for r in merge_intervals(df, ["k"], "s", "e").collect()
+    )
+    # disjoint with strict gaps
+    for (s1, e1, _), (s2, e2, _) in zip(eps, eps[1:]):
+        assert e1 < s2
+    # coverage: every interval inside exactly one episode
+    for s, w in intervals:
+        containing = [1 for es, ee, _ in eps if es <= s and s + w <= ee]
+        assert len(containing) == 1
+    # conservation of interval count
+    assert sum(n for _, _, n in eps) == len(intervals)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50, max_value=50,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=20,
+    ),
+    n_bins=st.integers(min_value=1, max_value=5),
+)
+@_SETTINGS
+def test_equi_depth_bins_laws(spark, vals, n_bins):
+    """Bins: counts sum to total, value ranges are ordered and
+    disjoint, no bin except heavy-value bins exceeds ~total/n_bins +
+    max multiplicity."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.agg import (
+        equi_depth_bins,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in vals], ["v"])
+    bins = sorted(
+        tuple(r) for r in equi_depth_bins(df, "v", n_bins=n_bins).collect()
+    )
+    assert sum(b[3] for b in bins) == len(vals)
+    for (b1, lo1, hi1, _), (b2, lo2, hi2, _) in zip(bins, bins[1:]):
+        assert b1 < b2 and lo1 <= hi1 < lo2 <= hi2
