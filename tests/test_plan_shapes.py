@@ -520,3 +520,36 @@ def test_weekly_wow_window_over_aggregated_series(spark):
     agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
     win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window", plan)]
     assert min(win_ids) > max(agg_ids)
+
+
+def test_catalog_wide_plan_lint(spark):
+    """Systemic plan governance: EVERY batch catalog query must plan
+    without a CartesianProduct (data x data nested loop) and without
+    BatchEvalPython (row-at-a-time Python UDF — Arrow paths like
+    MapInPandas/ArrowEvalPython are the sanctioned escape hatches).
+    Streaming-tagged queries are exercised by their own oracle runs
+    (building them here would execute the stream).
+
+    This complements the per-query shape tests above: those pin
+    specific good shapes; this one stops BAD shapes from entering any
+    of the ~120 queries unnoticed.
+    """
+    allow_cartesian = {
+        # deliberately-registered all-pairs BASELINE (its bucketed
+        # variant is the scale path and is asserted cartesian-free)
+        "embedding_neardup",
+    }
+    failures = []
+    for name, q in QUERIES.items():
+        if "streaming" in q.tags:
+            continue
+        try:
+            plan = plan_of(spark, name)
+        except Exception as exc:  # building must not error either
+            failures.append(f"{name}: build failed: {exc}")
+            continue
+        if "CartesianProduct" in plan and name not in allow_cartesian:
+            failures.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python UDF")
+    assert not failures, failures
