@@ -3702,3 +3702,71 @@ def q_densify_weekly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return densify_periods(counts, "event_type", "week", "n")
+
+
+# --- ANN recall measurement (round 4) -------------------------------------
+
+
+def _ann_recall_oracle() -> str:
+    bucket_sql = _srp_bucket_sql()
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+brute AS (
+  SELECT vec_id FROM embeddings, q
+  ORDER BY round(({_dot_sql("embedding", "qv")}) /
+                 ({_norm_sql("embedding")} * {_norm_sql("qv")}), 6) DESC,
+           vec_id ASC
+  LIMIT 10
+),
+bucketed AS (
+  SELECT vec_id, embedding, CAST({bucket_sql} AS BIGINT) AS srp_bucket
+  FROM embeddings
+),
+qbucket AS (
+  SELECT CAST({bucket_sql.replace("embedding[", "qv[")} AS BIGINT) AS qb FROM q
+),
+probes AS (
+  SELECT qb AS bucket FROM qbucket
+  UNION ALL
+  SELECT xor(qb, CAST(p AS BIGINT))
+  FROM qbucket, UNNEST([1,2,4,8,16,32,64,128]) AS t(p)
+),
+ann AS (
+  SELECT vec_id FROM bucketed, q
+  WHERE srp_bucket IN (SELECT bucket FROM probes)
+  ORDER BY round(({_dot_sql("embedding", "qv")}) /
+                 ({_norm_sql("embedding")} * {_norm_sql("qv")}), 6) DESC,
+           vec_id ASC
+  LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST(count(*) * 1000 AS BIGINT) AS recall_bp
+FROM brute JOIN ann USING (vec_id)
+"""
+
+
+@_register(
+    "ann_recall_report",
+    _ann_recall_oracle(),
+    "Approximation quality MEASURED as a query: recall@10 of the "
+    "SRP-LSH multiprobe path against the exact brute-force top-10, "
+    "emitted in integer basis points (overlap join of two k-row "
+    "lists — metadata-scale; each list is its already-certified "
+    "plan). This is the number an index operator watches when tuning "
+    "planes/probes, and the oracle recomputes BOTH rankings in SQL.",
+    tags=("similarity", "ann", "quality"),
+)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    k = 10
+    brute = similarity.knn_brute_force(emb, qvec, k=k).select("vec_id")
+    ann = similarity.ann_lsh(
+        emb, qvec, k=k, num_planes=8, seed=31
+    ).select("vec_id")
+    return brute.join(ann, "vec_id").agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)) * (10_000 // k)).alias("recall_bp"),
+    )
