@@ -3770,3 +3770,103 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlap"),
         (F.count(F.lit(1)) * (10_000 // k)).alias("recall_bp"),
     )
+
+
+# --- conversion-time stats (funnel x robust stats, round 4) ---------------
+
+_CONV_TIME_ORACLE = """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s1 ON s1.u = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s2 ON s2.u = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+),
+dur AS (
+  SELECT CAST(floor(date_diff('second', s1.t, s3.t) * 1.0 + 0.5) AS BIGINT) AS v
+  FROM s3 JOIN s1 ON s1.u = s3.u
+),
+hist AS (SELECT v, count(*) AS n FROM dur GROUP BY v),
+c AS (
+  SELECT v, n,
+         sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER () AS total
+  FROM hist
+),
+med AS (SELECT min(v) AS med, max(total) AS total FROM c WHERE cum * 2 >= total),
+dev AS (
+  SELECT abs(h.v - m.med) AS dv, sum(h.n) AS n, m.med, m.total
+  FROM hist h, med m GROUP BY 1, 3, 4
+),
+dc AS (
+  SELECT dv, n, med, total,
+         sum(n) OVER (ORDER BY dv ROWS UNBOUNDED PRECEDING) AS cum
+  FROM dev
+),
+mad AS (SELECT min(dv) AS mad FROM dc WHERE cum * 2 >= total)
+SELECT d.total AS n_converted, d.med AS median_s, m.mad AS mad_s,
+       CAST(sum(CASE WHEN d.dv * 10000 > 44478 * m.mad
+                     THEN d.n ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d, mad m
+GROUP BY 1, 2, 3
+"""
+
+
+@_register(
+    "conversion_time_stats",
+    _CONV_TIME_ORACLE,
+    "Operators composing: time from first view to strict-funnel "
+    "purchase per converting user, summarized with the robust "
+    "median/MAD/outlier machinery (value-histogram walk — durations "
+    "in whole seconds, so the histogram is metadata-scale). Funnel "
+    "stages shrink monotonically; everything after the duration "
+    "histogram agg is histogram-sized.",
+    tags=("behavior", "funnel", "robust-stats"),
+)
+def q_conversion_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.agg import robust_outlier_stats
+
+    ev = _t(spark, sf_dir, "events")
+
+    def first_after(step: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == step).select(
+            F.col("user_id").alias("__u"), F.col("ts").alias("__ts")
+        )
+        if prev is None:
+            return e.groupBy("__u").agg(F.min("__ts").alias("__t"))
+        return (
+            e.join(prev, "__u")
+            .filter(F.col("__ts") > F.col("__t"))
+            .groupBy("__u")
+            .agg(F.min("__ts").alias("__t"))
+        )
+
+    s1 = first_after("view", None)
+    s2 = first_after("click", s1)
+    s3 = first_after("purchase", s2)
+    dur = (
+        s3.join(s1.withColumnRenamed("__t", "__t1"), "__u")
+        .select(
+            # NTZ → DOUBLE is illegal in Spark 4; epoch seconds go
+            # through a TIMESTAMP cast (the range_join_binned pitfall)
+            (
+                F.col("__t").cast("timestamp").cast("double").cast("long")
+                - F.col("__t1").cast("timestamp").cast("double").cast("long")
+            ).alias("dur_s")
+        )
+        .withColumn("__g", F.lit("all"))
+    )
+    stats = robust_outlier_stats(dur, "__g", "dur_s", cents_scale=1)
+    return stats.select(
+        F.col("n").alias("n_converted"),
+        F.col("median_c").alias("median_s"),
+        F.col("mad_c").alias("mad_s"),
+        "n_outliers",
+    )
