@@ -2803,22 +2803,22 @@ _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 _PROFILE_ORACLE = """
 WITH a AS (
   SELECT count(*) AS n_rows,
-    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_1,
+    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_1,
     count(DISTINCT l_quantity) AS nd_1,
     CAST(min(l_quantity) AS DOUBLE) AS min_1,
     CAST(max(l_quantity) AS DOUBLE) AS max_1,
     CAST(sum(CAST(floor(CAST(l_quantity AS DOUBLE)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_1,
-    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS null_2,
+    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_2,
     count(DISTINCT l_extendedprice) AS nd_2,
     CAST(min(l_extendedprice) AS DOUBLE) AS min_2,
     CAST(max(l_extendedprice) AS DOUBLE) AS max_2,
     CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_2,
-    sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS null_3,
+    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_3,
     count(DISTINCT l_discount) AS nd_3,
     CAST(min(l_discount) AS DOUBLE) AS min_3,
     CAST(max(l_discount) AS DOUBLE) AS max_3,
     CAST(sum(CAST(floor(CAST(l_discount AS DOUBLE)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_3,
-    sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS null_4,
+    CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_4,
     count(DISTINCT l_tax) AS nd_4,
     CAST(min(l_tax) AS DOUBLE) AS min_4,
     CAST(max(l_tax) AS DOUBLE) AS max_4,
@@ -2888,7 +2888,7 @@ mad AS (
     FROM dev d JOIN tot t USING (g)
   ) WHERE cum * 2 >= total GROUP BY g, med
 )
-SELECT d.g AS event_type, t.total AS n, m.med AS median_c, m.mad AS mad_c,
+SELECT d.g AS event_type, CAST(t.total AS BIGINT) AS n, m.med AS median_c, m.mad AS mad_c,
        CAST(sum(CASE WHEN d.dev * 10000 > 44478 * m.mad
                      THEN d.n ELSE 0 END) AS BIGINT) AS n_outliers
 FROM dev d JOIN mad m USING (g) JOIN tot t USING (g)
@@ -3211,7 +3211,7 @@ ep AS (
            OVER (PARTITION BY k ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS epn
   FROM m
 )
-SELECT k AS o_custkey, epn AS episode_no,
+SELECT k AS o_custkey, CAST(epn AS BIGINT) AS episode_no,
        min(s) AS episode_start, max(e) AS episode_end,
        count(*) AS n_intervals
 FROM ep GROUP BY 1, 2
@@ -3811,7 +3811,7 @@ dc AS (
   FROM dev
 ),
 mad AS (SELECT min(dv) AS mad FROM dc WHERE cum * 2 >= total)
-SELECT d.total AS n_converted, d.med AS median_s, m.mad AS mad_s,
+SELECT CAST(d.total AS BIGINT) AS n_converted, d.med AS median_s, m.mad AS mad_s,
        CAST(sum(CASE WHEN d.dv * 10000 > 44478 * m.mad
                      THEN d.n ELSE 0 END) AS BIGINT) AS n_outliers
 FROM dev d, mad m
