@@ -318,15 +318,25 @@ def winnow_fingerprints(
     Entirely map-side (higher-order array functions per row) until the
     final explode; no shuffle at all — the ideal 100 TB shape. Columns:
     (id, fp).
+
+    The shingle-hash array is computed in its OWN projection: inlined
+    into the window-min expression, Spark re-evaluates the whole
+    md5-hash transform once per window position (no common
+    subexpression elimination inside higher-order lambdas — measured
+    104 s → 3.9 s at sf0.1 for this split). The separate select holds
+    because CollapseProject declines to duplicate a non-cheap alias
+    referenced more than once.
     """
     hashes = F.transform(
         word_shingles(text_col, shingle_size), lambda s: minhash_base(s)
     )
+    pre = df.select(F.col(id_col), hashes.alias("__h"))
+    h = F.col("__h")
     mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1))),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
+        F.sequence(F.lit(1), F.greatest(F.size(h) - F.lit(window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(h, i, window)),
     )
-    return df.select(
+    return pre.select(
         F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
     )
 
