@@ -88,6 +88,17 @@ def provenance_md() -> str:
 def regenerate(readme: str) -> str:
     n, n_oracle = counts()
     readme = re.sub(r"\d+(\s+)catalog queries", rf"{n}\1catalog queries", readme)
+    # E2E replay number comes from the committed artifact, not prose
+    import json
+
+    e2e = ROOT / "E2E_BENCH.json"
+    if e2e.exists():
+        wall = json.loads(e2e.read_text())["value"]
+        readme = re.sub(
+            r"counts pass in ~\d+ s vs",
+            f"counts pass in ~{round(wall)} s vs",
+            readme,
+        )
     readme = re.sub(
         r"query catalog \(\d+ queries, \d+ oracle-checked\)",
         f"query catalog ({n} queries, {n_oracle} oracle-checked)",
