@@ -271,3 +271,96 @@ def densify_periods(
     return grid.join(df, [group_col, period_col], "left").withColumn(
         agg_col, F.coalesce(F.col(agg_col), F.lit(0))
     )
+
+
+def interpolate_series(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    step: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Resample an irregular series onto a regular grid with LINEAR
+    interpolation — the feature-prep step before windowing/correlating
+    sensor data. ``time_col`` must be an integer axis (epoch seconds);
+    grid points are the multiples of ``step`` inside each key's
+    observed range.
+
+    Shape: per-key bounds agg → grid explode (``sequence`` — grid
+    density is caller-bounded) → ONE union with the observations →
+    two window passes over the same (key, time) partitioning (forward
+    pass carries the previous observation, backward pass the next) —
+    a single shuffle; frames stay key-sized. Grid points landing
+    exactly on an observation take its value (observations sort before
+    grid points at equal time). Grid points outside the observed range
+    of a key do not exist by construction.
+
+    Duplicate timestamps make ROWS-frame windows order-dependent:
+    pass ``tiebreak_col`` (a unique id) so which same-second
+    observation the interpolation anchors on is deterministic — and
+    identical in the SQL oracle.
+    """
+    from pyspark.sql.window import Window
+
+    if step < 1:
+        raise ValueError(f"step must be >= 1, got {step}")
+    t, v = F.col(time_col), F.col(value_col)
+    tb = (
+        F.col(tiebreak_col).cast("long")
+        if tiebreak_col is not None
+        else F.lit(0).cast("long")
+    )
+    obs = df.filter(t.isNotNull() & v.isNotNull()).select(
+        F.col(key_col).alias("__k"), t.alias("__t"), v.alias("__v"),
+        F.lit(1).alias("__is_obs"), tb.alias("__tb"),
+    )
+    bounds = obs.groupBy("__k").agg(
+        F.min("__t").alias("__lo"), F.max("__t").alias("__hi")
+    )
+    grid_start = (F.floor((F.col("__lo") + step - 1) / step) * step).cast("long")
+    grid = bounds.select(
+        "__k",
+        F.explode(
+            F.when(
+                grid_start <= F.col("__hi"),
+                F.sequence(grid_start, F.col("__hi"), F.lit(step)),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("__t"),
+    ).select("__k", "__t", F.lit(None).cast("double").alias("__v"),
+             F.lit(0).alias("__is_obs"), F.lit(-1).cast("long").alias("__tb"))
+    u = obs.unionByName(grid)
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_obs").desc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_obs").desc(), F.col("__tb").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    masked_t = F.when(F.col("__is_obs") == 1, F.col("__t"))
+    with_bounds = (
+        u.withColumn("__pv", F.last("__v", ignorenulls=True).over(wf))
+        .withColumn("__pt", F.last(masked_t, ignorenulls=True).over(wf))
+        .withColumn("__nv", F.first("__v", ignorenulls=True).over(wb))
+        .withColumn("__nt", F.first(masked_t, ignorenulls=True).over(wb))
+    )
+    # exact hit (grid point on an observation — including the key's
+    # LAST observation, where no forward neighbour exists) takes the
+    # observed value; interior grid points always have both neighbours
+    interp = F.when(F.col("__pt") == F.col("__t"), F.col("__pv")).otherwise(
+        F.col("__pv")
+        + (F.col("__nv") - F.col("__pv"))
+        * (F.col("__t") - F.col("__pt"))
+        / (F.col("__nt") - F.col("__pt"))
+    )
+    return (
+        with_bounds.filter(F.col("__is_obs") == 0)
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__t").alias("grid_t"),
+            F.round(interp, 6).alias("v_interp"),
+        )
+    )

@@ -3870,3 +3870,71 @@ def q_conversion_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mad_c").alias("mad_s"),
         "n_outliers",
     )
+
+
+# --- linear interpolation resampling (round 4) ----------------------------
+
+_INTERP_ORACLE = """
+WITH obs AS (
+  SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(value AS DOUBLE) AS v, 1 AS is_obs, event_id AS tb
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+b AS (SELECT k, min(t) AS lo, max(t) AS hi FROM obs GROUP BY k),
+grid AS (
+  SELECT k,
+         unnest(range(CAST(floor((lo + 86399) / 86400) AS BIGINT) * 86400,
+                      hi + 1, 86400)) AS t,
+         CAST(NULL AS DOUBLE) AS v, 0 AS is_obs, CAST(-1 AS BIGINT) AS tb
+  FROM b
+  WHERE CAST(floor((lo + 86399) / 86400) AS BIGINT) * 86400 <= hi
+),
+u AS (SELECT * FROM obs UNION ALL SELECT * FROM grid),
+w AS (
+  SELECT k, t, v, is_obs,
+    last_value(v IGNORE NULLS) OVER
+      (PARTITION BY k ORDER BY t ASC, is_obs DESC, tb ASC
+       ROWS UNBOUNDED PRECEDING) AS pv,
+    last_value(CASE WHEN is_obs = 1 THEN t END IGNORE NULLS) OVER
+      (PARTITION BY k ORDER BY t ASC, is_obs DESC, tb ASC
+       ROWS UNBOUNDED PRECEDING) AS pt,
+    first_value(v IGNORE NULLS) OVER
+      (PARTITION BY k ORDER BY t ASC, is_obs DESC, tb ASC
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN is_obs = 1 THEN t END IGNORE NULLS) OVER
+      (PARTITION BY k ORDER BY t ASC, is_obs DESC, tb ASC
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM u
+)
+SELECT k AS user_id, t AS grid_t,
+       round(CASE WHEN pt = t THEN pv
+                  ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END, 6) AS v_interp
+FROM w WHERE is_obs = 0
+"""
+
+
+@_register(
+    "interpolate_daily_values",
+    _INTERP_ORACLE,
+    "Linear-interpolation resampling onto a daily grid per user — the "
+    "feature-prep step before windowing sensor data. One union of "
+    "observations with exploded grid points, two window passes over "
+    "the same (key, time) partitioning (forward carries the previous "
+    "observation, backward the next) — a single shuffle, key-sized "
+    "frames. Deterministic under duplicate timestamps via an "
+    "event_id tiebreak; epoch seconds use explicit floor() on both "
+    "engines (DuckDB ROUNDS double->int casts where Spark truncates).",
+    tags=("timeseries", "interpolation", "window"),
+)
+def q_interpolate_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import interpolate_series
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("ts").cast("timestamp").cast("double"))
+        .cast("long")
+        .alias("t"),
+        F.col("value").cast("double").alias("v"),
+    )
+    return interpolate_series(ev, "user_id", "t", "v", 86400, "event_id")

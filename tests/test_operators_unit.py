@@ -1883,3 +1883,24 @@ def test_densify_periods_fills_gaps_with_zeros(spark):
     # global range 1..3 for both groups, gaps filled with 0
     assert got == {("a", 1): 5, ("a", 2): 0, ("a", 3): 7,
                    ("b", 1): 0, ("b", 2): 9, ("b", 3): 0}
+
+
+def test_interpolate_series_hand_computed(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.timeseries import (
+        interpolate_series,
+    )
+
+    # key a: obs at t=5 (v=10) and t=25 (v=30); grid step 10 → grid
+    # points 10, 20: interpolated 15.0 and 25.0. Grid point ON an
+    # observation (key b: obs at 10 and 20) takes the obs value.
+    rows = [
+        ("a", 1, 5, 10.0), ("a", 2, 25, 30.0),
+        ("b", 3, 10, 7.0), ("b", 4, 20, 9.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "id", "t", "v"])
+    got = {(r["k"], r["grid_t"]): r["v_interp"]
+           for r in interpolate_series(df, "k", "t", "v", 10, "id").collect()}
+    assert got == {("a", 10): 15.0, ("a", 20): 25.0,
+                   ("b", 10): 7.0, ("b", 20): 9.0}
+    with pytest.raises(ValueError):
+        interpolate_series(df, "k", "t", "v", 0)
