@@ -3938,3 +3938,33 @@ def q_interpolate_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("v"),
     )
     return interpolate_series(ev, "user_id", "t", "v", 86400, "event_id")
+
+
+_STREAM_TOPK_ORACLE = """
+SELECT user_id, count(*) AS n
+FROM events GROUP BY user_id
+ORDER BY n DESC, user_id ASC
+LIMIT 10
+"""
+
+
+@_register(
+    "streaming_topk_users",
+    _STREAM_TOPK_ORACLE,
+    "Streaming top-k (complete output mode — the one mode where "
+    "Structured Streaming allows sort+limit, because the full result "
+    "is re-emitted per batch): top-10 users by event count over a "
+    ">=4-micro-batch drain, deterministic (count desc, user_id) "
+    "tie-break. State is the running per-user counts (O(users)); the "
+    "sort runs over the aggregated frame only.",
+    tags=("streaming", "topk", "agg"),
+)
+def q_streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_ops.stream_table(spark, sf_dir, "events")
+    topk = (
+        stream.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+    return stream_ops.run_stream_to_memory(topk, output_mode="complete")
