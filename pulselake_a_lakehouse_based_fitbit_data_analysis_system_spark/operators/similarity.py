@@ -375,3 +375,71 @@ def kmeans_refine(
         .agg(F.count(F.lit(1)).alias("n_vectors"), F.sum("__dist").alias("inertia"))
         .select(F.col("__cl").alias("cluster_id"), "n_vectors", "inertia")
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 1,
+    scale: int = 1000,
+) -> DataFrame:
+    """The trained coarse-quantizer INDEX itself: run the same exact
+    integer Lloyd iteration as ``kmeans_refine`` and emit the refined
+    centroids as a (cluster_id, pos, comp) table — k x d rows, driver
+    metadata by construction, ready to persist and feed
+    ``ivf_assign`` on the next ingest. Completes the ANN lifecycle:
+    build (here) -> assign (ivf_assign) -> query (ann_ivf) -> measure
+    (ann_recall_report)."""
+    import math
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), q.alias("__q")
+    )
+    seed_rows = base.orderBy("__id").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")
+    cents: list[list[int]] = [list(r["__q"]) for r in seed_rows]
+    d = len(cents[0])
+
+    def dist_to(c: list[int]) -> Column:
+        lit_c = F.array(*[F.lit(int(ci)) for ci in c])
+        return F.aggregate(
+            F.zip_with(F.col("__q"), lit_c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    for _ in range(iters):
+        dists = F.array(*[dist_to(c) for c in cents])
+        assigned = base.withColumn(
+            "__cl", (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+        )
+        sums = assigned.groupBy("__cl").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.sum(F.element_at("__q", i + 1)).alias(f"__s{i}") for i in range(d)],
+        )
+        by_cl = {int(r["__cl"]): r for r in sums.collect()}
+        cents = [
+            [
+                int(math.floor((2.0 * by_cl[j][f"__s{i}"] + by_cl[j]["__n"])
+                               / (2.0 * by_cl[j]["__n"])))
+                for i in range(d)
+            ]
+            if j in by_cl
+            else cents[j]
+            for j in range(k)
+        ]
+    rows = [
+        (j, i + 1, int(cents[j][i])) for j in range(k) for i in range(d)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "cluster_id long, pos long, comp long"
+    )

@@ -3968,3 +3968,65 @@ def q_streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     return stream_ops.run_stream_to_memory(topk, output_mode="complete")
+
+
+_IVF_INDEX_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, qv AS cv
+  FROM (SELECT id, qv FROM q ORDER BY id LIMIT 8)
+),
+d1 AS (
+  SELECT q.id, q.qv, s.cid,
+         list_sum(list_transform(range(1, len(q.qv)+1),
+                  i -> (q.qv[i]-s.cv[i])*(q.qv[i]-s.cv[i]))) AS dist
+  FROM q CROSS JOIN seeds s
+),
+a1 AS (
+  SELECT id, qv, cid AS cl FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM d1
+  ) WHERE rn = 1
+),
+u AS (
+  SELECT cl, unnest(qv) AS comp, unnest(range(1, len(qv)+1)) AS pos FROM a1
+),
+c2 AS (
+  SELECT cl, pos,
+         CAST(floor((2.0*sum(comp) + count(*)) / (2.0*count(*))) AS BIGINT) AS comp
+  FROM u GROUP BY cl, pos
+),
+cent2 AS (
+  SELECT cl, list(comp ORDER BY pos) AS cv FROM c2 GROUP BY cl
+),
+centf AS (
+  SELECT s.cid, coalesce(c.cv, s.cv) AS cv
+  FROM seeds s LEFT JOIN cent2 c ON c.cl = s.cid
+)
+SELECT cid AS cluster_id,
+       unnest(range(1, len(cv)+1)) AS pos,
+       unnest(cv) AS comp
+FROM centf
+"""
+
+
+@_register(
+    "ivf_index_build",
+    _IVF_INDEX_ORACLE,
+    "The trained IVF coarse-quantizer INDEX emitted as a persistable "
+    "(cluster_id, pos, comp) table — k x d rows of exact integers "
+    "from the same Lloyd iteration as kmeans_refine, value-checked "
+    "against the SQL replay. Completes the ANN lifecycle the catalog "
+    "now covers end to end: build -> assign (ivf_cell_assign) -> "
+    "query (ann_ivf) -> measure (ann_recall_report).",
+    tags=("similarity", "kmeans", "index"),
+)
+def q_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_centroids(e, "embedding", "vec_id", k=8, iters=1)
