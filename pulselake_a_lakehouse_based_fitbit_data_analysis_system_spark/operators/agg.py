@@ -447,3 +447,77 @@ def constraint_checks(
     if out is None:
         raise ValueError("checks must be non-empty")
     return out
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 10,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """Population Stability Index between two cohorts of a numeric
+    feature — the data-drift monitor an ML pipeline runs between a
+    reference window and production (rule of thumb: <0.1 stable,
+    0.1-0.25 drifting, >0.25 shifted).
+
+    ``group_col`` must hold exactly the values 0 (reference) and 1
+    (comparison). Bins are equi-depth deciles of the POOLED
+    distribution (the convention that keeps both cohorts comparable);
+    probabilities use Laplace +1 smoothing so empty bins never divide
+    by zero; PSI = Σ (p0−p1)·ln(p0/p1).
+
+    Shape: ONE data shuffle builds the (value, group, count)
+    histogram; the pooled histogram, cumulative bin map, per-bin
+    cohort counts and the final PSI all derive from it —
+    histogram-scale windows and joins only, same contract as
+    ``robust_outlier_stats``/``equi_depth_bins``.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    cents = F.floor(F.col(value_col).cast("double") * cents_scale + F.lit(0.5)).cast(
+        "long"
+    )
+    hist2 = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(cents.alias("__v"), F.col(group_col).cast("long").alias("__g"))
+        .groupBy("__v", "__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .persist()  # feeds the pooled histogram AND the cohort counts
+    )
+    pooled = hist2.groupBy("__v").agg(F.sum("__n").alias("__pn"))
+    wcum = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    binmap = (
+        pooled.withColumn("__cum", F.sum("__pn").over(wcum))
+        .withColumn("__total", F.sum("__pn").over(wtot))
+        .select(
+            "__v",
+            F.floor(
+                (F.col("__cum") - F.col("__pn")) * n_bins / F.col("__total")
+            ).cast("long").alias("__bin"),
+        )
+    )
+    bc = (
+        hist2.join(F.broadcast(binmap), "__v")
+        .groupBy("__bin")
+        .agg(
+            F.sum(F.when(F.col("__g") == 0, F.col("__n")).otherwise(0)).alias("__n0"),
+            F.sum(F.when(F.col("__g") == 1, F.col("__n")).otherwise(0)).alias("__n1"),
+        )
+    )
+    tot = hist2.groupBy().agg(
+        F.sum(F.when(F.col("__g") == 0, F.col("__n")).otherwise(0)).alias("__t0"),
+        F.sum(F.when(F.col("__g") == 1, F.col("__n")).otherwise(0)).alias("__t1"),
+    )
+    p0 = (F.col("__n0") + 1).cast("double") / (F.col("__t0") + n_bins).cast("double")
+    p1 = (F.col("__n1") + 1).cast("double") / (F.col("__t1") + n_bins).cast("double")
+    return (
+        bc.crossJoin(F.broadcast(tot))
+        .agg(
+            F.lit(n_bins).cast("long").alias("n_bins"),
+            F.round(F.sum((p0 - p1) * F.log(p0 / p1)), 6).alias("psi"),
+        )
+    )

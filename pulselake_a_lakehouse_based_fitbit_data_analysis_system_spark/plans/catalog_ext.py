@@ -4030,3 +4030,63 @@ def q_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return kmeans_centroids(e, "embedding", "vec_id", k=8, iters=1)
+
+
+# --- feature drift (PSI, round 4) -----------------------------------------
+
+_PSI_ORACLE = """
+WITH q AS (
+  SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE)*100 + 0.5) AS BIGINT) AS v,
+         CAST(l_orderkey % 2 AS BIGINT) AS grp
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+hist AS (SELECT v, count(*) AS n FROM q GROUP BY v),
+c AS (
+  SELECT v, n,
+         sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER () AS total
+  FROM hist
+),
+binmap AS (
+  SELECT v, CAST(floor((cum - n) * 10.0 / total) AS BIGINT) AS bin_no FROM c
+),
+bc AS (
+  SELECT b.bin_no, q.grp, count(*) AS n
+  FROM q JOIN binmap b ON b.v = q.v
+  GROUP BY 1, 2
+),
+tot AS (SELECT grp, sum(n) AS gt FROM bc GROUP BY grp),
+p AS (
+  SELECT b.bin_no,
+         CAST(max(CASE WHEN b.grp = 0 THEN b.n ELSE 0 END) + 1 AS DOUBLE)
+           / CAST((SELECT gt FROM tot WHERE grp = 0) + 10 AS DOUBLE) AS p0,
+         CAST(max(CASE WHEN b.grp = 1 THEN b.n ELSE 0 END) + 1 AS DOUBLE)
+           / CAST((SELECT gt FROM tot WHERE grp = 1) + 10 AS DOUBLE) AS p1
+  FROM bc b GROUP BY b.bin_no
+)
+SELECT CAST(10 AS BIGINT) AS n_bins,
+       round(sum((p0 - p1) * ln(p0 / p1)), 6) AS psi
+FROM p
+"""
+
+
+@_register(
+    "feature_drift_psi",
+    _PSI_ORACLE,
+    "Population Stability Index between two cohorts of a numeric "
+    "feature (even/odd orderkey halves of l_extendedprice here) — the "
+    "ML data-drift monitor. Equi-depth decile bins come from the "
+    "POOLED value histogram; Laplace +1 smoothing keeps empty bins "
+    "finite; ONE data shuffle builds the (value, cohort, count) "
+    "histogram and everything downstream is histogram-scale (same "
+    "contract as the robust-stats/equi-depth family).",
+    tags=("agg", "drift", "quality", "ml-ops"),
+)
+def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.agg import psi_drift
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_extendedprice", (F.col("l_orderkey") % 2).alias("grp")
+    )
+    return psi_drift(d, "l_extendedprice", "grp", n_bins=10)

@@ -1904,3 +1904,28 @@ def test_interpolate_series_hand_computed(spark):
                    ("b", 10): 7.0, ("b", 20): 9.0}
     with pytest.raises(ValueError):
         interpolate_series(df, "k", "t", "v", 0)
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.agg import (
+        psi_drift,
+    )
+    import pyspark.sql.functions as F
+
+    # identical cohorts → PSI ~ 0 (exactly 0 up to smoothing noise)
+    base = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("v"),
+        (F.col("id") % 2).alias("grp"),
+    )
+    psi_same = psi_drift(base, "v", "grp", 10).collect()[0]["psi"]
+    assert abs(psi_same) < 0.01
+    # cohort 1 shifted far right → large PSI
+    shifted = spark.range(1000).select(
+        ((F.col("id") % 100) + F.when(F.col("id") % 2 == 1, 1000).otherwise(0))
+        .cast("double").alias("v"),
+        (F.col("id") % 2).alias("grp"),
+    )
+    psi_shift = psi_drift(shifted, "v", "grp", 10).collect()[0]["psi"]
+    assert psi_shift > 1.0
+    with pytest.raises(ValueError):
+        psi_drift(base, "v", "grp", 0)
