@@ -553,3 +553,14 @@ def test_catalog_wide_plan_lint(spark):
         if "BatchEvalPython" in plan:
             failures.append(f"{name}: row-at-a-time Python UDF")
     assert not failures, failures
+
+
+def test_psi_and_interp_one_data_scan_each(spark):
+    # psi: one (value, cohort) histogram feeds everything via persist;
+    # interp: bounds + union + windows all on the one events scan pair
+    plan = plan_of(spark, "feature_drift_psi")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    plan2 = plan_of(spark, "interpolate_daily_values")
+    # the union legitimately reads events twice (observations + bounds)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan2)) <= 2
+    assert "CartesianProduct" not in plan2

@@ -540,3 +540,55 @@ def test_equi_depth_bins_laws(spark, vals, n_bins):
     assert sum(b[3] for b in bins) == len(vals)
     for (b1, lo1, hi1, _), (b2, lo2, hi2, _) in zip(bins, bins[1:]):
         assert b1 < b2 and lo1 <= hi1 < lo2 <= hi2
+
+
+@given(
+    ts=st.lists(st.integers(min_value=0, max_value=100),
+                min_size=2, max_size=8, unique=True),
+    a=st.integers(min_value=-5, max_value=5),
+    b=st.integers(min_value=-100, max_value=100),
+)
+@_SETTINGS
+def test_interpolate_series_reproduces_a_line(spark, ts, a, b):
+    """Linear interpolation of points that lie on a line y = a·t + b
+    must reproduce the line at every grid point (up to the 6-decimal
+    rounding the operator applies)."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.timeseries import (
+        interpolate_series,
+    )
+
+    rows = [("k", i, t, float(a * t + b)) for i, t in enumerate(sorted(ts))]
+    df = spark.createDataFrame(rows, "k string, id long, t long, v double")
+    got = interpolate_series(df, "k", "t", "v", 7, "id").collect()
+    for r in got:
+        assert abs(r["v_interp"] - (a * r["grid_t"] + b)) < 1e-6, r
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=50),
+                  st.integers(min_value=0, max_value=1)),
+        min_size=4, max_size=20,
+    )
+)
+@_SETTINGS
+def test_psi_drift_symmetric_and_zero_on_identical(spark, vals):
+    """PSI is symmetric under cohort swap, and identical cohorts give
+    (near-)zero PSI."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.agg import (
+        psi_drift,
+    )
+
+    # ensure both cohorts non-empty
+    rows = [(float(v), g) for v, g in vals] + [(1.0, 0), (1.0, 1)]
+    df = spark.createDataFrame(rows, "v double, grp int")
+    import pyspark.sql.functions as F
+
+    psi = psi_drift(df, "v", "grp", 5).collect()[0]["psi"]
+    swapped = df.select("v", (1 - F.col("grp")).alias("grp"))
+    psi_sw = psi_drift(swapped, "v", "grp", 5).collect()[0]["psi"]
+    assert abs(psi - psi_sw) < 1e-6
+    dup = df.select("v", F.lit(0).alias("grp")).unionByName(
+        df.select("v", F.lit(1).alias("grp"))
+    )
+    assert abs(psi_drift(dup, "v", "grp", 5).collect()[0]["psi"]) < 1e-9
