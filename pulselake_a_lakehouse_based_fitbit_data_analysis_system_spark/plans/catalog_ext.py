@@ -4090,3 +4090,85 @@ def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice", (F.col("l_orderkey") % 2).alias("grp")
     )
     return psi_drift(d, "l_extendedprice", "grp", n_bins=10)
+
+
+# --- windowed segmentation + share-of-total (round 4) ---------------------
+
+_NTILE_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT)
+         AS quartile
+FROM customer
+"""
+
+
+@_register(
+    "ntile_balance_quartiles",
+    _NTILE_ORACLE,
+    "Windowed segmentation: balance quartiles per nation via NTILE(4) "
+    "with a deterministic (balance desc, custkey) tie-break. The "
+    "window is PARTITION-scoped (per nation), so frames stay "
+    "nation-sized at any scale — the global-NTILE anti-pattern's "
+    "scale-correct replacement is equi_depth_price_bins' histogram "
+    "binning, which this catalog also carries.",
+    tags=("window", "segmentation", "reporting"),
+)
+def q_ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+_SHARE_ORACLE = """
+WITH r AS (
+  SELECT c_nationkey AS nation,
+         CAST(sum(CAST(floor(CAST(o_totalprice AS DOUBLE)*100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT nation, rev_c,
+       CAST(floor(rev_c * 10000.0 / sum(rev_c) OVER ()) AS BIGINT) AS share_bp
+FROM r
+"""
+
+
+@_register(
+    "nation_revenue_share",
+    _SHARE_ORACLE,
+    "Share-of-total reporting: per-nation revenue and its share in "
+    "integer basis points. The fact table collapses to |nations| rows "
+    "in one keyed join + hash agg (values quantized to cents before "
+    "summing); the share window runs over that metadata-scale frame "
+    "only, and integer cross-division avoids float drift.",
+    tags=("agg", "window", "reporting"),
+)
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cents = F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5).cast("long")
+    r = (
+        o.select(F.col("o_custkey").alias("c_custkey"), cents.alias("__c"))
+        .join(c, "c_custkey")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.sum("__c").alias("rev_c"))
+    )
+    w = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return r.select(
+        "nation",
+        "rev_c",
+        F.floor(F.col("rev_c") * 10_000 / F.sum("rev_c").over(w))
+        .cast("long")
+        .alias("share_bp"),
+    )
