@@ -48,9 +48,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
 
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.cache import (
+        release_pinned,
+    )
+
     def bind(name: str) -> Callable[[SparkSession, str], DataFrame]:
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             _prepare(spark)
+            # release the PREVIOUS query's tracked persists (the driver
+            # materializes each result before building the next query)
+            release_pinned()
             return QUERIES[name].spark(spark, sf_dir)
 
         run.__name__ = f"q_{name}"

@@ -24,6 +24,9 @@ import sys
 import time
 
 import pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark as pl
+from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.cache import (
+    release_pinned,
+)
 from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import (
     QUERIES,
 )
@@ -48,6 +51,7 @@ def main() -> None:
         QUERIES[name].spark(spark, SF_DIR).write.format("noop").mode(
             "overwrite"
         ).save()
+        release_pinned()  # per the operators.cache release contract
 
     timings: dict[str, float] = {}
     for name in names:
@@ -55,6 +59,7 @@ def main() -> None:
         df = QUERIES[name].spark(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        release_pinned()  # untimed: queries must not inherit churn
 
     total = round(sum(timings.values()), 3)
     print(

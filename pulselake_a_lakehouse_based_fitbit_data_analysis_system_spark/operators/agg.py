@@ -16,9 +16,12 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from .cache import pin
 
 
 def session_stats(
@@ -109,22 +112,29 @@ def numeric_profile(
     """
     if not cols:
         raise ValueError("cols must be non-empty")
+    # internal aliases are INDEX-based and the reported column name is
+    # an escaped SQL literal, so a source column named e.g. `avg price`
+    # or `it's` profiles fine instead of breaking the stack() parse
+    # (ADVICE r4: never splice raw identifiers into generated SQL)
     aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
-    for c in cols:
-        v = F.col(c)
+    for i, c in enumerate(cols):
+        # backtick-quote: F.col parses bare dots as struct traversal
+        v = F.col("`" + c.replace("`", "``") + "`")
         cents = F.floor(v.cast("double") * cents_scale + F.lit(0.5)).cast("long")
         aggs += [
-            F.sum(v.isNull().cast("long")).alias(f"__null_{c}"),
-            F.countDistinct(v).alias(f"__nd_{c}"),
-            F.min(v).alias(f"__min_{c}"),
-            F.max(v).alias(f"__max_{c}"),
-            F.sum(cents).alias(f"__sum_{c}"),
+            F.sum(v.isNull().cast("long")).alias(f"__null_{i}"),
+            F.countDistinct(v).alias(f"__nd_{i}"),
+            F.min(v).alias(f"__min_{i}"),
+            F.max(v).alias(f"__max_{i}"),
+            F.sum(cents).alias(f"__sum_{i}"),
         ]
     wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', __null_{c}, __nd_{c}, CAST(__min_{c} AS DOUBLE), "
-        f"CAST(__max_{c} AS DOUBLE), __sum_{c}"
-        for c in cols
+        "'{lit}', __null_{i}, __nd_{i}, CAST(__min_{i} AS DOUBLE), "
+        "CAST(__max_{i} AS DOUBLE), __sum_{i}".format(
+            lit=c.replace("'", "''"), i=i
+        )
+        for i, c in enumerate(cols)
     )
     return wide.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS "
@@ -176,9 +186,9 @@ def robust_outlier_stats(
         # consumer (measured: 8 parquet scans). The histogram is
         # metadata-scale (|groups x distinct cents|) — caching it is the
         # correct trade at any data size; everything downstream runs
-        # over the cache.
-        .persist()
+        # over the cache. Tracked: release via cache.release_pinned().
     )
+    hist = pin(hist, StorageLevel.MEMORY_AND_DISK)
     wcum = (
         Window.partitionBy("__g")
         .orderBy("__v")
@@ -483,8 +493,10 @@ def psi_drift(
         .select(cents.alias("__v"), F.col(group_col).cast("long").alias("__g"))
         .groupBy("__v", "__g")
         .agg(F.count(F.lit(1)).alias("__n"))
-        .persist()  # feeds the pooled histogram AND the cohort counts
     )
+    # feeds the pooled histogram AND the cohort counts; tracked —
+    # release via cache.release_pinned()
+    hist2 = pin(hist2, StorageLevel.MEMORY_AND_DISK)
     pooled = hist2.groupBy("__v").agg(F.sum("__n").alias("__pn"))
     wcum = Window.orderBy("__v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

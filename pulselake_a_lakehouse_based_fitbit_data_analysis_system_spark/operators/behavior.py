@@ -86,9 +86,12 @@ def cohort_retention(
     days-since-epoch / 7 (engine-neutral integer arithmetic — no
     date_trunc semantics to disagree on).
     """
-    week = (F.datediff(F.col(time_col).cast("date"), F.lit("1970-01-01")) / 7).cast(
-        "long"
-    )
+    # F.floor, not a bare cast: cast("long") truncates toward zero,
+    # diverging from the oracle's floor() for pre-1970 timestamps
+    # (negative day counts) — ADVICE r4
+    week = F.floor(
+        F.datediff(F.col(time_col).cast("date"), F.lit("1970-01-01")) / 7
+    ).cast("long")
     ev = df.select(F.col(user_col).alias("__u"), week.alias("__w"))
     first = ev.groupBy("__u").agg(F.min("__w").alias("cohort_week"))
     return (

@@ -236,7 +236,13 @@ def merge_apply_cdc(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    upserts = latest.filter(F.col(op_col) != delete_op).select(*target.columns)
+    # null-safe keep-filter: a malformed change row with NULL op must
+    # UPSERT, not vanish — `op != delete_op` evaluates NULL for NULL op,
+    # which would drop the row from upserts while the anti-join below
+    # still removes its key from the target (silent delete; ADVICE r4)
+    upserts = latest.filter(~F.col(op_col).eqNullSafe(delete_op)).select(
+        *target.columns
+    )
     survivors = target.join(latest.select(*key_list), key_list, "left_anti")
     return survivors.unionByName(upserts)
 

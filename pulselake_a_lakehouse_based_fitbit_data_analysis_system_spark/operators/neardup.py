@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.expressions import minhash_base, minhash_hash, portable_hash64
+from .cache import pin
 from .text import tokens
 
 
@@ -130,7 +131,9 @@ def lsh_candidate_pairs(
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
     bd = lsh_bands(sigs, id_col, bands, rows)
     if cache_bands:
-        bd = bd.persist()
+        # DISK_ONLY + tracked: read exactly twice (join sides), may be
+        # data-sized; callers release via cache.release_pinned()
+        bd = pin(bd)
     if max_bucket is not None:
         sizes = bd.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("__n"))
         bd = (
@@ -271,7 +274,7 @@ def simhash_pairs(
     # same self-join economics as lsh_candidate_pairs: differing output
     # aliases defeat exchange reuse, so persist the (tiny) keyed table
     # rather than computing the tf-weighted vote aggregation twice
-    keyed = keyed.persist()
+    keyed = pin(keyed)
     a = keyed.select(
         F.col(id_col).alias("id_a"),
         F.col("simhash").alias("sim_a"),
@@ -418,7 +421,10 @@ def embedding_neardup_pairs_bucketed(
         F.sqrt(
             F.aggregate(dvec, F.lit(0.0), lambda acc, x: acc + x * x)
         ).alias("__norm"),
-    ).persist()
+    )
+    # full vectors ride this table — DISK_ONLY keeps a data-sized
+    # cache out of executor memory; released via cache.release_pinned()
+    bucketed = pin(bucketed)
     a = bucketed.select(
         F.col("__id").alias("id_a"),
         F.col("__v").alias("va"),

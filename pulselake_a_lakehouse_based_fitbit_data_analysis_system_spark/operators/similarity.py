@@ -282,6 +282,81 @@ def knn_int8(
     )
 
 
+def _lloyd_dist_to(c: list[int]) -> Column:
+    """Integer squared-L2 of the quantized ``__q`` vector against one
+    literal centroid — a pure map expression (zip_with + fold)."""
+    lit_c = F.array(*[F.lit(int(ci)) for ci in c])
+    return F.aggregate(
+        F.zip_with(F.col("__q"), lit_c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _lloyd_assign(base: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Map-side argmin assignment against k literal centroids, ties to
+    the lowest cluster id via array_position; adds __cl and __dist."""
+    dists = F.array(*[_lloyd_dist_to(c) for c in cents])
+    return base.withColumn(
+        "__cl", (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+    ).withColumn("__dist", F.array_min(dists))
+
+
+def _lloyd_iterate(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    iters: int,
+    scale: int,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Shared exact-integer Lloyd loop behind ``kmeans_refine`` and
+    ``kmeans_centroids`` (single implementation so a rounding-rule fix
+    cannot drift between them — ADVICE r4). Quantizes to
+    ``floor(x*scale + 0.5)`` longs, seeds from the k lowest-id
+    vectors, runs ``iters`` update rounds (one k-row hash-agg shuffle
+    each, k*(d+1) numbers to the driver), new components via the
+    engine-neutral ``floor((2*sum + n) / (2*n))``; clusters that lose
+    every member keep their previous centroid. Returns the quantized
+    base frame and the refined centroid list."""
+    import math
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    # NULL vectors would propagate NULL distances into a NULL cluster id
+    # and crash the driver-side centroid update — exclude them, as MLlib
+    # does; callers wanting them must impute upstream
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), q.alias("__q")
+    )
+    seed_rows = base.orderBy("__id").limit(k).collect()  # k vectors: metadata
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")
+    cents: list[list[int]] = [list(r["__q"]) for r in seed_rows]
+    d = len(cents[0])
+    for _ in range(iters):
+        sums = _lloyd_assign(base, cents).groupBy("__cl").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.sum(F.element_at("__q", i + 1)).alias(f"__s{i}") for i in range(d)],
+        )
+        by_cl = {int(r["__cl"]): r for r in sums.collect()}  # k rows: metadata
+        cents = [
+            [
+                int(math.floor((2.0 * by_cl[j][f"__s{i}"] + by_cl[j]["__n"])
+                               / (2.0 * by_cl[j]["__n"])))
+                for i in range(d)
+            ]
+            if j in by_cl
+            else cents[j]
+            for j in range(k)
+        ]
+    return base, cents
+
+
 def kmeans_refine(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -318,59 +393,9 @@ def kmeans_refine(
     cluster-size/inertia rollup is a second k-row agg. At 100 TB this
     is exactly MLlib's cost model; there is no cheaper exact shape.
     """
-    import math
-
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
-    )
-    # NULL vectors would propagate NULL distances into a NULL cluster id
-    # and crash the driver-side centroid update — exclude them, as MLlib
-    # does; callers wanting them must impute upstream
-    base = df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("__id"), q.alias("__q")
-    )
-    seed_rows = base.orderBy("__id").limit(k).collect()  # k vectors: metadata
-    if len(seed_rows) < k:
-        raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")
-    cents: list[list[int]] = [list(r["__q"]) for r in seed_rows]
-    d = len(cents[0])
-
-    def dist_to(c: list[int]) -> Column:
-        lit_c = F.array(*[F.lit(int(ci)) for ci in c])
-        return F.aggregate(
-            F.zip_with(F.col("__q"), lit_c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    def assigned() -> DataFrame:
-        dists = F.array(*[dist_to(c) for c in cents])
-        return base.withColumn(
-            "__cl", (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
-        ).withColumn("__dist", F.array_min(dists))
-
-    for _ in range(iters):
-        sums = assigned().groupBy("__cl").agg(
-            F.count(F.lit(1)).alias("__n"),
-            *[F.sum(F.element_at("__q", i + 1)).alias(f"__s{i}") for i in range(d)],
-        )
-        by_cl = {int(r["__cl"]): r for r in sums.collect()}  # k rows: metadata
-        cents = [
-            [
-                int(math.floor((2.0 * by_cl[j][f"__s{i}"] + by_cl[j]["__n"])
-                               / (2.0 * by_cl[j]["__n"])))
-                for i in range(d)
-            ]
-            if j in by_cl
-            else cents[j]
-            for j in range(k)
-        ]
-
+    base, cents = _lloyd_iterate(df, vec_col, id_col, k, iters, scale)
     return (
-        assigned()
+        _lloyd_assign(base, cents)
         .groupBy("__cl")
         .agg(F.count(F.lit(1)).alias("n_vectors"), F.sum("__dist").alias("inertia"))
         .select(F.col("__cl").alias("cluster_id"), "n_vectors", "inertia")
@@ -392,53 +417,9 @@ def kmeans_centroids(
     ``ivf_assign`` on the next ingest. Completes the ANN lifecycle:
     build (here) -> assign (ivf_assign) -> query (ann_ivf) -> measure
     (ann_recall_report)."""
-    import math
-
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
-    )
-    base = df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("__id"), q.alias("__q")
-    )
-    seed_rows = base.orderBy("__id").limit(k).collect()
-    if len(seed_rows) < k:
-        raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")
-    cents: list[list[int]] = [list(r["__q"]) for r in seed_rows]
-    d = len(cents[0])
-
-    def dist_to(c: list[int]) -> Column:
-        lit_c = F.array(*[F.lit(int(ci)) for ci in c])
-        return F.aggregate(
-            F.zip_with(F.col("__q"), lit_c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    for _ in range(iters):
-        dists = F.array(*[dist_to(c) for c in cents])
-        assigned = base.withColumn(
-            "__cl", (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
-        )
-        sums = assigned.groupBy("__cl").agg(
-            F.count(F.lit(1)).alias("__n"),
-            *[F.sum(F.element_at("__q", i + 1)).alias(f"__s{i}") for i in range(d)],
-        )
-        by_cl = {int(r["__cl"]): r for r in sums.collect()}
-        cents = [
-            [
-                int(math.floor((2.0 * by_cl[j][f"__s{i}"] + by_cl[j]["__n"])
-                               / (2.0 * by_cl[j]["__n"])))
-                for i in range(d)
-            ]
-            if j in by_cl
-            else cents[j]
-            for j in range(k)
-        ]
+    _, cents = _lloyd_iterate(df, vec_col, id_col, k, iters, scale)
     rows = [
-        (j, i + 1, int(cents[j][i])) for j in range(k) for i in range(d)
+        (j, i + 1, int(cents[j][i])) for j in range(k) for i in range(len(cents[j]))
     ]
     return df.sparkSession.createDataFrame(
         rows, "cluster_id long, pos long, comp long"

@@ -3427,7 +3427,8 @@ def q_weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     o = _t(spark, sf_dir, "orders")
-    week = (
+    # floor (not cast-truncation) to match the oracle for negative weeks
+    week = F.floor(
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01")) / 7
     ).cast("long")
     cents = F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5).cast("long")
@@ -3693,7 +3694,8 @@ def q_densify_weekly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import densify_periods
 
     ev = _t(spark, sf_dir, "events")
-    week = (
+    # floor (not cast-truncation) to match the oracle for negative weeks
+    week = F.floor(
         F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) / 7
     ).cast("long")
     counts = (

@@ -53,10 +53,15 @@ def _norm_rows(cols, rows):
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, duck):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.cache import (
+        release_pinned,
+    )
+
     q = QUERIES[name]
     sdf = q.spark(spark, SF_DIR)
     spark_rows = sdf.collect()
     spark_cols = sdf.columns
+    release_pinned()  # one session runs ~130 queries — don't accumulate
     if q.oracle is None:
         assert len(spark_rows) >= 0  # rows-only check
         return
@@ -112,20 +117,50 @@ def test_readme_counts_are_generated():
     )
 
 
-def test_driver_priority_orders_never_green_then_stalest():
+def test_driver_priority_orders_never_green_then_changed_then_stalest():
     """The generated enumeration puts never-green queries first, then
-    ascending last-green round, and QUERIES iterates in that order
-    (what __spark_entry__.queries() exposes to the driver)."""
+    code-changed-since-green, then ascending last-green round, and
+    QUERIES iterates in that order (what __spark_entry__.queries()
+    exposes to the driver)."""
     from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import (
+        changed_since_green,
         driver_priority,
         last_green_rounds,
     )
 
     green = last_green_rounds()
+    changed = changed_since_green(green)
     order = driver_priority()
     assert order == list(QUERIES), "QUERIES dict order must match priority"
-    rounds = [green.get(n, 0) for n in order]
-    assert rounds == sorted(rounds), "not ordered by last-green round"
+
+    def cls(n):
+        g = green.get(n, 0)
+        return 0 if g == 0 else (1 if n in changed else 2)
+
+    keys = [(cls(n), green.get(n, 0)) for n in order]
+    assert keys == sorted(keys), "not ordered by (class, last-green round)"
+
+
+def test_driver_priority_bumps_changed_module_query():
+    """Round-4 verdict 'Next round' #3: a query whose implementing
+    module changed since its last green round must outrank a merely
+    OLDER untouched row — a rewrite can never coast on a stale green."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import (
+        driver_priority,
+    )
+
+    names = list(QUERIES)
+    older_untouched, newer_changed = names[0], names[1]
+    green = {n: 4 for n in names}
+    green[older_untouched] = 2  # stalest, but code untouched
+    green[newer_changed] = 3  # fresher row — yet its module changed
+    order = driver_priority(green=green, changed={newer_changed})
+    assert order.index(newer_changed) < order.index(older_untouched)
+    # and within the changed class, stalest-first still holds
+    third = names[2]
+    green[third] = 2
+    order2 = driver_priority(green=green, changed={newer_changed, third})
+    assert order2.index(third) < order2.index(newer_changed)
 
 
 def test_rows_only_queries_are_documented_exceptions():
@@ -135,3 +170,39 @@ def test_rows_only_queries_are_documented_exceptions():
     allowed: set[str] = set()  # r4: approx_distinct_agg gained a within_rsd oracle
     actual = {n for n, q in QUERIES.items() if q.oracle is None}
     assert actual <= allowed, f"unexpected rows-only queries: {actual - allowed}"
+
+
+def test_readme_guard_survives_newer_artifact(tmp_path):
+    """Round-4 verdict 'Next round' #1 acceptance: the freshness guard
+    must stay green on a checkout where the driver wrote a NEWER
+    CORRECTNESS artifact after the last README regeneration — the
+    stamped artifact set, not the directory listing, defines coverage."""
+    import importlib.util
+    import json
+    import shutil
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "gen_docs2", root / "tools" / "gen_docs.py"
+    )
+    gen_docs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen_docs)
+    readme = (root / "README.md").read_text()
+    # simulate: a brand-new artifact lands next to the committed ones
+    for p in root.glob("CORRECTNESS_r*.json"):
+        shutil.copy(p, tmp_path / p.name)
+    (tmp_path / "CORRECTNESS_r99.json").write_text(
+        json.dumps({"pricing_summary": {
+            "rows_match": True, "schema_match": True, "hash_match": True,
+            "spark_rows": 1, "oracle_rows": 1, "err": None}})
+    )
+    gen_docs.ROOT = tmp_path  # _all_artifacts now sees r99 too
+    # the guard's call shape (no explicit artifacts) → stamped set only
+    assert gen_docs.regenerate(readme) == readme
+    # explicit regeneration DOES pick up the new artifact
+    regenerated = gen_docs.regenerate(
+        readme, artifacts=gen_docs._all_artifacts(tmp_path)
+    )
+    assert "CORRECTNESS_r99.json" in regenerated
+    assert regenerated != readme

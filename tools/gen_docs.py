@@ -31,6 +31,25 @@ sys.path.insert(0, str(ROOT))
 
 BEGIN = "<!-- AUTOGEN:provenance (tools/gen_docs.py) -->"
 END = "<!-- /AUTOGEN:provenance -->"
+# The block stamps WHICH CORRECTNESS artifacts it covers, and
+# regenerate() only consults the stamped set — so when the driver
+# drops a NEWER artifact after the last regeneration, the freshness
+# test stays green (regenerating against the newer set is a separate,
+# explicit `python tools/gen_docs.py`). Round-4 verdict, "What's
+# wrong" #1: the guard used to read ALL artifacts and guaranteed a
+# red suite at the start of every round.
+STAMP_RE = re.compile(r"<!-- covers: ([^>]*?) -->")
+
+
+def _all_artifacts(root: Path = ROOT) -> list[str]:
+    return sorted(p.name for p in root.glob("CORRECTNESS_r*.json"))
+
+
+def _stamped_artifacts(readme: str) -> list[str] | None:
+    m = STAMP_RE.search(readme)
+    if m is None:
+        return None
+    return m.group(1).split()
 
 
 def counts() -> tuple[int, int]:
@@ -43,21 +62,27 @@ def counts() -> tuple[int, int]:
     return n, n_oracle
 
 
-def provenance_md() -> str:
+def provenance_md(artifacts: list[str]) -> str:
     from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import (
         QUERIES,
         driver_priority,
         last_green_rounds,
     )
 
-    green = last_green_rounds()
-    order = driver_priority()
+    green = last_green_rounds(artifacts=artifacts)
+    # changed=∅: the README records the ARTIFACT-derived base order
+    # (deterministic given the stamp); the live order served to the
+    # driver additionally bumps code-changed queries at import time
+    # (plans/__init__.py::changed_since_green), which depends on the
+    # working tree and must not churn this generated block
+    order = driver_priority(green=green, changed=set())
     n = len(QUERIES)
     per_round: dict[int, list[str]] = {}
     for name in QUERIES:
         per_round.setdefault(green.get(name, 0), []).append(name)
     lines = [
         BEGIN,
+        f"<!-- covers: {' '.join(artifacts)} -->",
         "",
         f"Registered catalog queries: **{n}** "
         f"({sum(1 for q in QUERIES.values() if q.oracle is not None)} with "
@@ -77,15 +102,27 @@ def provenance_md() -> str:
         "",
         "Next driver run checks the first ≤50 entries of the generated "
         "priority order (never-green first, then stalest green round "
-        "first — `plans/__init__.py::driver_priority`), beginning: "
-        f"{head}, …",
+        "first; at import time queries whose implementing modules "
+        "changed since their last green round are additionally bumped "
+        "ahead of merely-old rows — "
+        "`plans/__init__.py::driver_priority`). Artifact-derived base "
+        f"order begins: {head}, …",
         "",
         END,
     ]
     return "\n".join(lines)
 
 
-def regenerate(readme: str) -> str:
+def regenerate(readme: str, artifacts: list[str] | None = None) -> str:
+    """Rewrite the mechanical parts of ``readme``. ``artifacts`` is
+    the CORRECTNESS file set to derive provenance from; None (the
+    freshness test's call shape) reuses the stamp already in the
+    README, so artifacts that landed after the last explicit
+    regeneration don't fail the guard."""
+    if artifacts is None:
+        artifacts = _stamped_artifacts(readme)
+        if artifacts is None:  # pre-stamp README: cover everything
+            artifacts = _all_artifacts()
     n, n_oracle = counts()
     readme = re.sub(r"\d+(\s+)catalog queries", rf"{n}\1catalog queries", readme)
     # E2E replay number comes from the committed artifact, not prose
@@ -104,7 +141,7 @@ def regenerate(readme: str) -> str:
         f"query catalog ({n} queries, {n_oracle} oracle-checked)",
         readme,
     )
-    block = provenance_md()
+    block = provenance_md(artifacts)
     if BEGIN in readme:
         readme = re.sub(
             re.escape(BEGIN) + r".*?" + re.escape(END),
@@ -122,9 +159,13 @@ def regenerate(readme: str) -> str:
 
 def main() -> None:
     p = ROOT / "README.md"
-    p.write_text(regenerate(p.read_text()))
+    artifacts = _all_artifacts()  # explicit regeneration covers all
+    p.write_text(regenerate(p.read_text(), artifacts=artifacts))
     n, n_oracle = counts()
-    print(f"README.md regenerated: {n} queries, {n_oracle} with oracles")
+    print(
+        f"README.md regenerated: {n} queries, {n_oracle} with oracles, "
+        f"covering {' '.join(artifacts) or '(no artifacts)'}"
+    )
 
 
 if __name__ == "__main__":
