@@ -529,3 +529,104 @@ def bpe_pair_counts(
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(top_n)
     )
+
+
+# separator for BPE symbol states: a control char no corpus token
+# contains; symbols are joined "·a··b··c·"-style (single at the ends,
+# double between symbols) so one literal replace() applies a merge
+# greedily left-to-right without overlap (see bpe_merges)
+BPE_SEP = "\x01"
+
+
+def _bpe_state_pairs(state_df: DataFrame) -> DataFrame:
+    """(a, b, n): weighted adjacent-symbol pair counts over the
+    separator-delimited vocabulary state — (a, b) kept as two columns
+    because after the first merge the concatenation is ambiguous."""
+    toks = F.split(
+        F.btrim(F.col("__st"), F.lit(BPE_SEP)), BPE_SEP + BPE_SEP
+    )
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    return (
+        state_df.select(F.explode(pairs).alias("__p"), F.col("__wc"))
+        .select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"), "__wc")
+        .groupBy("a", "b")
+        .agg(F.sum("__wc").alias("n"))
+    )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 5,
+) -> DataFrame:
+    """BPE tokenizer induction PAST the first pair count: learn the
+    first ``n_merges`` merge rules by replaying the classic algorithm
+    — count adjacent symbol pairs over the weighted vocabulary, take
+    the argmax, apply it to every word, repeat. Returns the learned
+    merge table (merge_idx, a, b, n) — the artifact a tokenizer
+    trainer persists.
+
+    Scale shape (the real-trainer reduction, same driver-side loop
+    discipline as ``similarity.kmeans_refine``): the corpus collapses
+    ONCE to a (word, count) vocabulary (first shuffle ~|vocab| rows —
+    pinned via operators.cache, so iterations never rescan the
+    corpus); each iteration's pair count shuffles |vocab|×word-length
+    rows and collects exactly ONE row (the argmax) to the driver, and
+    the merge application is a map-side literal ``replace`` over the
+    vocabulary — iteration cost is independent of corpus size.
+
+    Merge application uses a separator encoding instead of a per-word
+    loop: a word's symbol state is ``·a··b··c·`` (single separator at
+    the ends, double between symbols, ``·`` = ``\\x01``); applying
+    merge (a, b) is ``replace(state, '·a··b·', '·ab·')``. Literal
+    replace scans left-to-right without rescanning its own output, and
+    each match consumes one separator from the following double — so
+    overlapping candidates ("aaa" under merge (a,a) → ["aa","a"]) and
+    back-to-back merges ("aaaa" → ["aa","aa"]) both resolve exactly as
+    the greedy BPE rule demands, in any ANSI engine. Ties break
+    deterministically (n desc, a asc, b asc).
+    """
+    from .cache import pin
+
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    words = df.select(F.explode(F.split(F.col(text_col), " ")).alias("__w"))
+    vocab = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__wc"))
+    chars = F.regexp_extract_all(F.col("__w"), F.lit("."), 0)
+    state = pin(
+        vocab.select(
+            F.concat(
+                F.lit(BPE_SEP),
+                F.array_join(chars, BPE_SEP + BPE_SEP),
+                F.lit(BPE_SEP),
+            ).alias("__st"),
+            "__wc",
+        )
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for i in range(n_merges):
+        top = (
+            _bpe_state_pairs(state)
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # vocabulary fully merged
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((i, a, b, n))
+        state = state.select(
+            F.replace(
+                F.col("__st"),
+                F.lit(BPE_SEP + a + BPE_SEP + BPE_SEP + b + BPE_SEP),
+                F.lit(BPE_SEP + a + b + BPE_SEP),
+            ).alias("__st"),
+            "__wc",
+        )
+    return df.sparkSession.createDataFrame(
+        merges, "merge_idx long, a string, b string, n long"
+    )

@@ -2044,3 +2044,80 @@ def test_kmeans_refine_and_centroids_share_lloyd(spark):
     assert {j: [got[j][i + 1] for i in range(len(cents[j]))] for j in got} == {
         j: cents[j] for j in range(3)
     }
+
+
+def test_ann_recall_clustered_meets_target(spark):
+    """Round-4 verdict 'Next round' #4 acceptance: the tuned multi-seed
+    SRP path must reach recall@10 >= 0.8 (recall_bp >= 8000) on the
+    clustered fixture — parameters in SCALE.md 'ANN recall tuning'."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import (
+        QUERIES,
+    )
+
+    row = QUERIES["ann_recall_clustered"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row["recall_bp"] >= 8000, row
+
+
+def test_ann_lsh_multi_single_scan_shape(spark):
+    """Adding seeds must add map-side bucket expressions, never scans:
+    the multi-seed query plans exactly one parquet scan and no join
+    before the top-k re-rank."""
+    import contextlib
+    import io
+    import re
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import (
+        QUERIES,
+    )
+
+    df = QUERIES["ann_srp_multiseed"].spark(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bpe_merges_matches_classic_reference(spark):
+    """The distributed separator-encoded merge must replay the classic
+    greedy BPE exactly, including overlapping candidates ('aaaa' under
+    merge (a,a) -> [aa, aa]; 'aaa' -> [aa, a])."""
+    from collections import Counter
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.text import (
+        bpe_merges,
+    )
+
+    corpus = ["the cat sat on the mat aaaa", "the bat and the rat chat aaa"]
+    df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    got = [tuple(r) for r in bpe_merges(df, "text", 6).collect()]
+
+    words = Counter(w for line in corpus for w in line.split(" "))
+    vocab = {tuple(w): c for w, c in words.items()}
+    ref = []
+    for i in range(6):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        ref.append((i, a, b, n))
+        new = {}
+        for syms, c in vocab.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        vocab = new
+    assert got == ref
