@@ -8,11 +8,17 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is forced end-to-end through the noop sink (computes every
 output column — a bare count() would let Catalyst prune the work).
 
-Measurement protocol: one UNTIMED warm-up pass over the full query set
-(JVM JIT + whole-stage-codegen class compilation dominate first-run
-wall time — observed ~2× on a cold JVM), then one timed pass. The
-printed numbers are the timed pass only: steady-state throughput,
-which is the quantity that projects to a long-lived cluster.
+Measurement protocol (round-5 verdict ask #6 — controlled re-measure):
+one UNTIMED warm-up pass over the full query set (JVM JIT +
+whole-stage-codegen class compilation dominate first-run wall time —
+observed ~2× on a cold JVM), then THREE timed passes reporting the
+per-query MINIMUM — the same-machine back-to-back spread was measured
+at 2× (47.8 vs 23.4 s totals in one session), so a single pass mostly
+measures machine state. Tracked persists are released after every
+query execution (operators/cache contract), so each timed run pays
+its own cache materialization — earlier rounds' numbers let the timed
+pass read the warm-up pass's cache, flattering persist-bearing
+queries (minhash_lsh_pairs measured 0.8 s warm vs 2.2 s honest).
 """
 
 from __future__ import annotations
@@ -53,13 +59,16 @@ def main() -> None:
         ).save()
         release_pinned()  # per the operators.cache release contract
 
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = QUERIES[name].spark(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        release_pinned()  # untimed: queries must not inherit churn
+    for _ in range(passes):
+        for name in names:
+            t0 = time.perf_counter()
+            df = QUERIES[name].spark(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            release_pinned()  # untimed: next query must not inherit churn
+            timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -70,6 +79,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                "passes": passes,
             }
         )
     )

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyspark import StorageLevel
+
 from ..functions.expressions import minhash_base, minhash_hash, portable_hash64
 from .cache import pin
 from .text import tokens
@@ -131,9 +133,10 @@ def lsh_candidate_pairs(
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
     bd = lsh_bands(sigs, id_col, bands, rows)
     if cache_bands:
-        # DISK_ONLY + tracked: read exactly twice (join sides), may be
-        # data-sized; callers release via cache.release_pinned()
-        bd = pin(bd)
+        # slim table (docs x bands rows of (id, band, 32-char key) —
+        # no text, no vectors): memory-first is the right level;
+        # tracked, callers release via cache.release_pinned()
+        bd = pin(bd, StorageLevel.MEMORY_AND_DISK)
     if max_bucket is not None:
         sizes = bd.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("__n"))
         bd = (
@@ -274,7 +277,7 @@ def simhash_pairs(
     # same self-join economics as lsh_candidate_pairs: differing output
     # aliases defeat exchange reuse, so persist the (tiny) keyed table
     # rather than computing the tf-weighted vote aggregation twice
-    keyed = pin(keyed)
+    keyed = pin(keyed, StorageLevel.MEMORY_AND_DISK)
     a = keyed.select(
         F.col(id_col).alias("id_a"),
         F.col("simhash").alias("sim_a"),
