@@ -237,6 +237,17 @@ def clustered_vector(
     ]
 
 
+def clustered_centroids(
+    n_clusters: int = 16, dim: int = 64
+) -> list[list[float]]:
+    """The fixture's TRUE cluster centroids (noise-free) — the ideal
+    coarse quantizer for IVF evaluation on the clustered fixture."""
+    return [
+        [float((c * 37 + i * 11) % 19 - 9) for i in range(dim)]
+        for c in range(n_clusters)
+    ]
+
+
 def ann_lsh_multi(
     df: DataFrame,
     query_vec: list[float],

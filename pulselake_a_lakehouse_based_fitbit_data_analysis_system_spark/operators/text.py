@@ -558,38 +558,12 @@ def _bpe_state_pairs(state_df: DataFrame) -> DataFrame:
     )
 
 
-def bpe_merges(
-    df: DataFrame,
-    text_col: str = "text",
-    n_merges: int = 5,
-) -> DataFrame:
-    """BPE tokenizer induction PAST the first pair count: learn the
-    first ``n_merges`` merge rules by replaying the classic algorithm
-    — count adjacent symbol pairs over the weighted vocabulary, take
-    the argmax, apply it to every word, repeat. Returns the learned
-    merge table (merge_idx, a, b, n) — the artifact a tokenizer
-    trainer persists.
-
-    Scale shape (the real-trainer reduction, same driver-side loop
-    discipline as ``similarity.kmeans_refine``): the corpus collapses
-    ONCE to a (word, count) vocabulary (first shuffle ~|vocab| rows —
-    pinned via operators.cache, so iterations never rescan the
-    corpus); each iteration's pair count shuffles |vocab|×word-length
-    rows and collects exactly ONE row (the argmax) to the driver, and
-    the merge application is a map-side literal ``replace`` over the
-    vocabulary — iteration cost is independent of corpus size.
-
-    Merge application uses a separator encoding instead of a per-word
-    loop: a word's symbol state is ``·a··b··c·`` (single separator at
-    the ends, double between symbols, ``·`` = ``\\x01``); applying
-    merge (a, b) is ``replace(state, '·a··b·', '·ab·')``. Literal
-    replace scans left-to-right without rescanning its own output, and
-    each match consumes one separator from the following double — so
-    overlapping candidates ("aaa" under merge (a,a) → ["aa","a"]) and
-    back-to-back merges ("aaaa" → ["aa","aa"]) both resolve exactly as
-    the greedy BPE rule demands, in any ANSI engine. Ties break
-    deterministically (n desc, a asc, b asc).
-    """
+def _bpe_learn(
+    df: DataFrame, text_col: str, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Shared BPE training loop: returns the learned merge list and
+    the FINAL separator-encoded vocabulary state (post all merges).
+    See ``bpe_merges`` for semantics and scale shape."""
     from .cache import pin
 
     if n_merges < 1:
@@ -627,6 +601,79 @@ def bpe_merges(
             ).alias("__st"),
             "__wc",
         )
+    return merges, state
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 5,
+) -> DataFrame:
+    """BPE tokenizer induction PAST the first pair count: learn the
+    first ``n_merges`` merge rules by replaying the classic algorithm
+    — count adjacent symbol pairs over the weighted vocabulary, take
+    the argmax, apply it to every word, repeat. Returns the learned
+    merge table (merge_idx, a, b, n) — the artifact a tokenizer
+    trainer persists.
+
+    Scale shape (the real-trainer reduction, same driver-side loop
+    discipline as ``similarity.kmeans_refine``): the corpus collapses
+    ONCE to a (word, count) vocabulary (first shuffle ~|vocab| rows —
+    pinned via operators.cache, so iterations never rescan the
+    corpus); each iteration's pair count shuffles |vocab|×word-length
+    rows and collects exactly ONE row (the argmax) to the driver, and
+    the merge application is a map-side literal ``replace`` over the
+    vocabulary — iteration cost is independent of corpus size.
+
+    Merge application uses a separator encoding instead of a per-word
+    loop: a word's symbol state is ``·a··b··c·`` (single separator at
+    the ends, double between symbols, ``·`` = ``\\x01``); applying
+    merge (a, b) is ``replace(state, '·a··b·', '·ab·')``. Literal
+    replace scans left-to-right without rescanning its own output, and
+    each match consumes one separator from the following double — so
+    overlapping candidates ("aaa" under merge (a,a) → ["aa","a"]) and
+    back-to-back merges ("aaaa" → ["aa","aa"]) both resolve exactly as
+    the greedy BPE rule demands, in any ANSI engine. Ties break
+    deterministically (n desc, a asc, b asc).
+    """
+    merges, _ = _bpe_learn(df, text_col, n_merges)
     return df.sparkSession.createDataFrame(
         merges, "merge_idx long, a string, b string, n long"
+    )
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 5,
+) -> DataFrame:
+    """Tokenizer lifecycle closed: learn ``n_merges`` BPE rules
+    (``bpe_merges``), ENCODE the corpus under them, and report the
+    compression the learned vocabulary buys — one row with word/char/
+    token totals and tokens-per-char in integer basis points. This is
+    the number a tokenizer trainer watches to pick its merge budget.
+
+    Cost beyond training: zero extra passes — encoding is already the
+    final vocabulary state the learning loop holds (each word's symbol
+    count × its corpus count), so the stats are ONE |vocab|-row
+    aggregation. Empty words (split artifacts) count zero tokens.
+    """
+    _, state = _bpe_learn(df, text_col, n_merges)
+    trimmed = F.btrim(F.col("__st"), F.lit(BPE_SEP))
+    n_tokens = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, BPE_SEP + BPE_SEP))
+    )
+    n_chars = F.length(F.replace(trimmed, F.lit(BPE_SEP), F.lit("")))
+    return state.agg(
+        F.lit(n_merges).cast("long").alias("n_merges"),
+        F.sum("__wc").alias("n_words"),
+        F.sum(F.col("__wc") * n_chars).alias("n_chars"),
+        F.sum(F.col("__wc") * n_tokens).alias("n_tokens"),
+        F.floor(
+            F.sum(F.col("__wc") * n_tokens)
+            * 10_000
+            / F.sum(F.col("__wc") * n_chars)
+        )
+        .cast("long")
+        .alias("tokens_per_char_bp"),
     )

@@ -4328,7 +4328,7 @@ def q_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- iterated BPE merges (round 5, verdict ask #7) ------------------------
 
 
-def _bpe_merges_oracle(n_merges: int = 5) -> str:
+def _bpe_merges_oracle(n_merges: int = 5, final_state: bool = False) -> str:
     """Generated CTE chain replaying the IDENTICAL merge sequence:
     per iteration, pair counts over the separator-encoded vocabulary
     state, argmax (n desc, a asc, b asc), one literal replace().
@@ -4355,17 +4355,30 @@ def _bpe_merges_oracle(n_merges: int = 5) -> str:
             f"m{i} AS (SELECT a, b, n FROM p{i} "
             "ORDER BY n DESC, a ASC, b ASC LIMIT 1)"
         )
-        if i + 1 < n_merges:
+        if i + 1 < n_merges or final_state:
             ctes.append(
                 f"v{i + 1} AS (SELECT replace(st, "
                 f"{sep}||m.a||{dsep}||m.b||{sep}, "
                 f"{sep}||m.a||m.b||{sep}) AS st, wc FROM v{i}, m{i} m)"
             )
-    finals = " UNION ALL ".join(
-        f"SELECT CAST({i} AS BIGINT) AS merge_idx, a, b, CAST(n AS BIGINT) AS n"
-        f" FROM m{i}"
-        for i in range(n_merges)
-    )
+    if final_state:
+        tr = "trim(st, chr(1))"
+        ntok = f"CASE WHEN {tr} = '' THEN 0 ELSE len(string_split({tr}, {dsep})) END"
+        nchr = f"length(replace({tr}, chr(1), ''))"
+        finals = f"""
+SELECT CAST({n_merges} AS BIGINT) AS n_merges,
+       CAST(sum(wc) AS BIGINT) AS n_words,
+       CAST(sum(wc * {nchr}) AS BIGINT) AS n_chars,
+       CAST(sum(wc * ({ntok})) AS BIGINT) AS n_tokens,
+       CAST(floor(sum(wc * ({ntok})) * 10000.0 / sum(wc * {nchr})) AS BIGINT)
+         AS tokens_per_char_bp
+FROM v{n_merges}"""
+    else:
+        finals = " UNION ALL ".join(
+            f"SELECT CAST({i} AS BIGINT) AS merge_idx, a, b, "
+            f"CAST(n AS BIGINT) AS n FROM m{i}"
+            for i in range(n_merges)
+        )
     return "WITH " + ",\n".join(ctes) + "\n" + finals
 
 
@@ -4387,3 +4400,123 @@ def q_bpe_merges_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return bpe_merges(d, "text", n_merges=5)
+
+
+# --- IVF recall with nprobe > 1 on the clustered fixture (round 5) --------
+
+
+def _ivf_clustered_probes(nprobe: int = 2) -> list[int]:
+    """Driver-side probe-cell ranking, exactly as ann_ivf computes it
+    (cosine desc, cell asc) — pure arithmetic, no data read."""
+    import math
+
+    q = similarity.clustered_vector(0, _DIM, 16)
+    cents = similarity.clustered_centroids(16, _DIM)
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    ranked = sorted(range(16), key=lambda c: (-cos(q, cents[c]), c))
+    return ranked[:nprobe]
+
+
+def _ann_recall_ivf_clustered_oracle() -> str:
+    cents_sel = ", ".join(
+        "CAST(["
+        + ", ".join(repr(v) for v in cent)
+        + f"] AS DOUBLE[]) AS c{c}"
+        for c, cent in enumerate(similarity.clustered_centroids(16, _DIM))
+    )
+    sims = ",\n         ".join(
+        f"({_dot_sql('e.embedding', f'c{c}')}) / "
+        f"({_norm_sql('e.embedding')} * {_norm_sql(f'c{c}')}) AS s{c}"
+        for c in range(16)
+    )
+    case = " ".join(f"WHEN s{c} = g THEN {c}" for c in range(16))
+    greatest = ", ".join(f"s{c}" for c in range(16))
+    probes = ", ".join(map(str, _ivf_clustered_probes(2)))
+    return f"""
+WITH {_clustered_cte()},
+q AS (SELECT {_qvec_lit_sql(0)} AS qv),
+cents AS (SELECT {cents_sel}),
+scored AS (
+  SELECT e.vec_id, e.embedding,
+         {sims}
+  FROM cemb e, cents
+),
+celled AS (
+  SELECT vec_id, embedding, CASE {case} END AS cell
+  FROM (SELECT *, greatest({greatest}) AS g FROM scored)
+),
+ann AS (
+  SELECT vec_id
+  FROM celled, q
+  WHERE cell IN ({probes})
+  ORDER BY round(({_dot_sql("embedding", "qv")}) /
+                 ({_norm_sql("embedding")} * {_norm_sql("qv")}), 6) DESC,
+           vec_id ASC
+  LIMIT 10
+),
+brute AS (
+  SELECT vec_id FROM cemb, q
+  ORDER BY round(({_dot_sql("embedding", "qv")}) /
+                 ({_norm_sql("embedding")} * {_norm_sql("qv")}), 6) DESC,
+           vec_id ASC
+  LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST(count(*) * 1000 AS BIGINT) AS recall_bp
+FROM brute JOIN ann USING (vec_id)
+"""
+
+
+@_register(
+    "ann_recall_ivf_clustered",
+    _ann_recall_ivf_clustered_oracle(),
+    "Recall@10 of the IVF path with nprobe=2 on the clustered fixture "
+    "against the exact brute-force top-10 — the second tuned ANN "
+    "operating point beside the multi-seed SRP union (both hit "
+    "recall_bp = 10000; SCALE.md 'ANN recall tuning'). Assignment is "
+    "argmax cosine against the 16 literal true centroids (map-side, "
+    "no shuffle); the probe set is ranked driver-side; the oracle "
+    "replays assignment, probing, and both rankings.",
+    tags=("similarity", "ann", "ivf", "quality"),
+)
+def q_ann_recall_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cemb = emb.select(
+        "vec_id",
+        similarity.clustered_embedding_expr("vec_id", _DIM, 16).alias("embedding"),
+    )
+    qvec = similarity.clustered_vector(0, _DIM, 16)
+    cents = similarity.clustered_centroids(16, _DIM)
+    k = 10
+    brute = similarity.knn_brute_force(cemb, qvec, k=k).select("vec_id")
+    ann = similarity.ann_ivf(cemb, qvec, cents, k=k, nprobe=2).select("vec_id")
+    return brute.join(ann, "vec_id").agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)) * (10_000 // k)).alias("recall_bp"),
+    )
+
+
+@_register(
+    "bpe_encode_stats",
+    _bpe_merges_oracle(5, final_state=True),
+    "Tokenizer lifecycle closed: encode the corpus under the 5 learned "
+    "BPE merges and report the compression they buy (word/char/token "
+    "totals, tokens-per-char in basis points) — the merge-budget "
+    "metric. Zero passes beyond training: the final vocabulary state "
+    "already IS the encoding, so stats are one |vocab|-row agg. The "
+    "oracle replays the identical merge sequence and encoding.",
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_encode_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_encode_stats(d, "text", n_merges=5)
