@@ -1672,8 +1672,14 @@ def _decontam_overlap(
     if strategy == "auto":
         # persist BEFORE counting: the guard's count materializes the
         # gram set once, and the join build then reads the cache
-        # instead of recomputing the explode+distinct a second time
-        bgrams = bgrams.persist()
+        # instead of recomputing the explode+distinct a second time.
+        # Tracked + explicit level (slim distinct-gram set, bounded by
+        # the broadcast guard) — released via cache.release_pinned()
+        from pyspark import StorageLevel
+
+        from ..operators.cache import pin
+
+        bgrams = pin(bgrams, StorageLevel.MEMORY_AND_DISK)
         strategy = (
             "broadcast" if bgrams.count() <= broadcast_max_grams else "shuffle"
         )
