@@ -315,3 +315,63 @@ def systematic_weighted_sample(
     return packed.filter(marks > 0).select(
         *df.columns, "start_offset", "end_offset"
     )
+
+
+def mixture_allocation(
+    df: DataFrame,
+    source_col: str,
+    tokens_expr: Column,
+    budget_tokens: int,
+    temperature: float = 0.5,
+) -> DataFrame:
+    """Temperature-smoothed domain-mixture allocation — the corpus-
+    assembly step that decides how many tokens each source contributes
+    to a training mix (the public multilingual-sampling recipe:
+    share_i ∝ avail_i^τ, τ=0.5 → sqrt smoothing, upweighting small
+    domains without letting the largest dominate).
+
+    Per source: available tokens, smoothed share in basis points, the
+    token allocation out of ``budget_tokens``, and epochs_bp =
+    allocation/available in basis points (>10000 → the source repeats).
+
+    One hash-agg shuffle collapses the corpus to |sources| rows; the
+    share normalization is a window over that metadata-scale frame.
+    Exactness: the smoothed weight is quantized to an INTEGER
+    (floor(sqrt(avail)·10⁶ + 0.5)) before normalizing, so the
+    normalizer is an order-free integer sum — a raw double Σsqrt
+    would depend on row order — and sqrt is correctly-rounded IEEE in
+    every engine (the reason only τ=0.5 is offered).
+    """
+    if temperature != 0.5:
+        raise ValueError(
+            "only temperature=0.5 (sqrt smoothing) is supported — other "
+            "powers via pow() are not bit-reproducible across engines"
+        )
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    from pyspark.sql.window import Window
+
+    avail = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(tokens_expr).alias("avail_tokens")
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    si = F.floor(
+        F.sqrt(F.col("avail_tokens").cast("double")) * 1_000_000 + F.lit(0.5)
+    ).cast("long")
+    tot = F.sum(si).over(w)  # exact long sum: order-free
+    # products go through double (one multiply, one divide, one floor —
+    # a fixed op sequence, deterministic across engines at any scale)
+    alloc = F.floor(
+        F.lit(float(budget_tokens)) * si.cast("double") / tot.cast("double")
+    ).cast("long")
+    return avail.select(
+        "source",
+        "avail_tokens",
+        F.floor(F.lit(10_000.0) * si.cast("double") / tot.cast("double"))
+        .cast("long")
+        .alias("share_bp"),
+        alloc.alias("alloc_tokens"),
+        F.floor(alloc * 10_000 / F.col("avail_tokens"))
+        .cast("long")
+        .alias("epochs_bp"),
+    )

@@ -642,6 +642,47 @@ def bpe_merges(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 40,
+    stride: int = 30,
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG-ingest / context-
+    window prep step: each document explodes into overlapping chunks
+    of ``window`` words every ``stride`` words (chunk starts at 0,
+    stride, 2·stride, … while the start is inside the document; the
+    final chunk may be shorter). Emits (id, chunk_idx, n_words,
+    chunk_text) with deterministic indices so chunks are stable keys
+    for embedding/indexing downstream.
+
+    Pure map-side: split → explode over an arithmetic start sequence →
+    slice/join; no shuffle, no UDF — at 100 TB this is scan-bound and
+    embarrassingly parallel, and the ~window/stride output blow-up is
+    the intended redundancy.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError(f"window/stride must be >= 1, got {window}/{stride}")
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(stride)
+    )
+    out = df.filter(F.size(words) >= 1).select(
+        F.col(id_col),
+        words.alias("__w"),
+        F.explode(starts).alias("__s"),
+    )
+    return out.select(
+        id_col,
+        (F.col("__s") / stride).cast("long").alias("chunk_idx"),
+        F.least(F.lit(window), F.size("__w") - F.col("__s")).alias("n_words"),
+        F.array_join(
+            F.slice(F.col("__w"), F.col("__s") + 1, window), " "
+        ).alias("chunk_text"),
+    )
+
+
 def bpe_encode_stats(
     df: DataFrame,
     text_col: str = "text",

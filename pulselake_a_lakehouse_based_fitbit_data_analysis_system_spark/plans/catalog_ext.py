@@ -4526,3 +4526,82 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return bpe_encode_stats(d, "text", n_merges=5)
+
+
+# --- sliding-window document chunking (round 5) ---------------------------
+
+_CHUNK_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+)
+SELECT doc_id,
+       CAST(u.s // 30 AS BIGINT) AS chunk_idx,
+       CAST(least(40, len(ws) - u.s) AS INT) AS n_words,
+       array_to_string(ws[u.s + 1 : u.s + 40], ' ') AS chunk_text
+FROM w, UNNEST(range(0, len(ws), 30)) AS u(s)
+WHERE len(ws) >= 1
+"""
+
+
+@_register(
+    "chunk_documents_rag",
+    _CHUNK_ORACLE,
+    "Sliding-window chunking for RAG/context-window prep: 40-word "
+    "chunks every 30 words (final chunk may be short), deterministic "
+    "(doc_id, chunk_idx) keys for downstream embedding/indexing. Pure "
+    "map-side split -> explode over an arithmetic start sequence -> "
+    "slice/join: no shuffle, no UDF, scan-bound at any scale.",
+    tags=("text", "chunking", "rag"),
+)
+def q_chunk_documents_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", window=40, stride=30)
+
+
+# --- domain-mixture allocation (round 5) ----------------------------------
+
+_MIXTURE_ORACLE = """
+WITH avail AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+           AS avail_tokens
+  FROM documents GROUP BY source
+),
+sm AS (
+  SELECT *, CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE)) * 1000000 + 0.5)
+                 AS BIGINT) AS si
+  FROM avail
+),
+tq AS (SELECT sum(si) AS tot FROM sm)
+SELECT source, avail_tokens,
+       CAST(floor(10000.0 * CAST(si AS DOUBLE) / CAST(tot AS DOUBLE))
+            AS BIGINT) AS share_bp,
+       CAST(floor(1000000.0 * CAST(si AS DOUBLE) / CAST(tot AS DOUBLE))
+            AS BIGINT) AS alloc_tokens,
+       CAST(floor(CAST(floor(1000000.0 * CAST(si AS DOUBLE)
+                             / CAST(tot AS DOUBLE)) AS BIGINT)
+                  * 10000 / avail_tokens) AS BIGINT) AS epochs_bp
+FROM sm, tq
+"""
+
+
+@_register(
+    "mixture_weights_by_source",
+    _MIXTURE_ORACLE,
+    "Temperature-smoothed domain-mixture allocation (share ∝ "
+    "sqrt(available tokens), the public multilingual-sampling recipe): "
+    "per source, available tokens, smoothed share in basis points, "
+    "token allocation from a 1M budget, and epochs_bp (>10000 = the "
+    "source repeats). One hash-agg collapses the corpus to |sources| "
+    "rows; smoothed weights quantize to integers before the "
+    "normalizing sum so the result is order-free and engine-exact.",
+    tags=("sampling", "mixture", "training-data"),
+)
+def q_mixture_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import mixture_allocation
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_allocation(
+        d, "source", F.size(F.split(F.col("text"), " ")), budget_tokens=1_000_000
+    )

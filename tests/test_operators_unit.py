@@ -2121,3 +2121,51 @@ def test_bpe_merges_matches_classic_reference(spark):
             new[tuple(out)] = new.get(tuple(out), 0) + c
         vocab = new
     assert got == ref
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    """40/30 chunking: starts at 0, stride, ... while inside the doc;
+    final chunk may be short; single-chunk docs keep idx 0."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.text import (
+        chunk_documents,
+    )
+
+    words70 = " ".join(f"w{i}" for i in range(70))
+    df = spark.createDataFrame([(1, words70), (2, "a b c")], ["doc_id", "text"])
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in
+            chunk_documents(df, window=40, stride=30).collect()}
+    # doc 1: starts 0, 30, 60 -> lengths 40, 40, 10
+    assert rows[(1, 0)]["n_words"] == 40
+    assert rows[(1, 1)]["n_words"] == 40
+    assert rows[(1, 2)]["n_words"] == 10
+    assert rows[(1, 1)]["chunk_text"].split(" ")[0] == "w30"
+    assert rows[(1, 2)]["chunk_text"] == " ".join(f"w{i}" for i in range(60, 70))
+    # doc 2: one short chunk
+    assert rows[(2, 0)]["n_words"] == 3 and rows[(2, 0)]["chunk_text"] == "a b c"
+    assert len(rows) == 4
+    with pytest.raises(ValueError):
+        chunk_documents(df, window=0)
+
+
+def test_mixture_allocation_sqrt_smoothing(spark):
+    """sqrt smoothing upweights small sources: a source with 1/4 the
+    tokens gets 1/2 the smoothed share; shares sum to ~10000 bp and
+    allocations to ~budget (floor slack < |sources|)."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.sampling import (
+        mixture_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [("big", 400), ("small", 100)], ["source", "toks"]
+    )
+    rows = {r["source"]: r for r in
+            mixture_allocation(df, "source", F.col("toks"), 300).collect()}
+    assert rows["big"]["share_bp"] == 6666  # 2/3 smoothed
+    assert rows["small"]["share_bp"] == 3333
+    assert rows["big"]["alloc_tokens"] == 200
+    assert rows["small"]["alloc_tokens"] == 100
+    # small source runs a full epoch of its 100 tokens; big samples 1/2
+    assert rows["small"]["epochs_bp"] == 10000
+    assert rows["big"]["epochs_bp"] == 5000
+    with pytest.raises(ValueError):
+        mixture_allocation(df, "source", F.col("toks"), 300, temperature=1.0)
