@@ -4605,3 +4605,42 @@ def q_mixture_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_allocation(
         d, "source", F.size(F.split(F.col("text"), " ")), budget_tokens=1_000_000
     )
+
+
+# --- approx-percentile sketch gate (round 5) ------------------------------
+
+_APPROX_PCT_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50_exact,
+       TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
+FROM events GROUP BY event_type
+"""
+
+
+@_register(
+    "approx_percentile_gate",
+    _APPROX_PCT_ORACLE,
+    "The sketch the exact-percentile query defers to at 100 TB, "
+    "value-gated: per group, GK approx_percentile (accuracy 10000, "
+    "deterministic rank error <= 1e-4) must land inside the exact "
+    "[p49, p51] / [p89, p91] / [p98.5, p99.5] bands — booleans the "
+    "oracle expects TRUE (the approx_distinct_agg within-tolerance "
+    "pattern). Sketches merge map-side at fixed size; the exact bands "
+    "here are the certification harness, not the scale path.",
+    tags=("agg", "percentile", "sketch"),
+)
+def q_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+
+    def band(p: float, lo: float, hi: float) -> Column:
+        ap = F.approx_percentile("value", F.lit(p), F.lit(10000))
+        return (ap >= F.percentile("value", lo)) & (
+            ap <= F.percentile("value", hi)
+        )
+
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50_exact"),
+        band(0.5, 0.49, 0.51).alias("ok50"),
+        band(0.9, 0.89, 0.91).alias("ok90"),
+        band(0.99, 0.985, 0.995).alias("ok99"),
+    )
