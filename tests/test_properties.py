@@ -592,3 +592,112 @@ def test_psi_drift_symmetric_and_zero_on_identical(spark, vals):
         df.select("v", F.lit(1).alias("grp"))
     )
     assert abs(psi_drift(dup, "v", "grp", 5).collect()[0]["psi"]) < 1e-9
+
+
+@given(
+    corpus=st.lists(
+        st.lists(st.text(alphabet="ab", min_size=0, max_size=4),
+                 min_size=1, max_size=6).map(" ".join),
+        min_size=1, max_size=5,
+    ),
+    k=st.integers(min_value=1, max_value=3),
+)
+@_SETTINGS
+def test_bpe_merges_equals_classic_reference(spark, corpus, k):
+    """Random corpora: the separator-encoded distributed BPE must
+    replay the classic greedy algorithm merge-for-merge (argmax, tie
+    order, non-overlap application)."""
+    from collections import Counter
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.text import (
+        bpe_merges,
+    )
+
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = [tuple(r) for r in bpe_merges(df, "text", k).collect()]
+
+    words = Counter(w for line in corpus for w in line.split(" "))
+    vocab = {tuple(w): c for w, c in words.items()}
+    ref = []
+    for i in range(k):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        ref.append((i, a, b, n))
+        new = {}
+        for syms, c in vocab.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        vocab = new
+    assert got == ref
+
+
+@given(
+    n_words=st.integers(min_value=1, max_value=90),
+    window=st.integers(min_value=1, max_value=10),
+    stride=st.integers(min_value=1, max_value=10),
+)
+@_SETTINGS
+def test_chunk_documents_covers_exactly(spark, n_words, window, stride):
+    """Chunk laws: chunk count = ceil(n/stride); chunk i starts at word
+    i*stride; the stride-prefixes of the chunks reconstruct the doc
+    when stride <= window (full coverage, no gaps)."""
+    import math
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.text import (
+        chunk_documents,
+    )
+
+    words = [f"w{i}" for i in range(n_words)]
+    df = spark.createDataFrame([(7, " ".join(words))], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, window=window, stride=stride).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert len(rows) == math.ceil(n_words / stride)
+    for r in rows:
+        s = r["chunk_idx"] * stride
+        chunk = r["chunk_text"].split(" ")
+        assert chunk == words[s : s + window]
+        assert r["n_words"] == len(chunk)
+    if stride <= window:
+        rebuilt = []
+        for r in rows:
+            rebuilt += r["chunk_text"].split(" ")[:stride]
+        assert rebuilt == words
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=10_000),
+                  min_size=1, max_size=6),
+)
+@_SETTINGS
+def test_mixture_allocation_laws(spark, toks):
+    """Shares sum to 10000 within |sources| floor slack; allocations
+    sum to the budget within the same slack; every source gets a
+    positive share."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.sampling import (
+        mixture_allocation,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [(f"s{i}", t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["source", "toks"])
+    out = mixture_allocation(df, "source", F.col("toks"), 10_000).collect()
+    assert len(out) == len(toks)
+    share_sum = sum(r["share_bp"] for r in out)
+    assert 10_000 - len(toks) <= share_sum <= 10_000
+    alloc_sum = sum(r["alloc_tokens"] for r in out)
+    assert 10_000 - len(toks) <= alloc_sum <= 10_000
+    assert all(r["share_bp"] > 0 for r in out)
