@@ -294,6 +294,84 @@ def apply_cdc_versioned(
     )
 
 
+def scd2_from_changes(
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str | None = None,
+    delete_op: str = "D",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Build an SCD-2 (full-history) dimension from a changelog — the
+    history-keeping sibling of the reference's SCD-1 merges
+    (``Silver/05-silver.py:159-167`` overwrites; this VERSIONS): each
+    change row becomes a dimension version with ``valid_from`` = its
+    sequence value and ``valid_to`` = the key's NEXT change (NULL =
+    current version, flagged ``is_current``). Versions per key are
+    disjoint half-open intervals [valid_from, valid_to) by
+    construction, so a point-in-time lookup matches exactly one row.
+
+    Delete handling: when ``op_col`` is given, a delete row CLOSES the
+    previous version (it still participates in the lead() chain) but
+    emits no version itself — the key simply has no current row.
+
+    One window shuffle partitioned by key (batch-sized when applied
+    per micro-batch through foreachBatch). ``tiebreak_col`` makes the
+    ordering total when sequence values can tie (e.g. same-timestamp
+    updates) — required for deterministic history.
+    """
+    order = [F.col(seq_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    out = changes.withColumn("valid_from", F.col(seq_col)).withColumn(
+        "valid_to", F.lead(seq_col).over(w)
+    )
+    if op_col is not None:
+        out = out.filter(~F.col(op_col).eqNullSafe(delete_op))
+    return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    attrs: Sequence[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Join each fact row to the dimension version valid AT ITS OWN
+    time: equi-join on the keys plus the residual
+    ``valid_from <= ts AND (valid_to IS NULL OR ts < valid_to)`` —
+    the as-of lookup against an SCD-2 dimension (backtesting, feature
+    stores, "state as the customer saw it"). Returns facts.* plus the
+    requested ``attrs`` and ``valid_from``.
+
+    Execution: keyed shuffle join with the interval residual as a
+    post-join filter — the J6 range-join shape; each fact matches at
+    most one version (disjoint intervals), so output size = facts
+    with coverage. At 100 TB bucket both sides by key at ingest and
+    the join is a zero-shuffle SMJ.
+    """
+    f = facts.alias("__f")
+    d = dim.alias("__d")
+    cond = None
+    for k in keys:
+        c = f[k] == d[k]
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (d[valid_from] <= f[ts_col])
+        & (d[valid_to].isNull() | (f[ts_col] < d[valid_to]))
+    )
+    return f.join(d, cond, "inner").select(
+        *[f[c] for c in facts.columns],
+        *[d[a] for a in attrs],
+        d[valid_from],
+    )
+
+
 class TableStore:
     """Parquet-backed managed tables with atomic replace — the engine's
     stand-in for Delta managed tables when delta-spark is absent.

@@ -4644,3 +4644,58 @@ def q_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         band(0.9, 0.89, 0.91).alias("ok90"),
         band(0.99, 0.985, 0.995).alias("ok99"),
     )
+
+
+# --- SCD-2 history + point-in-time join (round 5) -------------------------
+
+_SCD2_PIT_ORACLE = """
+WITH ch AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS state_c
+  FROM events WHERE event_type = 'view'
+),
+dim AS (
+  SELECT user_id, state_c, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM ch
+),
+f AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts, d.state_c, d.valid_from
+FROM f JOIN dim d
+  ON f.user_id = d.user_id
+ AND d.valid_from <= f.ts
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+"""
+
+
+@_register(
+    "scd2_point_in_time",
+    _SCD2_PIT_ORACLE,
+    "SCD-2 history + point-in-time join: 'view' events become a "
+    "versioned dimension (valid_from/valid_to half-open intervals via "
+    "one keyed lead() window — the history-keeping sibling of the "
+    "reference's SCD-1 overwrite merges), and each 'purchase' fact "
+    "joins the version valid AT ITS OWN timestamp (keyed equi-join + "
+    "interval residual, the J6 range-join shape; exactly one match "
+    "per covered fact by interval disjointness). The as-of lookup "
+    "every feature store and backtest needs.",
+    tags=("merge", "scd2", "join", "asof"),
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import point_in_time_join, scd2_from_changes
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value").cast("double") * 100 + 0.5).cast("long")
+    changes = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", cents.alias("state_c")
+    )
+    dim = scd2_from_changes(
+        changes, ["user_id"], "ts", tiebreak_col="event_id"
+    ).select("user_id", "state_c", "valid_from", "valid_to")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return point_in_time_join(facts, dim, ["user_id"], "ts", ["state_c"])

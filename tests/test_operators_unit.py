@@ -2169,3 +2169,56 @@ def test_mixture_allocation_sqrt_smoothing(spark):
     assert rows["big"]["epochs_bp"] == 5000
     with pytest.raises(ValueError):
         mixture_allocation(df, "source", F.col("toks"), 300, temperature=1.0)
+
+
+def test_scd2_from_changes_versions_and_deletes(spark):
+    """SCD-2 build: versions form disjoint half-open intervals; a
+    delete closes the prior version and emits no row; exactly one
+    is_current per surviving key."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        scd2_from_changes,
+    )
+
+    changes = spark.createDataFrame(
+        [
+            (1, 10, "a", "U"), (1, 20, "b", "U"), (1, 30, None, "D"),
+            (2, 15, "x", "U"), (2, 25, "y", "U"),
+        ],
+        "k long, seq long, v string, op string",
+    )
+    rows = sorted(
+        scd2_from_changes(changes, ["k"], "seq", op_col="op").collect(),
+        key=lambda r: (r["k"], r["valid_from"]),
+    )
+    got = [(r["k"], r["valid_from"], r["valid_to"], r["v"], r["is_current"])
+           for r in rows]
+    assert got == [
+        (1, 10, 20, "a", False),
+        (1, 20, 30, "b", False),  # closed by the delete, no current row
+        (2, 15, 25, "x", False),
+        (2, 25, None, "y", True),
+    ]
+
+
+def test_point_in_time_join_picks_exactly_one_version(spark):
+    """Facts before the first version drop out; facts inside an
+    interval get that version; facts after the last get the open
+    current version."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        point_in_time_join,
+        scd2_from_changes,
+    )
+
+    changes = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b")], "k long, seq long, v string"
+    )
+    dim = scd2_from_changes(changes, ["k"], "seq").select(
+        "k", "v", "valid_from", "valid_to"
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, 5), (101, 1, 10), (102, 1, 15), (103, 1, 99)],
+        "fid long, k long, ts long",
+    )
+    got = {r["fid"]: r["v"] for r in
+           point_in_time_join(facts, dim, ["k"], "ts", ["v"]).collect()}
+    assert got == {101: "a", 102: "a", 103: "b"}  # fid 100 uncovered
