@@ -332,6 +332,58 @@ def scd2_from_changes(
     return out.withColumn("is_current", F.col("valid_to").isNull())
 
 
+def scd2_merge_batch(
+    target: DataFrame,
+    batch: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Order-ROBUST incremental SCD-2 maintenance — apply one
+    changelog micro-batch to an existing version table (built by
+    ``scd2_from_changes`` with ``op_col=None``, i.e. delete rows kept
+    as tombstone versions so the full change history is recoverable
+    from the table itself; readers filter ``op <> 'D'``).
+
+    Strategy: REBUILD AFFECTED KEYS. The batch's key set selects the
+    existing versions to revisit (semi-join); their original change
+    rows (every version IS its change row — validity columns are
+    derived) union the batch, duplicates drop on (keys, seq
+    [, tiebreak]) so redelivery is a no-op, and ``scd2_from_changes``
+    re-derives validity. Untouched keys pass through via anti-join.
+    The result is invariant under ANY split of the changelog into
+    batches, in any order (property-tested) — same guarantee as
+    ``apply_cdc_versioned``, which is what lets a streaming
+    foreachBatch applier share a batch oracle.
+
+    Cost: one batch-key semi/anti join pair against the target plus
+    one window over (affected history + batch) — O(affected keys'
+    history), not O(table). Under a partitioned ``TableStore``
+    (policy="scd2") the rewrite prunes to affected buckets.
+    """
+    key_list = list(keys)
+    validity = {"valid_from", "valid_to", "is_current"}
+    cols = [c for c in target.columns if c not in validity]
+    if set(cols) != set(batch.columns):
+        raise ValueError(
+            f"target change-columns/batch schemas differ: {sorted(cols)} "
+            f"vs {sorted(batch.columns)}"
+        )
+    affected = batch.select(*key_list).distinct()
+    existing = target.join(affected, key_list, "left_semi").select(*cols)
+    dedup_cols = key_list + [seq_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    changes = existing.unionByName(batch.select(*cols)).dropDuplicates(
+        dedup_cols
+    )
+    rebuilt = scd2_from_changes(
+        changes, key_list, seq_col, tiebreak_col=tiebreak_col
+    )
+    untouched = target.join(affected, key_list, "left_anti")
+    return untouched.unionByName(rebuilt.select(*target.columns))
+
+
 def point_in_time_join(
     facts: DataFrame,
     dim: DataFrame,
@@ -943,6 +995,14 @@ class TableStore:
                 kwargs.get("op_col", "op"),
                 kwargs.get("delete_op", "D"),
             )
+        elif policy == "scd2":
+            merged = scd2_merge_batch(
+                target_affected,
+                src_plain,
+                keys,
+                kwargs["seq_col"],
+                kwargs.get("tiebreak_col"),
+            )
         else:
             raise ValueError(f"unknown policy {policy!r}")
         if spec["mode"] == "hash":
@@ -1043,7 +1103,10 @@ class TableStore:
         """Apply a merge policy and persist. Policies: insert_only,
         scd1, conditional_update, full_upsert, cdc_versioned (kwargs
         forwarded; cdc_versioned requires ``seq_col`` and applies
-        I/U/D changelogs order-robustly — see ``apply_cdc_versioned``).
+        I/U/D changelogs order-robustly — see ``apply_cdc_versioned``),
+        scd2 (requires ``seq_col``, optional ``tiebreak_col``;
+        maintains a full-history version table order-robustly — see
+        ``scd2_merge_batch``).
 
         Tables created with ``write_partitioned`` take the
         partition-pruned path: only partitions containing source keys
@@ -1067,6 +1130,13 @@ class TableStore:
                 base = latest_by_key(source, keys, kwargs["order_col"])
             elif policy in ("insert_only",):
                 base = source.dropDuplicates(list(keys))
+            elif policy == "scd2":
+                base = scd2_from_changes(
+                    source,
+                    keys,
+                    kwargs["seq_col"],
+                    tiebreak_col=kwargs.get("tiebreak_col"),
+                )
             if spec is not None:
                 # declared-ahead spec (declare_partitioning): create
                 # the table partitioned so merge #2 onward is pruned
@@ -1104,6 +1174,14 @@ class TableStore:
                 kwargs["seq_col"],
                 kwargs.get("op_col", "op"),
                 kwargs.get("delete_op", "D"),
+            )
+        elif policy == "scd2":
+            merged = scd2_merge_batch(
+                target,
+                source,
+                keys,
+                kwargs["seq_col"],
+                kwargs.get("tiebreak_col"),
             )
         else:
             raise ValueError(f"unknown policy {policy!r}")

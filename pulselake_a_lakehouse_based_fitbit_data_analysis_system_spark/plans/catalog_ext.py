@@ -4699,3 +4699,85 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts"
     )
     return point_in_time_join(facts, dim, ["user_id"], "ts", ["state_c"])
+
+
+# --- streaming SCD-2 maintenance (round 5) --------------------------------
+
+_STREAM_SCD2_ORACLE = """
+WITH ch AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS state_c,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events WHERE event_type IN ('view', 'error')
+),
+dim AS (
+  SELECT user_id, state_c, op, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM ch
+)
+SELECT user_id, state_c, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM dim WHERE op <> 'D'
+"""
+
+
+@_register(
+    "streaming_scd2_apply",
+    _STREAM_SCD2_ORACLE,
+    "Streaming SCD-2 maintenance end to end: the view/error changelog "
+    "streams in >= 4 micro-batches, each applied via foreachBatch + "
+    "store.merge(policy='scd2') into a hash-partitioned TableStore. "
+    "The applier REBUILDS AFFECTED KEYS (batch keys semi-join the "
+    "table, their change rows union the batch, validity re-derives — "
+    "O(affected history), pruned to affected buckets), keeps delete "
+    "tombstone versions, and drops redelivered (key, seq, tiebreak) "
+    "duplicates, so the final history is invariant under ANY batch "
+    "split — which is what lets it share this full-build batch "
+    "oracle. Readers filter op <> 'D'.",
+    tags=("streaming", "scd2", "merge", "cdc"),
+)
+def q_streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators.merge import TableStore
+    from ..sources.sinks import start_foreach_batch_sink
+
+    store = TableStore(spark, _tf.mkdtemp(prefix="pulselake_scd2_apply_"))
+    store.declare_partitioning("h", keys=["user_id"], n_buckets=8)
+    cents = F.floor(F.col("value").cast("double") * 100 + 0.5).cast("long")
+    stream = (
+        stream_ops.stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "error"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            cents.alias("state_c"),
+            F.when(F.col("event_type") == "error", "D")
+            .otherwise("U")
+            .alias("op"),
+        )
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        store.merge(
+            "h",
+            batch_df,
+            ["user_id"],
+            policy="scd2",
+            seq_col="ts",
+            tiebreak_col="event_id",
+        )
+
+    q = start_foreach_batch_sink(
+        stream,
+        apply_batch,
+        checkpoint=_tf.mkdtemp(prefix="pulselake_scd2_apply_ckpt_"),
+    )
+    q.awaitTermination(300)
+    return (
+        store.read("h")
+        .filter(F.col("op") != "D")
+        .select("user_id", "state_c", "valid_from", "valid_to", "is_current")
+    )

@@ -701,3 +701,59 @@ def test_mixture_allocation_laws(spark, toks):
     alloc_sum = sum(r["alloc_tokens"] for r in out)
     assert 10_000 - len(toks) <= alloc_sum <= 10_000
     assert all(r["share_bp"] > 0 for r in out)
+
+
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # key
+            st.integers(min_value=0, max_value=30),  # seq (ties allowed)
+            st.sampled_from(["U", "U", "D"]),        # op (deletes rarer)
+        ),
+        min_size=1, max_size=12,
+    ),
+    cut=st.lists(st.integers(min_value=1, max_value=11),
+                 min_size=0, max_size=3),
+    order_seed=st.integers(min_value=0, max_value=5),
+)
+@_SETTINGS
+def test_scd2_merge_batch_split_invariant(spark, changes, cut, order_seed):
+    """The incremental SCD-2 applier must yield the identical history
+    for ANY split of the changelog into batches, applied in ANY order,
+    with duplicates redelivered — same guarantee as the versioned CDC
+    applier. Compared against the one-shot full build."""
+    import random
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        scd2_from_changes,
+        scd2_merge_batch,
+    )
+
+    # unique (key, seq, tiebreak) triples: tiebreak is the changelog
+    # position, so ties on seq stay deterministic
+    rows = [(k, s, i, op) for i, (k, s, op) in enumerate(changes)]
+    schema = "k long, seq long, tb long, op string"
+    full = scd2_from_changes(
+        spark.createDataFrame(rows, schema), ["k"], "seq", tiebreak_col="tb"
+    )
+
+    cuts = sorted({c for c in cut if c < len(rows)})
+    bounds = [0] + cuts + [len(rows)]
+    batches = [rows[a:b] for a, b in zip(bounds, bounds[1:]) if a < b]
+    rnd = random.Random(order_seed)
+    rnd.shuffle(batches)
+    if batches:
+        batches.append(rnd.choice(batches))  # redeliver one batch
+
+    target = scd2_from_changes(
+        spark.createDataFrame(batches[0], schema), ["k"], "seq",
+        tiebreak_col="tb",
+    )
+    for b in batches[1:]:
+        target = scd2_merge_batch(
+            target, spark.createDataFrame(b, schema), ["k"], "seq",
+            tiebreak_col="tb",
+        )
+
+    norm = lambda df: sorted(tuple(r) for r in df.collect())
+    assert norm(target) == norm(full)
