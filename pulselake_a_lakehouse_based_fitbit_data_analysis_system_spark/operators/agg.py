@@ -459,6 +459,110 @@ def constraint_checks(
     return out
 
 
+def psi_trend(
+    df: DataFrame,
+    value_col: str,
+    period_col: str,
+    n_bins: int = 10,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """PSI of EVERY period's distribution against the earliest period
+    — ``psi_drift`` generalized from one before/after pair to the
+    monitoring time series a drift dashboard actually plots (the
+    baseline row reports PSI 0 as a built-in sanity check).
+
+    Binning follows the monitoring convention for a fixed reference:
+    equi-depth bins come from the BASELINE period's histogram (not
+    pooled — the reference window defines the bins once, so adding new
+    periods never re-bins history), and values the baseline never saw
+    clip into the nearest applicable bin via a lower-bound lookup.
+    Laplace +1 smoothing over the FULL bin grid keeps every
+    (period, bin) probability finite, including bins empty on one
+    side.
+
+    Shape: ONE data shuffle builds the (period, value, count)
+    histogram (pinned; release via cache.release_pinned()); the
+    baseline histogram, bin bounds, value→bin assignment, the
+    period×bin grid and the PSI rollup are all histogram-/
+    metadata-scale joins and windows — same contract as
+    ``psi_drift``/``equi_depth_bins``.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    cents = F.floor(F.col(value_col).cast("double") * cents_scale + F.lit(0.5)).cast(
+        "long"
+    )
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(period_col).cast("long").alias("__p"), cents.alias("__v"))
+        .groupBy("__p", "__v")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    hist = pin(hist, StorageLevel.MEMORY_AND_DISK)
+    base_p = hist.agg(F.min("__p").alias("__bp"))  # 1 row
+    bhist = hist.crossJoin(F.broadcast(base_p)).filter(
+        F.col("__p") == F.col("__bp")
+    )
+    wcum = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    binmap = (
+        bhist.withColumn("__cum", F.sum("__n").over(wcum))
+        .withColumn("__total", F.sum("__n").over(wtot))
+        .select(
+            "__v",
+            F.floor(
+                (F.col("__cum") - F.col("__n")) * n_bins / F.col("__total")
+            ).cast("long").alias("__bin"),
+        )
+    )
+    bounds = binmap.groupBy("__bin").agg(F.min("__v").alias("__lo"))
+    assigned = (
+        hist.select("__v")
+        .distinct()
+        .join(F.broadcast(bounds), F.col("__lo") <= F.col("__v"), "left")
+        .groupBy("__v")
+        .agg(F.coalesce(F.max("__bin"), F.lit(0)).cast("long").alias("__bin"))
+    )
+    bc = (
+        hist.join(F.broadcast(assigned), "__v")
+        .groupBy("__p", "__bin")
+        .agg(F.sum("__n").alias("__n"))
+    )
+    tot = bc.groupBy("__p").agg(F.sum("__n").alias("__t"))
+    bins_df = (
+        df.sparkSession.range(n_bins).select(F.col("id").alias("__bin"))
+    )
+    grid = tot.select("__p", "__t").crossJoin(F.broadcast(bins_df))
+    cnt = grid.join(bc, ["__p", "__bin"], "left").select(
+        "__p", "__bin", F.coalesce(F.col("__n"), F.lit(0)).alias("__n"), "__t"
+    )
+    base = (
+        cnt.crossJoin(F.broadcast(base_p))
+        .filter(F.col("__p") == F.col("__bp"))
+        .select(
+            "__bin",
+            F.col("__n").alias("__n0"),
+            F.col("__t").alias("__t0"),
+        )
+    )
+    p0 = (F.col("__n0") + 1).cast("double") / (F.col("__t0") + n_bins).cast(
+        "double"
+    )
+    p1 = (F.col("__n") + 1).cast("double") / (F.col("__t") + n_bins).cast(
+        "double"
+    )
+    return (
+        cnt.join(F.broadcast(base), "__bin")
+        .groupBy(F.col("__p").alias("period"))
+        .agg(
+            F.lit(n_bins).cast("long").alias("n_bins"),
+            F.round(F.sum((p0 - p1) * F.log(p0 / p1)), 6).alias("psi"),
+        )
+    )
+
+
 def psi_drift(
     df: DataFrame,
     value_col: str,

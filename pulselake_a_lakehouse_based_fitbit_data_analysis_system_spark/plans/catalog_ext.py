@@ -4781,3 +4781,124 @@ def q_streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("op") != "D")
         .select("user_id", "state_c", "valid_from", "valid_to", "is_current")
     )
+
+
+# --- chunk-level duplication rate (round 5) -------------------------------
+
+_CHUNK_DUP_ORACLE = """
+WITH w AS (
+  SELECT source, string_split(text, ' ') AS ws FROM documents
+),
+ch AS (
+  SELECT source,
+         array_to_string(ws[u.s + 1 : u.s + 40], ' ') AS chunk_text
+  FROM w, UNNEST(range(0, len(ws), 30)) AS u(s)
+  WHERE len(ws) >= 1
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT chunk_text) AS BIGINT) AS n_distinct,
+       CAST(floor((count(*) - count(DISTINCT chunk_text)) * 10000.0
+                  / count(*)) AS BIGINT) AS dup_bp
+FROM ch GROUP BY source
+"""
+
+
+@_register(
+    "chunk_dedup_rate",
+    _CHUNK_DUP_ORACLE,
+    "Per-source chunk-level duplication rate — cross-document "
+    "boilerplate detection on the RAG-chunk grain (the redundancy a "
+    "chunk index pays for twice): sliding-window chunks (40/30) keyed "
+    "by source, exact-dup counting on an 8-byte xxhash64 of the chunk "
+    "text so the distinct shuffle carries hashes, not text (collision "
+    "odds ~n²/2⁶⁵ — negligible against the metric; the oracle counts "
+    "distinct text directly). Map-side chunking + one hash-agg.",
+    tags=("text", "chunking", "dedup", "quality"),
+)
+def q_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(d, "source", "text", window=40, stride=30)
+    n = F.count(F.lit(1))
+    nd = F.countDistinct(F.xxhash64("chunk_text"))
+    return ch.groupBy("source").agg(
+        n.alias("n_chunks"),
+        nd.alias("n_distinct"),
+        F.floor((n - nd) * 10_000 / n).cast("long").alias("dup_bp"),
+    )
+
+
+# --- PSI drift trend over time (round 5) ----------------------------------
+
+_PSI_TREND_ORACLE = """
+WITH q AS (
+  SELECT CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v,
+         CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    / 7) AS BIGINT) AS p
+  FROM events WHERE value IS NOT NULL
+),
+hist AS (SELECT p, v, count(*) AS n FROM q GROUP BY p, v),
+bp AS (SELECT min(p) AS bp FROM hist),
+bh AS (SELECT v, n FROM hist, bp WHERE p = bp),
+c AS (
+  SELECT v, n,
+         sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER () AS total
+  FROM bh
+),
+binmap AS (
+  SELECT v, CAST(floor((cum - n) * 10.0 / total) AS BIGINT) AS bin FROM c
+),
+bounds AS (SELECT bin, min(v) AS lo FROM binmap GROUP BY bin),
+vals AS (SELECT DISTINCT v FROM hist),
+assigned AS (
+  SELECT vals.v, CAST(coalesce(max(bounds.bin), 0) AS BIGINT) AS bin
+  FROM vals LEFT JOIN bounds ON bounds.lo <= vals.v
+  GROUP BY vals.v
+),
+bc AS (
+  SELECT h.p, a.bin, sum(h.n) AS n
+  FROM hist h JOIN assigned a ON a.v = h.v
+  GROUP BY 1, 2
+),
+tot AS (SELECT p, sum(n) AS t FROM bc GROUP BY p),
+grid AS (SELECT tot.p, tot.t, gs.bin FROM tot, UNNEST(range(0, 10)) AS gs(bin)),
+cnt AS (
+  SELECT g.p, g.bin, coalesce(bc.n, 0) AS n, g.t
+  FROM grid g LEFT JOIN bc ON bc.p = g.p AND bc.bin = g.bin
+),
+base AS (SELECT bin, n AS n0, t AS t0 FROM cnt, bp WHERE p = bp)
+SELECT c.p AS period, CAST(10 AS BIGINT) AS n_bins,
+       round(sum((CAST(n0 + 1 AS DOUBLE) / CAST(t0 + 10 AS DOUBLE)
+                  - CAST(n + 1 AS DOUBLE) / CAST(t + 10 AS DOUBLE))
+                 * ln((CAST(n0 + 1 AS DOUBLE) / CAST(t0 + 10 AS DOUBLE))
+                      / (CAST(n + 1 AS DOUBLE) / CAST(t + 10 AS DOUBLE)))),
+             6) AS psi
+FROM cnt c JOIN base USING (bin)
+GROUP BY c.p
+"""
+
+
+@_register(
+    "psi_trend_weekly",
+    _PSI_TREND_ORACLE,
+    "PSI drift as the time series a monitoring dashboard plots: each "
+    "week's value distribution against the EARLIEST week (baseline "
+    "row = PSI 0, a built-in sanity check). Bins are equi-depth over "
+    "the baseline histogram only — a fixed reference window never "
+    "re-bins history as periods arrive — with unseen values clipped "
+    "by lower-bound lookup and Laplace smoothing over the full "
+    "period x bin grid. ONE data shuffle; everything downstream is "
+    "histogram-scale.",
+    tags=("agg", "drift", "quality", "timeseries"),
+)
+def q_psi_trend_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.agg import psi_trend
+
+    ev = _t(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) / 7
+    ).cast("long")
+    return psi_trend(ev.select(week.alias("week"), "value"), "value", "week")

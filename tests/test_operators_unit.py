@@ -2222,3 +2222,29 @@ def test_point_in_time_join_picks_exactly_one_version(spark):
     got = {r["fid"]: r["v"] for r in
            point_in_time_join(facts, dim, ["k"], "ts", ["v"]).collect()}
     assert got == {101: "a", 102: "a", 103: "b"}  # fid 100 uncovered
+
+
+def test_psi_trend_baseline_zero_and_shift_detected(spark):
+    """The baseline period reports PSI exactly 0; an identical period
+    stays ~0; a strongly shifted period reads > 1."""
+    import pyspark.sql.functions as FF
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.agg import (
+        psi_trend,
+    )
+
+    base = spark.range(600).select(
+        (FF.col("id") % 100).cast("double").alias("v"), FF.lit(0).alias("p")
+    )
+    same = base.select("v", FF.lit(1).alias("p"))
+    shifted = spark.range(600).select(
+        ((FF.col("id") % 100) + 1000).cast("double").alias("v"),
+        FF.lit(2).alias("p"),
+    )
+    out = {r["period"]: r["psi"] for r in
+           psi_trend(base.union(same).union(shifted), "v", "p").collect()}
+    assert out[0] == 0.0
+    assert abs(out[1]) < 0.01
+    assert out[2] > 1.0
+    with pytest.raises(ValueError):
+        psi_trend(base, "v", "p", n_bins=0)

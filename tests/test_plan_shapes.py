@@ -560,6 +560,12 @@ def test_psi_and_interp_one_data_scan_each(spark):
     # interp: bounds + union + windows all on the one events scan pair
     plan = plan_of(spark, "feature_drift_psi")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    # the per-period trend generalization keeps the same contract
+    plan_t = plan_of(spark, "psi_trend_weekly")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan_t)) == 1
+    assert "CartesianProduct" not in plan_t.replace(
+        "BroadcastNestedLoopJoin", ""
+    )
     plan2 = plan_of(spark, "interpolate_daily_values")
     # the union legitimately reads events twice (observations + bounds)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan2)) <= 2
