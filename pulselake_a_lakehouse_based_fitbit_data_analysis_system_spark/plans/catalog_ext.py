@@ -4902,3 +4902,119 @@ def q_psi_trend_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) / 7
     ).cast("long")
     return psi_trend(ev.select(week.alias("week"), "value"), "value", "week")
+
+
+# --- longest consecutive-run detection (round 5) --------------------------
+
+_STREAK_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         (event_type = 'error')::INT AS is_err,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type = 'error'
+                            ORDER BY ts, event_id) AS grn
+  FROM events
+),
+runs AS (
+  SELECT user_id, rn - grn AS island, count(*) AS run_len
+  FROM seq WHERE is_err = 1
+  GROUP BY user_id, rn - grn
+)
+SELECT user_id,
+       CAST(max(run_len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM runs GROUP BY user_id
+"""
+
+
+@_register(
+    "longest_error_streak",
+    _STREAK_ORACLE,
+    "Gaps-and-islands by VALUE change (vs sessionize_gaps' time "
+    "gaps): per user, the longest run of consecutive 'error' events "
+    "in (ts, event_id) order and how many error runs occurred — the "
+    "reliability/alerting primitive. The rn-minus-grouped-rn trick "
+    "labels islands with two window functions over ONE keyed shuffle "
+    "(same partitioning, no second exchange), then run lengths are a "
+    "grouped count.",
+    tags=("window", "islands", "behavior"),
+)
+def q_longest_error_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    is_err = (F.col("event_type") == "error").cast("int")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_grp = W.partitionBy("user_id", is_err).orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        is_err.alias("is_err"),
+        F.row_number().over(w_all).alias("rn"),
+        F.row_number().over(w_grp).alias("grn"),
+    )
+    runs = (
+        seq.filter(F.col("is_err") == 1)
+        .groupBy("user_id", (F.col("rn") - F.col("grn")).alias("island"))
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+# --- robust feature scaling (round 5) -------------------------------------
+
+_ROBUST_SCALE_ORACLE = f"""
+WITH stats AS ({_ROBUST_ORACLE}),
+e AS (
+  SELECT event_id, event_type,
+         CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+)
+SELECT e.event_id, e.event_type,
+       CASE WHEN s.mad_c > 0
+            THEN CAST(floor((e.c - s.median_c) * 10000.0 / s.mad_c) AS BIGINT)
+            ELSE NULL END AS dev_bp
+FROM e JOIN stats s ON s.event_type = e.event_type
+"""
+
+
+@_register(
+    "robust_scale_events",
+    _ROBUST_SCALE_ORACLE,
+    "Stats-to-transform roundtrip: every event's value robust-scaled "
+    "to deviation-in-MAD-units (basis points, floor of an exact "
+    "integer-cents difference over the group MAD; degenerate "
+    "zero-MAD groups scale to NULL). The per-group median/MAD come "
+    "from the single-shuffle histogram path (robust_outlier_stats) "
+    "and join back as a broadcast of |groups| rows — the normalize "
+    "step of a feature pipeline at fact-table scale, one data "
+    "shuffle for stats + one map-side broadcast join for the "
+    "transform.",
+    tags=("agg", "robust-stats", "transform", "training-data"),
+)
+def q_robust_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.agg import robust_outlier_stats
+
+    ev = _t(spark, sf_dir, "events")
+    stats = robust_outlier_stats(ev, "event_type", "value").select(
+        "event_type", "median_c", "mad_c"
+    )
+    cents = F.floor(F.col("value").cast("double") * 100 + 0.5).cast("long")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", cents.alias("__c"))
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.when(
+                F.col("mad_c") > 0,
+                F.floor(
+                    (F.col("__c") - F.col("median_c")) * 10_000 / F.col("mad_c")
+                ).cast("long"),
+            ).alias("dev_bp"),
+        )
+    )
