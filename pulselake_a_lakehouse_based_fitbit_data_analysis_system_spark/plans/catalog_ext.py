@@ -5018,3 +5018,77 @@ def q_robust_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dev_bp"),
         )
     )
+
+
+# --- PageRank over the trade graph (round 5) ------------------------------
+
+
+def _pagerank_oracle(iters: int = 3, scale: int = 1_000_000_000_000) -> str:
+    """Generated k-stage CTE chain replaying the identical integer
+    fixed-point power iteration (operators/graph.py::pagerank)."""
+    ctes = [
+        """e AS (
+  SELECT DISTINCT 'c' || o_custkey AS s, 's' || l_suppkey AS d
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  UNION
+  SELECT DISTINCT 's' || l_suppkey AS s, 'c' || o_custkey AS d
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+)""",
+        "nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e)",
+        "outdeg AS (SELECT s, count(*) AS deg FROM e GROUP BY s)",
+        f"""params AS (
+  SELECT CAST({scale} // count(*) AS BIGINT) AS init,
+         CAST((15 * ({scale} // count(*))) // 100 AS BIGINT) AS base
+  FROM nodes
+)""",
+        "r0 AS (SELECT node, init AS rank_fp FROM nodes, params)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.d AS node,
+         sum(CAST(floor(CAST(r.rank_fp AS DOUBLE) / o.deg) AS BIGINT)) AS inb
+  FROM r{i - 1} r JOIN outdeg o ON o.s = r.node JOIN e ON e.s = o.s
+  GROUP BY e.d
+)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST(p.base + floor(coalesce(c.inb, 0) * 85 / 100) AS BIGINT)
+           AS rank_fp
+  FROM nodes n CROSS JOIN params p LEFT JOIN c{i} c ON c.node = n.node
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank_fp FROM r{iters}"
+    )
+
+
+@_register(
+    "pagerank_trade_graph",
+    _pagerank_oracle(3),
+    "Damped power-iteration PageRank over the customer<->supplier "
+    "trade graph (both directions of the orders x lineitem "
+    "relationship), 3 iterations of exact INTEGER fixed-point "
+    "arithmetic — per-edge contribution rank // out_degree, update "
+    "base + (85 * inbound) // 100 — so the oracle replays the "
+    "identical iteration as a generated CTE chain. Fully lazy plan: "
+    "each iteration is one |nodes| x edges join + one hash-agg by "
+    "destination (the classic distributed PageRank cost); no driver "
+    "collects beyond the node count that sets the literal base.",
+    tags=("graph", "iterative", "pagerank"),
+)
+def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    edges = cs.unionByName(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, "src", "dst", iters=3)

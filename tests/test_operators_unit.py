@@ -2248,3 +2248,25 @@ def test_psi_trend_baseline_zero_and_shift_detected(spark):
     assert out[2] > 1.0
     with pytest.raises(ValueError):
         psi_trend(base, "v", "p", n_bins=0)
+
+
+def test_pagerank_cycle_and_star(spark):
+    """Two-node cycle: symmetric ranks, total mass conserved up to
+    floor slack. Star (all -> center): the center outranks every leaf."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.graph import (
+        pagerank,
+    )
+
+    cyc = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    r = {x["node"]: x["rank_fp"] for x in pagerank(cyc, iters=4).collect()}
+    assert r["a"] == r["b"]
+    assert 0 < r["a"] <= 1_000_000_000_000 // 2
+
+    star = spark.createDataFrame(
+        [("l1", "hub"), ("l2", "hub"), ("l3", "hub"), ("hub", "l1")],
+        ["src", "dst"],
+    )
+    rs = {x["node"]: x["rank_fp"] for x in pagerank(star, iters=3).collect()}
+    assert all(rs["hub"] > rs[f"l{i}"] for i in (1, 2, 3))
+    with pytest.raises(ValueError):
+        pagerank(cyc, iters=0)
