@@ -75,12 +75,52 @@ def start_foreach_batch_sink(
     return writer.start()
 
 
+def idempotent(
+    upsert: Callable[[DataFrame, int], None], ledger_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch callback with batch_id-keyed exactly-once.
+
+    SURVEY §7 "what's hard": the reference IGNORES ``batch_id``
+    (``Silver/05-silver.py:11``) and leans entirely on MERGE
+    idempotency — replayed micro-batches (checkpoint recovery retries
+    the last uncommitted batch) double-apply any non-idempotent
+    action (appends, counters, notifications). This wrapper skips a
+    batch id that has already been applied: one empty marker file per
+    batch id in ``ledger_dir``, created atomically (O_EXCL) AFTER the
+    callback returns — the same ledger discipline as Delta's
+    ``txnAppId``/``txnVersion``.
+
+    Guarantee: exactly-once when the callback's effect is atomic (a
+    TableStore merge commits via a pointer flip); a crash between
+    apply and marker write degrades to at-least-once for that one
+    batch, which the callback's own idempotency then absorbs — strictly
+    better than the reference's always-at-least-once.
+    """
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def wrapped(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger_dir, f"batch_{batch_id}.applied")
+        if os.path.exists(marker):
+            return  # retry of an already-committed batch — skip
+        upsert(batch_df, batch_id)
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+
+    return wrapped
+
+
 class SingleFileArchiver:
     """Kafka→landing-zone archiver (reference S10,
     ``Ingestion/11-Kafka-Consumer.py:59-94``): each micro-batch lands as
     exactly one JSON file named ``{prefix}_{counter}.json``, the counter
     persisted across restarts. ``coalesce(1)`` is deliberate — landing
-    files are small; this never sits on the 100 TB hot path."""
+    files are small; this never sits on the 100 TB hot path.
+
+    The counter-then-append effect is NOT idempotent (a replayed
+    micro-batch lands a duplicate file — the reference has the same
+    exposure); wrap ``write`` with :func:`idempotent` when attaching
+    it to ``foreachBatch`` so checkpoint-recovery retries are skipped
+    by batch id."""
 
     def __init__(self, target_dir: str, prefix: str) -> None:
         self.target_dir = target_dir

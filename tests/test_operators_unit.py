@@ -2270,3 +2270,30 @@ def test_pagerank_cycle_and_star(spark):
     assert all(rs["hub"] > rs[f"l{i}"] for i in (1, 2, 3))
     with pytest.raises(ValueError):
         pagerank(cyc, iters=0)
+
+
+def test_idempotent_foreach_batch_skips_replayed_batch(spark, tmp_path):
+    """batch_id exactly-once: a replayed micro-batch (checkpoint
+    recovery retries the last batch) must apply once; distinct batch
+    ids still apply; the ledger survives a new wrapper instance
+    (process restart)."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.sources.sinks import (
+        idempotent,
+    )
+
+    applied = []
+    def upsert(df, bid):
+        applied.append((bid, df.count()))
+
+    ledger = str(tmp_path / "ledger")
+    wrapped = idempotent(upsert, ledger)
+    one = spark.range(3)
+    wrapped(one, 7)
+    wrapped(one, 7)  # replay — skipped
+    wrapped(one, 8)
+    assert applied == [(7, 3), (8, 3)]
+    # restart: a fresh wrapper over the same ledger still skips
+    wrapped2 = idempotent(upsert, ledger)
+    wrapped2(one, 7)
+    wrapped2(one, 9)
+    assert applied == [(7, 3), (8, 3), (9, 3)]
