@@ -5092,3 +5092,115 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return pagerank(edges, "src", "dst", iters=3)
+
+
+# --- mergeable sketches: HLL partial union, Theta set ops (round 5) -------
+
+_HLL_UNION_ORACLE = """
+SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_rsd
+FROM events
+"""
+
+
+@_register(
+    "hll_partial_union_daily",
+    _HLL_UNION_ORACLE,
+    "Sketch PERSISTENCE, the incremental-dashboard pattern: per-day "
+    "DataSketches HLL sketches of user_id (these are what a daily job "
+    "materializes) union into the period-wide unique count WITHOUT "
+    "rescanning history — only sketch bytes merge. Gated within 5% of "
+    "the exact distinct (oracle expects TRUE). At 100 TB each day's "
+    "partial is a few KB regardless of traffic; re-aggregation cost "
+    "is O(days), not O(events).",
+    tags=("sketch", "agg", "incremental"),
+)
+def q_hll_partial_union_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    exact = ev.agg(
+        F.countDistinct(F.col("ts").cast("date")).alias("n_days"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    est = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    return exact.crossJoin(est).select(
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_rsd"),
+    )
+
+
+_THETA_OVERLAP_ORACLE = """
+WITH v AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase' AND value > 150),
+p AS (SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'error' AND extract(dow FROM ts) = 1)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
+       CAST((SELECT count(*) FROM v JOIN p USING (user_id)) AS BIGINT)
+         AS exact_overlap,
+       TRUE AS within_tol
+"""
+
+
+@_register(
+    "theta_audience_overlap",
+    _THETA_OVERLAP_ORACLE,
+    "Audience-overlap via Theta sketches — the set-operation sketch "
+    "family (HLL can union but never intersect): high-value "
+    "purchasers ∩ Monday-error users (genuinely partial audiences) "
+    "estimated by intersecting two independently-built sketches, "
+    "gated within 5% of the exact join-based overlap (oracle expects "
+    "TRUE). At 100 TB the two audiences build in separate scans/jobs "
+    "and the intersection costs sketch bytes, not a join of two "
+    "billion-row sets.",
+    tags=("sketch", "set-ops", "agg"),
+)
+def q_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # Spark dayofweek: Sunday=1 -> Monday=2; DuckDB dow: Monday=1
+    aud_v = (F.col("event_type") == "purchase") & (F.col("value") > 150)
+    aud_p = (F.col("event_type") == "error") & (
+        F.dayofweek(F.col("ts")) == 2
+    )
+    v = ev.filter(aud_v).agg(
+        F.theta_sketch_agg("user_id").alias("skv"),
+        F.countDistinct("user_id").alias("n_view"),
+    )
+    p = ev.filter(aud_p).agg(
+        F.theta_sketch_agg("user_id").alias("skp"),
+        F.countDistinct("user_id").alias("n_purchase"),
+    )
+    exact = (
+        ev.filter(aud_v)
+        .select("user_id")
+        .distinct()
+        .join(ev.filter(aud_p).select("user_id").distinct(), "user_id")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        v.crossJoin(p)
+        .crossJoin(exact)
+        .select(
+            "n_view",
+            "n_purchase",
+            "exact_overlap",
+            (
+                F.abs(
+                    F.theta_sketch_estimate(
+                        F.theta_intersection(F.col("skv"), F.col("skp"))
+                    )
+                    - F.col("exact_overlap")
+                )
+                <= 0.05 * F.col("exact_overlap")
+            ).alias("within_tol"),
+        )
+    )
