@@ -5204,3 +5204,79 @@ def q_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_tol"),
         )
     )
+
+
+# --- table version diff via time travel (round 5) -------------------------
+
+_VERSION_DIFF_ORACLE = """
+SELECT c_custkey, 'removed' AS change_type FROM customer
+WHERE c_custkey % 7 = 0
+UNION ALL
+SELECT c_custkey, 'changed' FROM customer
+WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0
+UNION ALL
+SELECT c_custkey + 1000000, 'added' FROM customer
+WHERE c_custkey % 11 = 0
+"""
+
+
+@_register(
+    "store_version_diff",
+    _VERSION_DIFF_ORACLE,
+    "Snapshot diff across TIME TRAVEL: customers load as version 1, a "
+    "deterministic CDC batch (deletes for keys %7, updates for %5, "
+    "inserts for %11 shifted by 1e6) merges into version 2, and "
+    "version_diff(read_at(-2), read_at(-1)) classifies every key as "
+    "added/removed/changed via one full-outer keyed join with "
+    "null-safe column compare — the changelog-free fallback audit; "
+    "with the store's hard-linked versions, unchanged partitions are "
+    "byte-identical and skippable by path before reading data.",
+    tags=("merge", "time-travel", "cdc", "audit"),
+)
+def q_store_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators.merge import TableStore, merge_apply_cdc, version_diff
+
+    store = TableStore(spark, _tf.mkdtemp(prefix="pulselake_vdiff_"))
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.floor(F.col("c_acctbal").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("bal_c"),
+    )
+    store.write("t", base)  # version 1
+    c = _t(spark, sf_dir, "customer")
+    deletes = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.lit(0).cast("long").alias("bal_c"),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    updates = c.filter(
+        (F.col("c_custkey") % 5 == 0) & (F.col("c_custkey") % 7 != 0)
+    ).select(
+        "c_custkey",
+        "c_name",
+        (
+            F.floor(F.col("c_acctbal").cast("double") * 100 + 0.5).cast("long")
+            + 999
+        ).alias("bal_c"),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    inserts = c.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.lit("new").alias("c_name"),
+        F.lit(0).cast("long").alias("bal_c"),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    v2 = merge_apply_cdc(store.read("t"), changes, ["c_custkey"], "seq")
+    store.write("t", v2)  # version 2
+    return version_diff(
+        store.read_at("t", -2), store.read_at("t", -1), ["c_custkey"]
+    )

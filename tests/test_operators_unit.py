@@ -2297,3 +2297,22 @@ def test_idempotent_foreach_batch_skips_replayed_batch(spark, tmp_path):
     wrapped2(one, 7)
     wrapped2(one, 9)
     assert applied == [(7, 3), (8, 3), (9, 3)]
+
+
+def test_version_diff_classifies_with_null_safety(spark):
+    """added/removed/changed classification; NULL-to-NULL compares
+    equal (unchanged), NULL-to-value reads changed."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        version_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, "d")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (5, "e")], "k long, v string"
+    )
+    got = {r["k"]: r["change_type"] for r in version_diff(old, new, ["k"]).collect()}
+    # 1 identical (omitted), 2 NULL==NULL (omitted), 3 value->NULL
+    # changed, 4 removed, 5 added
+    assert got == {3: "changed", 4: "removed", 5: "added"}
