@@ -34,6 +34,58 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection over a
+    distinct DIRECTED edge list (pass both directions for undirected
+    semantics): every node starts labeled with itself; each iteration
+    every node adopts the most frequent label among its in-neighbors,
+    ties broken by the smallest label, nodes with no in-edges keep
+    their label. Fully deterministic (no randomized tie-breaking — the
+    asynchronous variant's nondeterminism is exactly what an oracle
+    cannot replay), so a generated CTE chain value-checks every
+    iteration. Returns (node, community).
+
+    Per iteration: one |labels| x edges join, one (node, label)
+    hash-agg, one per-node row_number window — the same keyed
+    shuffle cost profile as ``pagerank``, lazy end to end."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).distinct()
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        neigh = (
+            labels.join(e, labels["node"] == e["__s"])
+            .select(F.col("__d").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("__c").desc(), F.col("label").asc()
+        )
+        picked = (
+            neigh.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", F.col("label").alias("__new"))
+        )
+        labels = labels.join(picked, "node", "left").select(
+            "node", F.coalesce(F.col("__new"), F.col("label")).alias("label")
+        )
+    return labels.select("node", F.col("label").alias("community"))
 
 
 def pagerank(

@@ -5280,3 +5280,77 @@ def q_store_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return version_diff(
         store.read_at("t", -2), store.read_at("t", -1), ["c_custkey"]
     )
+
+
+# --- label-propagation communities (round 5) ------------------------------
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    ctes = [
+        """e AS (
+  SELECT DISTINCT 'c' || o_custkey AS s, 's' || l_suppkey AS d
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  UNION
+  SELECT DISTINCT 's' || l_suppkey AS s, 'c' || o_custkey AS d
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+)""",
+        "nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""n{i} AS (
+  SELECT e.d AS node, l.label, count(*) AS c
+  FROM l{i - 1} l JOIN e ON e.s = l.node
+  GROUP BY e.d, l.label
+)"""
+        )
+        ctes.append(
+            f"""p{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM n{i}
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""l{i} AS (
+  SELECT l.node, coalesce(p.label, l.label) AS label
+  FROM l{i - 1} l LEFT JOIN p{i} p ON p.node = l.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, label AS community FROM l{iters}"
+    )
+
+
+@_register(
+    "lpa_trade_communities",
+    _lpa_oracle(3),
+    "Synchronous label-propagation community detection over the "
+    "undirected customer<->supplier trade graph: 3 iterations of "
+    "adopt-the-most-frequent-neighbor-label with DETERMINISTIC "
+    "smallest-label tie-breaking (the asynchronous variant's "
+    "randomness is exactly what an oracle cannot replay), so the "
+    "generated CTE chain value-checks every node's community. Per "
+    "iteration: one labels x edges join, one hash-agg, one per-node "
+    "row_number window — pagerank's shuffle profile, lazy end to end.",
+    tags=("graph", "iterative", "communities"),
+)
+def q_lpa_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    edges = cs.unionByName(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return label_propagation(edges, "src", "dst", iters=3)

@@ -2316,3 +2316,22 @@ def test_version_diff_classifies_with_null_safety(spark):
     # 1 identical (omitted), 2 NULL==NULL (omitted), 3 value->NULL
     # changed, 4 removed, 5 added
     assert got == {3: "changed", 4: "removed", 5: "added"}
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two disconnected triangles converge to two communities, each
+    labeled by its smallest member."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.graph import (
+        label_propagation,
+    )
+
+    tri1 = [("a", "b"), ("b", "c"), ("c", "a")]
+    tri2 = [("x", "y"), ("y", "z"), ("z", "x")]
+    und = tri1 + tri2 + [(d, s) for s, d in tri1 + tri2]
+    edges = spark.createDataFrame(und, ["src", "dst"])
+    got = {r["node"]: r["community"] for r in
+           label_propagation(edges, iters=4).collect()}
+    assert {got[n] for n in "abc"} == {"a"}
+    assert {got[n] for n in "xyz"} == {"x"}
+    with pytest.raises(ValueError):
+        label_propagation(edges, iters=0)
