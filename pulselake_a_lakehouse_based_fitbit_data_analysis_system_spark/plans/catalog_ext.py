@@ -5354,3 +5354,79 @@ def q_lpa_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return label_propagation(edges, "src", "dst", iters=3)
+
+
+# --- leakage-safe cluster-aware splits (round 5) --------------------------
+
+_LEAKAGE_SPLIT_ORACLE = (
+    _CLUSTERS_ORACLE.replace(
+        "SELECT node AS doc_id, min(label) AS cluster_id\nFROM walk GROUP BY node",
+        ", cl AS (SELECT node AS doc_id, min(label) AS cluster_id\n"
+        "       FROM walk GROUP BY node)",
+    ).replace("WITH RECURSIVE toks", "WITH RECURSIVE\ntoks", 1)
+    + f""",
+assigned AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN ({_sql_hash64('cluster_id', 7)} % 10000) < 8000
+                THEN 'train'
+              WHEN ({_sql_hash64('cluster_id', 7)} % 10000) < 9000
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM cl
+),
+leaks AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_leaky_clusters FROM (
+    SELECT cluster_id FROM assigned
+    GROUP BY cluster_id HAVING count(DISTINCT split) > 1
+  )
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       (SELECT n_leaky_clusters FROM leaks) AS n_leaky_clusters
+FROM assigned GROUP BY split
+"""
+)
+
+
+@_register(
+    "leakage_safe_splits",
+    _LEAKAGE_SPLIT_ORACLE,
+    "Train/val/test splits that cannot leak near-duplicates across "
+    "the boundary: the split hash keys on the near-dup CLUSTER id "
+    "(pointer-jumping components over MinHash-LSH pairs), not the doc "
+    "id, so every member of a duplicate cluster lands in the same "
+    "split — the eval-contamination guard a naive per-doc split "
+    "lacks. Emits per-split doc/cluster counts plus a computed (not "
+    "assumed) global leaky-cluster count, 0 by construction. Cost on "
+    "top of clustering: one map-side hash + one |docs| hash-agg.",
+    tags=("sampling", "split", "neardup", "training-data"),
+)
+def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = neardup.lsh_candidate_pairs(
+        d, "doc_id", "text", num_hashes=_N_MINHASH, bands=_BANDS, shingle_size=3
+    )
+    cl = neardup.connected_components(pairs, d, "doc_id")
+    assigned = cl.withColumn(
+        "split",
+        sampling.split_column(
+            "cluster_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+        ),
+    )
+    leaks = (
+        assigned.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaky_clusters"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaks))
+    )
