@@ -5430,3 +5430,63 @@ def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(leaks))
     )
+
+
+# --- exactly-once under forced replay (round 5) ---------------------------
+
+_EXACTLY_ONCE_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
+@_register(
+    "streaming_exactly_once_append",
+    _EXACTLY_ONCE_ORACLE,
+    "The batch_id exactly-once ledger (sinks.idempotent) carrying a "
+    "value check: events stream through foreachBatch into a plain "
+    "parquet APPEND — a genuinely NON-idempotent effect — wrapped by "
+    "the ledger, and after the drain a poisoned replay of an "
+    "already-committed batch id is forced. The final per-type counts "
+    "match the batch oracle ONLY because the ledger skipped the "
+    "replay; without it the poison rows would land and the hash "
+    "check would fail. This is the guarantee the reference's "
+    "batch_id-ignoring upserts lack (SURVEY §7).",
+    tags=("streaming", "exactly-once", "sink"),
+)
+def q_streaming_exactly_once_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile as _tf
+
+    from ..sources.sinks import idempotent, start_foreach_batch_sink
+
+    out_dir = _tf.mkdtemp(prefix="pulselake_eo_out_") + "/data"
+    ledger = _tf.mkdtemp(prefix="pulselake_eo_ledger_")
+    seen: list[int] = []
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        batch_df.write.mode("append").parquet(out_dir)
+
+    wrapped = idempotent(append, ledger)
+    stream = stream_ops.stream_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    q = start_foreach_batch_sink(
+        stream,
+        wrapped,
+        checkpoint=_tf.mkdtemp(prefix="pulselake_eo_ckpt_"),
+    )
+    q.awaitTermination(300)
+    # poison replay: re-deliver an already-committed batch id with
+    # rows that would corrupt the counts if applied
+    poison = spark.range(1000).select(
+        F.col("id").alias("event_id"), F.lit("view").alias("event_type")
+    )
+    wrapped(poison, seen[0])
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
