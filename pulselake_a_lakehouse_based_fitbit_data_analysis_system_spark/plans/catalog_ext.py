@@ -5490,3 +5490,56 @@ def q_streaming_exactly_once_append(
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- order-free table fingerprints (round 5) ------------------------------
+
+_FINGERPRINT_ORACLE = f"""
+SELECT CAST(o_orderkey % 16 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_sql_hash64(
+           "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, "
+           "CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT), "
+           "CAST(CAST(o_orderdate AS DATE) AS VARCHAR))", 3
+       )} % 1000000007) AS BIGINT) AS fp
+FROM orders GROUP BY o_orderkey % 16
+"""
+
+
+@_register(
+    "table_fingerprint_orders",
+    _FINGERPRINT_ORACLE,
+    "Anti-entropy table fingerprints: per hash-bucket, an ORDER-FREE "
+    "checksum (sum of per-row portable md5 hashes over a canonical "
+    "'|'-joined serialization, mod a prime to stay in 64 bits) plus "
+    "row counts — the replica-comparison primitive: two sides "
+    "exchange 16 (bucket, n, fp) rows and only mismatching buckets "
+    "get re-scanned. Map-side hash + one 16-row hash-agg; at 100 TB "
+    "raise the bucket count and compare hierarchically (a Merkle "
+    "level per prefix).",
+    tags=("audit", "fingerprint", "agg"),
+)
+def q_table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.expressions import portable_hash64
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5).cast(
+        "long"
+    )
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        cents,
+        F.col("o_orderdate").cast("date").cast("string"),
+    )
+    return (
+        o.groupBy((F.col("o_orderkey") % 16).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.pmod(portable_hash64(canon, seed=3), F.lit(1_000_000_007))
+            ).alias("fp"),
+        )
+    )
