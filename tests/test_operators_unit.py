@@ -1969,15 +1969,21 @@ def test_pin_release_leaves_no_cached_rdds(spark):
     )
 
     release_pinned()  # start clean (other tests may have pinned)
+    jsc = spark.sparkContext._jsc.sc()
+    # baseline-RELATIVE, not == 0: earlier tests' localCheckpoint RDDs
+    # (connected components' lineage truncation) linger until Spark's
+    # ContextCleaner garbage-collects them — an absolute assertion is
+    # timing-flaky in a full-suite session; the contract under test is
+    # that OUR pins add nothing net
+    base = jsc.getPersistentRDDs().size()
     docs = spark.createDataFrame(
         [(i, "the quick brown fox jumps over dog %d" % (i % 3,)) for i in range(20)],
         ["doc_id", "text"],
     )
     neardup.lsh_candidate_pairs(docs, "doc_id", "text").collect()
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() > 0  # the pin is real
+    assert jsc.getPersistentRDDs().size() > base  # the pin is real
     assert release_pinned() >= 1
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() <= base
 
 
 def test_numeric_profile_handles_awkward_column_names(spark):
