@@ -5543,3 +5543,153 @@ def q_table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp"),
         )
     )
+
+
+# --- grouped Pearson correlation + Gini concentration (round 5) -----------
+
+_CORR_ORACLE = """
+WITH q AS (
+  SELECT l_returnflag AS g,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(floor(CAST(l_extendedprice AS DOUBLE)) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM q GROUP BY g
+),
+d AS (
+  SELECT g, n,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+  FROM s
+)
+SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(floor(10000.0 * (nd * sxyd - sxd * syd) /
+                  (sqrt(nd * sxxd - sxd * sxd) *
+                   sqrt(nd * syyd - syd * syd))) AS BIGINT) AS corr_bp
+FROM d
+"""
+
+
+@_register(
+    "corr_by_returnflag",
+    _CORR_ORACLE,
+    "Grouped Pearson correlation (quantity vs price in cents) from "
+    "the same five exact integer sums as grouped OLS — one map-side "
+    "combine shuffle, r emitted in floor basis points so the only "
+    "float ops are two correctly-rounded sqrts and one division, "
+    "identical in any engine. The feature-redundancy screen a "
+    "training pipeline runs before model fitting.",
+    tags=("agg", "statistics", "profiling"),
+)
+def q_corr_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    # whole dollars, not cents: the sums stay exact in int64 AND below
+    # 2^53 at bench scale so their double casts are exact everywhere
+    y = F.floor(F.col("l_extendedprice").cast("double")).cast("long")
+    s = li.select(F.col("l_returnflag"), x.alias("__x"), y.alias("__y")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    # the cross products (n*syy ...) overflow int64 at scale — compute
+    # the FORMULA in double over the exact integer sums; both engines
+    # run the identical IEEE op sequence on the identical sum values
+    nd = F.col("__n").cast("double")
+    sxd = F.col("__sx").cast("double")
+    syd = F.col("__sy").cast("double")
+    sxxd = F.col("__sxx").cast("double")
+    syyd = F.col("__syy").cast("double")
+    sxyd = F.col("__sxy").cast("double")
+    return s.select(
+        "l_returnflag",
+        F.col("__n").alias("n"),
+        F.floor(
+            10_000.0
+            * (nd * sxyd - sxd * syd)
+            / (F.sqrt(nd * sxxd - sxd * sxd) * F.sqrt(nd * syyd - syd * syd))
+        )
+        .cast("long")
+        .alias("corr_bp"),
+    )
+
+
+_GINI_ORACLE = """
+WITH r AS (
+  SELECT c.c_nationkey AS nation, o.o_custkey AS cust,
+         sum(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT))
+           AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT nation, rev,
+         row_number() OVER (PARTITION BY nation ORDER BY rev, cust) AS i,
+         count(*) OVER (PARTITION BY nation) AS n,
+         sum(rev) OVER (PARTITION BY nation) AS tot
+  FROM r
+)
+SELECT nation, CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(floor(10000.0 * (2.0 * sum(i * rev) - (max(n) + 1.0) * max(tot))
+                  / (max(n) * max(tot))) AS BIGINT) AS gini_bp
+FROM rk GROUP BY nation
+"""
+
+
+@_register(
+    "gini_revenue_by_nation",
+    _GINI_ORACLE,
+    "Revenue concentration per nation as a Gini coefficient in basis "
+    "points — the inequality metric for 'is this market dominated by "
+    "few customers'. Per-customer revenue collapses in one keyed agg "
+    "(integer cents); the Gini rank formula runs as windows over that "
+    "|customers| frame partitioned by nation (deterministic rank ties "
+    "by customer id), never over raw orders.",
+    tags=("agg", "window", "reporting", "statistics"),
+)
+def q_gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cents = F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5).cast(
+        "long"
+    )
+    r = (
+        o.select(F.col("o_custkey").alias("c_custkey"), cents.alias("__c"))
+        .join(c, "c_custkey")
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_custkey").alias("cust"),
+        )
+        .agg(F.sum("__c").alias("rev"))
+    )
+    wo = W.partitionBy("nation").orderBy("rev", "cust")
+    wp = W.partitionBy("nation")
+    rk = r.select(
+        "nation",
+        "rev",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("rev").over(wp).alias("tot"),
+    )
+    return rk.groupBy("nation").agg(
+        F.max("n").alias("n_customers"),
+        F.floor(
+            10_000.0
+            * (2.0 * F.sum(F.col("i") * F.col("rev"))
+               - (F.max("n") + F.lit(1.0)) * F.max("tot"))
+            / (F.max("n") * F.max("tot"))
+        )
+        .cast("long")
+        .alias("gini_bp"),
+    )
