@@ -69,17 +69,37 @@ def minhash_signatures(
     """k-permutation MinHash: sig_i(doc) = min over shingles of
     h_i(shingle), where h_i = (a_i·H + b_i) mod P is a universal-hash
     family over ONE md5 base hash per shingle (k× less hashing than k
-    independent md5 calls — the hot-path win at 100 TB). One explode +
-    one grouped aggregation computing all k minima in the same shuffle.
-    Columns: id, h0..h{k-1}."""
-    sh = exploded_shingles(df, id_col, text_col, shingle_size).withColumn(
-        "__h", minhash_base(F.col("shingle"))
+    independent md5 calls — the hot-path win at 100 TB).
+
+    ZERO-shuffle shape (round 5): the min of a universal hash over a
+    multiset equals the min over its distinct set, so the former
+    explode→hash→groupBy pipeline (which shuffled the entire
+    |docs|×|shingles| universe) is computed per ROW instead — one md5
+    per shingle into an aliased base-hash array (its own projection:
+    Spark does no CSE inside higher-order lambdas, the winnowing
+    lesson), then k array_min folds, all map-side whole-stage codegen.
+    Identical values to the exploded form. Columns: id, h0..h{k-1}.
+
+    The input is bumped to the session's parallelism first
+    (``ensure_min_parallelism``): a single-file table otherwise runs
+    the whole md5 workload in ONE task — measured 2.3 s → 0.4 s at
+    sf0.1 with 32 cores; a no-op at real input-split counts."""
+    from ..sources.tables import ensure_min_parallelism
+
+    base_arr = F.transform(
+        F.array_distinct(word_shingles(text_col, shingle_size)),
+        lambda s: minhash_base(s),
     )
-    aggs = [
-        F.min(minhash_hash(F.col("__h"), i)).alias(f"h{i}")
+    keyed = ensure_min_parallelism(df).select(
+        F.col(id_col).alias(id_col), base_arr.alias("__hs")
+    )
+    mins = [
+        F.array_min(
+            F.transform(F.col("__hs"), lambda h: minhash_hash(h, i))
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return keyed.select(id_col, *mins)
 
 
 def lsh_bands(

@@ -65,3 +65,22 @@ def register_views(
     """Register each table as a temp view so the SQL API works too."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Guarded repartition for CPU-heavy map stages: a small table can
+    arrive as ONE input split (a single parquet file under
+    maxPartitionBytes), which serializes every downstream per-row
+    computation onto one core — measured on the MinHash pipeline: 5M
+    md5 calls in one task while 31 cores idle. If the frame's planned
+    partition count is below the session's default parallelism,
+    repartition up to it; otherwise (the 100 TB case — inputs arrive
+    as thousands of splits) this is a no-op, so the extra exchange is
+    only ever paid where it buys a multiple of the cores back. The
+    partition-count probe converts the plan, not the data.
+    """
+    sc = df.sparkSession.sparkContext
+    t = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < t:
+        return df.repartition(t)
+    return df
