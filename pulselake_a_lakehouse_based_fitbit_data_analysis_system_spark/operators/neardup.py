@@ -52,8 +52,16 @@ def exploded_shingles(
     Per-doc dedup happens with ``array_distinct`` BEFORE the explode:
     map-side only, no shuffle — a global ``.distinct()`` here would
     shuffle the entire exploded universe for nothing (ids already make
-    rows unique across docs)."""
-    return df.select(
+    rows unique across docs).
+
+    The input is bumped to the session's parallelism first: every
+    consumer (boilerplate window, decontamination joins, Jaccard
+    pairs) shuffles downstream anyway, and a single-file corpus would
+    otherwise run the whole shingle/hash map work in one task. No-op
+    when the input already has enough splits (the at-scale case)."""
+    from ..sources.tables import ensure_min_parallelism
+
+    return ensure_min_parallelism(df).select(
         id_col,
         F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
     )
