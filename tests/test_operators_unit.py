@@ -2341,3 +2341,22 @@ def test_label_propagation_two_cliques(spark):
     assert {got[n] for n in "xyz"} == {"x"}
     with pytest.raises(ValueError):
         label_propagation(edges, iters=0)
+
+
+def test_ensure_min_parallelism_guard(spark):
+    """Bumps a single-split frame to the session parallelism; leaves an
+    already-parallel frame untouched (the at-scale no-op)."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.sources.tables import (
+        ensure_min_parallelism,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    one = spark.range(100).coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    bumped = ensure_min_parallelism(one)
+    assert bumped.rdd.getNumPartitions() == target
+    assert sorted(r["id"] for r in bumped.collect()) == list(range(100))
+
+    wide = spark.range(100).repartition(target * 2)
+    same = ensure_min_parallelism(wide)
+    assert same is wide  # no-op: no extra exchange at real split counts
