@@ -59,7 +59,9 @@ def main() -> None:
         ).save()
         release_pinned()  # per the operators.cache release contract
 
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    # clamp: 0/negative would produce an empty timed loop reporting
+    # total=0.0 as if the run were valid (r5 ADVICE)
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     timings: dict[str, float] = {}
     for _ in range(passes):
         for name in names:

@@ -446,15 +446,18 @@ def version_diff(
     key_list = list(keys)
     if compare_cols is None:
         compare_cols = [c for c in old.columns if c not in key_list]
-    o = old.alias("__o")
-    n = new.alias("__n")
+    # Literal presence markers: side-presence must NOT be inferred from
+    # key nullability — keys join with eqNullSafe, so a row whose first
+    # key column is legitimately NULL is still "present" on its side.
+    o = old.withColumn("__in_old", F.lit(True)).alias("__o")
+    n = new.withColumn("__in_new", F.lit(True)).alias("__n")
     cond = None
     for k in key_list:
         c = o[k].eqNullSafe(n[k])
         cond = c if cond is None else (cond & c)
     j = o.join(n, cond, "full_outer")
-    in_old = o[key_list[0]].isNotNull()
-    in_new = n[key_list[0]].isNotNull()
+    in_old = o["__in_old"].isNotNull()
+    in_new = n["__in_new"].isNotNull()
     same = None
     for c in compare_cols:
         e = o[c].eqNullSafe(n[c])

@@ -4341,29 +4341,39 @@ def _bpe_merges_oracle(n_merges: int = 5, final_state: bool = False) -> str:
     chr(1) is the separator (single at word ends, double between
     symbols) — each replace consumes one separator of the following
     double, giving the same greedy left-to-right non-overlap semantics
-    as the Spark side (operators/text.py::bpe_merges)."""
+    as the Spark side (operators/text.py::bpe_merges).
+
+    Every stage CTE is ``AS MATERIALIZED``: each ``v{i}`` is referenced
+    twice (pair counts and the next replace), so DuckDB's default CTE
+    inlining would expand the chain to 2^k scans of the corpus — fatal
+    past ~20 merges; materialization makes the replay O(k) stages,
+    exactly the Spark loop's cost shape."""
     sep = "chr(1)"
     dsep = f"{sep}||{sep}"
     ctes = [
-        "w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)",
-        "vocab AS (SELECT word, count(*) AS wc FROM w GROUP BY word)",
-        f"v0 AS (SELECT {sep} || array_to_string(regexp_extract_all(word, '.'),"
+        "w AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS word "
+        "FROM documents)",
+        "vocab AS MATERIALIZED (SELECT word, count(*) AS wc FROM w "
+        "GROUP BY word)",
+        f"v0 AS MATERIALIZED (SELECT {sep} || "
+        f"array_to_string(regexp_extract_all(word, '.'),"
         f" {dsep}) || {sep} AS st, wc FROM vocab)",
     ]
     for i in range(n_merges):
         ctes.append(
-            f"p{i} AS (SELECT t.toks[u.j] AS a, t.toks[u.j + 1] AS b, "
+            f"p{i} AS MATERIALIZED (SELECT t.toks[u.j] AS a, "
+            "t.toks[u.j + 1] AS b, "
             "sum(t.wc) AS n FROM (SELECT string_split(trim(st, chr(1)), "
             f"{dsep}) AS toks, wc FROM v{i}) t, "
             "UNNEST(range(1, len(t.toks))) AS u(j) GROUP BY 1, 2)"
         )
         ctes.append(
-            f"m{i} AS (SELECT a, b, n FROM p{i} "
+            f"m{i} AS MATERIALIZED (SELECT a, b, n FROM p{i} "
             "ORDER BY n DESC, a ASC, b ASC LIMIT 1)"
         )
         if i + 1 < n_merges or final_state:
             ctes.append(
-                f"v{i + 1} AS (SELECT replace(st, "
+                f"v{i + 1} AS MATERIALIZED (SELECT replace(st, "
                 f"{sep}||m.a||{dsep}||m.b||{sep}, "
                 f"{sep}||m.a||m.b||{sep}) AS st, wc FROM v{i}, m{i} m)"
             )
@@ -4406,6 +4416,30 @@ def q_bpe_merges_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return bpe_merges(d, "text", n_merges=5)
+
+
+@_register(
+    "bpe_merges_saturated",
+    _bpe_merges_oracle(128),
+    "BPE training at a REALISTIC merge budget (128): the loop runs "
+    "until the synthetic vocabulary fully merges (~89 rules at "
+    "sf0.01) and then exercises the empty-argmax break path — the "
+    "round-6 scale demo for the re-pinned learning loop (state "
+    "re-pins every 16 merges, superseded pin released one iteration "
+    "later, so at most 16 replace projections ever re-run and "
+    "iteration cost stays FLAT instead of the single-base-pin "
+    "O(k^2); measured per-merge wall times in SCALE.md). The oracle "
+    "replays the identical sequence as a 128-stage MATERIALIZED CTE "
+    "chain — materialization matters: each stage is referenced "
+    "twice, so default CTE inlining would expand to 2^128 corpus "
+    "scans.",
+    tags=("text", "tokenizer", "bpe", "iterative", "scale"),
+)
+def q_bpe_merges_saturated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_merges
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_merges(d, "text", n_merges=128, repin_every=16)
 
 
 # --- IVF recall with nprobe > 1 on the clustered fixture (round 5) --------
@@ -4500,6 +4534,132 @@ def q_ann_recall_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qvec = similarity.clustered_vector(0, _DIM, 16)
     cents = similarity.clustered_centroids(16, _DIM)
+    k = 10
+    brute = similarity.knn_brute_force(cemb, qvec, k=k).select("vec_id")
+    ann = similarity.ann_ivf(cemb, qvec, cents, k=k, nprobe=2).select("vec_id")
+    return brute.join(ann, "vec_id").agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)) * (10_000 // k)).alias("recall_bp"),
+    )
+
+
+# --- IVF recall with LEARNED centroids (round 6) --------------------------
+
+
+def _ann_recall_ivf_learned_oracle(k_cells: int = 16, nprobe: int = 2) -> str:
+    """Replays the FULL learned-IVF path in SQL: quantized 1-round
+    Lloyd (identical to the kmeans_refine oracle), integer centroids
+    back to doubles, probe-cell cosine ranking, argmax-cosine cell
+    assignment, probed top-10, recall vs brute force — no literal
+    centroid shortcut anywhere (r5 verdict #3)."""
+    return f"""
+WITH {_clustered_cte()},
+qk AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
+  FROM cemb
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, qv AS cv
+  FROM (SELECT id, qv FROM qk ORDER BY id LIMIT {k_cells})
+),
+d1 AS (
+  SELECT qk.id, qk.qv, s.cid,
+         list_sum(list_transform(range(1, len(qk.qv)+1),
+                  i -> (qk.qv[i]-s.cv[i])*(qk.qv[i]-s.cv[i]))) AS dist
+  FROM qk CROSS JOIN seeds s
+),
+a1 AS (
+  SELECT id, qv, cid AS cl FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+u AS (
+  SELECT cl, unnest(qv) AS comp, unnest(range(1, len(qv)+1)) AS pos FROM a1
+),
+c2 AS (
+  SELECT cl, pos,
+         CAST(floor((2.0*sum(comp) + count(*)) / (2.0*count(*))) AS BIGINT)
+           AS comp
+  FROM u GROUP BY cl, pos
+),
+cent2 AS (SELECT cl, list(comp ORDER BY pos) AS cv FROM c2 GROUP BY cl),
+centd AS (
+  SELECT s.cid,
+         list_transform(coalesce(c.cv, s.cv),
+                        x -> CAST(x AS DOUBLE) / 1000.0) AS cvf
+  FROM seeds s LEFT JOIN cent2 c ON c.cl = s.cid
+),
+q AS (SELECT {_qvec_lit_sql(0)} AS qvl),
+pr AS (
+  SELECT cid, ({_dot_sql("cvf", "qvl")}) /
+              ({_norm_sql("cvf")} * {_norm_sql("qvl")}) AS s
+  FROM centd, q
+),
+probes AS (SELECT cid FROM pr ORDER BY s DESC, cid ASC LIMIT {nprobe}),
+asg AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           ({_dot_sql("e.embedding", "c.cvf")}) /
+           ({_norm_sql("e.embedding")} * {_norm_sql("c.cvf")}) DESC,
+           c.cid ASC) AS rn
+  FROM cemb e CROSS JOIN centd c
+),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1),
+ann AS (
+  SELECT vec_id FROM cells, q
+  WHERE cell IN (SELECT cid FROM probes)
+  ORDER BY round(({_dot_sql("embedding", "qvl")}) /
+                 ({_norm_sql("embedding")} * {_norm_sql("qvl")}), 6) DESC,
+           vec_id ASC
+  LIMIT 10
+),
+brute AS (
+  SELECT vec_id FROM cemb, q
+  ORDER BY round(({_dot_sql("embedding", "qvl")}) /
+                 ({_norm_sql("embedding")} * {_norm_sql("qvl")}), 6) DESC,
+           vec_id ASC
+  LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST(count(*) * 1000 AS BIGINT) AS recall_bp
+FROM brute JOIN ann USING (vec_id)
+"""
+
+
+@_register(
+    "ann_recall_ivf_learned",
+    _ann_recall_ivf_learned_oracle(16, 2),
+    "Recall@10 of the IVF path with centroids LEARNED end-to-end — "
+    "build (kmeans_centroids, 1 exact-integer Lloyd round, k=16, "
+    "lowest-id seeds) -> assign (argmax cosine) -> probe (nprobe=2, "
+    "driver-ranked) -> measure, with no true-centroid shortcut "
+    "anywhere (the _clustered sibling scores against the fixture's "
+    "literal centroids, which upper-bounds recall; this query proves "
+    "the trained quantizer reaches the same operating point). The "
+    "oracle replays the ENTIRE pipeline in SQL: quantized Lloyd, "
+    "integer->double centroids, probe ranking, assignment, both "
+    "rankings.",
+    tags=("similarity", "ann", "ivf", "kmeans", "quality"),
+)
+def q_ann_recall_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cemb = emb.select(
+        "vec_id",
+        similarity.clustered_embedding_expr("vec_id", _DIM, 16).alias("embedding"),
+    )
+    n_cells, scale = 16, 1000
+    cent_rows = similarity.kmeans_centroids(
+        cemb, "embedding", "vec_id", k=n_cells, iters=1, scale=scale
+    ).collect()
+    cents: list[list[float]] = [[0.0] * _DIM for _ in range(n_cells)]
+    for r in cent_rows:
+        cents[int(r["cluster_id"])][int(r["pos"]) - 1] = int(r["comp"]) / scale
+    qvec = similarity.clustered_vector(0, _DIM, 16)
     k = 10
     brute = similarity.knn_brute_force(cemb, qvec, k=k).select("vec_id")
     ann = similarity.ann_ivf(cemb, qvec, cents, k=k, nprobe=2).select("vec_id")
@@ -5046,8 +5206,7 @@ def _pagerank_oracle(iters: int = 3, scale: int = 1_000_000_000_000) -> str:
     for i in range(1, iters + 1):
         ctes.append(
             f"""c{i} AS (
-  SELECT e.d AS node,
-         sum(CAST(floor(CAST(r.rank_fp AS DOUBLE) / o.deg) AS BIGINT)) AS inb
+  SELECT e.d AS node, sum(r.rank_fp // o.deg) AS inb
   FROM r{i - 1} r JOIN outdeg o ON o.s = r.node JOIN e ON e.s = o.s
   GROUP BY e.d
 )"""
@@ -5055,7 +5214,7 @@ def _pagerank_oracle(iters: int = 3, scale: int = 1_000_000_000_000) -> str:
         ctes.append(
             f"""r{i} AS (
   SELECT n.node,
-         CAST(p.base + floor(coalesce(c.inb, 0) * 85 / 100) AS BIGINT)
+         CAST(p.base + ((coalesce(c.inb, 0) * 85) // 100) AS BIGINT)
            AS rank_fp
   FROM nodes n CROSS JOIN params p LEFT JOIN c{i} c ON c.node = n.node
 )"""
@@ -5143,8 +5302,8 @@ WITH v AS (SELECT DISTINCT user_id FROM events
            WHERE event_type = 'purchase' AND value > 150),
 p AS (SELECT DISTINCT user_id FROM events
       WHERE event_type = 'error' AND extract(dow FROM ts) = 1)
-SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
-       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_purchasers,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_error_users,
        CAST((SELECT count(*) FROM v JOIN p USING (user_id)) AS BIGINT)
          AS exact_overlap,
        TRUE AS within_tol
@@ -5173,11 +5332,11 @@ def q_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = ev.filter(aud_v).agg(
         F.theta_sketch_agg("user_id").alias("skv"),
-        F.countDistinct("user_id").alias("n_view"),
+        F.countDistinct("user_id").alias("n_purchasers"),
     )
     p = ev.filter(aud_p).agg(
         F.theta_sketch_agg("user_id").alias("skp"),
-        F.countDistinct("user_id").alias("n_purchase"),
+        F.countDistinct("user_id").alias("n_error_users"),
     )
     exact = (
         ev.filter(aud_v)
@@ -5190,8 +5349,8 @@ def q_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.crossJoin(p)
         .crossJoin(exact)
         .select(
-            "n_view",
-            "n_purchase",
+            "n_purchasers",
+            "n_error_users",
             "exact_overlap",
             (
                 F.abs(
