@@ -45,6 +45,94 @@ def _sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _stream_bench(spark) -> dict[str, dict]:
+    """Streaming micro-bench (round-6 verdict #5): measured
+    throughput (rows/s over the availableNow drain) and per-batch
+    latency for the two reference streaming pipelines — watermarked
+    dedup (W1) and the stream-stream interval join (J3) — over the
+    events table staged as 8 files / 1 file per trigger, so each run
+    crosses >= 8 real micro-batch boundaries. These quantify the
+    reference's two streaming metric definitions (SURVEY §6.8)
+    against its 600 s end-to-end replay budget (see E2E_BENCH.json
+    for the full-pipeline number)."""
+    from pyspark.sql import functions as F
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.streaming import (
+        ops as stream_ops,
+    )
+
+    out: dict[str, dict] = {}
+
+    def run(label: str, stream_df) -> None:
+        stats: dict = {}
+        t0 = time.perf_counter()
+        sink = stream_ops.run_stream_to_memory(
+            stream_df, output_mode="append", stats_out=stats
+        )
+        n_out = sink.count()
+        wall = time.perf_counter() - t0
+        batch_ms = stats.get("batch_ms", [])
+        out[label] = {
+            "wall_sec": round(wall, 3),
+            "input_rows": stats.get("input_rows", 0),
+            "output_rows": n_out,
+            "rows_per_sec": round(stats.get("input_rows", 0) / wall, 1),
+            "num_batches": stats.get("num_batches", 0),
+            "avg_batch_ms": round(sum(batch_ms) / len(batch_ms), 1)
+            if batch_ms
+            else None,
+            "max_batch_ms": max(batch_ms) if batch_ms else None,
+        }
+
+    src = stream_ops.stream_table(spark, SF_DIR, "events", n_files=8)
+    run(
+        "streaming_dedup",
+        stream_ops.streaming_dedup(
+            src.select("user_id", "event_type", "ts"),
+            keys=["user_id", "event_type"],
+            event_time="ts",
+        ).select("user_id", "event_type"),
+    )
+
+    starts = (
+        stream_ops.stream_table(spark, SF_DIR, "events", n_files=8)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user_id"),
+            F.col("event_id").alias("start_id"),
+            F.col("ts").alias("start_ts"),
+        )
+    )
+    stops = (
+        stream_ops.stream_table(spark, SF_DIR, "events", n_files=8)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("e_user_id"),
+            F.col("event_id").alias("end_id"),
+            F.col("ts").alias("end_ts"),
+        )
+    )
+    joined = (
+        starts.withWatermark("start_ts", "365 days")
+        .join(
+            stops.withWatermark("end_ts", "365 days"),
+            (F.col("s_user_id") == F.col("e_user_id"))
+            & (F.col("end_ts") > F.col("start_ts"))
+            & (F.col("end_ts") < F.col("start_ts") + F.expr("interval 3 hours")),
+            "inner",
+        )
+        .select(
+            F.col("s_user_id").alias("user_id"),
+            "start_id",
+            "end_id",
+            "start_ts",
+            "end_ts",
+        )
+    )
+    run("streaming_interval_join", joined)
+    return out
+
+
 def main() -> None:
     spark = pl.get_spark(app_name="pulselake-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -73,6 +161,11 @@ def main() -> None:
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 3)
+    streaming = (
+        _stream_bench(spark)
+        if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0"
+        else {}
+    )
     print(
         json.dumps(
             {
@@ -82,6 +175,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
                 "passes": passes,
+                "streaming": streaming,
             }
         )
     )

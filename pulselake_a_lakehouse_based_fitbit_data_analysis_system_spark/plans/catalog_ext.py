@@ -137,6 +137,80 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILER = (
+    "terms of service apply to all content provided herein without warranty"
+)
+
+_LSH_CAPPED_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(
+    CASE WHEN doc_id % 10 = 0 THEN '{_BOILER}' ELSE text END, ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh
+  FROM toks, UNNEST(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(generate_series(1, len(t) - 2),
+                             i -> array_to_string(t[i:i+2], ' '))
+         ELSE [array_to_string(t, ' ')] END
+  ) AS u(sh)
+), sigs AS (
+  SELECT doc_id, {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, band_id, band_key
+  FROM sigs, (VALUES {", ".join(f"({b})" for b in range(_BANDS))}) AS bb(band_id),
+  LATERAL (SELECT CASE band_id
+             {" ".join(f"WHEN {b} THEN {_band_key_sql(b)}" for b in range(_BANDS))}
+           END AS band_key)
+), bsz AS (
+  SELECT band_id, band_key, count(*) AS n FROM bands GROUP BY 1, 2
+), fb AS (
+  SELECT b.doc_id, b.band_id, b.band_key
+  FROM bands b JOIN bsz s
+    ON s.band_id = b.band_id AND s.band_key = b.band_key
+  WHERE s.n <= 20
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM fb a JOIN fb b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+"""
+
+
+@_register(
+    "minhash_lsh_pairs_capped",
+    _LSH_CAPPED_ORACLE,
+    "The LSH skew guard under real pressure: every 10th document's "
+    "text is replaced by a constant boilerplate string (the classic "
+    "mega-bucket generator — 10% of a web crawl is footers/ToS), so "
+    "one band bucket holds |docs|/10 members and the uncapped "
+    "self-join would blow up quadratically on it (50 boiler docs -> "
+    "~1,225 junk pairs at sf0.01; 500 -> ~125k at sf0.1). "
+    "max_bucket=20 counts bucket sizes in one metadata-scale agg and "
+    "drops oversized buckets BEFORE the self-join — output is exactly "
+    "the genuine near-dup pairs. The plan-shape test pins the "
+    "pre-join size filter.",
+    tags=("neardup", "minhash", "lsh", "skew"),
+)
+def q_minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(_BOILER))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return neardup.lsh_candidate_pairs(
+        d,
+        "doc_id",
+        "text",
+        num_hashes=_N_MINHASH,
+        bands=_BANDS,
+        shingle_size=3,
+        max_bucket=20,
+    )
+
+
 _JACCARD_ORACLE = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -5251,6 +5325,108 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return pagerank(edges, "src", "dst", iters=3)
+
+
+# --- converged PageRank: dangling mass + early stop (round 6) -------------
+
+
+def _pagerank_converged_oracle(
+    max_iters: int = 6,
+    eps_fp: int = 700_000_000_000,
+    scale: int = 1_000_000_000_000,
+) -> str:
+    """Generated stage chain replaying pagerank_converged exactly:
+    per iteration a dangling-mass scalar, the contribution agg, the
+    redistributing update, and the L1 delta; the final select picks
+    the FIRST stage whose delta <= eps (else max_iters) — the same
+    stop rule the driver loop applies.  All stage CTEs MATERIALIZED
+    (each r{i} is referenced four times; default inlining would
+    re-expand the whole prefix per reference)."""
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT 'c' || o_custkey AS s, 's' || l_suppkey AS d
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+)""",
+        "nodes AS MATERIALIZED (SELECT s AS node FROM e UNION SELECT d FROM e)",
+        "outdeg AS MATERIALIZED (SELECT s, count(*) AS deg FROM e GROUP BY s)",
+        f"""params AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST({scale} // count(*) AS BIGINT) AS init,
+         CAST((15 * ({scale} // count(*))) // 100 AS BIGINT) AS base
+  FROM nodes
+)""",
+        "r0 AS MATERIALIZED (SELECT node, init AS rank_fp FROM nodes, params)",
+    ]
+    for i in range(1, max_iters + 1):
+        ctes.append(
+            f"dg{i} AS MATERIALIZED (SELECT coalesce(sum(r.rank_fp), 0) AS ds "
+            f"FROM r{i - 1} r WHERE NOT EXISTS "
+            f"(SELECT 1 FROM outdeg o WHERE o.s = r.node))"
+        )
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT e.d AS node, "
+            f"sum(r.rank_fp // o.deg) AS inb "
+            f"FROM r{i - 1} r JOIN outdeg o ON o.s = r.node "
+            f"JOIN e ON e.s = o.s GROUP BY e.d)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT n.node, CAST(p.base + "
+            f"((85 * (coalesce(c.inb, 0) + dg.ds // p.n)) // 100) AS BIGINT) "
+            f"AS rank_fp FROM nodes n CROSS JOIN params p CROSS JOIN dg{i} dg "
+            f"LEFT JOIN c{i} c ON c.node = n.node)"
+        )
+        ctes.append(
+            f"x{i} AS MATERIALIZED (SELECT sum(abs(a.rank_fp - b.rank_fp)) "
+            f"AS delta FROM r{i} a JOIN r{i - 1} b ON a.node = b.node)"
+        )
+    stages = " UNION ALL ".join(
+        f"SELECT {i} AS i, node, rank_fp FROM r{i}"
+        for i in range(1, max_iters + 1)
+    )
+    deltas = " UNION ALL ".join(
+        f"SELECT {i} AS i, delta FROM x{i}" for i in range(1, max_iters + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+stages AS ({stages}),
+deltas AS ({deltas}),
+stop AS (SELECT coalesce(min(i), {max_iters}) AS ci
+         FROM deltas WHERE delta <= {eps_fp})
+SELECT s.node, s.rank_fp, CAST(st.ci AS BIGINT) AS n_iters
+FROM stages s CROSS JOIN stop st WHERE s.i = st.ci"""
+    )
+
+
+@_register(
+    "pagerank_converged_trade",
+    _pagerank_converged_oracle(6, 700_000_000_000),
+    "Production PageRank over the DIRECTED customer->supplier trade "
+    "graph — suppliers have no out-edges, so this genuinely "
+    "exercises dangling-mass redistribution (each iteration pools "
+    "dangler rank and hands every node ds div n on top of its "
+    "inbound sum before damping; total mass stays ~scale instead of "
+    "draining) — plus an L1-delta early stop: the loop ends at the "
+    "first iteration moving less than eps=0.7*scale total (stops at "
+    "5 of the 6-iteration budget on this data; eps is driver-checked "
+    "per iteration, which is the one inherently driver-side scalar). "
+    "The oracle replays every stage and applies the identical stop "
+    "rule over the delta series.",
+    tags=("graph", "iterative", "pagerank", "convergence"),
+)
+def q_pagerank_converged_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_converged
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return pagerank_converged(
+        edges, "src", "dst", max_iters=6, eps_fp=700_000_000_000
+    )
 
 
 # --- mergeable sketches: HLL partial union, Theta set ops (round 5) -------

@@ -264,10 +264,13 @@ def run_stream_to_memory(
     """Drain a streaming DataFrame with trigger(availableNow) into a
     memory sink; return the sink contents as a batch DataFrame.
 
-    ``stats_out``, when given, receives ``{"num_batches": N}`` — the
-    number of micro-batches the drain executed (from the query's
-    progress log), so tests can assert the stream actually crossed
-    batch boundaries rather than collapsing to a single batch.
+    ``stats_out``, when given, receives ``num_batches`` (micro-batches
+    with input the drain executed — so tests can assert the stream
+    actually crossed batch boundaries rather than collapsing to a
+    single batch), ``input_rows`` (total rows ingested), and
+    ``batch_ms`` (per-batch triggerExecution wall, same order) — the
+    raw series the streaming micro-bench reduces to rows/s and
+    per-batch latency.
     """
     name = f"sink_{uuid.uuid4().hex[:12]}"
     q = (
@@ -280,9 +283,12 @@ def run_stream_to_memory(
     try:
         q.awaitTermination(timeout_sec)
         if stats_out is not None:
-            stats_out["num_batches"] = sum(
-                1 for p in q.recentProgress if p["numInputRows"] > 0
-            )
+            progressed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            stats_out["num_batches"] = len(progressed)
+            stats_out["input_rows"] = sum(p["numInputRows"] for p in progressed)
+            stats_out["batch_ms"] = [
+                p["durationMs"].get("triggerExecution", 0) for p in progressed
+            ]
     finally:
         if q.isActive:
             q.stop()
