@@ -128,6 +128,11 @@ def test_driver_priority_orders_never_green_then_changed_then_stalest():
         last_green_rounds,
     )
 
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import (
+        _DRIVER_BUDGET,
+        _STALE_QUOTA,
+    )
+
     green = last_green_rounds()
     changed = changed_since_green(green)
     order = driver_priority()
@@ -137,8 +142,15 @@ def test_driver_priority_orders_never_green_then_changed_then_stalest():
         g = green.get(n, 0)
         return 0 if g == 0 else (1 if n in changed else 2)
 
-    keys = [(cls(n), green.get(n, 0)) for n in order]
-    assert keys == sorted(keys), "not ordered by (class, last-green round)"
+    insertion = {n: i for i, n in enumerate(QUERIES)}
+    plain = sorted(QUERIES, key=lambda n: (cls(n), green.get(n, 0), insertion[n]))
+    stalest = [n for n in plain if cls(n) == 2][:_STALE_QUOTA]
+    need = [n for n in stalest if n not in plain[:_DRIVER_BUDGET]]
+    if need:
+        rest = [n for n in plain if n not in need]
+        cut = _DRIVER_BUDGET - len(need)
+        plain = rest[:cut] + need + rest[cut:]
+    assert order == plain, "not (class, last-green)-sorted modulo the stale quota"
 
 
 def test_driver_priority_bumps_changed_module_query():
@@ -161,6 +173,38 @@ def test_driver_priority_bumps_changed_module_query():
     green[third] = 2
     order2 = driver_priority(green=green, changed={newer_changed, third})
     assert order2.index(third) < order2.index(newer_changed)
+
+
+def test_driver_priority_reserves_slots_for_stalest_untouched_rows():
+    """Round-6 verdict ask #2: even when never-green + changed rows
+    alone would fill the driver's 50-row budget, the stalest
+    untouched-green rows keep a guaranteed quota inside the window —
+    rotation can no longer starve them indefinitely."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import (
+        _DRIVER_BUDGET,
+        _STALE_QUOTA,
+        driver_priority,
+    )
+
+    names = list(QUERIES)
+    assert len(names) > _DRIVER_BUDGET + _STALE_QUOTA
+    # 60 never-green rows: enough churn to flood the whole budget
+    green = {n: 0 for n in names[:60]}
+    for i, n in enumerate(names[60:]):
+        green[n] = 2 + (i % 4)  # untouched-green, rounds 2..5
+    order = driver_priority(green=green, changed=set())
+    window = set(order[:_DRIVER_BUDGET])
+    stalest = sorted(
+        (n for n in names[60:]),
+        key=lambda n: (green[n], names.index(n)),
+    )
+    promoted = [n for n in stalest[:_STALE_QUOTA] if n in window]
+    assert len(promoted) == _STALE_QUOTA, (
+        f"only {len(promoted)} of the {_STALE_QUOTA} stalest untouched "
+        "rows made the driver window"
+    )
+    # and every promoted row is class-2 at its stalest green round
+    assert all(green[n] == 2 for n in promoted)
 
 
 def test_rows_only_queries_are_documented_exceptions():
