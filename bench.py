@@ -66,8 +66,15 @@ def _stream_bench(spark) -> dict[str, dict]:
     def run(label: str, stream_df) -> None:
         stats: dict = {}
         t0 = time.perf_counter()
+        # state_partitions=8, not the batch shuffle default (32): one
+        # state store per shuffle partition per stateful operator, and
+        # per-store commit overhead dominates when stores hold O(1k)
+        # rows — measured 3.5× on J3 (SCALE.md "Streaming state-store
+        # tuning"). Size to state volume: ~40k join-state rows at
+        # sf0.1 → 8 stores ≈ 5k rows each.
         sink = stream_ops.run_stream_to_memory(
-            stream_df, output_mode="append", stats_out=stats
+            stream_df, output_mode="append", stats_out=stats,
+            state_partitions=8,
         )
         n_out = sink.count()
         wall = time.perf_counter() - t0
@@ -82,6 +89,12 @@ def _stream_bench(spark) -> dict[str, dict]:
             if batch_ms
             else None,
             "max_batch_ms": max(batch_ms) if batch_ms else None,
+            # state-store series (ops.run_stream_to_memory): rows held /
+            # written and update+removal+commit wall per batch — the
+            # profile that attributes a slow batch to state I/O
+            "state_rows_total": stats.get("state_rows_total"),
+            "state_rows_updated": stats.get("state_rows_updated"),
+            "state_ms": stats.get("state_ms"),
         }
 
     src = stream_ops.stream_table(spark, SF_DIR, "events", n_files=8)
@@ -94,11 +107,13 @@ def _stream_bench(spark) -> dict[str, dict]:
         ).select("user_id", "event_type"),
     )
 
+    # J3 through the SHIPPED operator (r6 ADVICE: a hand-rolled copy
+    # here could silently drift from what the engine actually runs).
     starts = (
         stream_ops.stream_table(spark, SF_DIR, "events", n_files=8)
         .filter(F.col("event_type") == "signup")
         .select(
-            F.col("user_id").alias("s_user_id"),
+            "user_id",
             F.col("event_id").alias("start_id"),
             F.col("ts").alias("start_ts"),
         )
@@ -107,27 +122,26 @@ def _stream_bench(spark) -> dict[str, dict]:
         stream_ops.stream_table(spark, SF_DIR, "events", n_files=8)
         .filter(F.col("event_type") == "purchase")
         .select(
-            F.col("user_id").alias("e_user_id"),
+            "user_id",
             F.col("event_id").alias("end_id"),
             F.col("ts").alias("end_ts"),
         )
     )
-    joined = (
-        starts.withWatermark("start_ts", "365 days")
-        .join(
-            stops.withWatermark("end_ts", "365 days"),
-            (F.col("s_user_id") == F.col("e_user_id"))
-            & (F.col("end_ts") > F.col("start_ts"))
-            & (F.col("end_ts") < F.col("start_ts") + F.expr("interval 3 hours")),
-            "inner",
-        )
-        .select(
-            F.col("s_user_id").alias("user_id"),
-            "start_id",
-            "end_id",
-            "start_ts",
-            "end_ts",
-        )
+    joined = stream_ops.streaming_interval_join(
+        starts,
+        stops,
+        ["user_id"],
+        start_time="start_ts",
+        end_time="end_ts",
+        max_interval="interval 3 hours",
+        watermark="365 days",
+        closed="open",
+    ).select(
+        F.col("s.user_id").alias("user_id"),
+        "start_id",
+        "end_id",
+        "start_ts",
+        "end_ts",
     )
     run("streaming_interval_join", joined)
     return out

@@ -48,11 +48,31 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
 _LOCK = threading.RLock()
-# SparkSession -> list of pinned DataFrames; weak keys so a stopped,
-# dereferenced session never anchors its frames in this registry
+# SparkSession -> list of pinned DataFrames.  Weak keying only helps
+# once release_pinned()/unpin() has emptied a session's list: each
+# tracked DataFrame strongly references its session, so an entry with
+# unreleased pins anchors both (the classic value-refers-to-key
+# WeakKeyDictionary caveat).  pin() therefore also prunes entries
+# whose SparkContext has been stopped — a stopped session's frames
+# cannot be unpersisted anyway, and dropping the list breaks the
+# value->key cycle so both can be collected.
 _BY_SESSION: "weakref.WeakKeyDictionary[SparkSession, list[DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
+
+
+def _prune_stopped_locked() -> None:
+    """Drop registry entries for stopped sessions (caller holds _LOCK)."""
+    dead = []
+    for sess in list(_BY_SESSION):
+        try:
+            stopped = sess.sparkContext._jsc is None
+        except Exception:
+            stopped = True
+        if stopped:
+            dead.append(sess)
+    for sess in dead:
+        _BY_SESSION.pop(sess, None)
 
 
 def pin(df: DataFrame, level: StorageLevel = StorageLevel.DISK_ONLY) -> DataFrame:
@@ -64,6 +84,7 @@ def pin(df: DataFrame, level: StorageLevel = StorageLevel.DISK_ONLY) -> DataFram
     (group histograms) pass ``StorageLevel.MEMORY_AND_DISK``."""
     out = df.persist(level)
     with _LOCK:
+        _prune_stopped_locked()
         _BY_SESSION.setdefault(out.sparkSession, []).append(out)
     return out
 

@@ -89,6 +89,15 @@ def get_spark(
     if use_rocksdb_state_store:
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+        ).config(
+            # Commit appends a changelog instead of uploading a full
+            # RocksDB snapshot every batch; snapshots move to background
+            # maintenance. Cuts per-batch commit wall (measured in
+            # SCALE.md "Streaming state-store tuning") and is the
+            # production-recommended pairing with the RocksDB provider.
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -260,6 +260,7 @@ def run_stream_to_memory(
     output_mode: str = "append",
     timeout_sec: int = 300,
     stats_out: dict | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a streaming DataFrame with trigger(availableNow) into a
     memory sink; return the sink contents as a batch DataFrame.
@@ -270,16 +271,39 @@ def run_stream_to_memory(
     single batch), ``input_rows`` (total rows ingested), and
     ``batch_ms`` (per-batch triggerExecution wall, same order) — the
     raw series the streaming micro-bench reduces to rows/s and
-    per-batch latency.
+    per-batch latency. For stateful plans it additionally records the
+    per-batch state-store series (round-6 verdict ask #4 — where does
+    a slow batch's time go?): ``state_rows_total`` / ``state_rows_
+    updated`` (rows held / written per batch, summed over stateful
+    operators) and ``state_ms`` (update + removal + commit wall).
+
+    ``state_partitions`` sets ``spark.sql.shuffle.partitions`` for
+    THIS query's start (restored after): a stateful query instantiates
+    one state store per shuffle partition per operator, and per-store
+    commit overhead dominates when stores hold few rows — size it to
+    expected state volume, not the batch default (measured 3.5× on the
+    J3 interval join at sf0.1; SCALE.md "Streaming state-store
+    tuning"). A streaming query's state partitioning is fixed at its
+    first checkpoint, so the knob must be chosen at start, not tuned
+    later.
     """
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        result_stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = result_stream.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(conf_key) if state_partitions is not None else None
+    if state_partitions is not None:
+        spark.conf.set(conf_key, str(state_partitions))
+    try:
+        q = (
+            result_stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if saved is not None:
+            spark.conf.set(conf_key, saved)
     try:
         q.awaitTermination(timeout_sec)
         if stats_out is not None:
@@ -289,10 +313,25 @@ def run_stream_to_memory(
             stats_out["batch_ms"] = [
                 p["durationMs"].get("triggerExecution", 0) for p in progressed
             ]
+            ops = [p.get("stateOperators") or [] for p in progressed]
+            stats_out["state_rows_total"] = [
+                sum(op.get("numRowsTotal", 0) for op in batch) for batch in ops
+            ]
+            stats_out["state_rows_updated"] = [
+                sum(op.get("numRowsUpdated", 0) for op in batch) for batch in ops
+            ]
+            stats_out["state_ms"] = [
+                sum(
+                    op.get("allUpdatesTimeMs", 0)
+                    + op.get("allRemovalsTimeMs", 0)
+                    + op.get("commitTimeMs", 0)
+                    for op in batch
+                )
+                for batch in ops
+            ]
     finally:
         if q.isActive:
             q.stop()
-    spark = result_stream.sparkSession
     return spark.table(name)
 
 

@@ -1970,20 +1970,29 @@ def test_pin_release_leaves_no_cached_rdds(spark):
 
     release_pinned()  # start clean (other tests may have pinned)
     jsc = spark.sparkContext._jsc.sc()
-    # baseline-RELATIVE, not == 0: earlier tests' localCheckpoint RDDs
-    # (connected components' lineage truncation) linger until Spark's
-    # ContextCleaner garbage-collects them — an absolute assertion is
-    # timing-flaky in a full-suite session; the contract under test is
-    # that OUR pins add nothing net
-    base = jsc.getPersistentRDDs().size()
+
+    def rdd_ids() -> set:
+        # id-SET delta, not a count delta: earlier tests' localCheckpoint
+        # RDDs (connected components' lineage truncation) linger until
+        # Spark's ContextCleaner garbage-collects them, and that GC can
+        # land mid-test — counts are timing-flaky both ways. The contract
+        # under test is that OUR pins appear and then disappear.
+        it = jsc.getPersistentRDDs().keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    base = rdd_ids()
     docs = spark.createDataFrame(
         [(i, "the quick brown fox jumps over dog %d" % (i % 3,)) for i in range(20)],
         ["doc_id", "text"],
     )
     neardup.lsh_candidate_pairs(docs, "doc_id", "text").collect()
-    assert jsc.getPersistentRDDs().size() > base  # the pin is real
+    ours = rdd_ids() - base
+    assert ours, "the pin is real"
     assert release_pinned() >= 1
-    assert jsc.getPersistentRDDs().size() <= base
+    assert not (rdd_ids() & ours), "released pins still cached"
 
 
 def test_unpin_releases_one_handle_not_siblings(spark):
@@ -2009,6 +2018,36 @@ def test_unpin_releases_one_handle_not_siblings(spark):
     assert unpin(a) is False  # already released, not re-tracked
     assert release_pinned(spark) == 1  # drains exactly the sibling
     assert jsc.getPersistentRDDs().size() <= base
+
+
+def test_pin_prunes_stopped_session_entries(spark):
+    """r6 ADVICE: an entry with unreleased pins strongly references its
+    session through the value list, so weak keying alone never frees a
+    stopped session. pin() must prune registry entries whose
+    SparkContext is stopped, breaking the value->key cycle."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.cache import (
+        _BY_SESSION,
+        _LOCK,
+        pin,
+        release_pinned,
+    )
+
+    release_pinned()
+
+    class _StoppedCtx:
+        _jsc = None
+
+    class _StoppedSession:
+        sparkContext = _StoppedCtx()
+
+    dead = _StoppedSession()
+    with _LOCK:
+        _BY_SESSION[dead] = ["sentinel-frame"]  # unreleased pin
+    df = pin(spark.range(5))
+    with _LOCK:
+        assert dead not in _BY_SESSION, "stopped-session entry survived pin()"
+    df.count()
+    assert release_pinned(spark) == 1
 
 
 def test_numeric_profile_handles_awkward_column_names(spark):
