@@ -195,6 +195,50 @@ def ann_lsh(
     )
 
 
+def srp_catch_probability_bp(
+    cosine_col: Column | str,
+    num_planes: int = 8,
+    multiprobe: bool = True,
+) -> Column:
+    """Model-predicted probability (integer basis points) that a
+    neighbor at the given (6-digit-rounded) cosine lands in the SRP
+    query bucket or, with ``multiprobe``, any Hamming-1 probe bucket.
+
+    Goemans–Williamson: a random hyperplane separates two vectors at
+    angle theta with probability theta/pi, so per-plane agreement is
+    p = 1 - acos(cosine)/pi and the b-plane catch probability is
+    p^b (+ b * p^(b-1) * (1-p) for the Hamming-1 probes). This is the
+    information-theoretic ceiling of the index family on the data's
+    OWN angle distribution — on near-uniform corpora neighbor cosines
+    sit near 0, p near 1/2, and no plane/seed tuning can push the
+    per-neighbor catch probability past this curve without scanning
+    more of the corpus (see SCALE.md "ANN recall bound on uniform
+    data"; registered fallback for such data is knn_brute_force).
+
+    Engine-exact: p is quantized to integer micro-units straight off
+    acos, every power is an explicit fixed-association product, and
+    the result is floored to integer bp — so a DuckDB oracle replays
+    it bit-identically (same IEEE ops in the same order).
+    """
+    import math
+
+    if num_planes != 8:
+        raise ValueError("model is pinned to the 8-plane index family")
+    c = F.col(cosine_col) if isinstance(cosine_col, str) else cosine_col
+    p_u = F.floor(
+        (F.lit(1.0) - F.acos(c) / math.pi) * 1000000 + F.lit(0.5)
+    ).cast("long")
+    p = p_u.cast("double") / 1000000
+    p2 = p * p
+    p4 = p2 * p2
+    p8 = p4 * p4
+    p7 = (p4 * p2) * p
+    catch = p8
+    if multiprobe:
+        catch = p8 + ((F.lit(8) * p7) * (F.lit(1) - p))
+    return F.floor(catch * 10000 + F.lit(0.5)).cast("long")
+
+
 def clustered_embedding_expr(
     id_col: str = "vec_id", dim: int = 64, n_clusters: int = 16
 ) -> Column:

@@ -563,6 +563,7 @@ def _bpe_learn(
     text_col: str,
     n_merges: int,
     repin_every: int = 16,
+    merge_secs_out: list | None = None,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Shared BPE training loop: returns the learned merge list and
     the FINAL separator-encoded vocabulary state (post all merges).
@@ -580,7 +581,11 @@ def _bpe_learn(
     O(k * repin_every), and exactly one state pin is live in steady
     state.  Driver-side job count is 1 argmax collect per merge plus
     one materialization per re-pin window — the documented loop
-    bound."""
+    bound; the measured per-merge wall series backing the flatness
+    claim is in SCALE.md ("BPE per-merge cost flatness"), reproducible
+    via ``merge_secs_out`` (appends each merge's wall seconds)."""
+    import time as _time
+
     from .cache import pin, unpin
 
     if n_merges < 1:
@@ -604,6 +609,7 @@ def _bpe_learn(
     pending_unpin: DataFrame | None = None
     last_pin = state
     for i in range(n_merges):
+        t0 = _time.perf_counter()
         top = (
             _bpe_state_pairs(state)
             .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
@@ -631,6 +637,8 @@ def _bpe_learn(
             state = pin(state)
             pending_unpin = last_pin
             last_pin = state
+        if merge_secs_out is not None:
+            merge_secs_out.append(_time.perf_counter() - t0)
     return merges, state
 
 

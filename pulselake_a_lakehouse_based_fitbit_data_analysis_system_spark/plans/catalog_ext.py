@@ -4405,6 +4405,175 @@ def q_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_uniform_bound_oracle() -> str:
+    """Replays the SRP catch-probability model (Goemans–Williamson
+    p = 1 - acos(cosine)/pi, catch = p^8 + 8 p^7 (1-p)) over the exact
+    top-10, plus the measured LSH recall and candidate-scan volume —
+    every double op in the same IEEE association as the Spark side
+    (operators/similarity.py::srp_catch_probability_bp)."""
+    bucket_sql = _srp_bucket_sql()
+    qb = bucket_sql.replace("embedding[", "qv[")
+    probe_xors = ",".join(str(1 << p) for p in range(8))
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+brute AS (
+  SELECT vec_id,
+         round(({_dot_sql("embedding", "qv")}) /
+               ({_norm_sql("embedding")} * {_norm_sql("qv")}), 6) AS cosine
+  FROM embeddings, q
+  ORDER BY cosine DESC, vec_id ASC
+  LIMIT 10
+),
+probs AS (
+  SELECT vec_id,
+         CAST(CAST(floor((1.0 - acos(cosine)/pi()) * 1000000 + 0.5)
+              AS BIGINT) AS DOUBLE) / 1000000 AS p
+  FROM brute
+),
+perrow AS (
+  SELECT vec_id,
+         CAST(floor((((p*p)*(p*p)) * ((p*p)*(p*p)) +
+                     ((8 * ((((p*p)*(p*p)) * (p*p)) * p)) * (1 - p)))
+                    * 10000 + 0.5) AS BIGINT) AS catch_bp
+  FROM probs
+),
+bucketed AS (
+  SELECT vec_id, embedding, CAST({bucket_sql} AS BIGINT) AS srp_bucket
+  FROM embeddings
+),
+qbucket AS (SELECT CAST({qb} AS BIGINT) AS b FROM q),
+probes AS (
+  SELECT b AS bucket FROM qbucket
+  UNION ALL
+  SELECT xor(b, CAST(p AS BIGINT))
+  FROM qbucket, UNNEST([{probe_xors}]) AS t(p)
+),
+cand AS (
+  SELECT count(*) AS n_candidates FROM bucketed
+  WHERE srp_bucket IN (SELECT bucket FROM probes)
+),
+ann AS (
+  SELECT vec_id FROM bucketed, q
+  WHERE srp_bucket IN (SELECT bucket FROM probes)
+  ORDER BY round(({_dot_sql("embedding", "qv")}) /
+                 ({_norm_sql("embedding")} * {_norm_sql("qv")}), 6) DESC,
+           vec_id ASC
+  LIMIT 10
+),
+meas AS (
+  SELECT CAST(count(*) * 1000 AS BIGINT) AS measured_bp
+  FROM brute JOIN ann USING (vec_id)
+),
+agg AS (
+  SELECT CAST(sum(catch_bp) AS BIGINT) AS s10,
+         CAST(sum(catch_bp * (10000 - catch_bp)) AS BIGINT) AS var_sum,
+         CAST(max(CASE WHEN vec_id <> 0 THEN catch_bp END) AS BIGINT)
+           AS best_neighbor_catch_bp
+  FROM perrow
+),
+tot AS (SELECT count(*) AS n_total FROM embeddings)
+SELECT
+  CAST((s10 + 5) // 10 AS BIGINT) AS predicted_bp,
+  measured_bp,
+  CAST(floor(((3 * sqrt(CAST(var_sum AS DOUBLE))) / 10) + 0.5) AS BIGINT)
+    AS three_sigma_bp,
+  abs(measured_bp - CAST((s10 + 5) // 10 AS BIGINT)) <=
+    CAST(floor(((3 * sqrt(CAST(var_sum AS DOUBLE))) / 10) + 0.5) AS BIGINT)
+    AS within_model_band,
+  best_neighbor_catch_bp,
+  CAST((n_candidates * 10000) // n_total AS BIGINT) AS scan_bp,
+  CAST(n_candidates AS BIGINT) AS n_candidates,
+  CAST(n_total AS BIGINT) AS n_total
+FROM agg, meas, cand, tot
+"""
+
+
+@_register(
+    "ann_uniform_recall_bound",
+    _ann_uniform_bound_oracle(),
+    "The FORMAL half of the honest 20% (round-6 ask #5): computes the "
+    "SRP index family's information-theoretic recall ceiling from the "
+    "data's OWN angle distribution (per true top-10 neighbor, "
+    "Goemans-Williamson per-plane agreement p = 1 - acos(cosine)/pi; "
+    "8-plane + Hamming-1 catch probability p^8 + 8 p^7 (1-p)) and "
+    "certifies the measured ann_recall_report number sits inside the "
+    "model's 3-sigma band — i.e. ~20% IS the ceiling for near-"
+    "uniform vectors at this scan volume (scan_bp column), not a "
+    "tuning failure; best_neighbor_catch_bp shows even the closest "
+    "neighbor is caught <15% of the time. Recall beyond the model "
+    "curve requires scanning more corpus (seeds/probes add linearly) "
+    "— knn_brute_force is the registered fallback for locality-free "
+    "data. Full derivation in SCALE.md 'ANN recall bound on uniform "
+    "data'. All model math is integer-quantized off acos so the "
+    "DuckDB oracle replays it bit-identically.",
+    tags=("similarity", "ann", "quality", "bound"),
+)
+def q_ann_uniform_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    k = 10
+    brute = similarity.knn_brute_force(emb, qvec, k=k)
+    perrow = brute.select(
+        "vec_id",
+        similarity.srp_catch_probability_bp("cosine").alias("catch_bp"),
+    )
+    agg = perrow.agg(
+        F.sum("catch_bp").alias("s10"),
+        F.sum(F.col("catch_bp") * (F.lit(10000) - F.col("catch_bp"))).alias(
+            "var_sum"
+        ),
+        F.max(
+            F.when(F.col("vec_id") != 0, F.col("catch_bp"))
+        ).alias("best_neighbor_catch_bp"),
+    )
+    ann = similarity.ann_lsh(emb, qvec, k=k, num_planes=8, seed=31).select(
+        "vec_id"
+    )
+    meas = brute.select("vec_id").join(ann, "vec_id").agg(
+        (F.count(F.lit(1)) * 1000).alias("measured_bp")
+    )
+    planes = similarity.hyperplanes(8, len(qvec), seed=31)
+    qbits = 0
+    for p_i, plane in enumerate(planes):
+        if sum(float(x) * c for x, c in zip(qvec, plane)) >= 0:
+            qbits |= 1 << p_i
+    probes = [qbits] + [qbits ^ (1 << p_i) for p_i in range(8)]
+    bucketed = emb.withColumn(
+        "srp_bucket", similarity.srp_bucket_expr("embedding", planes)
+    )
+    cand = bucketed.agg(
+        F.sum(
+            F.when(F.col("srp_bucket").isin(probes), 1).otherwise(0)
+        ).alias("n_candidates"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    predicted = F.floor((F.col("s10") + 5) / 10).cast("long")
+    three_sigma = F.floor(
+        ((F.lit(3) * F.sqrt(F.col("var_sum").cast("double"))) / 10)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        agg.crossJoin(meas)
+        .crossJoin(cand)
+        .select(
+            predicted.alias("predicted_bp"),
+            F.col("measured_bp"),
+            three_sigma.alias("three_sigma_bp"),
+            (
+                F.abs(F.col("measured_bp") - predicted) <= three_sigma
+            ).alias("within_model_band"),
+            F.col("best_neighbor_catch_bp"),
+            F.floor(
+                (F.col("n_candidates") * 10000) / F.col("n_total")
+            )
+            .cast("long")
+            .alias("scan_bp"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_total").cast("long").alias("n_total"),
+        )
+    )
+
+
 # --- iterated BPE merges (round 5, verdict ask #7) ------------------------
 
 
@@ -4502,7 +4671,8 @@ def q_bpe_merges_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     "re-pins every 16 merges, superseded pin released one iteration "
     "later, so at most 16 replace projections ever re-run and "
     "iteration cost stays FLAT instead of the single-base-pin "
-    "O(k^2); measured per-merge wall times in SCALE.md). The oracle "
+    "O(k^2); measured per-merge wall series in SCALE.md 'BPE "
+    "per-merge cost flatness'). The oracle "
     "replays the identical sequence as a 128-stage MATERIALIZED CTE "
     "chain — materialization matters: each stage is referenced "
     "twice, so default CTE inlining would expand to 2^128 corpus "
@@ -5427,6 +5597,36 @@ def q_pagerank_converged_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_converged(
         edges, "src", "dst", max_iters=6, eps_fp=700_000_000_000
     )
+
+
+@_register(
+    "pagerank_deep_trade",
+    _pagerank_oracle(12),
+    "PageRank at iters (12) well past the lineage-truncation window "
+    "(checkpoint_every=4, so the rank lineage is localCheckpoint-cut "
+    "three times mid-loop) — the BENCHED companion to the round-6 "
+    "plan-depth test: the measured per-iteration wall series in "
+    "SCALE.md 'PageRank per-iteration cost flatness' shows marginal "
+    "iteration cost flat as iters grows 4 -> 16, i.e. truncation "
+    "keeps each iteration one |nodes| x edges join + one hash-agg "
+    "regardless of depth. The oracle replays all 12 integer "
+    "fixed-point stages as a generated CTE chain.",
+    bench=True,
+    tags=("graph", "iterative", "pagerank", "scale"),
+)
+def q_pagerank_deep_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    edges = cs.unionByName(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, "src", "dst", iters=12, checkpoint_every=4)
 
 
 # --- mergeable sketches: HLL partial union, Theta set ops (round 5) -------

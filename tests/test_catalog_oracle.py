@@ -129,6 +129,7 @@ def test_driver_priority_orders_never_green_then_changed_then_stalest():
     )
 
     from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import (
+        _CANONICAL_ORDER,
         _DRIVER_BUDGET,
         _STALE_QUOTA,
     )
@@ -137,13 +138,20 @@ def test_driver_priority_orders_never_green_then_changed_then_stalest():
     changed = changed_since_green(green)
     order = driver_priority()
     assert order == list(QUERIES), "QUERIES dict order must match priority"
+    # idempotence: the priority keys on the canonical registration
+    # order, never the reordered live dict, so recomputing it after the
+    # in-place reorder yields the same enumeration
+    assert driver_priority() == order
 
     def cls(n):
         g = green.get(n, 0)
         return 0 if g == 0 else (1 if n in changed else 2)
 
-    insertion = {n: i for i, n in enumerate(QUERIES)}
-    plain = sorted(QUERIES, key=lambda n: (cls(n), green.get(n, 0), insertion[n]))
+    insertion = {n: i for i, n in enumerate(_CANONICAL_ORDER)}
+    plain = sorted(
+        _CANONICAL_ORDER,
+        key=lambda n: (cls(n), green.get(n, 0), insertion[n]),
+    )
     stalest = [n for n in plain if cls(n) == 2][:_STALE_QUOTA]
     need = [n for n in stalest if n not in plain[:_DRIVER_BUDGET]]
     if need:
@@ -181,12 +189,13 @@ def test_driver_priority_reserves_slots_for_stalest_untouched_rows():
     untouched-green rows keep a guaranteed quota inside the window —
     rotation can no longer starve them indefinitely."""
     from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import (
+        _CANONICAL_ORDER,
         _DRIVER_BUDGET,
         _STALE_QUOTA,
         driver_priority,
     )
 
-    names = list(QUERIES)
+    names = list(_CANONICAL_ORDER)
     assert len(names) > _DRIVER_BUDGET + _STALE_QUOTA
     # 60 never-green rows: enough churn to flood the whole budget
     green = {n: 0 for n in names[:60]}
