@@ -424,6 +424,97 @@ def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FITBIT_SLICES_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey,
+         CASE WHEN (c_custkey % 60) + 18 < 30 THEN '18-29'
+              WHEN (c_custkey % 60) + 18 < 45 THEN '30-44'
+              WHEN (c_custkey % 60) + 18 < 60 THEN '45-59'
+              ELSE '60-77' END AS age_bin,
+         CASE WHEN c_custkey % 2 = 0 THEN 'F' ELSE 'M' END AS gender,
+         n_name AS state
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+),
+sess AS (
+  SELECT o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT age_bin, state, gender,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents
+FROM sess JOIN dim ON c_custkey = o_custkey
+GROUP BY GROUPING SETS ((age_bin), (state), (gender), (age_bin, gender), ())
+"""
+
+
+@_register(
+    "fitbit_summary_slices",
+    _FITBIT_SLICES_ORACLE,
+    "The reference gold dashboard's exact reporting shape (report PDF "
+    "figs 7.1-7.5: per-session stats sliced by age / by state / by "
+    "gender / age x gender / grand total) as ONE GROUPING SETS pass — "
+    "the driver-gated VALUE twin of FitbitPipeline.summary_slices() "
+    "(plans/fitbit.py, exercised at reference volume by the E2E "
+    "two-set replay): same plan, same five slices, same integer-exact "
+    "weighted aggregate, with the demographic dim derived "
+    "arithmetically from customer (age bin / gender from c_custkey, "
+    "state = nation) because the driver's DuckDB gate only holds the "
+    "testdata tables. Session measure is the order value in integer "
+    "cents; per-slice mean is sum DIV n (engine-exact integer "
+    "division, no float aggregation). One scan + expand, single "
+    "shuffle keyed on the few-valued slice tuple; at 100 TB the "
+    "customer dim join broadcasts or buckets by custkey.",
+    tags=("agg", "grouping_sets", "fitbit", "dashboard"),
+)
+def q_fitbit_summary_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    age = (F.col("c_custkey") % 60) + 18
+    dim = cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"]).select(
+        "c_custkey",
+        F.when(age < 30, "18-29")
+        .when(age < 45, "30-44")
+        .when(age < 60, "45-59")
+        .otherwise("60-77")
+        .alias("age_bin"),
+        F.when(F.col("c_custkey") % 2 == 0, "F").otherwise("M").alias("gender"),
+        F.col("n_name").alias("state"),
+    )
+    sess = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        sess.join(dim, sess["o_custkey"] == dim["c_custkey"])
+        .groupingSets(
+            [["age_bin"], ["state"], ["gender"], ["age_bin", "gender"], []],
+            "age_bin",
+            "state",
+            "gender",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.expr("sum(cents) div count(*)").alias("avg_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .select(
+            "age_bin",
+            "state",
+            "gender",
+            "n_sessions",
+            "avg_cents",
+            "min_cents",
+            "max_cents",
+        )
+    )
+
+
 # =========================================================================
 # Keyless range join via time binning — the no-equi-key scale path
 # =========================================================================

@@ -600,6 +600,45 @@ class FitbitPipeline:
         if q.exception() is not None:
             raise q.exception()
 
+    def summary_slices(self) -> DataFrame:
+        """Gold dashboard GROUPING SETS (reference report figs
+        7.1–7.5: workout BPM by age, by state, by gender — SURVEY
+        §2.4's "exactly a grouping-sets workload"): the by-age /
+        by-state / by-gender / age×gender / grand-total slices of
+        ``workout_bpm_summary`` in ONE scan + expand instead of five
+        scans. The per-slice mean is recording-weighted
+        (Σ avg·n / Σ n), i.e. the mean over raw bpm readings, not a
+        mean of session means — sessions with more recordings count
+        proportionally, matching what re-aggregating heart_rate would
+        give. At 100 TB the expand is map-side and the single shuffle
+        keys on the (few-valued) slice tuple; the value-level twin of
+        this plan is driver-certified per round as the catalog query
+        ``fitbit_summary_slices``."""
+        s = self.store.read("workout_bpm_summary")
+        base = s.select(
+            "age",
+            "gender",
+            "state",
+            (F.col("avg_bpm") * F.col("num_recordings")).alias("bpm_wsum"),
+            "num_recordings",
+            "min_bpm",
+            "max_bpm",
+        )
+        return (
+            base.groupingSets(
+                [["age"], ["state"], ["gender"], ["age", "gender"], []],
+                "age",
+                "state",
+                "gender",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_sessions"),
+                (F.sum("bpm_wsum") / F.sum("num_recordings")).alias("avg_bpm"),
+                F.min("min_bpm").alias("min_bpm"),
+                F.max("max_bpm").alias("max_bpm"),
+            )
+        )
+
     def gym_summary(self) -> DataFrame:
         """Lazy reporting view (reference ``Setup/02-setup.py:244-256``):
         gym visits ⋈ sessions via mac equi + BETWEEN range join, with

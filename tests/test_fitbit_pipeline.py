@@ -8,6 +8,7 @@ only new files) and idempotency (merges don't duplicate on replay).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import (
     fitbit_fixtures as fx,
@@ -54,6 +55,40 @@ def test_two_set_replay(spark, workdir):
     rows = gs.collect()
     assert len(rows) == expected2["completed_workouts"]
     assert all(r.minutes_exercising <= r.minutes_in_gym for r in rows)
+
+    # gold dashboard slices (figs 7.1-7.5): one grouping-sets pass must
+    # equal the per-dimension aggregations computed independently
+    slices = {
+        (r.age, r.state, r.gender): r for r in pipe.summary_slices().collect()
+    }
+    summary = pipe.store.read("workout_bpm_summary")  # set-2 version
+    total = summary.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("avg_bpm") * F.col("num_recordings"))
+            / F.sum("num_recordings")
+        ).alias("avg"),
+    ).first()
+    grand = slices[(None, None, None)]
+    assert grand.n_sessions == total["n"] == summary.count()
+    assert abs(grand.avg_bpm - total["avg"]) < 1e-9
+    by_gender = {
+        r["gender"]: r
+        for r in summary.groupBy("gender")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for g, row in by_gender.items():
+        assert slices[(None, None, g)].n_sessions == row["n"]
+    # every age slice count sums to the grand total, ditto states
+    for dim in ("age", "state"):
+        dim_rows = [
+            r
+            for (a, s, g), r in slices.items()
+            if (a if dim == "age" else s) is not None and g is None
+            and (s if dim == "age" else a) is None
+        ]
+        assert sum(r.n_sessions for r in dim_rows) == grand.n_sessions
 
 
 def test_optimize_after_replay_restores_disjoint_ranges_and_pruning(
