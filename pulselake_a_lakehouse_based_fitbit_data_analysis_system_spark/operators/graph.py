@@ -27,10 +27,14 @@ uniformly (one metadata-scale aggregate per iteration) and an
 L1-delta early stop ends the loop once ranks move less than
 ``eps_fp`` — at the cost of one driver-visible scalar per iteration.
 
-Scale shape: each iteration is one join of the rank table (|nodes|)
-against the edge list on src plus one hash-agg by dst — the classic
-distributed PageRank cost, |edges|-shuffle per iteration. The edge
-list, node list, and out-degree table are computed ONCE and pinned
+Scale shape: each iteration is ONE join of the rank table (|nodes|)
+against the degree-folded edge list on src plus one hash-agg by dst —
+the classic distributed PageRank cost, |edges|-shuffle per iteration.
+The out-degree is folded into the pinned edge list up front (static
+across iterations), so the rank⋈outdeg pre-join the textbook
+formulation does per iteration disappears — measured 2.6x lower
+marginal iteration cost (SCALE.md). The edge
+list, node list, and degree tables are computed ONCE and pinned
 (``operators.cache``) — without the pin every iteration of the lazy
 plan re-derives them from the raw edges, and the aliased subtrees
 defeat Catalyst's exchange reuse (round-5 verdict, What's wrong #1).
@@ -146,7 +150,15 @@ def pagerank(
             f"checkpoint_every must be >= 1, got {checkpoint_every}"
         )
     e, nodes = _distinct_edges(edges, src_col, dst_col)
-    outdeg = pin(e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg")))
+    # Fold the (static) out-degree INTO the pinned edge list once, so
+    # each iteration is ONE rank⋈edges join + one hash-agg instead of
+    # rank⋈outdeg followed by ⋈edges — measured 2.6x lower marginal
+    # iteration cost at sf0.1 (0.99 -> 0.38 s/iter, SCALE.md "PageRank
+    # per-iteration cost flatness"). sum(rank div deg) inside the agg
+    # is the same exact integer term the two-join form produced.
+    e_deg = pin(
+        e.join(e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg")), "__s")
+    )
     # n_nodes is a metadata-scale scalar; keeping it driver-side makes
     # base/init literals, which the oracle replays as literals too
     n_nodes = nodes.count()
@@ -155,11 +167,9 @@ def pagerank(
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_fp"))
     for i in range(1, iters + 1):
         contribs = (
-            ranks.join(outdeg, ranks["node"] == outdeg["__s"])
-            .select("__s", F.expr("rank_fp div __deg").alias("__c"))
-            .join(e, "__s")
+            ranks.join(e_deg, ranks["node"] == e_deg["__s"])
             .groupBy(F.col("__d").alias("node"))
-            .agg(F.sum("__c").alias("__in"))
+            .agg(F.sum(F.expr("rank_fp div __deg")).alias("__in"))
         )
         ranks = nodes.join(contribs, "node", "left").select(
             "node",
@@ -213,6 +223,10 @@ def pagerank_converged(
         eps_fp = scale // 50
     e, nodes = _distinct_edges(edges, src_col, dst_col)
     outdeg = pin(e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg")))
+    # degree-folded edge list: one join + one agg per iteration (see
+    # ``pagerank``); outdeg stays pinned separately for the dangling
+    # anti-join, which needs the degree-holders as a bare key set
+    e_deg = pin(e.join(outdeg, "__s"))
     n_nodes = nodes.count()
     init = scale // n_nodes
     base = (15 * init) // 100
@@ -228,11 +242,9 @@ def pagerank_converged(
         )
         share = int(dang_row[0]["ds"]) // n_nodes
         contribs = (
-            ranks.join(outdeg, ranks["node"] == outdeg["__s"])
-            .select("__s", F.expr("rank_fp div __deg").alias("__c"))
-            .join(e, "__s")
+            ranks.join(e_deg, ranks["node"] == e_deg["__s"])
             .groupBy(F.col("__d").alias("node"))
-            .agg(F.sum("__c").alias("__in"))
+            .agg(F.sum(F.expr("rank_fp div __deg")).alias("__in"))
         )
         new_ranks = (
             nodes.join(contribs, "node", "left")
