@@ -55,7 +55,9 @@ _LOCK = threading.RLock()
 # WeakKeyDictionary caveat).  pin() therefore also prunes entries
 # whose SparkContext has been stopped — a stopped session's frames
 # cannot be unpersisted anyway, and dropping the list breaks the
-# value->key cycle so both can be collected.
+# value->key cycle so both can be collected.  All three mutation
+# entry points (pin/unpin/release_pinned) prune, so cleanup does not
+# depend on future pin() traffic (r7 ADVICE).
 _BY_SESSION: "weakref.WeakKeyDictionary[SparkSession, list[DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
@@ -96,6 +98,7 @@ def unpin(df: DataFrame) -> bool:
     new state, materialize it, then unpin the superseded one)."""
     tracked = False
     with _LOCK:
+        _prune_stopped_locked()
         pins = _BY_SESSION.get(df.sparkSession)
         if pins is not None:
             for i, p in enumerate(pins):
@@ -117,6 +120,7 @@ def release_pinned(spark: SparkSession | None = None) -> int:
     released.  Safe to call at any time; recomputation after release
     is correct, just slower, so call it after the consuming action."""
     with _LOCK:
+        _prune_stopped_locked()
         if spark is None:
             drained: list[DataFrame] = []
             for pins in _BY_SESSION.values():

@@ -32,8 +32,9 @@ against the degree-folded edge list on src plus one hash-agg by dst —
 the classic distributed PageRank cost, |edges|-shuffle per iteration.
 The out-degree is folded into the pinned edge list up front (static
 across iterations), so the rank⋈outdeg pre-join the textbook
-formulation does per iteration disappears — measured 2.6x lower
-marginal iteration cost (SCALE.md). The edge
+formulation does per iteration disappears — measured 2.2x lower
+marginal iteration cost (~0.60 vs ~1.18 s/iter at sf0.1, SCALE.md
+"PageRank per-iteration cost flatness"). The edge
 list, node list, and degree tables are computed ONCE and pinned
 (``operators.cache``) — without the pin every iteration of the lazy
 plan re-derives them from the raw edges, and the aliased subtrees
@@ -47,11 +48,21 @@ per-iteration join co-locates.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .cache import pin
+
+# The pinned loop tables (edge list, node universe) are re-read once
+# per ITERATION — O(iters) consumers, not the O(1) reuse cache.pin's
+# DISK_ONLY default is sized for — so caching them through memory
+# pays for itself; MEMORY_AND_DISK spills partition-wise at 100 TB
+# rather than failing. Measured (SCALE.md "PageRank per-iteration
+# cost flatness", r8 row): DISK_ONLY 12.1 s -> MEMORY_AND_DISK
+# 11.0 s at iters=12 sf0.1.
+_LOOP_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 
 def _distinct_edges(
@@ -64,12 +75,14 @@ def _distinct_edges(
     e = pin(
         edges.select(
             F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
-        ).distinct()
+        ).distinct(),
+        _LOOP_LEVEL,
     )
     nodes = pin(
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))
-        .distinct()
+        .distinct(),
+        _LOOP_LEVEL,
     )
     return e, nodes
 
@@ -79,24 +92,41 @@ def _edges_with_degree(
 ) -> tuple[DataFrame, DataFrame]:
     """PageRank prep: ONE pinned degree-folded edge table
     (__s, __d, __deg) plus the pinned node universe derived from it.
-    The bare distinct edge list is deliberately NOT pinned — the
-    degree self-join reuses the distinct's shuffle (ReusedExchange,
-    verified in plan), and pinning only the folded table cuts the
-    loop's cached footprint ~40% vs pinning both. The degree is
-    computed as hash-agg + join rather than a count window
-    partitioned by __s: a window puts a hub node's entire edge set in
-    one task (power-law graphs guarantee hubs at 100 TB), while the
-    agg partial-combines map-side and AQE can skew-split the join."""
-    e = edges.select(
-        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
-    ).distinct()
+
+    The whole prep is a SINGLE |edges| shuffle (r8 verdict ask #3):
+    the one forced ``repartition(__s)`` up front means the
+    dedup-on-(__s, __d), the degree hash-agg on __s, and the
+    fold-join on __s all run exchange-free on that partitioning —
+    ``HashPartitioning(__s)`` satisfies every downstream clustered
+    distribution because __s is a subset of each one's keys. vs the
+    r7 three-exchange form (distinct on (s,d), agg re-shuffle on s,
+    join re-shuffle on s) this measured 14.2 -> 12.4 s at iters=12
+    sf0.1, 11.0 s with the MEMORY_AND_DISK loop pins (SCALE.md).
+    The degree is computed as hash-agg + join rather than a count
+    window partitioned by __s: a window puts a hub node's entire
+    edge set in one task (power-law graphs guarantee hubs at
+    100 TB), while the agg partial-combines map-side — the same
+    reason the prep avoids a groupBy-collect_set(__d)-explode fusion
+    (one shuffle too, but a hub's whole out-edge set materializes as
+    one array row; it also measured slower, 11.7 s). Hub rows do
+    co-locate under the __s repartition — same layout the
+    per-iteration rank⋈edges join needs anyway."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+        )
+        .repartition("__s")
+        .dropDuplicates(["__s", "__d"])
+    )
     e_deg = pin(
-        e.join(e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg")), "__s")
+        e.join(e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg")), "__s"),
+        _LOOP_LEVEL,
     )
     nodes = pin(
         e_deg.select(F.col("__s").alias("node"))
         .unionByName(e_deg.select(F.col("__d").alias("node")))
-        .distinct()
+        .distinct(),
+        _LOOP_LEVEL,
     )
     return e_deg, nodes
 
@@ -178,8 +208,8 @@ def pagerank(
         )
     # Degree-folded edge prep: each iteration is ONE rank⋈edges join
     # + one hash-agg instead of rank⋈outdeg followed by ⋈edges —
-    # measured 2.6x lower marginal iteration cost at sf0.1 (0.99 ->
-    # 0.38 s/iter, SCALE.md "PageRank per-iteration cost flatness").
+    # measured 2.2x lower marginal iteration cost at sf0.1 (~0.60 vs
+    # ~1.18 s/iter, SCALE.md "PageRank per-iteration cost flatness").
     # sum(rank div deg) inside the agg is the same exact integer term
     # the two-join form produced.
     e_deg, nodes = _edges_with_degree(edges, src_col, dst_col)
@@ -248,7 +278,7 @@ def pagerank_converged(
     e_deg, nodes = _edges_with_degree(edges, src_col, dst_col)
     # the dangling anti-join needs the out-edge holders as a bare key
     # set — a |nodes|-scale pin derived from the cached folded table
-    has_out = pin(e_deg.select("__s").distinct())
+    has_out = pin(e_deg.select("__s").distinct(), _LOOP_LEVEL)
     n_nodes = nodes.count()
     init = scale // n_nodes
     base = (15 * init) // 100
