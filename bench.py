@@ -46,15 +46,23 @@ def _sf_from_dir(path: str) -> float:
 
 
 def _stream_bench(spark) -> dict[str, dict]:
-    """Streaming micro-bench (round-6 verdict #5): measured
-    throughput (rows/s over the availableNow drain) and per-batch
-    latency for the two reference streaming pipelines — watermarked
-    dedup (W1) and the stream-stream interval join (J3) — over the
-    events table staged as 8 files / 1 file per trigger, so each run
-    crosses >= 8 real micro-batch boundaries. These quantify the
-    reference's two streaming metric definitions (SURVEY §6.8)
-    against its 600 s end-to-end replay budget (see E2E_BENCH.json
-    for the full-pipeline number)."""
+    """Streaming micro-bench (round-6 verdict #5, widened round 8 per
+    r7 ask #5): measured throughput (rows/s over the availableNow
+    drain) and per-batch latency + state-store series for five
+    streaming shapes with distinct state profiles — watermarked dedup
+    (W1: one state row per key), the stream-stream interval join (J3:
+    both sides buffered within the interval), gap session windows
+    (one open-session row per key), applyInPandasWithState running
+    totals (custom state, Python workers in the loop), and the
+    foreachBatch SCD-2 store applier (state lives in the TableStore,
+    not the state store) — over the events table staged as 8 files /
+    1 file per trigger, so each run crosses >= 8 real micro-batch
+    boundaries. State partitions are AUTO-SIZED by
+    run_stream_to_memory (partitions ≈ expected state rows /
+    per-store budget — the r7 manual knob, now the default; SCALE.md
+    "Streaming state-store tuning"), so this bench also validates the
+    sizing rule on different state shapes; the chosen count is
+    recorded per row."""
     from pyspark.sql import functions as F
 
     from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.streaming import (
@@ -63,21 +71,7 @@ def _stream_bench(spark) -> dict[str, dict]:
 
     out: dict[str, dict] = {}
 
-    def run(label: str, stream_df) -> None:
-        stats: dict = {}
-        t0 = time.perf_counter()
-        # state_partitions=8, not the batch shuffle default (32): one
-        # state store per shuffle partition per stateful operator, and
-        # per-store commit overhead dominates when stores hold O(1k)
-        # rows — measured 3.5× on J3 (SCALE.md "Streaming state-store
-        # tuning"). Size to state volume: ~40k join-state rows at
-        # sf0.1 → 8 stores ≈ 5k rows each.
-        sink = stream_ops.run_stream_to_memory(
-            stream_df, output_mode="append", stats_out=stats,
-            state_partitions=8,
-        )
-        n_out = sink.count()
-        wall = time.perf_counter() - t0
+    def record(label, wall, n_out, stats) -> None:
         batch_ms = stats.get("batch_ms", [])
         out[label] = {
             "wall_sec": round(wall, 3),
@@ -89,6 +83,7 @@ def _stream_bench(spark) -> dict[str, dict]:
             if batch_ms
             else None,
             "max_batch_ms": max(batch_ms) if batch_ms else None,
+            "state_partitions": stats.get("state_partitions"),
             # state-store series (ops.run_stream_to_memory): rows held /
             # written and update+removal+commit wall per batch — the
             # profile that attributes a slow batch to state I/O
@@ -96,6 +91,15 @@ def _stream_bench(spark) -> dict[str, dict]:
             "state_rows_updated": stats.get("state_rows_updated"),
             "state_ms": stats.get("state_ms"),
         }
+
+    def run(label: str, stream_df, output_mode: str = "append") -> None:
+        stats: dict = {}
+        t0 = time.perf_counter()
+        sink = stream_ops.run_stream_to_memory(
+            stream_df, output_mode=output_mode, stats_out=stats
+        )
+        n_out = sink.count()
+        record(label, time.perf_counter() - t0, n_out, stats)
 
     src = stream_ops.stream_table(spark, SF_DIR, "events", n_files=8)
     run(
@@ -144,6 +148,95 @@ def _stream_bench(spark) -> dict[str, dict]:
         "end_ts",
     )
     run("streaming_interval_join", joined)
+
+    # gap session windows (complete mode — windows merge across
+    # batches): one open-session state row per key until the
+    # watermark passes session end
+    run(
+        "streaming_session_agg",
+        stream_ops.session_window_agg(
+            stream_ops.stream_table(spark, SF_DIR, "events", n_files=8),
+            keys=["user_id"],
+            event_time="ts",
+            gap="30 minutes",
+            aggs=[
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            ],
+        ),
+        output_mode="complete",
+    )
+
+    # custom stateful (applyInPandasWithState): one (count, sum) row
+    # per key, Arrow batches through Python workers every batch
+    run(
+        "stateful_running_totals",
+        stream_ops.stateful_running_totals(
+            stream_ops.stream_table(spark, SF_DIR, "events", n_files=8),
+            key="user_id",
+            value="value",
+        ),
+    )
+
+    # foreachBatch SCD-2 applier: per-batch MERGE into a
+    # hash-partitioned TableStore — state lives in the table, not the
+    # state store, so the state series is empty by construction and
+    # batch wall measures the affected-keys rebuild + partition swap
+    import tempfile as _tf
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        TableStore,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.sources.sinks import (
+        start_foreach_batch_sink,
+    )
+
+    store = TableStore(spark, _tf.mkdtemp(prefix="pulselake_bench_scd2_"))
+    store.declare_partitioning("h", keys=["user_id"], n_buckets=8)
+    cents = F.floor(F.col("value").cast("double") * 100 + 0.5).cast("long")
+    changes = (
+        stream_ops.stream_table(spark, SF_DIR, "events", n_files=8)
+        .filter(F.col("event_type").isin("view", "error"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            cents.alias("state_c"),
+            F.when(F.col("event_type") == "error", "D")
+            .otherwise("U")
+            .alias("op"),
+        )
+    )
+    t0 = time.perf_counter()
+    q = start_foreach_batch_sink(
+        changes,
+        lambda batch_df, _id: store.merge(
+            "h",
+            batch_df,
+            ["user_id"],
+            policy="scd2",
+            seq_col="ts",
+            tiebreak_col="event_id",
+        ),
+        checkpoint=_tf.mkdtemp(prefix="pulselake_bench_scd2_ckpt_"),
+        cache_batch=True,  # merge multi-passes the batch (4x scan otherwise)
+    )
+    q.awaitTermination(600)
+    n_out = store.read("h").count()
+    progressed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    record(
+        "streaming_scd2_apply",
+        time.perf_counter() - t0,
+        n_out,
+        {
+            "num_batches": len(progressed),
+            "input_rows": sum(p["numInputRows"] for p in progressed),
+            "batch_ms": [
+                p["durationMs"].get("triggerExecution", 0)
+                for p in progressed
+            ],
+        },
+    )
     return out
 
 

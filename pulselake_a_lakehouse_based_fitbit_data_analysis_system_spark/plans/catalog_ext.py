@@ -3663,6 +3663,7 @@ def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream,
         apply_batch,
         checkpoint=_tf.mkdtemp(prefix="pulselake_cdc_apply_ckpt_"),
+        cache_batch=True,  # merge multi-passes the batch (4x scan otherwise)
     )
     q.awaitTermination(300)
     return (
@@ -5178,6 +5179,7 @@ def q_streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream,
         apply_batch,
         checkpoint=_tf.mkdtemp(prefix="pulselake_scd2_apply_ckpt_"),
+        cache_batch=True,  # merge multi-passes the batch (4x scan otherwise)
     )
     q.awaitTermination(300)
     return (

@@ -963,6 +963,119 @@ def test_stateful_running_totals_multi_batch_final_per_key(spark):
     assert got == want
 
 
+def test_sized_state_partitions_formula():
+    """Pin the state-store sizing rule (r7 verdict ask #4):
+    ceil(expected_state_rows / rows_per_store), floor 1 — small state
+    gets few stores (per-store commit overhead dominates), large state
+    scales the count up past any batch shuffle default."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.streaming.ops import (
+        sized_state_partitions,
+    )
+
+    assert sized_state_partitions(0) == 1
+    assert sized_state_partitions(1) == 1
+    assert sized_state_partitions(5_000) == 1
+    assert sized_state_partitions(5_001) == 2
+    # the measured J3 calibration point: ~40k held state rows -> 8
+    assert sized_state_partitions(40_000) == 8
+    # large state: 10M rows -> 2000 stores, far past a 32/200 default
+    assert sized_state_partitions(10_000_000) == 2000
+    assert sized_state_partitions(40_000, rows_per_store=10_000) == 4
+    with pytest.raises(ValueError):
+        sized_state_partitions(-1)
+    with pytest.raises(ValueError):
+        sized_state_partitions(10, rows_per_store=0)
+
+
+def test_run_stream_auto_sizes_state_partitions(spark):
+    """A drain over stream_table sources picks a sized state-partition
+    count with no caller knob: input volume from the staging registry
+    (counted once per FileSource occurrence), state estimated as the
+    documented fraction of input, formula applied; the session's
+    shuffle setting is restored afterwards. A non-staged source yields
+    None (conf untouched) — no estimate, no silent guess."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.streaming import (
+        ops as stream_ops,
+    )
+
+    sf_dir = os.environ.get("PULSELAKE_TEST_SF_DIR", "/root/testdata/sf0.001")
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    stream = stream_ops.stream_table(spark, sf_dir, "events", n_files=2)
+    ded = stream_ops.streaming_dedup(
+        stream.select("user_id", "event_type", "ts"),
+        keys=["user_id", "event_type"],
+        event_time="ts",
+    ).select("user_id", "event_type")
+    n_staged = stream_ops._staged_input_rows(ded)
+    batch_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n_staged == batch_rows, "one staged source counts once"
+    stats: dict = {}
+    stream_ops.run_stream_to_memory(ded, stats_out=stats)
+    want = stream_ops.sized_state_partitions(
+        int(n_staged * stream_ops._STATE_FRACTION)
+    )
+    assert stats["state_partitions"] == want
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+    # explicit expected_state_rows overrides the staged estimate
+    stats2: dict = {}
+    stream2 = stream_ops.stream_table(spark, sf_dir, "events", n_files=2)
+    ded2 = stream_ops.streaming_dedup(
+        stream2.select("user_id", "event_type", "ts"),
+        keys=["user_id", "event_type"],
+        event_time="ts",
+    ).select("user_id", "event_type")
+    stream_ops.run_stream_to_memory(
+        ded2, stats_out=stats2, expected_state_rows=40_000
+    )
+    assert stats2["state_partitions"] == 8
+    # non-staged source: no estimate -> conf left alone, reported None
+    assert (
+        stream_ops._staged_input_rows(
+            spark.readStream.schema("user_id long, value double").parquet(
+                sf_dir
+            )
+        )
+        is None
+    )
+
+
+def test_foreach_batch_cache_batch_wraps_persist(spark, tmp_path):
+    """cache_batch=True persists the micro-batch for the callback's
+    duration and releases it after — the guard against multi-action
+    callbacks (MERGE) re-scanning the batch source once per action
+    (measured 4x on the SCD-2 applier, SCALE.md)."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.sources.sinks import (
+        start_foreach_batch_sink,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.streaming import (
+        ops as stream_ops,
+    )
+
+    sf_dir = os.environ.get("PULSELAKE_TEST_SF_DIR", "/root/testdata/sf0.001")
+    seen: list[tuple[bool, bool]] = []
+    frames: list = []
+
+    def cb(batch_df, batch_id):
+        seen.append((batch_df.storageLevel.useMemory, True))
+        frames.append(batch_df)
+        batch_df.count()
+        batch_df.count()  # second action — served from the cache
+
+    stream = stream_ops.stream_table(
+        spark, sf_dir, "events", n_files=2
+    ).select("event_id", "event_type")
+    q = start_foreach_batch_sink(
+        stream,
+        cb,
+        checkpoint=str(tmp_path / "ckpt"),
+        cache_batch=True,
+    )
+    q.awaitTermination(120)
+    assert len(seen) >= 2 and all(cached for cached, _ in seen)
+    # released after the callback returned
+    assert all(not f.storageLevel.useMemory for f in frames)
+
+
 def test_merge_file_level_pruning_single_key_multi_file_partition(spark, tmp_path):
     """File-level min/max skipping (round-3 VERDICT #3): merging ONE key
     into a partition that holds many key-ranged files rewrites only the
