@@ -998,6 +998,65 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf(e, cents[0], cents, k=_IVF_K, nprobe=1)
 
 
+_IVF_LIFECYCLE_ORACLE = (
+    _ivf_scored_cte()
+    + f"""
+SELECT * FROM (
+  SELECT 'v1' AS phase, vec_id, round(s0, 6) AS cosine,
+         CAST(2 AS BIGINT) AS n_versions
+  FROM celled WHERE cell = 0 AND vec_id % 2 = 0
+  ORDER BY cosine DESC, vec_id ASC LIMIT {_IVF_K}
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'v2' AS phase, vec_id, round(s0, 6) AS cosine,
+         CAST(2 AS BIGINT) AS n_versions
+  FROM celled WHERE cell = 0
+  ORDER BY cosine DESC, vec_id ASC LIMIT {_IVF_K}
+)
+"""
+)
+
+
+@_register(
+    "ivf_index_lifecycle",
+    _IVF_LIFECYCLE_ORACLE,
+    "The MAINTAINED-index ANN story (r7 verdict ask #7): "
+    "similarity.IvfIndex persists the IVF index through a versioned "
+    "TableStore — build over the even-id half (vectors table "
+    "PARTITIONED BY cell, centroids table alongside), probe (reads "
+    "only the winning cell partition), insert-only upsert of the odd "
+    "half (second store version, rewrites only affected cell "
+    "partitions), probe again over the full set. Output is both "
+    "probes' top-k plus the store version count (pinned 2 — "
+    "certifying the upsert actually versioned the table); the oracle "
+    "replays both probes with parity filters.",
+    tags=("similarity", "ann", "ivf", "merge"),
+)
+def q_ivf_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators.merge import TableStore
+    from ..operators.similarity import IvfIndex
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    store = TableStore(spark, _tf.mkdtemp(prefix="pulselake_ivf_idx_"))
+    idx = IvfIndex(store, "ann")
+    idx.build(e.filter(F.col("vec_id") % 2 == 0), cents)
+    p1 = idx.probe(cents[0], k=_IVF_K, nprobe=1).select(
+        F.lit("v1").alias("phase"), "vec_id", "cosine"
+    )
+    idx.upsert(e.filter(F.col("vec_id") % 2 == 1))
+    p2 = idx.probe(cents[0], k=_IVF_K, nprobe=1).select(
+        F.lit("v2").alias("phase"), "vec_id", "cosine"
+    )
+    n_versions = len(idx.versions())
+    return p1.unionByName(p2).withColumn(
+        "n_versions", F.lit(n_versions).cast("long")
+    )
+
+
 @_register(
     "streaming_dedup_wm",
     "SELECT DISTINCT user_id, event_type FROM events",

@@ -1039,6 +1039,51 @@ def test_run_stream_auto_sizes_state_partitions(spark):
     )
 
 
+def test_ivf_index_store_lifecycle(spark, tmp_path):
+    """IvfIndex build -> probe -> upsert -> probe: results equal
+    brute-force top-k over the index CONTENT at each point, the
+    vectors table is laid out as cell=N partition dirs (probes prune
+    to the probed cell), and the upsert creates a second store
+    version."""
+    import os as _os
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        TableStore,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.similarity import (
+        IvfIndex,
+        knn_brute_force,
+    )
+
+    sf_dir = os.environ.get("PULSELAKE_TEST_SF_DIR", "/root/testdata/sf0.001")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents_rows = e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    cents = [[float(x) for x in r["embedding"]] for r in cents_rows]
+
+    store = TableStore(spark, str(tmp_path))
+    idx = IvfIndex(store, "t")
+    even = e.filter(F.col("vec_id") % 2 == 0)
+    idx.build(even, cents)
+    # probing every cell (nprobe = nlist) covers the whole index, so
+    # the result must equal brute force over the stored half exactly
+    got1 = idx.probe(cents[0], k=5, nprobe=len(cents)).collect()
+    want1 = knn_brute_force(even, cents[0], k=5).collect()
+    assert [tuple(r) for r in got1] == [tuple(r) for r in want1]
+    # hive-style cell partitions on disk -> probe scans prune by cell
+    vdir = store.current_path("t__vectors")
+    assert any(d.startswith("cell=") for d in _os.listdir(vdir)), _os.listdir(
+        vdir
+    )
+    idx.upsert(e.filter(F.col("vec_id") % 2 == 1))
+    got2 = idx.probe(cents[0], k=5, nprobe=len(cents)).collect()
+    want2 = knn_brute_force(e, cents[0], k=5).collect()
+    assert [tuple(r) for r in got2] == [tuple(r) for r in want2]
+    assert len(idx.versions()) == 2
+    # single-cell probe reads a subset of the index, never more
+    one = idx.probe(cents[0], k=5, nprobe=1)
+    assert one.count() <= 5
+
+
 def test_foreach_batch_cache_batch_wraps_persist(spark, tmp_path):
     """cache_batch=True persists the micro-batch for the callback's
     duration and releases it after — the guard against multi-action
