@@ -153,11 +153,16 @@ def test_driver_priority_orders_never_green_then_changed_then_stalest():
         key=lambda n: (cls(n), green.get(n, 0), insertion[n]),
     )
     stalest = [n for n in plain if cls(n) == 2][:_STALE_QUOTA]
-    need = [n for n in stalest if n not in plain[:_DRIVER_BUDGET]]
-    if need:
-        rest = [n for n in plain if n not in need]
-        cut = _DRIVER_BUDGET - len(need)
-        plain = rest[:cut] + need + rest[cut:]
+    if stalest:
+        reserved = set(stalest)
+        non_res = [n for n in plain if n not in reserved]
+        cut = max(0, _DRIVER_BUDGET - len(stalest))
+        window = sorted(
+            non_res[:cut] + stalest,
+            key=lambda n: (cls(n), green.get(n, 0), insertion[n]),
+        )
+        in_window = set(window)
+        plain = window + [n for n in plain if n not in in_window]
     assert order == plain, "not (class, last-green)-sorted modulo the stale quota"
 
 
@@ -214,6 +219,30 @@ def test_driver_priority_reserves_slots_for_stalest_untouched_rows():
     )
     # and every promoted row is class-2 at its stalest green round
     assert all(green[n] == 2 for n in promoted)
+
+    # The partially-seated case (caught live in round 8): when classes
+    # 0-1 leave SOME natural class-2 seats — fewer than the quota —
+    # the reservation must top the window up to the full quota of
+    # stalest rows, displacing class-1 overflow, never other stalest
+    # class-2 rows (the r7 tail-insertion bug net-gained zero seats).
+    n_c1 = _DRIVER_BUDGET - _STALE_QUOTA + 6  # leaves quota-6 natural
+    green2 = {n: 6 for n in names[:n_c1]}
+    for i, n in enumerate(names[n_c1:]):
+        green2[n] = 2 + (i % 4)
+    order2 = driver_priority(
+        green=green2, changed=set(names[:n_c1])
+    )
+    window2 = set(order2[:_DRIVER_BUDGET])
+    stalest2 = sorted(
+        (n for n in names[n_c1:]),
+        key=lambda n: (green2[n], names.index(n)),
+    )[:_STALE_QUOTA]
+    assert all(n in window2 for n in stalest2), (
+        "partially-seated quota lost stalest rows to the promotion"
+    )
+    assert sum(1 for n in window2 if green2[n] == 6) == (
+        _DRIVER_BUDGET - _STALE_QUOTA
+    ), "displacement must come from class-1 overflow only"
 
 
 def test_rows_only_queries_are_documented_exceptions():
