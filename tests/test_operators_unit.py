@@ -1082,6 +1082,14 @@ def test_ivf_index_store_lifecycle(spark, tmp_path):
     # single-cell probe reads a subset of the index, never more
     one = idx.probe(cents[0], k=5, nprobe=1)
     assert one.count() <= 5
+    # and the scan is PARTITION-pruned to the probed cell — the probe
+    # reads one cell=N directory, not the table (the claim that makes
+    # the layout the 100 TB path)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:2000]
 
 
 def test_foreach_batch_cache_batch_wraps_persist(spark, tmp_path):
