@@ -699,3 +699,88 @@ class IvfIndex:
     def versions(self) -> list[str]:
         """Vector-table version history (``DESCRIBE HISTORY`` analog)."""
         return self.store.versions(self._vectors)
+
+
+def knn_join_srp(
+    df: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Directed k-NN JOIN: the top-``k`` approximate neighbors for
+    EVERY vector at once — the primitive behind near-dup graph
+    construction, recommendation candidate generation, and
+    embedding-cluster seeding, where per-query ANN (``ann_lsh``)
+    would mean one job per vector.
+
+    Same SRP-LSH shape as ``neardup.embedding_neardup_pairs_bucketed``
+    (the 100 TB path — candidate generation is an EQUI-join on the
+    bucket key, never a cartesian): side A keys on its own
+    ``num_planes``-bit bucket, side B explodes to its bucket plus
+    every Hamming-1 neighbor when ``multiprobe``, so a pair joins iff
+    their buckets differ in ≤ 1 bit — and matches on exactly one
+    probe key, no distinct needed. Exact cosine re-rank per source id
+    (``row_number`` over cosine desc, id asc — deterministic under
+    ties) keeps k rows. The per-id window sees only that id's
+    candidates (~|df| x probes / 2^planes rows), so no single task
+    ever holds the table. Neighbors beyond Hamming-1 are invisible —
+    the usual SRP recall trade; raise recall with fewer planes or
+    extra seeds unioned (``ann_lsh_multi``'s pattern). Returns
+    (id_col, neighbor_id, cosine, rank).
+    """
+    from pyspark.sql.window import Window
+
+    from .cache import pin
+
+    planes = hyperplanes(num_planes, dim, seed)
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucketed = pin(
+        df.select(
+            F.col(id_col).alias("__id"),
+            dvec.alias("__v"),
+            srp_bucket_expr(vec_col, planes).alias("srp_bucket"),
+            F.sqrt(
+                F.aggregate(dvec, F.lit(0.0), lambda acc, x: acc + x * x)
+            ).alias("__norm"),
+        )
+    )
+    a = bucketed.select(
+        F.col("__id").alias("__ia"),
+        F.col("__v").alias("va"),
+        F.col("__norm").alias("na"),
+        F.col("srp_bucket").alias("bucket"),
+    )
+    probe_ids = [F.col("srp_bucket")]
+    if multiprobe:
+        probe_ids += [
+            F.col("srp_bucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(num_planes)
+        ]
+    b = bucketed.select(
+        F.col("__id").alias("neighbor_id"),
+        F.col("__v").alias("vb"),
+        F.col("__norm").alias("nb"),
+        F.explode(F.array(*probe_ids)).alias("bucket"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("__ia").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("__ia") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__ia").alias(id_col), "neighbor_id", "cosine", "rank"
+        )
+    )

@@ -499,6 +499,54 @@ def q_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_join_oracle(k: int = 5) -> str:
+    bucket_sql = _srp_bucket_sql()
+    probe_xors = ", ".join(str(x) for x in [0] + [1 << p for p in range(8)])
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, CAST({bucket_sql} AS BIGINT) AS srp_bucket
+  FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(({_dot_sql("a.embedding", "b.embedding")}) /
+               ({_norm_sql("a.embedding")} * {_norm_sql("b.embedding")}), 6)
+           AS cosine
+  FROM bucketed a JOIN bucketed b ON a.vec_id <> b.vec_id
+  WHERE xor(a.srp_bucket, b.srp_bucket) IN ({probe_xors})
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT vec_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@_register(
+    "knn_join_srp",
+    _knn_join_oracle(5),
+    "Directed k-NN JOIN — top-k approximate neighbors for EVERY "
+    "vector in one job (near-dup graph construction / candidate "
+    "generation), not per-query ANN. SRP-LSH equi-join on the bucket "
+    "key with Hamming-1 multiprobe (never a cartesian), exact cosine "
+    "re-rank per source id; the per-id window sees only that id's "
+    "~|df|·probes/2^planes candidates. The oracle replays the "
+    "identical deterministic bucketing and ranking.",
+    tags=("similarity", "knn", "lsh", "neardup"),
+)
+def q_knn_join_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.knn_join_srp(
+        emb, k=5, num_planes=8, dim=_DIM, seed=31
+    )
+    return out.select(
+        "vec_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _ann_oracle() -> str:
     """SRP-LSH ANN oracle: plane coefficients and probe buckets are the
     same deterministic md5-derived values the Spark side uses."""

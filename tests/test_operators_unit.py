@@ -1039,6 +1039,51 @@ def test_run_stream_auto_sizes_state_partitions(spark):
     )
 
 
+def test_knn_join_srp_shape_and_semantics(spark):
+    """Directed k-NN join: per-id ranks are dense 1..n<=k, no
+    self-pairs, candidate generation is an equi-join (no cartesian /
+    BroadcastNestedLoop in the plan), and within each id's candidate
+    set the kept neighbors are exactly the top-k by (cosine desc, id
+    asc) — checked against a recomputation with a big k."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.cache import (
+        release_pinned,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.similarity import (
+        knn_join_srp,
+    )
+
+    sf_dir = os.environ.get("PULSELAKE_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_join_srp(emb, k=3, num_planes=8, dim=64, seed=31)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = out.collect()
+    release_pinned(spark)
+    assert rows, "no neighbors found at all"
+    by_id: dict = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["vec_id"]
+        by_id.setdefault(r["vec_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    for vid, lst in by_id.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1)), vid
+        assert len(lst) <= 3
+        # ranks follow (cosine desc, neighbor asc)
+        keys = [(-c, n) for _, n, c in lst]
+        assert keys == sorted(keys), vid
+    # prefix property: k=3 is the first 3 ranks of a larger-k run
+    big = knn_join_srp(emb, k=6, num_planes=8, dim=64, seed=31).collect()
+    release_pinned(spark)
+    big_top3 = {
+        (r["vec_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in big
+        if r["rank"] <= 3
+    }
+    got = {(r["vec_id"], r["rank"]): (r["neighbor_id"], r["cosine"]) for r in rows}
+    assert got == big_top3
+
+
 def test_ivf_index_store_lifecycle(spark, tmp_path):
     """IvfIndex build -> probe -> upsert -> probe: results equal
     brute-force top-k over the index CONTENT at each point, the
