@@ -535,6 +535,7 @@ FROM ranked WHERE rank <= {k}
     "re-rank per source id; the per-id window sees only that id's "
     "~|df|·probes/2^planes candidates. The oracle replays the "
     "identical deterministic bucketing and ranking.",
+    bench=True,
     tags=("similarity", "knn", "lsh", "neardup"),
 )
 def q_knn_join_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
