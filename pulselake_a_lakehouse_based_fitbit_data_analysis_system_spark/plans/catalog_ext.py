@@ -548,6 +548,8 @@ def q_knn_join_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
 def _ann_oracle() -> str:
     """SRP-LSH ANN oracle: plane coefficients and probe buckets are the
     same deterministic md5-derived values the Spark side uses."""
@@ -4511,6 +4513,100 @@ def q_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(k).cast("long").alias("k"),
         F.count(F.lit(1)).alias("n_overlap"),
         (F.count(F.lit(1)) * (10_000 // k)).alias("recall_bp"),
+    )
+
+
+def _knn_join_recall_oracle(n_q: int = 50, k: int = 5) -> str:
+    bucket_sql = _srp_bucket_sql()
+    dot = _dot_sql("a.embedding", "b.embedding")
+    na, nb = _norm_sql("a.embedding"), _norm_sql("b.embedding")
+    probe_xors = ", ".join(str(x) for x in [0] + [1 << p for p in range(8)])
+    return f"""
+WITH {_clustered_cte()},
+bucketed AS (
+  SELECT vec_id, embedding, CAST({bucket_sql} AS BIGINT) AS bk FROM cemb
+),
+truth AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS nid,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round(({dot})/({na}*{nb}),6) DESC, b.vec_id ASC) AS rn
+    FROM cemb a JOIN cemb b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < {n_q}
+  ) WHERE rn <= {k}
+),
+approx AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS nid,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round(({dot})/({na}*{nb}),6) DESC, b.vec_id ASC) AS rn
+    FROM bucketed a JOIN bucketed b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < {n_q} AND xor(a.bk, b.bk) IN ({probe_xors})
+  ) WHERE rn <= {k}
+)
+SELECT CAST({n_q} AS BIGINT) AS n_queries, CAST({k} AS BIGINT) AS k,
+       CAST(count(*) * 10000 / {n_q * k} AS BIGINT) AS recall_bp,
+       count(*) * 10000 / {n_q * k} >= 8000 AS passed
+FROM truth JOIN approx USING (qid, nid)
+"""
+
+
+@_register(
+    "knn_join_recall_clustered",
+    _knn_join_recall_oracle(),
+    "Recall@5 of the SRP k-NN JOIN against per-id exact top-5 on the "
+    "clustered fixture, over a 50-query sample, in integer basis "
+    "points (target >= 8000; measured 10000 at sf0.001 and sf0.01 — "
+    "same-cluster vectors share SRP buckets, so the Hamming-1 join "
+    "catches every true neighbor). The exact-truth side is a "
+    "50-row-broadcast nested-loop bounded by the SAMPLE, never an "
+    "all-pairs product over the table; the approximate side is the "
+    "shipped knn_join_srp restricted to the sample ids. Companion to "
+    "ann_recall_clustered (per-query ANN) and "
+    "ann_uniform_recall_bound (the honest no-locality ceiling).",
+    tags=("similarity", "knn", "lsh", "quality"),
+)
+def q_knn_join_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..operators.neardup import cosine_similarity
+
+    n_q, k = 50, 5
+    emb = _t(spark, sf_dir, "embeddings")
+    cemb = emb.select(
+        "vec_id",
+        similarity.clustered_embedding_expr("vec_id", _DIM, 16).alias(
+            "embedding"
+        ),
+    )
+    sample = cemb.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    w = W.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    truth = (
+        cemb.join(F.broadcast(sample), F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", F.col("vec_id").alias("nid"))
+    )
+    approx = (
+        similarity.knn_join_srp(cemb, k=k, num_planes=8, dim=_DIM, seed=31)
+        .filter(F.col("vec_id") < n_q)
+        .select(F.col("vec_id").alias("qid"), F.col("neighbor_id").alias("nid"))
+    )
+    return truth.join(approx, ["qid", "nid"]).agg(
+        F.lit(n_q).cast("long").alias("n_queries"),
+        F.lit(k).cast("long").alias("k"),
+        (F.count(F.lit(1)) * 10_000 / (n_q * k))
+        .cast("long")
+        .alias("recall_bp"),
+        (F.count(F.lit(1)) * 10_000 / (n_q * k) >= 8000).alias("passed"),
     )
 
 
