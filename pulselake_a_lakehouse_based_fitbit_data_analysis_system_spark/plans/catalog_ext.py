@@ -32,6 +32,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --- shared SQL fragments -------------------------------------------------
 
 
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric customer<->supplier trade edge list, built in ONE
+    pass: each orders x lineitem row explodes to both edge directions
+    map-side. The union-of-two-branches form recomputed the source
+    join once per direction (no exchange to reuse under broadcast
+    joins) — measured 11.8 -> 11.0 s on the iters=12 PageRank at
+    sf0.1, identical ranks."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return cs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
 def _sql_hash64(expr: str, seed: int) -> str:
     """DuckDB twin of functions.expressions.portable_hash64."""
     return f"CAST('0x' || substr(md5('{seed}:' || {expr}), 1, 15) AS BIGINT)"
@@ -5691,15 +5715,7 @@ def _pagerank_oracle(iters: int = 3, scale: int = 1_000_000_000_000) -> str:
 def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    cs = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-    )
-    edges = cs.unionByName(
-        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _trade_edges(spark, sf_dir)
     return pagerank(edges, "src", "dst", iters=3)
 
 
@@ -5823,15 +5839,7 @@ def q_pagerank_converged_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pagerank_deep_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    cs = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-    )
-    edges = cs.unionByName(
-        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _trade_edges(spark, sf_dir)
     return pagerank(edges, "src", "dst", iters=12, checkpoint_every=4)
 
 
@@ -6085,15 +6093,7 @@ def _lpa_oracle(iters: int = 3) -> str:
 def q_lpa_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import label_propagation
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    cs = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-    )
-    edges = cs.unionByName(
-        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _trade_edges(spark, sf_dir)
     return label_propagation(edges, "src", "dst", iters=3)
 
 
