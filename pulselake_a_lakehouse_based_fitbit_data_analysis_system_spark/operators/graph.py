@@ -60,7 +60,7 @@ from .cache import pin
 # DISK_ONLY default is sized for — so caching them through memory
 # pays for itself; MEMORY_AND_DISK spills partition-wise at 100 TB
 # rather than failing. Measured (SCALE.md "PageRank per-iteration
-# cost flatness", r8 row): DISK_ONLY 12.1 s -> MEMORY_AND_DISK
+# cost flatness", r8 row): DISK_ONLY 12.4 s -> MEMORY_AND_DISK
 # 11.0 s at iters=12 sf0.1.
 _LOOP_LEVEL = StorageLevel.MEMORY_AND_DISK
 
