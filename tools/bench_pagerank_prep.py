@@ -1,13 +1,24 @@
 """A/B the PageRank edge-prep strategies at sf0.1 (round-8 verdict ask #3).
 
-Current (r7): distinct(s,d) -> self-join degree hash-agg -> pin folded
-list; nodes = union-distinct over the pin.
-Candidate (fused): ONE forced repartition by src, then dedup + degree
-agg + join all run shuffle-free on that partitioning (HashPartitioning
-on a subset of the grouping keys satisfies the downstream clustered
-distributions), so the whole prep is a single |edges| shuffle.
+Variants (all verified rank-checksum-identical; results in SCALE.md
+"PageRank per-iteration cost flatness", r8 row):
+
+- ``current``:  the r7 SHIPPED prep — distinct(s,d) -> self-join
+  degree hash-agg -> pin folded list (three exchanges). Kept as the
+  baseline so the published 14.2 s point stays reproducible.
+- ``fused``:    ONE forced repartition by src; dedup + degree agg +
+  fold join all run shuffle-free on that partitioning
+  (HashPartitioning on a subset of each stage's keys satisfies its
+  clustered distribution).
+- ``fusedmem``: fused + MEMORY_AND_DISK loop pins — what
+  ``operators/graph.py::_edges_with_degree`` NOW ships (the r8
+  winner; graph.py additionally builds symmetric edges with a
+  one-pass explode, ``plans/catalog_ext._trade_edges``).
+- ``cset``:     groupBy-collect_set-explode single-shuffle fusion —
+  measured slower and rejected for hub-array skew.
 
 Run: python tools/bench_pagerank_prep.py [iters ...]
+(env PREP_ONLY=fusedmem,... restricts variants)
 """
 
 from __future__ import annotations
