@@ -696,6 +696,16 @@ class IvfIndex:
             .limit(k)
         )
 
+    def optimize(self) -> None:
+        """Compact the vectors table: many incremental upserts leave
+        each cell partition with small files beside its hard-linked
+        survivors; this rewrites every cell as one range-clustered
+        file set (``TableStore.optimize`` — row-count-validated swap,
+        refreshed skipping sidecar), so probe scans regain one-file-
+        per-cell locality. Logically a no-op; run it on the upsert
+        cadence, not per batch."""
+        self.store.optimize(self._vectors, key=self.id_col)
+
     def versions(self) -> list[str]:
         """Vector-table version history (``DESCRIBE HISTORY`` analog)."""
         return self.store.versions(self._vectors)

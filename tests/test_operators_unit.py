@@ -1124,6 +1124,15 @@ def test_ivf_index_store_lifecycle(spark, tmp_path):
     want2 = knn_brute_force(e, cents[0], k=5).collect()
     assert [tuple(r) for r in got2] == [tuple(r) for r in want2]
     assert len(idx.versions()) == 2
+    # compaction after upserts: identical probe results, still
+    # cell-partitioned, new version
+    idx.optimize()
+    got3 = idx.probe(cents[0], k=5, nprobe=len(cents)).collect()
+    assert [tuple(r) for r in got3] == [tuple(r) for r in want2]
+    assert any(
+        d.startswith("cell=")
+        for d in _os.listdir(store.current_path("t__vectors"))
+    )
     # single-cell probe reads a subset of the index, never more
     one = idx.probe(cents[0], k=5, nprobe=1)
     assert one.count() <= 5
