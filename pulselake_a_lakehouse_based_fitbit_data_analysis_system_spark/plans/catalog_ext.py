@@ -6434,3 +6434,178 @@ def q_gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_bp"),
     )
+
+
+# --- incrementally-maintained rollup table (round 8) ----------------------
+
+_ROLLUP_MAINTAIN_ORACLE = """
+SELECT CAST(strftime(ts, '%Y%m%d') AS INTEGER)              AS day_i,
+       event_type,
+       count(*)                                             AS n,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT))        AS sum_v,
+       min(CAST(floor(value * 100 + 0.5) AS BIGINT))        AS min_v,
+       max(CAST(floor(value * 100 + 0.5) AS BIGINT))        AS max_v,
+       CAST(3 AS BIGINT)                                    AS n_versions,
+       TRUE                                                 AS uu_ok
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@_register(
+    "rollup_incremental_maintain",
+    _ROLLUP_MAINTAIN_ORACLE,
+    "Materialized-aggregate MAINTENANCE (the hypertable-rollup / "
+    "incremental-view pattern): a daily x event-type rollup of "
+    "mergeable state (count, integer-cent sum, min, max, HLL "
+    "distinct-user sketch) builds from the first ten days, then two "
+    "disjoint increments fold in via operators.rollup.MaintainedRollup "
+    "— one hash-agg over each increment, a partition-pruned read of "
+    "matched state, additive combine, and the store's pruned "
+    "full_upsert (three store versions; n_versions pins the "
+    "lifecycle). Because the state is integral, the incrementally "
+    "maintained table is BIT-IDENTICAL to a from-scratch GROUP BY "
+    "over all events — which is exactly what the oracle runs; uu_ok "
+    "gates the sketch's distinct estimate within max(1, 5%) of exact. "
+    "At 100 TB each maintain touches O(days-in-batch) partitions, "
+    "never history.",
+    tags=("rollup", "merge", "incremental", "sketch", "agg"),
+)
+def q_rollup_incremental_maintain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators.merge import TableStore
+    from ..operators.rollup import MaintainedRollup
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyyMMdd").cast("int").alias("day_i"),
+        "event_type",
+        F.floor(F.col("value").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("vc"),
+        "user_id",
+    )
+    # keep_versions=3 keeps the whole build->apply->apply lifecycle
+    # time-travelable so n_versions pins it (default retention is 2)
+    store = TableStore(
+        spark, _tf.mkdtemp(prefix="pulselake_rollup_"), keep_versions=3
+    )
+    ru = MaintainedRollup(
+        store,
+        "daily",
+        ["day_i", "event_type"],
+        "vc",
+        distinct_col="user_id",
+        partition_column="day_i",
+    )
+    ru.build(ev.filter(F.col("day_i") < 20240111))
+    ru.apply(
+        ev.filter(
+            (F.col("day_i") >= 20240111) & (F.col("day_i") < 20240121)
+        )
+    )
+    ru.apply(ev.filter(F.col("day_i") >= 20240121))
+    n_versions = len(ru.versions())
+    exact = ev.groupBy("day_i", "event_type").agg(
+        F.countDistinct("user_id").alias("__uu_exact")
+    )
+    return (
+        ru.read()
+        .join(exact, ["day_i", "event_type"])
+        .select(
+            "day_i",
+            "event_type",
+            "n",
+            "sum_v",
+            "min_v",
+            "max_v",
+            F.lit(n_versions).cast("long").alias("n_versions"),
+            (
+                F.abs(F.col("uu_est") - F.col("__uu_exact"))
+                <= F.greatest(
+                    F.lit(1).cast("long"),
+                    (F.col("__uu_exact") * 5 / 100).cast("long"),
+                )
+            ).alias("uu_ok"),
+        )
+    )
+
+
+# --- KLL quantile sketch certification (round 8) --------------------------
+
+_KLL_QUANTILE_ORACLE = """
+SELECT count(*)              AS n_rows,
+       count(*)              AS n_seen,
+       TRUE                  AS p50_ok,
+       TRUE                  AS p90_ok,
+       TRUE                  AS p99_ok
+FROM events
+"""
+
+
+@_register(
+    "kll_quantile_bands",
+    _KLL_QUANTILE_ORACLE,
+    "Quantile-sketch certification, completing the mergeable-sketch "
+    "family (HLL distinct, Theta set-ops, CMS frequency, + KLL rank): "
+    "per-day KLL(k=400) sketches of integer-cent event values — the "
+    "partials a daily job would persist — merge into one period "
+    "sketch, and its p50/p90/p99 estimates are certified by computing "
+    "each estimate's EXACT rank in one conditional-agg pass and "
+    "gating |rank - p| <= 2% of n (k=400 bounds normalized rank "
+    "error at ~0.9% with 99% confidence, so the 2% band holds with "
+    "margin; estimates themselves are never emitted — KLL compaction "
+    "is randomized, the gate is the deterministic surface). n_seen "
+    "(the sketch's exact stream length) must equal count(*). At "
+    "100 TB the per-day partials are KBs and re-aggregation is "
+    "O(days), the same incremental-dashboard shape as the HLL "
+    "partial-union query.",
+    tags=("sketch", "quantile", "agg", "incremental"),
+)
+def q_kll_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    vq = (
+        F.floor(F.col("value").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("v")
+    )
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.kll_sketch_agg_bigint(vq, F.lit(400)).alias("sk")
+    )
+    est = daily.agg(F.kll_merge_agg_bigint("sk").alias("sk")).select(
+        F.kll_sketch_get_n_bigint("sk").alias("n_seen"),
+        F.kll_sketch_get_quantile_bigint(F.col("sk"), F.lit(0.5)).alias(
+            "__p50"
+        ),
+        F.kll_sketch_get_quantile_bigint(F.col("sk"), F.lit(0.9)).alias(
+            "__p90"
+        ),
+        F.kll_sketch_get_quantile_bigint(F.col("sk"), F.lit(0.99)).alias(
+            "__p99"
+        ),
+    )
+
+    def _ok(rank_col: str, p: float):
+        frac = F.col(rank_col).cast("double") / F.col("n_rows")
+        return F.abs(frac - F.lit(p)) <= F.lit(0.02)
+
+    return (
+        ev.select(vq)
+        .crossJoin(F.broadcast(est))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("n_seen").alias("n_seen"),
+            F.sum((F.col("v") <= F.col("__p50")).cast("long")).alias("__r50"),
+            F.sum((F.col("v") <= F.col("__p90")).cast("long")).alias("__r90"),
+            F.sum((F.col("v") <= F.col("__p99")).cast("long")).alias("__r99"),
+        )
+        .select(
+            "n_rows",
+            "n_seen",
+            _ok("__r50", 0.5).alias("p50_ok"),
+            _ok("__r90", 0.9).alias("p90_ok"),
+            _ok("__r99", 0.99).alias("p99_ok"),
+        )
+    )

@@ -2716,3 +2716,102 @@ def test_ensure_min_parallelism_guard(spark):
     wide = spark.range(100).repartition(target * 2)
     same = ensure_min_parallelism(wide)
     assert same is wide  # no-op: no extra exchange at real split counts
+
+
+# --- incrementally-maintained rollup (round 8) ----------------------------
+
+
+def test_maintained_rollup_incremental_equals_rebuild(spark, tmp_path):
+    """build + two disjoint applies produce state bit-identical to one
+    partials() pass over everything (integer state is order-free), the
+    second apply leaves the untouched day partitions hard-linked, each
+    lifecycle step is a retained store version, and the derived
+    avg_v_fp is the half-up integer mean."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        TableStore,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.rollup import (
+        MaintainedRollup,
+    )
+
+    data = [
+        Row(day_i=d, grp=g, vc=(d * 31 + ord(g) * 7 + i * 3) % 100 - 20,
+            uid=(i * 13 + d) % 17)
+        for d in (1, 2, 3)
+        for g in ("a", "b")
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(data)
+    store = TableStore(spark, str(tmp_path), keep_versions=3)
+    ru = MaintainedRollup(
+        store, "r", ["day_i", "grp"], "vc",
+        distinct_col="uid", partition_column="day_i",
+    )
+    ru.build(df.filter(F.col("day_i") == 1))
+    ru.apply(df.filter(F.col("day_i") == 2))
+    v2 = store.current_path("r")
+    before = {
+        d: files for d, files in _partition_file_map(v2).items()
+        if d in ("day_i=1", "day_i=2")
+    }
+    ru.apply(df.filter(F.col("day_i") == 3))
+    v3 = store.current_path("r")
+    after = {
+        d: files for d, files in _partition_file_map(v3).items()
+        if d in ("day_i=1", "day_i=2")
+    }
+    # the day-3 increment never rewrites day 1/2 state: same inodes
+    assert after == before and len(ru.versions()) == 3
+
+    state = {
+        (r["day_i"], r["grp"]): r for r in ru.read().collect()
+    }
+    exact = {
+        (r["day_i"], r["grp"]): r
+        for r in df.groupBy("day_i", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vc").alias("sum_v"),
+            F.min("vc").alias("min_v"),
+            F.max("vc").alias("max_v"),
+            F.countDistinct("uid").alias("uu"),
+        )
+        .collect()
+    }
+    assert set(state) == set(exact)
+    for k, e in exact.items():
+        s = state[k]
+        assert (s["n"], s["sum_v"], s["min_v"], s["max_v"]) == (
+            e["n"], e["sum_v"], e["min_v"], e["max_v"]
+        ), k
+        # <=17 distinct uids -> HLL still exact
+        assert s["uu_est"] == e["uu"], k
+        # half-up integer mean, replayable as (2s + n) div (2n)
+        assert s["avg_v_fp"] == (2 * e["sum_v"] + e["n"]) // (2 * e["n"]), k
+
+
+def test_maintained_rollup_apply_creates_and_validates_keys(spark, tmp_path):
+    """apply() on an absent table builds it, and a partition column
+    outside the rollup keys is rejected up front (a row's partition
+    may never change across merges)."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        TableStore,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.rollup import (
+        MaintainedRollup,
+    )
+
+    store = TableStore(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="partition_column"):
+        MaintainedRollup(
+            store, "r", ["k"], "vc", partition_column="other"
+        )
+    ru = MaintainedRollup(store, "r", ["k"], "vc")
+    df = spark.createDataFrame([Row(k=1, vc=10), Row(k=1, vc=20)])
+    ru.apply(df)  # no table yet -> build path
+    row = ru.read().collect()[0]
+    assert (row["k"], row["n"], row["sum_v"]) == (1, 2, 30)
+    ru.apply(spark.createDataFrame([Row(k=1, vc=5), Row(k=2, vc=7)]))
+    rows = {r["k"]: r for r in ru.read().collect()}
+    assert (rows[1]["n"], rows[1]["sum_v"], rows[1]["min_v"]) == (3, 35, 5)
+    assert (rows[2]["n"], rows[2]["sum_v"]) == (1, 7)
