@@ -1,0 +1,161 @@
+"""Bloom-filter file skipping for TableStore tables — the Delta bloom
+index analog.
+
+The store's built-in skipping is RANGE-based: per-file [min, max] of
+the merge key (plus Z-order/Morton clustering for multi-column
+ranges). Ranges prune nothing for an equality lookup on a
+high-cardinality column the files are NOT clustered by — every file's
+range covers every value. A per-file Bloom bitset over that column
+does: a point lookup tests k hash positions per file driver-side
+(metadata-scale) and reads only the files that MIGHT contain the
+value; false positives cost one extra file read, false negatives
+cannot happen (same one-sided guarantee as the min/max sidecar).
+
+Layout: one JSON sidecar per table version (``_BLOOM.<col>.json``)
+mapping each parquet file to a hex-encoded bitset. Build cost is one
+scan of the indexed column: distinct (file, value) pairs explode to k
+positions and reduce to per-file position sets. The per-file set is
+bounded by ``n_bits`` regardless of row count, so the driver-side
+materialization is O(n_files x n_bits / 8) bytes — the same
+metadata-scale class as the store's file-stats sidecar; at 100 TB
+size ``n_bits`` to the per-file distinct-value count (~10 bits/value
+for ~1% fpp) and build per-partition.
+
+Hashing is ``xxhash64(value, seed_i)`` — the engine's portable-hash
+family, deterministic across runs and engines.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .merge import TableStore
+
+
+def _sidecar_path(version_dir: str, col: str) -> str:
+    return os.path.join(version_dir, f"_BLOOM.{col}.json")
+
+
+def build_bloom_sidecar(
+    store: TableStore,
+    name: str,
+    col: str,
+    n_bits: int = 32768,
+    n_hashes: int = 5,
+) -> int:
+    """Index ``col`` for the table's CURRENT version; returns the
+    number of files indexed. One scan: distinct (file, value) →
+    k positions each → per-file position sets. Re-run after merges
+    (the sidecar lives in the version dir, so a new version without a
+    rebuild simply has no index and lookups fall back to full scan —
+    never incorrect)."""
+    version_dir = store.current_path(name)
+    if version_dir is None:
+        raise ValueError(f"table {name!r} does not exist")
+    df = store.read(name)
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(n_bits)).alias(
+            f"__p{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    per_file = (
+        df.select(F.input_file_name().alias("__f"), F.col(col))
+        .distinct()
+        .select("__f", F.array(*pos_cols).alias("__ps"))
+        .select("__f", F.explode("__ps").alias("__p"))
+        .groupBy("__f")
+        .agg(F.collect_set("__p").alias("__ps"))
+        .collect()  # bounded: n_files x n_bits positions max
+    )
+    sidecar = {}
+    for r in per_file:
+        bits = bytearray(n_bits // 8)
+        for p in r["__ps"]:
+            bits[p // 8] |= 1 << (p % 8)
+        # file paths inside the version dir only — relative keys keep
+        # the sidecar valid when hard-linked forward by OPTIMIZE
+        rel = os.path.relpath(r["__f"].replace("file://", ""), version_dir)
+        sidecar[rel] = bytes(bits).hex()
+    tmp = _sidecar_path(version_dir, col) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_bits": n_bits, "n_hashes": n_hashes, "files": sidecar}, f)
+    os.replace(tmp, _sidecar_path(version_dir, col))
+    return len(sidecar)
+
+
+def candidate_files(
+    store: TableStore, name: str, col: str, value
+) -> list[str] | None:
+    """Absolute paths of files that might contain ``value`` — or None
+    when no sidecar exists for this version (caller must full-scan).
+    The membership test runs driver-side over metadata: k positions
+    against each file's bitset."""
+    version_dir = store.current_path(name)
+    path = _sidecar_path(version_dir, col)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        meta = json.load(f)
+    n_bits, n_hashes = meta["n_bits"], meta["n_hashes"]
+    spark = store.spark
+    # one 1-row jvm-side eval keeps the hash function IDENTICAL to the
+    # build side (no python reimplementation to drift); the literal is
+    # cast to the STORED column type first — xxhash64 is type-sensitive
+    # (an int literal and a bigint column hash differently)
+    col_type = dict(store.read(name).dtypes)[col]
+    probe = F.lit(value).cast(col_type)
+    positions = (
+        spark.range(1)
+        .select(
+            *[
+                F.pmod(F.xxhash64(probe, F.lit(i)), F.lit(n_bits)).alias(
+                    f"p{i}"
+                )
+                for i in range(n_hashes)
+            ]
+        )
+        .collect()[0]
+    )
+    out = []
+    for rel, hexbits in meta["files"].items():
+        bits = bytes.fromhex(hexbits)
+        if all(
+            bits[p // 8] & (1 << (p % 8))
+            for p in (positions[i] for i in range(n_hashes))
+        ):
+            out.append(os.path.join(version_dir, rel))
+    return out
+
+
+def read_where_eq(
+    store: TableStore, name: str, col: str, value
+) -> tuple[DataFrame, int, int]:
+    """Point lookup ``col = value`` through the bloom index. Returns
+    (rows, files_read, files_total): only candidate files are opened
+    (with ``basePath`` so partition columns survive); the residual
+    equality filter drops bloom false positives. Falls back to a full
+    scan when the sidecar is absent."""
+    version_dir = store.current_path(name)
+    total = sum(
+        1
+        for root, _, fs in os.walk(version_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    cand = candidate_files(store, name, col, value)
+    if cand is None:
+        return store.read(name).filter(F.col(col) == F.lit(value)), total, total
+    if not cand:
+        return (
+            store.read(name).filter(F.lit(False)),
+            0,
+            total,
+        )
+    reader = store.spark.read.option("basePath", version_dir)
+    df = reader.parquet(*cand).filter(F.col(col) == F.lit(value))
+    return df, len(cand), total

@@ -6721,3 +6721,65 @@ def q_streaming_rollup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("uu_ok"),
         )
     )
+
+
+# --- bloom-filter file skipping (round 8) ---------------------------------
+
+_BLOOM_LOOKUP_ORACLE = """
+SELECT o_orderkey,
+       o_custkey,
+       o_orderstatus,
+       CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT)
+         AS total_c,
+       TRUE AS files_pruned
+FROM orders
+WHERE o_custkey = 7
+"""
+
+
+@_register(
+    "bloom_point_lookup",
+    _BLOOM_LOOKUP_ORACLE,
+    "Bloom-filter file skipping (the Delta bloom index analog, "
+    "operators/skipping.py): orders land in a 16-bucket TableStore "
+    "keyed by o_orderkey, so the built-in min/max sidecar prunes "
+    "NOTHING for an equality lookup on o_custkey — every file's key "
+    "range covers every customer. A per-file Bloom bitset over "
+    "o_custkey (xxhash64 family, built in one scan, stored as a "
+    "version-dir sidecar) turns the point lookup into a driver-side "
+    "metadata test + a scan of only the candidate files; the "
+    "files_pruned column asserts files_read < files_total, and the "
+    "residual filter makes false positives invisible. False "
+    "negatives cannot happen, so the result equals the full-scan "
+    "WHERE — which is the oracle. At 100 TB: ~10 bits per distinct "
+    "value/file for ~1% fpp, sidecar is O(files), test is O(1) per "
+    "file per probe.",
+    tags=("skipping", "bloom", "lakehouse", "lookup"),
+)
+def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators import skipping
+    from ..operators.merge import TableStore
+
+    store = TableStore(spark, _tf.mkdtemp(prefix="pulselake_bloom_"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("total_c"),
+    )
+    store.write_partitioned("o", orders, keys=["o_orderkey"], n_buckets=16)
+    skipping.build_bloom_sidecar(store, "o", "o_custkey")
+    df, files_read, files_total = skipping.read_where_eq(
+        store, "o", "o_custkey", 7
+    )
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "total_c",
+        F.lit(files_read < files_total).alias("files_pruned"),
+    )

@@ -2815,3 +2815,54 @@ def test_maintained_rollup_apply_creates_and_validates_keys(spark, tmp_path):
     rows = {r["k"]: r for r in ru.read().collect()}
     assert (rows[1]["n"], rows[1]["sum_v"], rows[1]["min_v"]) == (3, 35, 5)
     assert (rows[2]["n"], rows[2]["sum_v"]) == (1, 7)
+
+
+# --- bloom-filter file skipping (round 8) ---------------------------------
+
+
+def test_bloom_sidecar_prunes_files_and_never_drops_rows(spark, tmp_path):
+    """Point lookups through the bloom sidecar read a strict subset of
+    files yet return exactly the full-scan rows (one-sided error:
+    false positives cost a file read, false negatives are impossible);
+    an absent value reads zero files; a version without a sidecar
+    falls back to a full scan."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        skipping,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path))
+    # k spread over 8 buckets; v is the indexed non-key column with
+    # each value appearing in only a couple of files
+    base = spark.createDataFrame(
+        [Row(k=i, v=i % 100) for i in range(2000)]
+    )
+    store.write_partitioned("t", base, keys=["k"], n_buckets=8)
+    n_files = skipping.build_bloom_sidecar(store, "t", "v", n_bits=4096)
+    assert n_files >= 8
+
+    for probe in (3, 97):
+        df, nread, ntotal = skipping.read_where_eq(store, "t", "v", probe)
+        got = sorted(r["k"] for r in df.collect())
+        want = sorted(
+            r["k"]
+            for r in store.read("t").filter(F.col("v") == probe).collect()
+        )
+        assert got == want and len(got) == 20
+        assert 0 < nread <= ntotal
+
+    # absent value: membership test alone excludes every file
+    df, nread, _ = skipping.read_where_eq(store, "t", "v", 12345)
+    assert nread == 0 and df.count() == 0
+
+    # merge -> new version dir without a rebuilt sidecar: full scan,
+    # never wrong
+    store.merge(
+        "t", spark.createDataFrame([Row(k=5000, v=3)]), ["k"],
+        policy="insert_only",
+    )
+    df, nread, ntotal = skipping.read_where_eq(store, "t", "v", 3)
+    assert nread == ntotal  # fallback
+    assert df.count() == 21
