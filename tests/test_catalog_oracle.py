@@ -26,8 +26,14 @@ TABLES = (
 ).split()
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture()
 def duck():
+    # function-scoped on purpose: one shared connection serving all
+    # ~166 oracle queries accumulates allocator state alongside the
+    # Spark JVM and intermittently dies mid-suite with a spurious
+    # 16 KB "Out of Memory" (seen round 8 at test ~75); a fresh
+    # connection per test is milliseconds (views over parquet are
+    # metadata) and bounds DuckDB's footprint to one query
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
