@@ -1,0 +1,201 @@
+"""Incrementally-maintained JOIN views over the versioned TableStore.
+
+``MaintainedJoin`` completes the incremental-view-maintenance story
+``rollup.MaintainedRollup`` starts: the rollup maintains a GROUP BY as
+state, this maintains a fact LEFT JOIN dim — the silver-layer enrich
+join the reference recomputes from scratch every trigger
+(``Silver/05-silver.py`` joins each micro-batch against the full dim;
+``Bronze/04-bronze.py:87-89`` is the batch form). Here the joined
+TABLE ITSELF is the state, and either side's upserts fold in at
+O(increment + affected rows), never O(|fact| + |dim|).
+
+The view V holds every fact column plus every dim column (the dim key
+doubles as the match indicator: NULL = unmatched-yet fact row, which
+is what makes LEFT the maintainable shape — an inner view forgets
+unmatched facts and cannot recover them when the dim row later
+arrives). V lives hash-bucketed by the fact key, so fact-side
+maintains take the store's partition-pruned merge path.
+
+Maintenance:
+
+- ``apply_fact`` (new/changed fact rows, keyed by ``fact_key``):
+  the increment joins against the CURRENT dim (size-guarded
+  broadcast) and full-upserts into V on the fact key — cost
+  O(|increment| + affected buckets). A fact update may change its
+  foreign key; the recompute re-resolves it and the row's bucket
+  (hash of the immutable fact key) never moves.
+- ``apply_dim`` (new/changed dim rows, keyed by ``dim_key``, at most
+  one row per key per increment): the dim table upserts first, then
+  the affected V rows refresh IN PLACE — V rows whose foreign key is
+  in the increment's key set re-join against the increment ONLY. No
+  fact rescan: V already carries the fact columns, so a dim change is
+  a keyed update of the dim columns of matching view rows (this is
+  also how a late dim insert fills the NULLs of its waiting facts).
+  The affected-row filter pushes down as an IN literal list when the
+  increment's key set is small (dim increments are metadata-scale for
+  true dims), else as a broadcast semi-join; either way the store's
+  pruned merge rewrites only buckets that actually contain affected
+  rows and hard-links the rest.
+
+Increments must carry at most one row per key (the same contract as
+the store's ``full_upsert``); feed from a stream through the
+foreachBatch batch-id ledger (``sources/sinks.py``) for exactly-once,
+as with ``MaintainedRollup``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .joins import maybe_broadcast
+from .merge import TableStore
+
+# Above this many distinct changed dim keys the affected-row filter
+# switches from an IN literal list (collect + pushdown-able predicate)
+# to a broadcast semi-join (no driver collect at all).
+_MAX_INLINE_KEYS = 1_000
+
+
+class MaintainedJoin:
+    """A ``fact LEFT JOIN dim`` view maintained through TableStore
+    versions (time travel, changelog, OPTIMIZE and retention all
+    apply — the same lifecycle as ``similarity.IvfIndex`` and
+    ``rollup.MaintainedRollup``).
+
+    ``fact_key`` uniquely keys fact rows (the view's merge key);
+    ``fact_fk`` is the fact's foreign-key column; ``dim_key`` is the
+    dim's key column. Fact and dim column names must be disjoint
+    (TPC-H-style prefixes satisfy this) so the view needs no renames
+    an oracle would have to mirror.
+    """
+
+    def __init__(
+        self,
+        store: TableStore,
+        name: str,
+        fact_key: str,
+        fact_fk: str,
+        dim_name: str,
+        dim_key: str,
+        max_inline_keys: int = _MAX_INLINE_KEYS,
+    ) -> None:
+        if name == dim_name:
+            raise ValueError("view and dim tables must be distinct")
+        self.store = store
+        self.name = name
+        self.fact_key = fact_key
+        self.fact_fk = fact_fk
+        self.dim_name = dim_name
+        self.dim_key = dim_key
+        self.max_inline_keys = max_inline_keys
+
+    # --- construction -----------------------------------------------------
+
+    def _check_columns(self, fact: DataFrame, dim: DataFrame) -> None:
+        overlap = set(fact.columns) & set(dim.columns)
+        if overlap:
+            raise ValueError(
+                f"fact and dim column names must be disjoint; both have "
+                f"{sorted(overlap)}"
+            )
+        for col, side in ((self.fact_key, fact), (self.fact_fk, fact)):
+            if col not in side.columns:
+                raise ValueError(f"fact frame lacks column {col!r}")
+        if self.dim_key not in dim.columns:
+            raise ValueError(f"dim frame lacks column {self.dim_key!r}")
+
+    def _joined(self, fact: DataFrame, dim: DataFrame) -> DataFrame:
+        return fact.join(
+            maybe_broadcast(dim),
+            fact[self.fact_fk] == dim[self.dim_key],
+            "left",
+        )
+
+    def build(self, fact: DataFrame, dim: DataFrame) -> None:
+        """Create the dim table and the view (each at version 1), laid
+        out so every later maintain is partition-pruned."""
+        self._check_columns(fact, dim)
+        self.store.write_partitioned(self.dim_name, dim, keys=[self.dim_key])
+        self.store.write_partitioned(
+            self.name, self._joined(fact, dim), keys=[self.fact_key]
+        )
+
+    # --- incremental maintenance -----------------------------------------
+
+    def apply_fact(self, delta: DataFrame) -> None:
+        """Fold a fact increment (≤1 row per fact key) into the view:
+        join the increment against the current dim, pruned full-upsert
+        on the fact key."""
+        dim = self.store.read(self.dim_name)
+        self.store.merge(
+            self.name,
+            self._joined(delta, dim),
+            [self.fact_key],
+            policy="full_upsert",
+        )
+
+    def _affected_view_rows(self, delta_keys: DataFrame) -> DataFrame:
+        v = self.store.read(self.name)
+        fk = F.col(self.fact_fk)
+        n = delta_keys.count()
+        if n <= self.max_inline_keys:
+            # metadata-scale collect (bounded by the increment's key
+            # cardinality); the literal IN list reaches the parquet
+            # scan as a pushed filter, so row-group stats and any
+            # bloom sidecar skip unaffected files
+            vals = [r[0] for r in delta_keys.collect()]
+            return v.filter(fk.isin(vals))
+        return v.join(
+            maybe_broadcast(
+                delta_keys.select(delta_keys.columns[0]).withColumnRenamed(
+                    delta_keys.columns[0], self.fact_fk
+                )
+            ),
+            [self.fact_fk],
+            "left_semi",
+        )
+
+    def apply_dim(self, delta: DataFrame) -> None:
+        """Fold a dim increment (≤1 row per dim key) in: upsert the
+        dim table, then refresh the dim columns of affected view rows
+        in place — no fact-side rescan. Late dim inserts fill the
+        NULL dim columns of the fact rows that were waiting for
+        them."""
+        self.store.merge(
+            self.dim_name, delta, [self.dim_key], policy="full_upsert"
+        )
+        dim_cols = self.store.read(self.dim_name).columns
+        fact_cols = [
+            c
+            for c in self.store.read(self.name).columns
+            if c not in set(dim_cols)
+        ]
+        affected = self._affected_view_rows(
+            delta.select(self.dim_key).distinct()
+        )
+        refreshed = affected.select(*fact_cols).join(
+            maybe_broadcast(delta),
+            F.col(self.fact_fk) == delta[self.dim_key],
+            "inner",
+        )
+        self.store.merge(
+            self.name, refreshed, [self.fact_key], policy="full_upsert"
+        )
+
+    # --- read side --------------------------------------------------------
+
+    def read(self, inner: bool = False) -> DataFrame:
+        """The current view. ``inner=True`` keeps only matched rows
+        (the dim key is NULL exactly on unmatched facts), turning the
+        maintained LEFT view into the inner join for free."""
+        v = self.store.read(self.name)
+        return v.filter(F.col(self.dim_key).isNotNull()) if inner else v
+
+    def versions(self) -> list[str]:
+        return self.store.versions(self.name)
+
+    def optimize(self, **kwargs) -> None:
+        """Compact the small files incremental maintains accumulate —
+        delegates to the store's OPTIMIZE analog."""
+        self.store.optimize(self.name, **kwargs)

@@ -2866,3 +2866,128 @@ def test_bloom_sidecar_prunes_files_and_never_drops_rows(spark, tmp_path):
     df, nread, ntotal = skipping.read_where_eq(store, "t", "v", 3)
     assert nread == ntotal  # fallback
     assert df.count() == 21
+
+
+# --- incrementally-maintained join view (round 8) -------------------------
+
+
+def test_maintained_join_incremental_equals_rebuild(spark, tmp_path):
+    """build + apply_fact + apply_dim reproduce exactly the
+    from-scratch LEFT JOIN of the final fact and dim states: fact
+    upserts (including a foreign-key reassignment) re-resolve against
+    the current dim; dim upserts refresh affected view rows in place;
+    a LATE dim insert fills the NULL dim columns of the fact rows
+    that were waiting for it. Each lifecycle step is a retained store
+    version and inner=True drops exactly the unmatched facts."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.matview import (
+        MaintainedJoin,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        TableStore,
+    )
+
+    fact0 = spark.createDataFrame(
+        [Row(f_id=i, f_ck=i % 7, f_amt=i * 10) for i in range(25)]
+    )
+    dim0 = spark.createDataFrame(
+        [Row(d_ck=k, d_name=f"n{k}", d_val=k * 100) for k in range(5)]
+    )
+    store = TableStore(spark, str(tmp_path), keep_versions=4)
+    mj = MaintainedJoin(store, "v", "f_id", "f_ck", "d", "d_ck")
+    mj.build(fact0, dim0)
+
+    # fact increment: 15 inserts + 2 updates, one reassigning its FK
+    dfact = spark.createDataFrame(
+        [Row(f_id=i, f_ck=i % 7, f_amt=i * 10) for i in range(25, 40)]
+        + [Row(f_id=3, f_ck=6, f_amt=-1), Row(f_id=9, f_ck=9 % 7, f_amt=-2)]
+    )
+    mj.apply_fact(dfact)
+
+    # dim increment: 1 update + 2 late inserts (keys 5, 6 were NULL)
+    ddim = spark.createDataFrame(
+        [Row(d_ck=2, d_name="UPD", d_val=-200)]
+        + [Row(d_ck=k, d_name=f"late{k}", d_val=k * 100) for k in (5, 6)]
+    )
+    mj.apply_dim(ddim)
+
+    # delta rows win (anti-join, not dropDuplicates — union order is
+    # not a Spark guarantee)
+    fact_final = dfact.unionByName(
+        fact0.join(dfact.select("f_id"), "f_id", "left_anti")
+    )
+    dim_final = ddim.unionByName(
+        dim0.join(ddim.select("d_ck"), "d_ck", "left_anti")
+    )
+    expected = fact_final.join(
+        dim_final, fact_final["f_ck"] == dim_final["d_ck"], "left"
+    )
+
+    def norm(df):
+        return sorted(
+            (r["f_id"], r["f_ck"], r["f_amt"], r["d_ck"], r["d_name"],
+             r["d_val"])
+            for r in df.collect()
+        )
+
+    assert norm(mj.read()) == norm(expected)
+    assert len(mj.versions()) == 3  # build, fact maintain, dim maintain
+    # FK 5/6 filled by the late dim inserts; no survivors unmatched
+    # except nothing (fks 0..6 all resolvable now)
+    assert norm(mj.read(inner=True)) == norm(
+        expected.filter(F.col("d_ck").isNotNull())
+    )
+    assert mj.read().filter(F.col("d_ck").isNull()).count() == 0
+
+
+def test_maintained_join_dim_refresh_prunes_buckets(spark, tmp_path):
+    """A dim maintain rewrites only the view buckets holding affected
+    fact rows (IN-list pushdown + the store's pruned merge); buckets
+    with no affected row survive hard-linked. Overlapping fact/dim
+    column names are rejected up front."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.matview import (
+        MaintainedJoin,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path))
+    mj = MaintainedJoin(store, "v", "f_id", "f_ck", "d", "d_ck")
+    with pytest.raises(ValueError, match="disjoint"):
+        mj.build(
+            spark.createDataFrame([Row(f_id=1, f_ck=1, shared=1)]),
+            spark.createDataFrame([Row(d_ck=1, shared=2)]),
+        )
+
+    # one fact row per dim key, spread over the default 32 buckets
+    fact = spark.createDataFrame(
+        [Row(f_id=i, f_ck=i % 50, f_amt=i) for i in range(200)]
+    )
+    dim = spark.createDataFrame(
+        [Row(d_ck=k, d_val=k) for k in range(50)]
+    )
+    mj.build(fact, dim)
+    before = _partition_file_map(store.current_path("v"))
+
+    mj.apply_dim(spark.createDataFrame([Row(d_ck=7, d_val=-7)]))
+    after = _partition_file_map(store.current_path("v"))
+
+    # affected fact ids: 7, 57, 107, 157 -> at most 4 buckets rewritten
+    changed = [b for b in before if after.get(b) != before[b]]
+    assert 0 < len(changed) <= 4
+    # refreshed rows carry the new dim value everywhere
+    got = {
+        r["f_id"]: r["d_val"]
+        for r in mj.read().filter(F.col("f_ck") == 7).collect()
+    }
+    assert got == {7: -7, 57: -7, 107: -7, 157: -7}
+
+    # the broadcast-semi-join fallback (key set over the inline cap)
+    # refreshes identically — force it with a zero cap
+    mj.max_inline_keys = 0
+    mj.apply_dim(spark.createDataFrame([Row(d_ck=8, d_val=-8)]))
+    got8 = {
+        r["f_id"]: r["d_val"]
+        for r in mj.read().filter(F.col("f_ck") == 8).collect()
+    }
+    assert got8 == {8: -8, 58: -8, 108: -8, 158: -8}
