@@ -6892,3 +6892,94 @@ def q_join_view_incremental_maintain(
         "bal_c",
         F.lit(n_versions).cast("long").alias("n_versions"),
     )
+
+
+# --- streaming OUTER interval join (round 8) ------------------------------
+
+
+def _watermark_closing_sentinels(last):
+    """Two far-future rows (one per join side's event_type filter) on
+    an impossible user id — they push both sides' watermarks past
+    every real row's eviction bound so unmatched outer state flushes,
+    then the drained result filters them out."""
+    import pandas as pd
+
+    s1 = last.copy()
+    s1["user_id"] = -1
+    s1["event_type"] = "signup"
+    s2 = last.copy()
+    s2["user_id"] = -1
+    s2["event_type"] = "purchase"
+    out = pd.concat([s1, s2], ignore_index=True)
+    out["ts"] = out["ts"] + pd.Timedelta(days=3650)
+    return out
+
+
+@_register(
+    "streaming_interval_join_outer",
+    """
+    SELECT s.user_id, s.event_id AS start_id, e.event_id AS end_id,
+           s.ts AS start_ts, e.ts AS end_ts
+    FROM (SELECT * FROM events WHERE event_type = 'signup')   s
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') e
+      ON s.user_id = e.user_id
+     AND e.ts > s.ts AND e.ts < s.ts + INTERVAL 3 HOUR
+    """,
+    "Stream-stream LEFT OUTER interval join — J3's outer sibling, "
+    "exercising the eviction-emission semantics the inner form "
+    "never touches: an unmatched signup emits its NULL-extended row "
+    "only when the watermark passes its join bound and evicts its "
+    "state. That needs the watermark to actually MOVE, so this query "
+    "stages time-ordered files (stream_table order_by='ts': "
+    "non-overlapping ranges make the tight 1-minute watermark "
+    "late-data-safe) plus a far-future two-row sentinel file (tail=) "
+    "that pushes the final watermark over every bound; the drained "
+    "result, sentinels filtered, equals the batch LEFT JOIN oracle "
+    "exactly — matched rows AND all unmatched signups. Under the "
+    "loose 365-day watermark the inner queries use, outer state "
+    "would strand unexpired and the drain would equal the inner "
+    "join.",
+    tags=("streaming", "join", "interval", "outer"),
+)
+def q_streaming_interval_join_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    src = stream_ops.stream_table(
+        spark, sf_dir, "events",
+        order_by="ts", tail=_watermark_closing_sentinels,
+    )
+    starts = src.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user_id"),
+        F.col("event_id").alias("start_id"),
+        F.col("ts").alias("start_ts"),
+    )
+    stops = stream_ops.stream_table(
+        spark, sf_dir, "events",
+        order_by="ts", tail=_watermark_closing_sentinels,
+    ).filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("e_user_id"),
+        F.col("event_id").alias("end_id"),
+        F.col("ts").alias("end_ts"),
+    )
+    joined = (
+        starts.withWatermark("start_ts", "1 minute")
+        .join(
+            stops.withWatermark("end_ts", "1 minute"),
+            (F.col("s_user_id") == F.col("e_user_id"))
+            & (F.col("end_ts") > F.col("start_ts"))
+            & (
+                F.col("end_ts")
+                < F.col("start_ts") + F.expr("interval 3 hours")
+            ),
+            "leftOuter",
+        )
+        .select(
+            F.col("s_user_id").alias("user_id"),
+            "start_id",
+            "end_id",
+            "start_ts",
+            "end_ts",
+        )
+    )
+    out = stream_ops.run_stream_to_memory(joined, output_mode="append")
+    return out.filter(F.col("user_id") != -1)

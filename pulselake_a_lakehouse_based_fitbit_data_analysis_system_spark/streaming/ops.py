@@ -88,6 +88,8 @@ def stream_table(
     name: str,
     n_files: int = 4,
     max_files_per_trigger: int = 1,
+    order_by: str | None = None,
+    tail=None,
 ) -> DataFrame:
     """Open a driver testdata table as a *stream* — the table is staged
     into a scratch directory as ``n_files`` row-sliced parquet files
@@ -105,6 +107,21 @@ def stream_table(
     so arrival order is deterministic and equals the table's row order
     (the file source processes oldest-first).
 
+    ``order_by`` sorts the table by that column BEFORE slicing, so the
+    staged files carry non-overlapping, monotonically increasing value
+    ranges — with an event-time column this makes a TIGHT watermark
+    safe (nothing ever arrives below it), which outer joins and other
+    eviction-emitting operators need: a loose 365-day watermark never
+    passes anything, so their not-yet-matched state would never emit.
+
+    ``tail``, when given, is called with the (sorted) table's LAST row
+    as a one-row pandas frame and must return a small pandas frame of
+    closing rows, staged as one extra final file — the
+    watermark-closing sentinel pattern: rows with an event time far
+    past the data push the watermark over every bound in the last
+    real batch, flushing eviction-driven output (filter the sentinel
+    rows from the drained result).
+
     TIMESTAMP(NANOS) columns go through the same long→micros conversion
     as the batch loader (sources.tables.load_table) — detected from the
     batch read's schema rather than assumed, so micros-written testdata
@@ -112,11 +129,14 @@ def stream_table(
     """
     import time
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     stage = tempfile.mkdtemp(prefix=f"pulselake_stream_{name}_")
     _STAGED_DIRS.append(stage)
     table = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
+    if order_by is not None:
+        table = table.sort_by([(order_by, "ascending")])
     n = max(1, min(n_files, max(1, table.num_rows)))
     step = -(-table.num_rows // n) if table.num_rows else 1
     base = time.time() - 3600
@@ -129,7 +149,17 @@ def stream_table(
         # the driver testdata files byte-for-type
         pq.write_table(chunk, path, version="2.6")
         os.utime(path, (base + i, base + i))
-    _STAGED_ROWS[stage] = table.num_rows
+    n_extra = 0
+    if tail is not None and table.num_rows:
+        closing = tail(table.slice(table.num_rows - 1, 1).to_pandas())
+        extra = pa.Table.from_pandas(
+            closing, schema=table.schema, preserve_index=False
+        )
+        path = os.path.join(stage, f"part-{n:05d}.parquet")
+        pq.write_table(extra, path, version="2.6")
+        os.utime(path, (base + n, base + n))
+        n_extra = extra.num_rows
+    _STAGED_ROWS[stage] = table.num_rows + n_extra
     schema = TESTDATA_SCHEMAS[name]
 
     def _reader():
@@ -206,11 +236,21 @@ def streaming_interval_join(
     max_interval: str = "interval 3 hours",
     watermark: str = "365 days",
     closed: str = "open",
+    how: str = "inner",
 ) -> DataFrame:
     """Reference J3/J4 as a reusable operator: watermark both sides,
     equi keys + bounded time range. Column names must differ across
     sides (rename before calling); the bounded range is mandatory —
-    it is what lets Spark evict join state."""
+    it is what lets Spark evict join state.
+
+    ``how`` extends J3 to the outer family (leftOuter / rightOuter /
+    fullOuter): unmatched rows emit with NULLs WHEN THE WATERMARK
+    EVICTS their state, not at arrival — so outer results need the
+    watermark to actually pass the data. Pair with
+    ``stream_table(order_by=..., tail=...)`` (time-ordered staged
+    files + a watermark-closing sentinel) and a TIGHT watermark; under
+    the loose 365-day default an outer drain degenerates to the inner
+    result, unmatched state stranded unexpired."""
     s = start_stream.withWatermark(start_time, watermark).alias("s")
     e = end_stream.withWatermark(end_time, watermark).alias("e")
     lo, hi = F.col(f"s.{start_time}"), F.col(f"e.{end_time}")
@@ -219,7 +259,7 @@ def streaming_interval_join(
         cond += [hi > lo, hi < lo + F.expr(max_interval)]
     else:
         cond += [hi > lo, hi <= lo + F.expr(max_interval)]
-    return s.join(e, cond, "inner")
+    return s.join(e, cond, how)
 
 
 def session_window_agg(
