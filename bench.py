@@ -19,10 +19,19 @@ query execution (operators/cache contract), so each timed run pays
 its own cache materialization — earlier rounds' numbers let the timed
 pass read the warm-up pass's cache, flattering persist-bearing
 queries (minhash_lsh_pairs measured 0.8 s warm vs 2.2 s honest).
+
+The untimed gap also clears residual session state (clearCache + a
+driver-and-JVM GC): ``localCheckpoint`` blocks are only dropped by the
+ContextCleaner once their RDD handles are garbage-collected, so
+without a forced GC an iterative query's checkpoint blocks from pass
+N stay resident through pass N+1 and every later query — measured
++3.2 s on ``pagerank_deep_trade`` running after 29 other queries vs
+alone in a fresh session (10.1 s alone, 13.3 s contaminated).
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -246,13 +255,27 @@ def main() -> None:
 
     names = [n for n, q in QUERIES.items() if q.bench]
 
+    def _reset_session_state() -> None:
+        """Untimed inter-query hygiene: release tracked pins, drop any
+        leaked cache entries, and force a driver+JVM GC so the
+        ContextCleaner actually frees localCheckpoint blocks (they
+        survive until their RDD handles are collected — see module
+        docstring for the measured +3.2 s contamination)."""
+        release_pinned()  # per the operators.cache release contract
+        spark.catalog.clearCache()
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        except Exception:
+            pass  # py4j gateway unavailable — skip, never fail the bench
+
     # Untimed warm-up pass: compiles every plan's codegen classes and
     # warms the JIT so the timed pass measures steady state.
     for name in names:
         QUERIES[name].spark(spark, SF_DIR).write.format("noop").mode(
             "overwrite"
         ).save()
-        release_pinned()  # per the operators.cache release contract
+        _reset_session_state()
 
     # clamp: 0/negative would produce an empty timed loop reporting
     # total=0.0 as if the run were valid (r5 ADVICE)
@@ -264,7 +287,7 @@ def main() -> None:
             df = QUERIES[name].spark(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - t0, 3)
-            release_pinned()  # untimed: next query must not inherit churn
+            _reset_session_state()  # untimed: no inherited churn
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 3)
