@@ -6983,3 +6983,120 @@ def q_streaming_interval_join_outer(
     )
     out = stream_ops.run_stream_to_memory(joined, output_mode="append")
     return out.filter(F.col("user_id") != -1)
+
+
+# --- streaming join-view maintenance (round 8) ----------------------------
+
+_STREAM_JOIN_VIEW_ORACLE = """
+WITH dim_final AS (
+  SELECT c_custkey AS d_ck, c_name AS d_name,
+         CASE WHEN c_custkey % 3 <> 0 AND c_custkey % 7 = 1
+              THEN -CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5)
+                         AS BIGINT)
+              ELSE CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5)
+                        AS BIGINT) END AS bal_c
+  FROM customer
+)
+SELECT o.o_orderkey AS f_ok, o.o_custkey AS f_ck,
+       CAST(floor(CAST(o.o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT)
+         AS amt_c,
+       d.d_ck, d.d_name, d.bal_c,
+       CAST(6 AS BIGINT) AS n_versions
+FROM orders o LEFT JOIN dim_final d ON o.o_custkey = d.d_ck
+"""
+
+
+@_register(
+    "streaming_join_view_apply",
+    _STREAM_JOIN_VIEW_ORACLE,
+    "MaintainedJoin's production path — the streaming sibling of "
+    "streaming_rollup_apply: orders stream in 4 micro-batches and "
+    "each folds into the orders-LEFT-JOIN-customer view via "
+    "foreachBatch apply_fact (batch-id ledger wrapped: here the "
+    "maintain is a full_upsert and thus idempotent, so the ledger is "
+    "the belt to the merge's braces — the two-layer replay defense, "
+    "vs the rollup where the ledger alone prevents double-counts). "
+    "The view builds against two-thirds of the dim, so early batches "
+    "land fact rows with NULL dim columns mid-stream; after the "
+    "drain one apply_dim folds in the late third plus balance "
+    "updates, filling every waiting NULL in place with no fact "
+    "rescan. Six store versions pin the lifecycle (build + 4 fact "
+    "batches + dim refresh); the final state value-matches the "
+    "from-scratch LEFT JOIN oracle — invariant under HOW the fact "
+    "stream was batched, because each fact key's latest lands "
+    "regardless of slicing.",
+    tags=("streaming", "matview", "merge", "incremental", "exactly-once"),
+)
+def q_streaming_join_view_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators.matview import MaintainedJoin
+    from ..operators.merge import TableStore
+    from ..sources.sinks import idempotent, start_foreach_batch_sink
+
+    bal = F.floor(F.col("c_acctbal").cast("double") * 100 + 0.5).cast("long")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("d_ck"),
+        F.col("c_name").alias("d_name"),
+        bal.alias("bal_c"),
+    )
+    store = TableStore(
+        spark, _tf.mkdtemp(prefix="pulselake_sjview_"), keep_versions=6
+    )
+    mj = MaintainedJoin(store, "v", "f_ok", "f_ck", "d", "d_ck")
+    # build with an EMPTY fact slice against the partial dim: all
+    # fact rows then arrive through the stream
+    fact_schema = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("f_ok"),
+        F.col("o_custkey").alias("f_ck"),
+        F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("amt_c"),
+    )
+    mj.build(
+        fact_schema.limit(0), dim.filter(F.col("d_ck") % 3 != 0)
+    )
+
+    stream = stream_ops.stream_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("f_ok"),
+        F.col("o_custkey").alias("f_ck"),
+        F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("amt_c"),
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # a no-data batch must not burn a store version
+        mj.apply_fact(batch_df)
+
+    wrapped = idempotent(
+        apply_batch, _tf.mkdtemp(prefix="pulselake_sjview_ledger_")
+    )
+    q = start_foreach_batch_sink(
+        stream,
+        wrapped,
+        checkpoint=_tf.mkdtemp(prefix="pulselake_sjview_ckpt_"),
+        cache_batch=True,  # apply_fact's merge multi-passes the batch
+    )
+    q.awaitTermination(300)
+    # late dim increment: the missing third + balance updates
+    mj.apply_dim(
+        dim.filter(F.col("d_ck") % 3 == 0).unionByName(
+            dim.filter(
+                (F.col("d_ck") % 3 != 0) & (F.col("d_ck") % 7 == 1)
+            ).withColumn("bal_c", -F.col("bal_c"))
+        )
+    )
+    n_versions = len(mj.versions())
+    return mj.read().select(
+        "f_ok",
+        "f_ck",
+        "amt_c",
+        "d_ck",
+        "d_name",
+        "bal_c",
+        F.lit(n_versions).cast("long").alias("n_versions"),
+    )
