@@ -7100,3 +7100,130 @@ def q_streaming_join_view_apply(
         "bal_c",
         F.lit(n_versions).cast("long").alias("n_versions"),
     )
+
+
+# --- schema evolution + OPTIMIZE lifecycle (round 8) -----------------------
+
+_SCHEMA_EVOLUTION_ORACLE = """
+WITH tgt AS (
+  SELECT c_custkey, c_name,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer WHERE c_custkey % 3 <> 0
+), src AS (
+  SELECT c_custkey, 'upd-' || c_name AS c_name,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 999 AS bal_c,
+         c_mktsegment AS segment
+  FROM customer WHERE c_custkey % 2 = 0
+)
+SELECT t.c_custkey, t.c_name, t.bal_c, CAST(NULL AS VARCHAR) AS segment
+FROM tgt t ANTI JOIN src s USING (c_custkey)
+UNION ALL
+SELECT c_custkey, c_name, bal_c, segment FROM src
+"""
+
+
+@_register(
+    "merge_schema_evolution",
+    _SCHEMA_EVOLUTION_ORACLE,
+    "MERGE with schema evolution (the Delta mergeSchema/autoMerge "
+    "analog, reference Setup/02-setup.py table DDL churn): an SCD-1 "
+    "merge whose source carries a NEW column (segment) lands it as a "
+    "table column — NULL for pre-existing unmatched rows — through "
+    "the PARTITIONED store path, so untouched buckets keep their "
+    "old-schema files hard-linked and read back NULL-filled via the "
+    "per-version schema sidecar (no table rewrite to add a column). "
+    "File-level link behavior is pinned by "
+    "test_merge_schema_evolution_partitioned_links_old_files; this "
+    "row value-checks the evolved table end to end.",
+    tags=("merge", "schema-evolution", "store"),
+)
+def q_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators.merge import TableStore
+
+    store = TableStore(spark, _tf.mkdtemp(prefix="pulselake_evolve_"))
+    c = _t(spark, sf_dir, "customer")
+    bal = F.floor(F.col("c_acctbal").cast("double") * 100 + 0.5).cast("long")
+    tgt = c.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", "c_name", bal.alias("bal_c")
+    )
+    store.write_partitioned("t", tgt, keys=["c_custkey"], n_buckets=8)
+    src = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("upd-"), F.col("c_name")).alias("c_name"),
+        (bal + 999).alias("bal_c"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    store.merge("t", src, ["c_custkey"], policy="scd1", evolve_schema=True)
+    return store.read("t").select("c_custkey", "c_name", "bal_c", "segment")
+
+
+_OPTIMIZE_ROUNDTRIP_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+       + CASE WHEN o_orderkey % 10 = 0 THEN 999 ELSE 0 END AS total_c,
+       TRUE AS compacted
+FROM orders
+"""
+
+
+def _parquet_file_count(root: str) -> int:
+    import os as _os
+
+    n = 0
+    for _dir, _sub, files in _os.walk(root):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+@_register(
+    "store_optimize_roundtrip",
+    _OPTIMIZE_ROUNDTRIP_ORACLE,
+    "OPTIMIZE as a logical no-op (the Delta OPTIMIZE analog for the "
+    "small-file problem): base load + an insert-only trickle + an "
+    "SCD-1 update each leave fresh files beside hard-linked "
+    "survivors; optimize() rewrites every bucket as one "
+    "range-clustered file set and flips the pointer only after "
+    "row-count validation. The row values prove the rewrite changed "
+    "nothing; the `compacted` flag asserts the parquet file count "
+    "strictly dropped (driver-side metadata walk, not a data job). "
+    "Range re-clustering's skipping power is pinned by "
+    "test_optimize_after_replay_restores_disjoint_ranges_and_pruning.",
+    tags=("merge", "store", "compaction"),
+)
+def q_store_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators.merge import TableStore
+
+    store = TableStore(spark, _tf.mkdtemp(prefix="pulselake_optimize_"))
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5).cast(
+        "long"
+    )
+    base = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", cents.alias("total_c")
+    )
+    store.write_partitioned("t", base, keys=["o_orderkey"], n_buckets=8)
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey", (cents + 999).alias("total_c")
+    )
+    store.merge("t", upd, ["o_orderkey"], policy="scd1")
+    # the insert-only trickle goes LAST: it appends fresh files beside
+    # each bucket's hard-linked survivors (an scd1 merge would rewrite
+    # and thereby re-compact every affected bucket), so the table
+    # reaches optimize() with the small-file problem it exists to fix
+    odds = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", cents.alias("total_c")
+    )
+    store.merge("t", odds, ["o_orderkey"], policy="insert_only")
+    n_before = _parquet_file_count(store.current_path("t"))
+    store.optimize("t")
+    n_after = _parquet_file_count(store.current_path("t"))
+    return store.read("t").select(
+        "o_orderkey",
+        "o_custkey",
+        "total_c",
+        F.lit(bool(n_after < n_before)).alias("compacted"),
+    )
