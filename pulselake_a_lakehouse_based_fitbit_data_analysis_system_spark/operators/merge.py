@@ -632,21 +632,30 @@ class TableStore:
         return ver
 
     def _log_merge_changes(
-        self, name: str, pre: DataFrame, post: DataFrame, keys: Sequence[str]
+        self,
+        name: str,
+        pre: DataFrame,
+        post: DataFrame,
+        keys: Sequence[str],
+        include_deletes: bool = False,
     ) -> None:
         """Diff post-merge vs pre-merge state into change rows —
         policy-agnostic (works for every merge shape): a key absent
         from pre is an 'insert'; a key whose non-key row hash moved is
-        an 'update_postimage'. Merges never delete, so the feed has no
-        delete records (the reference's ``ignoreDeletes`` holds by
-        construction). Row comparison is xxhash64 over non-key columns
-        (a hash collision would drop one change record —
-        astronomically unlikely, and harmless for at-least-once
-        consumers)."""
-        if set(post.columns) - set(pre.columns):
-            # schema-evolution merge: widen pre with NULL new columns
-            # so the hash diff compares like with like (a pre row whose
-            # post twin still has NULL there hashes equal — unchanged)
+        an 'update_postimage'. Merges never delete, so their feed has
+        no delete records (the reference's ``ignoreDeletes`` holds by
+        construction); ``restore()`` is the one caller that passes
+        ``include_deletes=True`` — keys the rollback removes join the
+        SAME commit as 'delete' rows (post-schema, non-key columns
+        NULL: the post-image of a deleted row is no row). Row
+        comparison is xxhash64 over non-key columns (a hash collision
+        would drop one change record — astronomically unlikely, and
+        harmless for at-least-once consumers)."""
+        if set(post.columns) != set(pre.columns):
+            # schema change between the states (evolution merge, or a
+            # restore across one): widen BOTH to the column union with
+            # typed NULLs so the hash diff compares like with like —
+            # a pre row whose post twin is NULL-extended hashes equal
             pre, post = align_for_evolution(pre, post)
         nonkeys = [c for c in post.columns if c not in keys]
         pre_h = pre.select(
@@ -664,6 +673,14 @@ class TableStore:
             .otherwise(F.lit("update_postimage"))
             .alias("__ct"),
         )
+        if include_deletes:
+            deletes = pre.join(post, list(keys), "left_anti").select(
+                *keys,
+                *[F.lit(None).cast(post.schema[c].dataType).alias(c)
+                  for c in nonkeys],
+                F.lit("delete").alias("__ct"),
+            ).select(*post.columns, "__ct")
+            changes = changes.unionByName(deletes)
         ver = self._next_commit_version(name)
         out = changes.withColumnRenamed("__ct", "_change_type").withColumn(
             "_commit_version", F.lit(ver)
@@ -1279,6 +1296,65 @@ class TableStore:
                 f"keep_versions={self.keep_versions} retention window?)"
             )
         return self._read_version(path).drop("__bucket")
+
+    def restore(
+        self,
+        name: str,
+        version: str | int,
+        keys: Sequence[str] | None = None,
+    ) -> None:
+        """Roll the table back to a retained version — the Delta
+        ``RESTORE TABLE ... TO VERSION AS OF`` analog. The restore is
+        itself a NEW version (history stays append-only, so a restore
+        can be restored away again and ``versions()`` ordering holds);
+        it costs zero data movement — every file of the source
+        version, including the schema and data-skipping sidecars, is
+        hard-linked into the new version dir — and no Spark job unless
+        the changelog is on.
+
+        With the table's changelog enabled, pass ``keys``: the restore
+        commits the row-level diff current→restored so incremental
+        consumers converge — including ``delete`` records for rows the
+        rollback removes (the one commit type merges never produce;
+        reference ``ignoreDeletes`` consumers drop them,
+        ``Silver/05-silver.py:71-76``)."""
+        if isinstance(version, int):
+            vs = self.versions(name)
+            if not vs:
+                raise FileNotFoundError(f"table {name} has no versions")
+            version = vs[version]
+        src = os.path.join(self.root, version)
+        if not os.path.isdir(src):
+            raise FileNotFoundError(
+                f"version {version} of {name} not found (outside the "
+                f"keep_versions={self.keep_versions} retention window?)"
+            )
+        log_changes = self._changelog_enabled(name)
+        if log_changes and not keys:
+            raise ValueError(
+                f"{name} has an active changelog: pass keys=<merge keys> "
+                "so the restore can commit its row-level diff"
+            )
+        pre = self.read(name) if log_changes else None
+        version_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
+        full = os.path.join(self.root, version_dir)
+        os.makedirs(full)
+        for base, _dirs, files in os.walk(src):
+            rel = os.path.relpath(base, src)
+            dst = full if rel == "." else os.path.join(full, rel)
+            os.makedirs(dst, exist_ok=True)
+            for fname in files:
+                os.link(os.path.join(base, fname), os.path.join(dst, fname))
+        tmp_ptr = self._pointer(name) + ".tmp"
+        with open(tmp_ptr, "w") as f:
+            f.write(version_dir)
+        os.replace(tmp_ptr, self._pointer(name))
+        if log_changes:
+            post = self._read_version(full).drop("__bucket")
+            self._log_merge_changes(
+                name, pre, post, list(keys), include_deletes=True
+            )
+        self._prune(name, keep=version_dir)
 
     def optimize(
         self,

@@ -7227,3 +7227,61 @@ def q_store_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_c",
         F.lit(bool(n_after < n_before)).alias("compacted"),
     )
+
+
+_RESTORE_ORACLE = """
+SELECT c_custkey, c_name,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
+       CAST(3 AS BIGINT) AS n_versions
+FROM customer
+"""
+
+
+@_register(
+    "store_restore_table",
+    _RESTORE_ORACLE,
+    "RESTORE TABLE ... TO VERSION AS OF (rollback, the Delta RESTORE "
+    "analog): customers load as version 1, a bad SCD-1 batch (+999 on "
+    "every %5 balance, junk inserts for %11 keys shifted by 1e6) "
+    "lands as version 2, and restore(-2) rolls back — as a THIRD "
+    "version (history stays append-only; the restore itself could be "
+    "restored away), with zero data movement: every file of the "
+    "target version is hard-linked into the new version dir, no "
+    "Spark job runs. The row values prove the rollback is exact; "
+    "n_versions pins the append-only history. Changelog delete-record "
+    "semantics are pinned by "
+    "test_table_store_restore_commits_delete_records.",
+    tags=("merge", "time-travel", "store"),
+)
+def q_store_restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators.merge import TableStore
+
+    store = TableStore(
+        spark, _tf.mkdtemp(prefix="pulselake_restore_"), keep_versions=3
+    )
+    c = _t(spark, sf_dir, "customer")
+    bal = F.floor(F.col("c_acctbal").cast("double") * 100 + 0.5).cast("long")
+    base = c.select("c_custkey", "c_name", bal.alias("bal_c"))
+    store.write_partitioned("t", base, keys=["c_custkey"], n_buckets=8)
+    bad = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .select("c_custkey", "c_name", (bal + 999).alias("bal_c"))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.lit("junk").alias("c_name"),
+                F.lit(0).cast("long").alias("bal_c"),
+            )
+        )
+    )
+    store.merge("t", bad, ["c_custkey"], policy="scd1")
+    store.restore("t", -2)
+    n_versions = len(store.versions("t"))
+    return store.read("t").select(
+        "c_custkey",
+        "c_name",
+        "bal_c",
+        F.lit(n_versions).cast("long").alias("n_versions"),
+    )

@@ -2991,3 +2991,72 @@ def test_maintained_join_dim_refresh_prunes_buckets(spark, tmp_path):
         for r in mj.read().filter(F.col("f_ck") == 8).collect()
     }
     assert got8 == {8: -8, 58: -8, 108: -8, 158: -8}
+
+
+# --- restore (rollback) -----------------------------------------------------
+
+
+def test_table_store_restore_rolls_back_as_new_version(spark, tmp_path):
+    """restore() rolls back to a retained version AS A NEW VERSION:
+    content equals the target, history stays append-only (the restore
+    itself can be restored away), and no data moves — every file of
+    the source version is hard-linked, so the restored partition map
+    (file names AND inodes) is identical to the source's."""
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=4)
+    store.write_partitioned(
+        "t",
+        spark.createDataFrame([Row(k=i, v=i) for i in range(20)]),
+        keys=["k"],
+        n_buckets=2,
+    )
+    store.merge(
+        "t",
+        spark.createDataFrame([Row(k=3, v=-3), Row(k=99, v=99)]),
+        ["k"],
+        policy="scd1",
+    )
+    assert len(store.versions("t")) == 2
+    store.restore("t", -2)
+    vs = store.versions("t")
+    assert len(vs) == 3
+    got = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert got == {i: i for i in range(20)}
+    cur = _partition_file_map(store.current_path("t"))
+    orig = _partition_file_map(os.path.join(str(tmp_path), vs[0]))
+    assert cur == orig  # zero-copy: same names, same inodes
+    store.restore("t", -2)  # -2 is now the merged version: undo the undo
+    got = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert got[3] == -3 and got[99] == 99
+    assert len(store.versions("t")) == 4
+
+
+def test_table_store_restore_commits_delete_records(spark, tmp_path):
+    """On a changelog table a restore commits the row-level rollback
+    diff as ONE commit: update_postimage for reverted updates and
+    delete for rows the rollback removes (NULL non-key columns — the
+    post-image of a deleted row is no row). Without keys it refuses
+    rather than silently skipping the feed."""
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=4)
+    store.enable_changelog("t")
+    store.write("t", spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")]))
+    store.merge(
+        "t",
+        spark.createDataFrame([Row(k=2, v="B"), Row(k=3, v="c")]),
+        ["k"],
+        policy="scd1",
+    )
+    with pytest.raises(ValueError, match="changelog"):
+        store.restore("t", -2)
+    store.restore("t", -2, keys=["k"])
+    assert {r["k"]: r["v"] for r in store.read("t").collect()} == {
+        1: "a",
+        2: "b",
+    }
+    ch = store.read_changes("t").collect()
+    last = max(r["_commit_version"] for r in ch)
+    rows = {
+        (r["k"], r["_change_type"], r["v"])
+        for r in ch
+        if r["_commit_version"] == last
+    }
+    assert rows == {(2, "update_postimage", "b"), (3, "delete", None)}
