@@ -1356,6 +1356,142 @@ class TableStore:
             )
         self._prune(name, keep=version_dir)
 
+    def _append_delete_records(
+        self, name: str, matches: DataFrame, keys: Sequence[str]
+    ) -> None:
+        """Commit matched rows as 'delete' change records — keys +
+        NULL non-key columns (the post-image of a deleted row is no
+        row; same convention as restore's rollback diff)."""
+        nonkeys = [c for c in matches.columns if c not in keys]
+        rows = matches.select(
+            *keys,
+            *[
+                F.lit(None).cast(matches.schema[c].dataType).alias(c)
+                for c in nonkeys
+            ],
+        ).select(*matches.columns)
+        self._append_changelog(name, rows, "delete")
+
+    def delete(
+        self,
+        name: str,
+        condition: Column,
+        keys: Sequence[str] | None = None,
+    ) -> int:
+        """``DELETE FROM <table> WHERE <condition>`` — the Delta
+        DELETE analog (the GDPR / right-to-be-forgotten path). Rows
+        where the condition is TRUE are removed; NULL keeps the row,
+        like SQL.
+
+        On a partitioned table only the partitions holding matches
+        rewrite — one scan finds them (the predicate pushes down to
+        the parquet files; on a column-partitioned table a predicate
+        on the partition column prunes at the source) — and every
+        other partition hard-links into the new version untouched, so
+        the cost scales with data DELETED, not table size.
+        Fully-emptied partitions disappear from the new version. On an
+        unpartitioned table the whole table rewrites (the correct
+        fallback), and partition values needing Spark's escape
+        encoding fall back the same way (conservative, never
+        incorrect). History is versioned like every other write — a
+        bad delete is one ``restore()`` away within retention.
+
+        With the table's changelog enabled, pass ``keys``: matched
+        rows commit as 'delete' records. Returns the number of rows
+        deleted."""
+        current = self.current_path(name)
+        if current is None:
+            raise FileNotFoundError(f"table {name} does not exist")
+        log_changes = self._changelog_enabled(name)
+        if log_changes and not keys:
+            raise ValueError(
+                f"{name} has an active changelog: pass keys=<merge keys> "
+                "so the delete can commit its row-level records"
+            )
+        cond = F.coalesce(condition, F.lit(False))
+        df_all = self._read_version(current)
+        spec = self.partition_spec(name)
+        matches = df_all.filter(cond)
+
+        if spec is None:
+            n_del = matches.count()
+            if n_del == 0:
+                return 0
+            self.write(name, df_all.filter(~cond), _log_changes=False)
+            if log_changes:
+                # matches still reads the pre-delete version dir: the
+                # pointer moved but retention (keep_versions >= 2)
+                # keeps the newest replaced version on disk
+                self._append_delete_records(name, matches, list(keys))
+            return int(n_del)
+
+        part_col = "__bucket" if spec["mode"] == "hash" else spec["column"]
+        per_part = matches.groupBy(part_col).count().collect()
+        if not per_part:
+            return 0
+        n_del = sum(r["count"] for r in per_part)
+        affected = [r[part_col] for r in per_part]
+        affected_dirs: set[str] = set()
+        simple = True
+        for v in affected:
+            d = self._simple_partition_dir(part_col, v)
+            if d is None:
+                simple = False
+                break
+            affected_dirs.add(d)
+        remaining = (
+            df_all.filter(F.col(part_col).isin(affected)).filter(~cond)
+            if simple
+            else df_all.filter(~cond)
+        )
+        scratch = os.path.join(self.root, f"{name}.del{uuid.uuid4().hex[:12]}")
+        remaining.write.mode("overwrite").partitionBy(part_col).parquet(scratch)
+        version_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
+        full = os.path.join(self.root, version_dir)
+        os.makedirs(full)
+        rewritten = {
+            e
+            for e in os.listdir(scratch)
+            if os.path.isdir(os.path.join(scratch, e))
+        }
+        for entry in rewritten:
+            os.rename(os.path.join(scratch, entry), os.path.join(full, entry))
+        shutil.rmtree(scratch, ignore_errors=True)
+        if simple:
+            for entry in os.listdir(current):
+                src_path = os.path.join(current, entry)
+                if (
+                    not os.path.isdir(src_path)
+                    or entry in rewritten
+                    or entry in affected_dirs  # fully-emptied partition
+                ):
+                    continue
+                os.makedirs(os.path.join(full, entry))
+                for fname in os.listdir(src_path):
+                    os.link(
+                        os.path.join(src_path, fname),
+                        os.path.join(full, entry, fname),
+                    )
+        stats = self._load_file_stats(current)
+        key0 = (stats or {}).get("key") or (spec.get("keys") or [None])[0]
+        if key0 is not None:
+            carry = (
+                stats.get("files")
+                if simple and stats is not None and stats.get("key") == key0
+                else None
+            )
+            self._write_file_stats(full, key0, carry=carry)
+        self._write_schema(full, df_all)
+        tmp_ptr = self._pointer(name) + ".tmp"
+        with open(tmp_ptr, "w") as f:
+            f.write(version_dir)
+        os.replace(tmp_ptr, self._pointer(name))
+        if log_changes:
+            plain = matches.drop(part_col) if spec["mode"] == "hash" else matches
+            self._append_delete_records(name, plain, list(keys))
+        self._prune(name, keep=version_dir)
+        return int(n_del)
+
     def optimize(
         self,
         name: str,

@@ -7285,3 +7285,59 @@ def q_store_restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bal_c",
         F.lit(n_versions).cast("long").alias("n_versions"),
     )
+
+
+_DELETE_WHERE_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c,
+       (SELECT COUNT(*) FROM orders
+        WHERE o_orderstatus = 'F' AND o_custkey % 3 = 0) AS n_deleted
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_custkey % 3 = 0)
+"""
+
+
+@_register(
+    "store_delete_where",
+    _DELETE_WHERE_ORACLE,
+    "DELETE FROM ... WHERE (the Delta DELETE analog — the GDPR / "
+    "right-to-be-forgotten path): orders load partitioned by "
+    "o_orderstatus, then delete(status='F' AND custkey%3=0) removes "
+    "matching rows. Only the one partition holding matches rewrites — "
+    "the predicate prunes the match scan at the source and every "
+    "other partition hard-links into the new version (cost scales "
+    "with data deleted, not table size; inode identity pinned by "
+    "test_table_store_delete_prunes_to_affected_partitions). The "
+    "delete is versioned: a bad one is one restore() away. Row "
+    "values prove exactness; n_deleted pins the returned count.",
+    tags=("merge", "store", "delete"),
+)
+def q_store_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators.merge import TableStore
+
+    store = TableStore(spark, _tf.mkdtemp(prefix="pulselake_delete_"))
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("total_c"),
+    )
+    store.write_partitioned(
+        "t", base, keys=["o_orderkey"], partition_column="o_orderstatus"
+    )
+    n_del = store.delete(
+        "t",
+        (F.col("o_orderstatus") == "F") & (F.col("o_custkey") % 3 == 0),
+    )
+    return store.read("t").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "total_c",
+        F.lit(n_del).cast("long").alias("n_deleted"),
+    )

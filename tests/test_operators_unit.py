@@ -3060,3 +3060,69 @@ def test_table_store_restore_commits_delete_records(spark, tmp_path):
         if r["_commit_version"] == last
     }
     assert rows == {(2, "update_postimage", "b"), (3, "delete", None)}
+
+
+# --- DELETE FROM ... WHERE ---------------------------------------------------
+
+
+def test_table_store_delete_prunes_to_affected_partitions(spark, tmp_path):
+    """delete() rewrites ONLY partitions holding matches: every other
+    partition's files survive inode-identical; a fully-emptied
+    partition disappears from the new version; the count of deleted
+    rows returns; a no-match delete is a no-op (no new version)."""
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=4)
+    rows = [Row(k=i, grp=i % 4, v=i) for i in range(400)]
+    store.write_partitioned(
+        "t", spark.createDataFrame(rows), keys=["k"], partition_column="grp"
+    )
+    before = _partition_file_map(store.current_path("t"))
+    # delete part of grp=1 and ALL of grp=3
+    n = store.delete(
+        "t", ((F.col("grp") == 1) & (F.col("k") < 200)) | (F.col("grp") == 3)
+    )
+    assert n == 50 + 100
+    after = _partition_file_map(store.current_path("t"))
+    assert "grp=3" not in after  # fully emptied: gone
+    for part in ("grp=0", "grp=2"):  # untouched: hard-linked
+        assert after[part] == before[part]
+    got = {r["k"] for r in store.read("t").collect()}
+    assert got == {
+        i for i in range(400)
+        if not ((i % 4 == 1 and i < 200) or i % 4 == 3)
+    }
+    n_versions = len(store.versions("t"))
+    assert store.delete("t", F.col("k") == -1) == 0  # no match: no-op
+    assert len(store.versions("t")) == n_versions
+
+
+def test_table_store_delete_null_condition_keeps_row(spark, tmp_path):
+    """SQL semantics: DELETE removes rows where the predicate is TRUE;
+    a NULL predicate keeps the row. Unpartitioned fallback path."""
+    store = merge.TableStore(spark, str(tmp_path))
+    store.write(
+        "t",
+        spark.createDataFrame(
+            [Row(k=1, v=10), Row(k=2, v=None), Row(k=3, v=30)]
+        ),
+    )
+    assert store.delete("t", F.col("v") > 15) == 1
+    assert {r["k"] for r in store.read("t").collect()} == {1, 2}
+
+
+def test_table_store_delete_commits_delete_records(spark, tmp_path):
+    """On a changelog table, delete() commits matched keys as 'delete'
+    records (NULL non-keys) in one commit — and refuses without keys."""
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=3)
+    store.enable_changelog("t")
+    store.write("t", spark.createDataFrame([Row(k=i, v=i) for i in range(6)]))
+    with pytest.raises(ValueError, match="changelog"):
+        store.delete("t", F.col("k") >= 4)
+    assert store.delete("t", F.col("k") >= 4, keys=["k"]) == 2
+    ch = store.read_changes("t").collect()
+    last = max(r["_commit_version"] for r in ch)
+    rows = {
+        (r["k"], r["_change_type"], r["v"])
+        for r in ch
+        if r["_commit_version"] == last
+    }
+    assert rows == {(4, "delete", None), (5, "delete", None)}
