@@ -1399,6 +1399,90 @@ class TableStore:
         With the table's changelog enabled, pass ``keys``: matched
         rows commit as 'delete' records. Returns the number of rows
         deleted."""
+        return self._mutate_where(
+            name,
+            condition,
+            keys,
+            op="delete",
+            mutate=lambda df, cond: df.filter(~cond),
+            log=lambda matches, ks: self._append_delete_records(
+                name, matches, ks
+            ),
+        )
+
+    def update(
+        self,
+        name: str,
+        condition: Column,
+        set_exprs: dict[str, Column],
+        keys: Sequence[str] | None = None,
+    ) -> int:
+        """``UPDATE <table> SET col = expr, ... WHERE <condition>`` —
+        the Delta UPDATE analog, completing the DML surface next to
+        merge/delete/restore/optimize. Each SET expression evaluates
+        against the matched row's current values (``SET v = v + 1``
+        works); NULL conditions keep rows unchanged, like SQL.
+
+        Same pruned-rewrite engine as ``delete``: only partitions
+        holding matches rewrite, the rest hard-link — cost scales
+        with data UPDATED. SET may not touch the table's merge keys
+        or partition column (an update that moves a row across
+        partitions is a delete + insert — express it as one; Delta
+        forbids the same). Changelog tables commit the matched rows'
+        post-images as 'update_postimage' records. Returns the number
+        of rows updated."""
+        spec = self.partition_spec(name)
+        frozen: set[str] = set()
+        if spec is not None:
+            frozen = (
+                set(spec.get("keys") or [])
+                if spec["mode"] == "hash"
+                else {spec["column"]}
+            )
+        bad = sorted(set(set_exprs) & frozen)
+        if bad:
+            raise ValueError(
+                f"SET may not touch merge-key/partition columns {bad} — "
+                "an update that moves rows across partitions is a "
+                "delete + insert"
+            )
+
+        def _apply(df: DataFrame, cond: Column) -> DataFrame:
+            return df.select(
+                *[
+                    F.when(cond, set_exprs[c]).otherwise(F.col(c)).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+
+        return self._mutate_where(
+            name,
+            condition,
+            keys,
+            op="update",
+            mutate=_apply,
+            log=lambda matches, ks: self._append_changelog(
+                name,
+                _apply(matches, F.lit(True)),
+                "update_postimage",
+            ),
+        )
+
+    def _mutate_where(
+        self,
+        name: str,
+        condition: Column,
+        keys: Sequence[str] | None,
+        op: str,
+        mutate: Callable[[DataFrame, Column], DataFrame],
+        log: Callable[[DataFrame, Sequence[str]], None],
+    ) -> int:
+        """Shared pruned-rewrite engine behind ``delete`` and
+        ``update``: find the partitions holding condition matches,
+        apply ``mutate`` to exactly those, hard-link the rest, commit
+        as a new version, and let ``log`` record the change rows."""
         current = self.current_path(name)
         if current is None:
             raise FileNotFoundError(f"table {name} does not exist")
@@ -1406,7 +1490,7 @@ class TableStore:
         if log_changes and not keys:
             raise ValueError(
                 f"{name} has an active changelog: pass keys=<merge keys> "
-                "so the delete can commit its row-level records"
+                f"so the {op} can commit its row-level records"
             )
         cond = F.coalesce(condition, F.lit(False))
         df_all = self._read_version(current)
@@ -1414,22 +1498,22 @@ class TableStore:
         matches = df_all.filter(cond)
 
         if spec is None:
-            n_del = matches.count()
-            if n_del == 0:
+            n_hit = matches.count()
+            if n_hit == 0:
                 return 0
-            self.write(name, df_all.filter(~cond), _log_changes=False)
+            self.write(name, mutate(df_all, cond), _log_changes=False)
             if log_changes:
-                # matches still reads the pre-delete version dir: the
+                # matches still reads the pre-mutation version dir: the
                 # pointer moved but retention (keep_versions >= 2)
                 # keeps the newest replaced version on disk
-                self._append_delete_records(name, matches, list(keys))
-            return int(n_del)
+                log(matches, list(keys))
+            return int(n_hit)
 
         part_col = "__bucket" if spec["mode"] == "hash" else spec["column"]
         per_part = matches.groupBy(part_col).count().collect()
         if not per_part:
             return 0
-        n_del = sum(r["count"] for r in per_part)
+        n_hit = sum(r["count"] for r in per_part)
         affected = [r[part_col] for r in per_part]
         affected_dirs: set[str] = set()
         simple = True
@@ -1439,13 +1523,12 @@ class TableStore:
                 simple = False
                 break
             affected_dirs.add(d)
-        remaining = (
-            df_all.filter(F.col(part_col).isin(affected)).filter(~cond)
-            if simple
-            else df_all.filter(~cond)
+        out = mutate(
+            df_all.filter(F.col(part_col).isin(affected)) if simple else df_all,
+            cond,
         )
-        scratch = os.path.join(self.root, f"{name}.del{uuid.uuid4().hex[:12]}")
-        remaining.write.mode("overwrite").partitionBy(part_col).parquet(scratch)
+        scratch = os.path.join(self.root, f"{name}.{op}{uuid.uuid4().hex[:12]}")
+        out.write.mode("overwrite").partitionBy(part_col).parquet(scratch)
         version_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
         full = os.path.join(self.root, version_dir)
         os.makedirs(full)
@@ -1488,9 +1571,9 @@ class TableStore:
         os.replace(tmp_ptr, self._pointer(name))
         if log_changes:
             plain = matches.drop(part_col) if spec["mode"] == "hash" else matches
-            self._append_delete_records(name, plain, list(keys))
+            log(plain, list(keys))
         self._prune(name, keep=version_dir)
-        return int(n_del)
+        return int(n_hit)
 
     def optimize(
         self,

@@ -7341,3 +7341,59 @@ def q_store_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_c",
         F.lit(n_del).cast("long").alias("n_deleted"),
     )
+
+
+_UPDATE_WHERE_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+       + CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0
+              THEN 500 ELSE 0 END AS bal_c,
+       (SELECT COUNT(*) FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0) AS n_updated
+FROM customer
+"""
+
+
+@_register(
+    "store_update_where",
+    _UPDATE_WHERE_ORACLE,
+    "UPDATE ... SET ... WHERE (the Delta UPDATE analog, completing "
+    "the DML surface beside merge/delete/restore/optimize): customers "
+    "load partitioned by market segment; update(segment='BUILDING' "
+    "AND custkey%2=0, SET bal_c = bal_c + 500) evaluates SET against "
+    "each matched row's current values and rewrites ONLY the one "
+    "partition holding matches — the rest hard-link (same pruned "
+    "engine as delete; inode identity pinned by "
+    "test_table_store_update_where, which also pins the refusal to "
+    "SET a partition/merge-key column and the update_postimage "
+    "changelog records). n_updated pins the returned count.",
+    tags=("merge", "store", "update"),
+)
+def q_store_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators.merge import TableStore
+
+    store = TableStore(spark, _tf.mkdtemp(prefix="pulselake_update_"))
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("bal_c"),
+    )
+    store.write_partitioned(
+        "t", base, keys=["c_custkey"], partition_column="c_mktsegment"
+    )
+    n_upd = store.update(
+        "t",
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") % 2 == 0),
+        {"bal_c": F.col("bal_c") + 500},
+    )
+    return store.read("t").select(
+        "c_custkey",
+        "c_mktsegment",
+        "bal_c",
+        F.lit(n_upd).cast("long").alias("n_updated"),
+    )

@@ -3126,3 +3126,41 @@ def test_table_store_delete_commits_delete_records(spark, tmp_path):
         if r["_commit_version"] == last
     }
     assert rows == {(4, "delete", None), (5, "delete", None)}
+
+
+def test_table_store_update_where(spark, tmp_path):
+    """UPDATE ... SET ... WHERE: SET evaluates against current row
+    values, non-matching rows are untouched, unaffected partitions
+    hard-link, SET on a merge-key/partition column refuses, and
+    changelog tables get update_postimage records."""
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=3)
+    store.enable_changelog("t")
+    rows = [Row(k=i, grp=i % 4, v=i) for i in range(400)]
+    store.write_partitioned(
+        "t", spark.createDataFrame(rows), keys=["k"], partition_column="grp"
+    )
+    before = _partition_file_map(store.current_path("t"))
+    with pytest.raises(ValueError, match="partition"):
+        store.update("t", F.col("k") < 5, {"grp": F.lit(9)}, keys=["k"])
+    n = store.update(
+        "t",
+        (F.col("grp") == 1) & (F.col("k") < 100),
+        {"v": F.col("v") * 10},
+        keys=["k"],
+    )
+    assert n == 25
+    after = _partition_file_map(store.current_path("t"))
+    for part in ("grp=0", "grp=2", "grp=3"):
+        assert after[part] == before[part]  # untouched: hard-linked
+    got = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert got[5] == 50 and got[101] == 101 and got[4] == 4
+    assert len(got) == 400
+    ch = store.read_changes("t").collect()
+    last = max(r["_commit_version"] for r in ch)
+    post = {
+        (r["k"], r["v"])
+        for r in ch
+        if r["_commit_version"] == last
+        and r["_change_type"] == "update_postimage"
+    }
+    assert post == {(i, i * 10) for i in range(400) if i % 4 == 1 and i < 100}
