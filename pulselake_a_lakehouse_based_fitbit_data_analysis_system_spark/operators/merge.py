@@ -31,6 +31,7 @@ import json
 import os
 import re
 import shutil
+import time
 import uuid
 from collections.abc import Callable, Sequence
 
@@ -569,6 +570,7 @@ class TableStore:
         df: DataFrame,
         partition_by: Sequence[str] = (),
         _log_changes: bool = True,
+        _op: str = "write",
     ) -> None:
         version_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
         full = os.path.join(self.root, version_dir)
@@ -577,6 +579,7 @@ class TableStore:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(full)
         self._write_schema(full, df)
+        self._write_op(full, _op)
         tmp_ptr = self._pointer(name) + ".tmp"
         with open(tmp_ptr, "w") as f:
             f.write(version_dir)
@@ -723,6 +726,57 @@ class TableStore:
         )
         for stale in versions[: max(0, len(versions) - (self.keep_versions - 1))]:
             shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)
+
+    # --- operation sidecar (DESCRIBE HISTORY support) ----------------------
+
+    _OPFILE = "_OP.json"
+
+    def _write_op(self, version_full: str, op: str, **details) -> None:
+        """Record which operation created a version — the Delta-log
+        commit-info analog behind ``history()``. Written with the
+        tmp+replace pattern so a restore's hard-linked copy of the
+        source sidecar is REPLACED (new inode), never mutated through
+        the shared link."""
+        rec = {"op": op, "ts": time.time(), **details}
+        tmp = os.path.join(version_full, self._OPFILE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, os.path.join(version_full, self._OPFILE))
+
+    def history(self, name: str) -> DataFrame:
+        """``DESCRIBE HISTORY`` analog: one row per retained version,
+        oldest → newest — (version dir, sequence, operation,
+        timestamp, details JSON). Purely driver-side metadata (reads
+        one tiny sidecar per version, no data scan); versions
+        predating the sidecar show a NULL operation. Bounded by
+        ``keep_versions`` like every versions() view."""
+        rows = []
+        for i, v in enumerate(self.versions(name)):
+            p = os.path.join(self.root, v, self._OPFILE)
+            rec: dict = {}
+            if os.path.exists(p):
+                try:
+                    with open(p) as f:
+                        rec = json.load(f)
+                except Exception:
+                    rec = {}
+            details = {
+                k: val for k, val in rec.items() if k not in ("op", "ts")
+            }
+            rows.append(
+                (
+                    v,
+                    i,
+                    rec.get("op"),
+                    float(rec["ts"]) if "ts" in rec else None,
+                    json.dumps(details, sort_keys=True) if details else None,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version string, seq int, operation string, "
+            "ts_epoch double, details string",
+        )
 
     # --- schema sidecar (evolution support) -------------------------------
 
@@ -923,7 +977,7 @@ class TableStore:
         # partition get disjoint key ranges, so the min/max sidecar can
         # actually skip files on later merges
         out = out.repartitionByRange(F.col(part_col), F.col(keys[0]))
-        self.write(name, out, partition_by=[part_col])
+        self.write(name, out, partition_by=[part_col], _op="create")
         self._write_file_stats(self.current_path(name), keys[0])
 
     def _merge_partitioned(
@@ -1141,6 +1195,7 @@ class TableStore:
         )
         self._write_file_stats(full, key0, carry=carry)
         self._write_schema(full, merged_schema_src)
+        self._write_op(full, f"merge:{policy}")
         tmp_ptr = self._pointer(name) + ".tmp"
         with open(tmp_ptr, "w") as f:
             f.write(version_dir)
@@ -1217,10 +1272,13 @@ class TableStore:
                 base = base.repartitionByRange(
                     F.col(part_col), F.col(keys[0])
                 )
-                self.write(name, base, partition_by=[part_col])
+                self.write(
+                    name, base, partition_by=[part_col],
+                    _op=f"create:{policy}",
+                )
                 self._write_file_stats(self.current_path(name), keys[0])
             else:
-                self.write(name, base)
+                self.write(name, base, _op=f"create:{policy}")
             return
         target = self.read(name)
         if evolve:
@@ -1255,7 +1313,7 @@ class TableStore:
         # materialize before the pointer flip; the new version dir is
         # written from the merged plan which still reads the old version
         old_path = self.current_path(name)
-        self.write(name, merged, _log_changes=False)
+        self.write(name, merged, _log_changes=False, _op=f"merge:{policy}")
         if self._changelog_enabled(name):
             self._log_merge_changes(
                 name,
@@ -1345,6 +1403,7 @@ class TableStore:
             os.makedirs(dst, exist_ok=True)
             for fname in files:
                 os.link(os.path.join(base, fname), os.path.join(dst, fname))
+        self._write_op(full, "restore", source=version)
         tmp_ptr = self._pointer(name) + ".tmp"
         with open(tmp_ptr, "w") as f:
             f.write(version_dir)
@@ -1501,7 +1560,7 @@ class TableStore:
             n_hit = matches.count()
             if n_hit == 0:
                 return 0
-            self.write(name, mutate(df_all, cond), _log_changes=False)
+            self.write(name, mutate(df_all, cond), _log_changes=False, _op=op)
             if log_changes:
                 # matches still reads the pre-mutation version dir: the
                 # pointer moved but retention (keep_versions >= 2)
@@ -1565,6 +1624,7 @@ class TableStore:
             )
             self._write_file_stats(full, key0, carry=carry)
         self._write_schema(full, df_all)
+        self._write_op(full, op)
         tmp_ptr = self._pointer(name) + ".tmp"
         with open(tmp_ptr, "w") as f:
             f.write(version_dir)
@@ -1654,6 +1714,7 @@ class TableStore:
         )
         self._write_file_stats(full, key, carry=carry)
         self._write_schema(full, df_all)
+        self._write_op(full, "optimize")
         tmp_ptr = self._pointer(name) + ".tmp"
         with open(tmp_ptr, "w") as f:
             f.write(version_dir)

@@ -3164,3 +3164,31 @@ def test_table_store_update_where(spark, tmp_path):
         and r["_change_type"] == "update_postimage"
     }
     assert post == {(i, i * 10) for i in range(400) if i % 4 == 1 and i < 100}
+
+
+def test_table_store_history_records_operations(spark, tmp_path):
+    """history() (DESCRIBE HISTORY analog): one row per retained
+    version, oldest -> newest, labeled with the operation that created
+    it; a restore records which version it rolled back to."""
+    import json as _json
+
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=8)
+    store.write_partitioned(
+        "t",
+        spark.createDataFrame([Row(k=i, v=i) for i in range(40)]),
+        keys=["k"],
+        n_buckets=2,
+    )
+    store.merge("t", spark.createDataFrame([Row(k=1, v=-1)]), ["k"],
+                policy="scd1")
+    store.update("t", F.col("k") == 2, {"v": F.lit(99)})
+    store.delete("t", F.col("k") == 3)
+    store.optimize("t")
+    target = store.versions("t")[-2]  # the delete version
+    store.restore("t", -2)
+    h = sorted(store.history("t").collect(), key=lambda r: r["seq"])
+    assert [r["operation"] for r in h] == [
+        "create", "merge:scd1", "update", "delete", "optimize", "restore",
+    ]
+    assert all(r["ts_epoch"] is not None for r in h)
+    assert _json.loads(h[-1]["details"])["source"] == target
