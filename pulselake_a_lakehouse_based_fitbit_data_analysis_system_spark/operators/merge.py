@@ -753,25 +753,22 @@ class TableStore:
         rows = []
         for i, v in enumerate(self.versions(name)):
             p = os.path.join(self.root, v, self._OPFILE)
-            rec: dict = {}
-            if os.path.exists(p):
-                try:
-                    with open(p) as f:
-                        rec = json.load(f)
-                except Exception:
-                    rec = {}
-            details = {
-                k: val for k, val in rec.items() if k not in ("op", "ts")
-            }
-            rows.append(
-                (
-                    v,
-                    i,
-                    rec.get("op"),
-                    float(rec["ts"]) if "ts" in rec else None,
-                    json.dumps(details, sort_keys=True) if details else None,
-                )
-            )
+            op = ts = details = None
+            try:
+                with open(p) as f:
+                    rec = json.load(f)
+                op = str(rec["op"])
+                ts = float(rec["ts"])
+                extra = {
+                    k: val for k, val in rec.items() if k not in ("op", "ts")
+                }
+                details = json.dumps(extra, sort_keys=True) if extra else None
+            except Exception:
+                # missing or malformed sidecar (pre-sidecar version,
+                # torn write): the documented contract is a NULL
+                # operation row, never a crashed history() call
+                op = ts = details = None
+            rows.append((v, i, op, ts, details))
         return self.spark.createDataFrame(
             rows,
             "version string, seq int, operation string, "
@@ -932,7 +929,13 @@ class TableStore:
         each micro-batch then touches only the dates it carries, so
         write amplification is O(days in batch), not O(table)."""
         if partition_column is not None:
-            spec: dict = {"mode": "column", "column": partition_column}
+            # merge keys ride along so update()'s frozen-column check
+            # covers them in column mode too
+            spec: dict = {
+                "mode": "column",
+                "column": partition_column,
+                "keys": list(keys or []),
+            }
         else:
             spec = {
                 "mode": "hash",
@@ -962,7 +965,11 @@ class TableStore:
         row's partition never changes across merges.
         """
         if partition_column is not None:
-            spec = {"mode": "column", "column": partition_column}
+            spec = {
+                "mode": "column",
+                "column": partition_column,
+                "keys": list(keys),
+            }
             part_col = partition_column
             out = df
         else:
@@ -1337,22 +1344,44 @@ class TableStore:
             key=lambda d: os.path.getmtime(os.path.join(self.root, d)),
         )
 
+    def _resolve_version(self, name: str, version: str | int) -> str:
+        """Resolve an int index (negative = from newest) or a version
+        dir name against ``name``'s retained versions — shared by
+        ``read_at`` and ``restore`` so both reject out-of-range
+        indexes with the retention explanation (not a bare
+        IndexError) and a dir name belonging to a DIFFERENT table
+        (``u.v<hex>`` passed while restoring ``t`` must not silently
+        swap t's contents for u's)."""
+        if isinstance(version, int):
+            vs = self.versions(name)
+            if not vs:
+                raise FileNotFoundError(f"table {name} has no versions")
+            try:
+                version = vs[version]
+            except IndexError:
+                raise FileNotFoundError(
+                    f"version index {version} of {name} out of range — "
+                    f"{len(vs)} versions retained "
+                    f"(keep_versions={self.keep_versions})"
+                ) from None
+        if not str(version).startswith(f"{name}.v"):
+            raise ValueError(
+                f"{version!r} is not a version of table {name!r}"
+            )
+        if not os.path.isdir(os.path.join(self.root, str(version))):
+            raise FileNotFoundError(
+                f"version {version} of {name} not found (outside the "
+                f"keep_versions={self.keep_versions} retention window?)"
+            )
+        return str(version)
+
     def read_at(self, name: str, version: str | int) -> DataFrame:
         """Time-travel read (``VERSION AS OF`` analog): ``version`` is
         a version dir name from ``versions()`` or a negative index
         into it (-1 = current, -2 = previous, …). Only versions inside
         the ``keep_versions`` retention window exist."""
-        if isinstance(version, int):
-            vs = self.versions(name)
-            if not vs:
-                raise FileNotFoundError(f"table {name} has no versions")
-            version = vs[version]
+        version = self._resolve_version(name, version)
         path = os.path.join(self.root, version)
-        if not os.path.isdir(path):
-            raise FileNotFoundError(
-                f"version {version} of {name} not found (outside the "
-                f"keep_versions={self.keep_versions} retention window?)"
-            )
         return self._read_version(path).drop("__bucket")
 
     def restore(
@@ -1375,18 +1404,15 @@ class TableStore:
         consumers converge — including ``delete`` records for rows the
         rollback removes (the one commit type merges never produce;
         reference ``ignoreDeletes`` consumers drop them,
-        ``Silver/05-silver.py:71-76``)."""
-        if isinstance(version, int):
-            vs = self.versions(name)
-            if not vs:
-                raise FileNotFoundError(f"table {name} has no versions")
-            version = vs[version]
+        ``Silver/05-silver.py:71-76``).
+
+        Caveat: the partition spec (``_SPEC``) is table-level, not
+        versioned — restoring across a re-partitioning
+        (``write_partitioned`` with a different bucket count) leaves
+        data and spec inconsistent. Re-create rather than restore
+        across a layout change."""
+        version = self._resolve_version(name, version)
         src = os.path.join(self.root, version)
-        if not os.path.isdir(src):
-            raise FileNotFoundError(
-                f"version {version} of {name} not found (outside the "
-                f"keep_versions={self.keep_versions} retention window?)"
-            )
         log_changes = self._changelog_enabled(name)
         if log_changes and not keys:
             raise ValueError(
@@ -1493,11 +1519,9 @@ class TableStore:
         spec = self.partition_spec(name)
         frozen: set[str] = set()
         if spec is not None:
-            frozen = (
-                set(spec.get("keys") or [])
-                if spec["mode"] == "hash"
-                else {spec["column"]}
-            )
+            frozen = set(spec.get("keys") or [])
+            if spec["mode"] == "column":
+                frozen.add(spec["column"])
         bad = sorted(set(set_exprs) & frozen)
         if bad:
             raise ValueError(
@@ -1505,11 +1529,28 @@ class TableStore:
                 "an update that moves rows across partitions is a "
                 "delete + insert"
             )
+        table_schema = self.read(name).schema
+        unknown = sorted(set(set_exprs) - set(table_schema.names))
+        if unknown:
+            raise ValueError(
+                f"SET references columns not in {name!r}: {unknown} "
+                f"(table columns: {table_schema.names})"
+            )
 
         def _apply(df: DataFrame, cond: Column) -> DataFrame:
+            # each SET result is cast back to the column's declared
+            # type (Delta UPDATE semantics): without it an implicit
+            # widening (int / 2 -> double) would write partition files
+            # that contradict the schema sidecar and the hard-linked
+            # untouched files — unreadable AFTER the pointer flip
             return df.select(
                 *[
-                    F.when(cond, set_exprs[c]).otherwise(F.col(c)).alias(c)
+                    F.when(
+                        cond,
+                        set_exprs[c].cast(table_schema[c].dataType),
+                    )
+                    .otherwise(F.col(c))
+                    .alias(c)
                     if c in set_exprs
                     else F.col(c)
                     for c in df.columns
@@ -1555,7 +1596,38 @@ class TableStore:
         df_all = self._read_version(current)
         spec = self.partition_spec(name)
         matches = df_all.filter(cond)
+        if log_changes:
+            # the match scan feeds BOTH the count/partition probe and
+            # the change-record write — pin it so the changelog path
+            # doesn't pay a second full predicate scan of the table
+            from .cache import pin
 
+            matches = pin(matches)
+        try:
+            return self._mutate_where_inner(
+                name, current, df_all, matches, cond, spec, keys,
+                op, mutate, log, log_changes,
+            )
+        finally:
+            if log_changes:
+                from .cache import unpin
+
+                unpin(matches)
+
+    def _mutate_where_inner(
+        self,
+        name: str,
+        current: str,
+        df_all: DataFrame,
+        matches: DataFrame,
+        cond: Column,
+        spec: dict | None,
+        keys: Sequence[str] | None,
+        op: str,
+        mutate: Callable[[DataFrame, Column], DataFrame],
+        log: Callable[[DataFrame, Sequence[str]], None],
+        log_changes: bool,
+    ) -> int:
         if spec is None:
             n_hit = matches.count()
             if n_hit == 0:

@@ -3192,3 +3192,57 @@ def test_table_store_history_records_operations(spark, tmp_path):
     ]
     assert all(r["ts_epoch"] is not None for r in h)
     assert _json.loads(h[-1]["details"])["source"] == target
+
+
+def test_table_store_update_casts_set_to_column_type(spark, tmp_path):
+    """Review findings r8: (a) SET results cast back to the column's
+    declared type (int v / 2 must not flip the column to DOUBLE and
+    contradict the schema sidecar + hard-linked old files); (b) SET on
+    an unknown column refuses instead of silently no-oping; (c) on
+    COLUMN-partitioned tables SET on a merge key refuses too (the
+    spec now carries the keys)."""
+    store = merge.TableStore(spark, str(tmp_path))
+    rows = [Row(k=i, grp=i % 2, v=i * 10) for i in range(40)]
+    store.write_partitioned(
+        "t", spark.createDataFrame(rows), keys=["k"], partition_column="grp"
+    )
+    with pytest.raises(ValueError, match="not in 't'"):
+        store.update("t", F.col("k") < 5, {"vv": F.lit(1)})
+    with pytest.raises(ValueError, match="merge-key"):
+        store.update("t", F.col("k") < 5, {"k": F.col("k") + 1})
+    n = store.update("t", F.col("grp") == 1, {"v": F.col("v") / 4})
+    assert n == 20
+    got = store.read("t")
+    assert dict(got.dtypes)["v"] == "bigint"  # not silently widened
+    vals = {r["k"]: r["v"] for r in got.collect()}
+    assert vals[1] == 2 and vals[2] == 20  # 10/4 cast back to long
+    # the post-update table must still read (schema sidecar consistent)
+    assert got.count() == 40
+
+
+def test_table_store_version_resolution_errors(spark, tmp_path):
+    """Review findings r8: out-of-range int versions raise the
+    documented FileNotFoundError (not IndexError), and a version dir
+    of a DIFFERENT table is rejected rather than silently swapping
+    table contents."""
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=3)
+    store.write("t", spark.createDataFrame([Row(k=1)]))
+    store.write("u", spark.createDataFrame([Row(k=2)]))
+    with pytest.raises(FileNotFoundError, match="out of range"):
+        store.read_at("t", 5)
+    with pytest.raises(FileNotFoundError, match="out of range"):
+        store.restore("t", -4)
+    with pytest.raises(ValueError, match="not a version of table"):
+        store.restore("t", store.versions("u")[0])
+
+
+def test_table_store_history_tolerates_malformed_sidecar(spark, tmp_path):
+    """A malformed _OP.json (torn write, wrong shape) degrades to a
+    NULL-operation history row, never a crashed history() call."""
+    store = merge.TableStore(spark, str(tmp_path))
+    store.write("t", spark.createDataFrame([Row(k=1)]))
+    v = store.versions("t")[-1]
+    with open(os.path.join(str(tmp_path), v, "_OP.json"), "w") as f:
+        f.write('[1, 2]')  # valid JSON, wrong shape
+    h = store.history("t").collect()
+    assert len(h) == 1 and h[0]["operation"] is None
