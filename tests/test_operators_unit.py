@@ -3246,3 +3246,38 @@ def test_table_store_history_tolerates_malformed_sidecar(spark, tmp_path):
         f.write('[1, 2]')  # valid JSON, wrong shape
     h = store.history("t").collect()
     assert len(h) == 1 and h[0]["operation"] is None
+
+
+def test_table_store_dml_on_evolved_table(spark, tmp_path):
+    """DML x schema-evolution interaction: after an evolve_schema
+    merge leaves a version with MIXED parquet schemas (hard-linked
+    old files + widened new ones), update() on the evolved column and
+    delete() must read NULL-filled gaps correctly, rewrite only
+    affected partitions, and leave a table that still reads through
+    the schema sidecar. A restore then rolls the whole sequence back
+    across the schema change."""
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=6)
+    rows = [Row(k=i, v=i) for i in range(64)]
+    store.write_partitioned("t", spark.createDataFrame(rows), keys=["k"],
+                            n_buckets=4)
+    # evolution merge: only k=3's bucket rewrites; others keep
+    # old-schema files with NULL-filled 'extra' at read
+    store.merge("t", spark.createDataFrame([Row(k=3, v=-3, extra=7)]),
+                ["k"], policy="scd1", evolve_schema=True)
+    # update the evolved column where it is NULL (old-schema rows)
+    n = store.update("t", F.col("extra").isNull() & (F.col("k") < 8),
+                     {"extra": F.col("k") * 100})
+    assert n == 7  # k in 0..7 minus k=3 (extra=7, not NULL)
+    got = {r["k"]: r["extra"] for r in store.read("t").collect()}
+    assert got[3] == 7 and got[5] == 500 and got[9] is None
+    # delete on a predicate spanning old- and new-schema rows
+    assert store.delete("t", F.col("extra").isNotNull()
+                        & (F.col("extra") >= 500)) == 3  # k=5,6,7
+    assert store.read("t").count() == 61
+    # roll everything back to the pre-evolution version
+    store.restore("t", store.versions("t")[0])
+    back = store.read("t")
+    assert back.columns == ["k", "v"] and back.count() == 64
+    ops = [r["operation"] for r in
+           sorted(store.history("t").collect(), key=lambda r: r["seq"])]
+    assert ops == ["create", "merge:scd1", "update", "delete", "restore"]
