@@ -3281,3 +3281,67 @@ def test_table_store_dml_on_evolved_table(spark, tmp_path):
     ops = [r["operation"] for r in
            sorted(store.history("t").collect(), key=lambda r: r["seq"])]
     assert ops == ["create", "merge:scd1", "update", "delete", "restore"]
+
+
+def test_table_store_dml_model_sequence(spark, tmp_path):
+    """Model-based interleaving: a fixed pseudo-random sequence of
+    merge/update/delete/optimize/restore ops runs against BOTH the
+    store and a driver-side dict model (restore rolls the model back
+    via per-version snapshots). The store must equal the model after
+    every step — catches interaction bugs (update-after-restore,
+    delete-after-optimize, rollback across rollbacks) that
+    per-operation tests cannot."""
+    import random
+
+    rng = random.Random(8)
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=16)
+    model = {k: k for k in range(60)}
+    store.write_partitioned(
+        "t",
+        spark.createDataFrame([Row(k=k, v=v) for k, v in model.items()]),
+        keys=["k"],
+        n_buckets=4,
+    )
+    snapshots = [dict(model)]  # one per store version, oldest first
+
+    def check(step):
+        got = {r["k"]: r["v"] for r in store.read("t").collect()}
+        assert got == model, f"divergence after step {step}"
+
+    for step in range(12):
+        op = rng.choice(["merge", "update", "delete", "optimize", "restore"])
+        if op == "merge":
+            ks = rng.sample(range(100), 5)
+            batch = [(k, rng.randrange(1000)) for k in ks]
+            store.merge(
+                "t",
+                spark.createDataFrame(batch, "k long, v long"),
+                ["k"],
+                policy="scd1",
+            )
+            model.update(dict(batch))
+        elif op == "update":
+            m, c = rng.randrange(2, 5), rng.randrange(1, 9)
+            store.update("t", F.col("k") % m == 0, {"v": F.col("v") + c})
+            model = {k: (v + c if k % m == 0 else v) for k, v in model.items()}
+        elif op == "delete":
+            m, r = rng.randrange(3, 7), rng.randrange(3)
+            n = store.delete("t", (F.col("k") % m == r) & (F.col("k") >= 30))
+            expect_gone = {k for k in model if k % m == r and k >= 30}
+            assert n == len(expect_gone), (step, n, len(expect_gone))
+            model = {k: v for k, v in model.items() if k not in expect_gone}
+            if n == 0:
+                check(step)
+                continue  # no-op delete creates no version
+        elif op == "optimize":
+            store.optimize("t")
+        else:  # restore to a random retained version
+            vs = store.versions("t")
+            idx = rng.randrange(len(vs))
+            store.restore("t", vs[idx])
+            model = dict(snapshots[idx])
+        snapshots.append(dict(model))
+        check(step)
+    ops_seen = {r["operation"].split(":")[0]
+                for r in store.history("t").collect() if r["operation"]}
+    assert {"merge", "restore"} <= ops_seen  # the seed exercises both
