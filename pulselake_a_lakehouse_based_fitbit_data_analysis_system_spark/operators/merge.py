@@ -727,6 +727,45 @@ class TableStore:
         for stale in versions[: max(0, len(versions) - (self.keep_versions - 1))]:
             shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)
 
+    def vacuum(
+        self, name: str, keep_versions: int | None = None, dry_run: bool = False
+    ) -> dict:
+        """Explicit retention sweep — the ``VACUUM [DRY RUN]`` analog.
+        Every write already prunes to the store's ``keep_versions``;
+        vacuum exists to (a) tighten retention on demand (pass a
+        smaller ``keep_versions``) and (b) report what is reclaimable
+        first (``dry_run=True`` deletes nothing). Returns
+        ``{"versions": [...], "bytes": N, "files": N}`` for the
+        version dirs outside the retention window. Bytes are UNIQUE
+        bytes freed: a file hard-linked into a surviving version costs
+        nothing to delete here, so it is not counted — at 100 TB a
+        vacuum after trickle merges reclaims only each rewrite's
+        superseded files, a tiny fraction of table size."""
+        keep = self.keep_versions if keep_versions is None else keep_versions
+        if keep < 1:
+            raise ValueError("keep_versions must be >= 1")
+        vs = self.versions(name)
+        current = os.path.basename(self.current_path(name) or "")
+        doomed = [v for v in vs[: max(0, len(vs) - keep)] if v != current]
+        survivors = set(vs) - set(doomed)
+        survivor_inodes: set[int] = set()
+        for v in survivors:
+            for base, _dirs, files in os.walk(os.path.join(self.root, v)):
+                for fname in files:
+                    survivor_inodes.add(os.stat(os.path.join(base, fname)).st_ino)
+        n_bytes = n_files = 0
+        for v in doomed:
+            for base, _dirs, files in os.walk(os.path.join(self.root, v)):
+                for fname in files:
+                    st = os.stat(os.path.join(base, fname))
+                    n_files += 1
+                    if st.st_ino not in survivor_inodes:
+                        n_bytes += st.st_size
+        if not dry_run:
+            for v in doomed:
+                shutil.rmtree(os.path.join(self.root, v), ignore_errors=True)
+        return {"versions": list(doomed), "bytes": n_bytes, "files": n_files}
+
     # --- operation sidecar (DESCRIBE HISTORY support) ----------------------
 
     _OPFILE = "_OP.json"

@@ -3345,3 +3345,39 @@ def test_table_store_dml_model_sequence(spark, tmp_path):
     ops_seen = {r["operation"].split(":")[0]
                 for r in store.history("t").collect() if r["operation"]}
     assert {"merge", "restore"} <= ops_seen  # the seed exercises both
+
+
+def test_table_store_vacuum(spark, tmp_path):
+    """vacuum(): dry_run reports reclaimable versions/files and counts
+    only UNIQUE bytes (files hard-linked into surviving versions are
+    free to delete); the real run removes exactly those versions and
+    never the current one."""
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=10)
+    store.write_partitioned(
+        "t",
+        spark.createDataFrame([Row(k=i, v=i) for i in range(80)]),
+        keys=["k"],
+        n_buckets=4,
+    )
+    for key in (1, 2, 3):
+        store.merge("t", spark.createDataFrame([Row(k=key, v=-key)]),
+                    ["k"], policy="scd1")
+    assert len(store.versions("t")) == 4
+    rep = store.vacuum("t", keep_versions=2, dry_run=True)
+    assert len(store.versions("t")) == 4  # dry run deletes nothing
+    assert len(rep["versions"]) == 2 and rep["files"] > 0
+    # the oldest versions' files are mostly hard-linked forward into
+    # survivors: unique reclaimable bytes must be well under the raw
+    # total of the doomed dirs
+    raw = 0
+    for v in rep["versions"]:
+        for base, _d, files in os.walk(os.path.join(str(tmp_path), v)):
+            raw += sum(os.path.getsize(os.path.join(base, f)) for f in files)
+    assert rep["bytes"] < raw
+    rep2 = store.vacuum("t", keep_versions=2)
+    assert rep2["versions"] == rep["versions"]
+    vs = store.versions("t")
+    assert len(vs) == 2 and os.path.basename(store.current_path("t")) == vs[-1]
+    assert {r["k"]: r["v"] for r in store.read("t").collect()}[2] == -2
+    with pytest.raises(ValueError):
+        store.vacuum("t", keep_versions=0)
