@@ -309,6 +309,35 @@ def main() -> None:
             }
         )
     )
+    # Compact summary LAST: the driver archives only the final 2000
+    # bytes of stdout, and the full line above outgrew that window in
+    # round 8 (the five-row streaming section pushed the headline
+    # totals out of the committed artifact). This line is ~300 bytes,
+    # so the archived tail always ends with parseable headline numbers.
+    top5 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "bench_summary",
+                "value": total,
+                "unit": "sec",
+                "sf": _sf_from_dir(SF_DIR),
+                "passes": passes,
+                "n_queries": len(timings),
+                "top5": top5,
+                "streaming_total": round(
+                    sum(
+                        row["wall_sec"]
+                        for row in streaming.values()
+                        if isinstance(row, dict) and "wall_sec" in row
+                    ),
+                    3,
+                ),
+            }
+        )
+    )
     spark.stop()
 
 

@@ -6442,7 +6442,8 @@ _ROLLUP_MAINTAIN_ORACLE = """
 SELECT CAST(strftime(ts, '%Y%m%d') AS INTEGER)              AS day_i,
        event_type,
        count(*)                                             AS n,
-       sum(CAST(floor(value * 100 + 0.5) AS BIGINT))        AS sum_v,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                                                            AS sum_v,
        min(CAST(floor(value * 100 + 0.5) AS BIGINT))        AS min_v,
        max(CAST(floor(value * 100 + 0.5) AS BIGINT))        AS max_v,
        CAST(3 AS BIGINT)                                    AS n_versions,
@@ -6617,7 +6618,8 @@ _STREAM_ROLLUP_ORACLE = """
 SELECT CAST(strftime(ts, '%Y%m%d') AS INTEGER)              AS day_i,
        event_type,
        count(*)                                             AS n,
-       sum(CAST(floor(value * 100 + 0.5) AS BIGINT))        AS sum_v,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                                                            AS sum_v,
        min(CAST(floor(value * 100 + 0.5) AS BIGINT))        AS min_v,
        max(CAST(floor(value * 100 + 0.5) AS BIGINT))        AS max_v,
        TRUE                                                 AS uu_ok
