@@ -711,6 +711,37 @@ class IvfIndex:
         return self.store.versions(self._vectors)
 
 
+def _cap_candidates_per_bucket(
+    b: DataFrame, max_bucket: int, seed: int
+) -> DataFrame:
+    """Mega-bucket guard for the k-NN join's candidate side: keep at
+    most ``max_bucket`` candidate rows per probe key, chosen by a
+    seeded hash of the candidate id (a deterministic uniform sample,
+    not a low-id bias). The neardup family DROPS oversized buckets
+    (``lsh_candidate_pairs(max_bucket=...)``) — here that would zero
+    out every id living in the bucket, because the query side keys
+    only on its own bucket; capping keeps every id's candidate pool
+    alive while bounding join cost per key at |bucket| x cap
+    (linear) instead of |bucket|^2. The window's partitions are the
+    exploded candidate rows per key — linear in bucket occupancy, the
+    thing the guard is protecting — so the guard never costs more
+    than the join it bounds. Recall trade: ids in a capped bucket
+    re-rank over a hash-sampled subset, so a true neighbor can be
+    sampled away; size the cap at the expected bucket occupancy
+    (|df| x (planes+1) / 2^planes) times a generous skew factor."""
+    from pyspark.sql.window import Window
+
+    wcap = Window.partitionBy("bucket").orderBy(
+        F.xxhash64(F.col("neighbor_id"), F.lit(seed)).asc(),
+        F.col("neighbor_id").asc(),
+    )
+    return (
+        b.withColumn("__bn", F.row_number().over(wcap))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+    )
+
+
 def knn_join_srp(
     df: DataFrame,
     k: int = 5,
@@ -720,6 +751,7 @@ def knn_join_srp(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Directed k-NN JOIN: the top-``k`` approximate neighbors for
     EVERY vector at once — the primitive behind near-dup graph
@@ -739,7 +771,10 @@ def knn_join_srp(
     candidates (~|df| x probes / 2^planes rows), so no single task
     ever holds the table. Neighbors beyond Hamming-1 are invisible —
     the usual SRP recall trade; raise recall with fewer planes or
-    extra seeds unioned (``ann_lsh_multi``'s pattern). Returns
+    extra seeds unioned (``ann_lsh_multi``'s pattern). ``max_bucket``
+    bounds the candidate side per probe key (see
+    ``_cap_candidates_per_bucket``) — the skew guard against a
+    pathological bucket making the equi-join |bucket|^2. Returns
     (id_col, neighbor_id, cosine, rank).
     """
     from pyspark.sql.window import Window
@@ -776,6 +811,8 @@ def knn_join_srp(
         F.col("__norm").alias("nb"),
         F.explode(F.array(*probe_ids)).alias("bucket"),
     )
+    if max_bucket is not None:
+        b = _cap_candidates_per_bucket(b, max_bucket, seed)
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
         F.lit(0.0),

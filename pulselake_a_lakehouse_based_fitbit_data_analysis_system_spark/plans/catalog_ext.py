@@ -7289,6 +7289,72 @@ def q_store_restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HISTORY_VACUUM_ORACLE = """
+SELECT CAST(t.seq AS INTEGER) AS seq,
+       t.operation,
+       CAST(2 AS BIGINT)      AS n_reclaimable,
+       TRUE                   AS files_flag,
+       TRUE                   AS bytes_flag,
+       (SELECT count(*) FROM customer) AS n_rows
+FROM (VALUES
+  (0, 'create'),
+  (1, 'merge:scd1'),
+  (2, 'delete'),
+  (3, 'restore')
+) AS t(seq, operation)
+"""
+
+
+@_register(
+    "store_history_vacuum",
+    _HISTORY_VACUUM_ORACLE,
+    "DESCRIBE HISTORY + VACUUM DRY RUN (merge.py:730-815) — the last "
+    "two lifecycle verbs, driven through a full build -> merge -> "
+    "delete -> restore arc on one table (keep_versions=4 retains the "
+    "whole history). history() reads one tiny _OP.json sidecar per "
+    "version — driver-side metadata, no data scan — and its "
+    "operation column pins the exact commit sequence. vacuum("
+    "keep_versions=2, dry_run=True) then reports the two versions "
+    "outside the tightened window: files_flag pins that doomed "
+    "versions hold files, bytes_flag that UNIQUE bytes > 0 (the "
+    "create version's rewritten-partition files; files hard-linked "
+    "into survivors cost nothing and are not counted — at 100 TB a "
+    "vacuum after trickle merges reclaims each rewrite's superseded "
+    "files, never table-size bytes). n_rows re-reads the table after "
+    "the dry run: the restore undid the delete (row count is back to "
+    "|customer|) and the dry run deleted nothing.",
+    tags=("merge", "store", "vacuum", "history", "time-travel"),
+)
+def q_store_history_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators.merge import TableStore
+
+    store = TableStore(
+        spark, _tf.mkdtemp(prefix="pulselake_histvac_"), keep_versions=4
+    )
+    c = _t(spark, sf_dir, "customer")
+    bal = F.floor(F.col("c_acctbal").cast("double") * 100 + 0.5).cast("long")
+    base = c.select("c_custkey", "c_name", bal.alias("bal_c"))
+    store.write_partitioned("t", base, keys=["c_custkey"], n_buckets=8)
+    inc = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey", "c_name", (bal + 17).alias("bal_c")
+    )
+    store.merge("t", inc, ["c_custkey"], policy="scd1")
+    store.delete("t", F.col("c_custkey") % 7 == 0)
+    store.restore("t", -2)  # roll the delete back to the merge state
+    rep = store.vacuum("t", keep_versions=2, dry_run=True)
+    n_rows = store.read("t").count()
+    return store.history("t").select(
+        "seq",
+        "operation",
+        F.lit(len(rep["versions"])).cast("long").alias("n_reclaimable"),
+        F.lit(rep["files"] > 0).alias("files_flag"),
+        F.lit(rep["bytes"] > 0).alias("bytes_flag"),
+        F.lit(n_rows).cast("long").alias("n_rows"),
+    )
+
+
 _DELETE_WHERE_ORACLE = """
 SELECT o_orderkey, o_custkey, o_orderstatus,
        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c,
