@@ -910,6 +910,55 @@ class TableStore:
             json.dump({"key": key, "files": files}, f)
         os.replace(tmp, os.path.join(version_full, self._FILESTATS))
 
+    _BLOOM_PREFIX = "_BLOOM."
+
+    def _carry_bloom_sidecars(self, src_full: str, dst_full: str) -> None:
+        """Carry bloom file-skipping sidecars (operators/skipping.py)
+        across a version rewrite, the way ``_write_file_stats(carry=)``
+        carries min/max bounds: entries for files hard-linked into the
+        new version (same relative path AND same inode) are still
+        valid and copy over; rewritten files stay unindexed in the new
+        sidecar. The probe side treats an unindexed file as
+        always-a-candidate (one-sided — extra reads, never a missed
+        row) and ``build_bloom_sidecar`` completes the index by
+        scanning only the unindexed files. Without the carry every
+        mutation dropped the whole index and the next build re-scanned
+        the full table. A full rewrite (nothing hard-linked) writes no
+        sidecar at all — the plain full-scan fallback."""
+        try:
+            entries = os.listdir(src_full)
+        except OSError:
+            return
+        for fname in entries:
+            if not (
+                fname.startswith(self._BLOOM_PREFIX)
+                and fname.endswith(".json")
+            ):
+                continue
+            try:
+                with open(os.path.join(src_full, fname)) as f:
+                    meta = json.load(f)
+                files = meta["files"]
+            except Exception:
+                continue  # torn sidecar: probes full-scan, never wrong
+            kept = {}
+            for rel, bits in files.items():
+                try:
+                    if os.path.samefile(
+                        os.path.join(src_full, rel),
+                        os.path.join(dst_full, rel),
+                    ):
+                        kept[rel] = bits
+                except OSError:
+                    continue  # file not carried into the new version
+            if not kept:
+                continue
+            meta["files"] = kept
+            tmp = os.path.join(dst_full, fname + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, os.path.join(dst_full, fname))
+
     def _load_file_stats(self, version_full: str) -> dict | None:
         p = os.path.join(version_full, self._FILESTATS)
         if not os.path.exists(p):
@@ -1240,6 +1289,7 @@ class TableStore:
             else None
         )
         self._write_file_stats(full, key0, carry=carry)
+        self._carry_bloom_sidecars(current, full)
         self._write_schema(full, merged_schema_src)
         self._write_op(full, f"merge:{policy}")
         tmp_ptr = self._pointer(name) + ".tmp"
@@ -1734,6 +1784,7 @@ class TableStore:
                 else None
             )
             self._write_file_stats(full, key0, carry=carry)
+        self._carry_bloom_sidecars(current, full)
         self._write_schema(full, df_all)
         self._write_op(full, op)
         tmp_ptr = self._pointer(name) + ".tmp"
@@ -1824,6 +1875,7 @@ class TableStore:
             else None
         )
         self._write_file_stats(full, key, carry=carry)
+        self._carry_bloom_sidecars(current, full)
         self._write_schema(full, df_all)
         self._write_op(full, "optimize")
         tmp_ptr = self._pointer(name) + ".tmp"

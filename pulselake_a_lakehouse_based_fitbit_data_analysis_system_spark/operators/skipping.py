@@ -40,6 +40,18 @@ def _sidecar_path(version_dir: str, col: str) -> str:
     return os.path.join(version_dir, f"_BLOOM.{col}.json")
 
 
+def _version_parquet_files(version_dir: str) -> list[str]:
+    """Relative paths of every data file in a version dir."""
+    out = []
+    for root, _dirs, fs in os.walk(version_dir):
+        for f in fs:
+            if f.endswith(".parquet"):
+                out.append(
+                    os.path.relpath(os.path.join(root, f), version_dir)
+                )
+    return out
+
+
 def build_bloom_sidecar(
     store: TableStore,
     name: str,
@@ -48,44 +60,69 @@ def build_bloom_sidecar(
     n_hashes: int = 5,
 ) -> int:
     """Index ``col`` for the table's CURRENT version; returns the
-    number of files indexed. One scan: distinct (file, value) →
-    k positions each → per-file position sets. Re-run after merges
-    (the sidecar lives in the version dir, so a new version without a
-    rebuild simply has no index and lookups fall back to full scan —
-    never incorrect)."""
+    number of files scanned. One pass over the unindexed files:
+    distinct (file, value) → k positions each → per-file position
+    sets. INCREMENTAL across mutations: every merge / DELETE /
+    UPDATE / OPTIMIZE carries the sidecar entries of its hard-linked
+    files into the new version (``TableStore._carry_bloom_sidecars``),
+    so a re-run after a mutation scans only the files that mutation
+    actually rewrote — O(files changed), never O(table). Entries for
+    files no longer in the version are dropped; a parameter change
+    (``n_bits`` / ``n_hashes``) rebuilds from scratch (bitsets of
+    different geometry cannot merge)."""
     version_dir = store.current_path(name)
     if version_dir is None:
         raise ValueError(f"table {name!r} does not exist")
-    df = store.read(name)
-    pos_cols = [
-        F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(n_bits)).alias(
-            f"__p{i}"
+    existing: dict[str, str] = {}
+    path = _sidecar_path(version_dir, col)
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                meta = json.load(f)
+            if meta["n_bits"] == n_bits and meta["n_hashes"] == n_hashes:
+                existing = meta["files"]
+        except Exception:
+            existing = {}  # torn sidecar: rebuild everything
+    all_rel = _version_parquet_files(version_dir)
+    sidecar = {rel: existing[rel] for rel in all_rel if rel in existing}
+    missing = [rel for rel in all_rel if rel not in existing]
+    if missing:
+        # scan ONLY the unindexed files; basePath keeps partition
+        # columns resolvable even when ``col`` is one of them
+        df = (
+            store.spark.read.option("basePath", version_dir)
+            .parquet(*[os.path.join(version_dir, rel) for rel in missing])
         )
-        for i in range(n_hashes)
-    ]
-    per_file = (
-        df.select(F.input_file_name().alias("__f"), F.col(col))
-        .distinct()
-        .select("__f", F.array(*pos_cols).alias("__ps"))
-        .select("__f", F.explode("__ps").alias("__p"))
-        .groupBy("__f")
-        .agg(F.collect_set("__p").alias("__ps"))
-        .collect()  # bounded: n_files x n_bits positions max
-    )
-    sidecar = {}
-    for r in per_file:
-        bits = bytearray(n_bits // 8)
-        for p in r["__ps"]:
-            bits[p // 8] |= 1 << (p % 8)
-        # file paths inside the version dir only — relative keys keep
-        # the sidecar valid when hard-linked forward by OPTIMIZE
-        rel = os.path.relpath(r["__f"].replace("file://", ""), version_dir)
-        sidecar[rel] = bytes(bits).hex()
+        pos_cols = [
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(n_bits)).alias(
+                f"__p{i}"
+            )
+            for i in range(n_hashes)
+        ]
+        per_file = (
+            df.select(F.input_file_name().alias("__f"), F.col(col))
+            .distinct()
+            .select("__f", F.array(*pos_cols).alias("__ps"))
+            .select("__f", F.explode("__ps").alias("__p"))
+            .groupBy("__f")
+            .agg(F.collect_set("__p").alias("__ps"))
+            .collect()  # bounded: n_files x n_bits positions max
+        )
+        for r in per_file:
+            bits = bytearray(n_bits // 8)
+            for p in r["__ps"]:
+                bits[p // 8] |= 1 << (p % 8)
+            # file paths inside the version dir only — relative keys
+            # keep the sidecar valid when hard-linked forward
+            rel = os.path.relpath(
+                r["__f"].replace("file://", ""), version_dir
+            )
+            sidecar[rel] = bytes(bits).hex()
     tmp = _sidecar_path(version_dir, col) + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"n_bits": n_bits, "n_hashes": n_hashes, "files": sidecar}, f)
     os.replace(tmp, _sidecar_path(version_dir, col))
-    return len(sidecar)
+    return len(missing)
 
 
 def candidate_files(
@@ -121,8 +158,16 @@ def candidate_files(
         )
         .collect()[0]
     )
+    indexed = meta["files"]
     out = []
-    for rel, hexbits in meta["files"].items():
+    for rel in _version_parquet_files(version_dir):
+        hexbits = indexed.get(rel)
+        if hexbits is None:
+            # carried-forward sidecars are PARTIAL: a file rewritten
+            # since the last build has no entry and must be read —
+            # one-sided, same as a bloom false positive
+            out.append(os.path.join(version_dir, rel))
+            continue
         bits = bytes.fromhex(hexbits)
         if all(
             bits[p // 8] & (1 << (p % 8))

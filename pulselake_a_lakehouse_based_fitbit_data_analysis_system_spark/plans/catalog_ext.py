@@ -6736,6 +6736,8 @@ SELECT o_orderkey,
        TRUE AS files_pruned
 FROM orders
 WHERE o_custkey = 7
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(7 AS BIGINT), 'X', CAST(777 AS BIGINT), TRUE
 """
 
 
@@ -6753,10 +6755,16 @@ WHERE o_custkey = 7
     "files_pruned column asserts files_read < files_total, and the "
     "residual filter makes false positives invisible. False "
     "negatives cannot happen, so the result equals the full-scan "
-    "WHERE — which is the oracle. At 100 TB: ~10 bits per distinct "
-    "value/file for ~1% fpp, sidecar is O(files), test is O(1) per "
-    "file per probe.",
-    tags=("skipping", "bloom", "lakehouse", "lookup"),
+    "WHERE — which is the oracle. The lifecycle is index -> MERGE -> "
+    "probe: the merge rewrites one bucket and hard-links the other "
+    "15, the store carries the linked files' sidecar entries into "
+    "the new version (_carry_bloom_sidecars), the rewritten file is "
+    "unindexed = always-a-candidate, so the post-merge probe still "
+    "prunes AND returns the freshly merged row (o_orderkey = -1). "
+    "At 100 TB: ~10 bits per distinct value/file for ~1% fpp, "
+    "sidecar is O(files), test is O(1) per file per probe, re-index "
+    "after a mutation scans only the rewritten files.",
+    tags=("skipping", "bloom", "lakehouse", "lookup", "merge"),
 )
 def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile as _tf
@@ -6775,6 +6783,11 @@ def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store.write_partitioned("o", orders, keys=["o_orderkey"], n_buckets=16)
     skipping.build_bloom_sidecar(store, "o", "o_custkey")
+    inc = spark.createDataFrame(
+        [(-1, 7, "X", 777)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, total_c long",
+    )
+    store.merge("o", inc, ["o_orderkey"], policy="insert_only")
     df, files_read, files_total = skipping.read_where_eq(
         store, "o", "o_custkey", 7
     )

@@ -2929,15 +2929,94 @@ def test_bloom_sidecar_prunes_files_and_never_drops_rows(spark, tmp_path):
     df, nread, _ = skipping.read_where_eq(store, "t", "v", 12345)
     assert nread == 0 and df.count() == 0
 
-    # merge -> new version dir without a rebuilt sidecar: full scan,
-    # never wrong
+    # merge -> the sidecar carries forward for hard-linked files
+    # (round-9: _carry_bloom_sidecars): pruning survives the mutation,
+    # the rewritten bucket's new file is unindexed and read
+    # unconditionally, and the result includes the merged row
     store.merge(
         "t", spark.createDataFrame([Row(k=5000, v=3)]), ["k"],
         policy="insert_only",
     )
+    # every file genuinely holds v=3 (v = i%100 in each bucket), so a
+    # present-value probe can't prune — the carried index shows in the
+    # ABSENT probe: every carried file bloom-excludes, only the
+    # rewritten (unindexed) files are read
+    df, nread, ntotal = skipping.read_where_eq(store, "t", "v", 12345)
+    assert 0 < nread < ntotal and df.count() == 0
     df, nread, ntotal = skipping.read_where_eq(store, "t", "v", 3)
-    assert nread == ntotal  # fallback
-    assert df.count() == 21
+    assert df.count() == 21  # merged row included, never wrong
+
+
+def test_bloom_sidecar_carries_across_dml_and_rebuilds_incrementally(
+    spark, tmp_path
+):
+    """Round-8 verdict ask #3, the full lifecycle: index -> merge ->
+    probe keeps candidate pruning for untouched (hard-linked) files;
+    a re-build after the merge scans ONLY the rewritten files
+    (returns that count); DELETE and OPTIMIZE carry the same way; a
+    full rewrite drops the sidecar to the honest full-scan fallback."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        skipping,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame([Row(k=i, v=i % 100) for i in range(2000)])
+    store.write_partitioned("t", base, keys=["k"], n_buckets=8)
+    n0 = skipping.build_bloom_sidecar(store, "t", "v", n_bits=4096)
+    assert n0 >= 8  # first build scans everything
+
+    # absent-value probes prove pruning quality across the lifecycle
+    df, nread, ntotal = skipping.read_where_eq(store, "t", "v", 12345)
+    assert nread == 0 and df.count() == 0
+
+    # merge touching ONE bucket: absent-value probe now reads exactly
+    # the rewritten (unindexed) files — every carried file still
+    # bloom-excludes
+    store.merge(
+        "t", spark.createDataFrame([Row(k=5000, v=1)]), ["k"],
+        policy="insert_only",
+    )
+    df, nread, ntotal = skipping.read_where_eq(store, "t", "v", 12345)
+    assert 0 < nread < ntotal  # only the unindexed rewrites
+    unindexed_after_merge = nread
+    assert df.count() == 0  # residual filter: still never wrong
+
+    # incremental re-build: scans only the unindexed files
+    n1 = skipping.build_bloom_sidecar(store, "t", "v", n_bits=4096)
+    assert n1 == unindexed_after_merge and n1 < n0
+    df, nread, _ = skipping.read_where_eq(store, "t", "v", 12345)
+    assert nread == 0  # fully indexed again
+
+    # DELETE rewrites only matching partitions; carry holds
+    store.delete("t", F.col("k") % 997 == 0)
+    df, nread, ntotal = skipping.read_where_eq(store, "t", "v", 12345)
+    assert nread < ntotal
+    n2 = skipping.build_bloom_sidecar(store, "t", "v", n_bits=4096)
+    assert 0 < n2 < n0
+
+    # present-value probe through the carried+completed index matches
+    # the full scan exactly (v=1 lives in every bucket, so no pruning
+    # is expected here — correctness is the point)
+    df, nread, ntotal = skipping.read_where_eq(store, "t", "v", 1)
+    got = sorted(r["k"] for r in df.collect())
+    want = sorted(
+        r["k"] for r in store.read("t").filter(F.col("v") == 1).collect()
+    )
+    assert got == want and 0 < nread <= ntotal
+
+    # full rewrite (INSERT OVERWRITE path): nothing hard-links, the
+    # sidecar vanishes, probes fall back to a full scan
+    store.write_partitioned(
+        "t",
+        spark.createDataFrame([Row(k=i, v=i % 10) for i in range(50)]),
+        keys=["k"],
+        n_buckets=4,
+    )
+    df, nread, ntotal = skipping.read_where_eq(store, "t", "v", 3)
+    assert nread == ntotal and df.count() == 5
 
 
 # --- incrementally-maintained join view (round 8) -------------------------
