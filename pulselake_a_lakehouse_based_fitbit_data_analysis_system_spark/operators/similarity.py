@@ -577,6 +577,100 @@ def kmeans_centroids(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 1,
+    scale: int = 1000,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning with K-MEANS-PARTITIONED candidate
+    generation — cluster the embeddings first, then compare pairs
+    only WITHIN clusters, so the quadratic pair work is bounded per
+    cluster instead of per corpus. This is the embedding-space
+    sibling of the MinHash band (``neardup.lsh_candidate_pairs``) and
+    SRP bucket (``embedding_neardup_pairs_bucketed``) candidate cuts,
+    but data-ADAPTIVE: the partitions follow the corpus's own density
+    instead of fixed random hyperplanes. At 100 TB, k scales with the
+    corpus so each cluster's pair block fits an executor (the paper
+    runs k=11k over 100M embeddings for exactly this reason).
+
+    Assignment reuses the exact-integer Lloyd loop (deterministic
+    lowest-id seeds, the engine-neutral centroid rounding shared with
+    ``kmeans_refine``). Within each cluster a row is DROPPED when any
+    LOWER-id member is cosine-similar above ``threshold`` — the
+    deterministic greedy form of the paper's keep-one-per-epsilon-
+    ball rule (the paper keeps a random representative; lowest-id is
+    the replayable choice). Cosines are over the quantized integer
+    vectors with the catalog's portable-double discipline (exact
+    integer dot and norms, one rounded division). Returns one row per
+    non-empty cluster: (cluster_id, n_vectors, n_dropped, n_kept).
+
+    Cost: the Lloyd iterations (one k-row hash agg each), one
+    self-equi-join on the cluster id (never cartesian), one count
+    agg. The assigned frame is pinned — it feeds both join sides and
+    the cluster sizes."""
+    from .cache import pin
+
+    base, cents = _lloyd_iterate(df, vec_col, id_col, k, iters, scale)
+    asg = pin(_lloyd_assign(base, cents).select("__id", "__q", "__cl"))
+    a = asg.select(
+        F.col("__cl").alias("cl"),
+        F.col("__id").alias("ida"),
+        F.col("__q").alias("qa"),
+    )
+    b = asg.select(
+        F.col("__cl").alias("cl"),
+        F.col("__id").alias("idb"),
+        F.col("__q").alias("qb"),
+    )
+
+    def idot(x: str, y: str):
+        return F.aggregate(
+            F.zip_with(F.col(x), F.col(y), lambda p, q: p * q),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    cos = F.round(
+        idot("qa", "qb").cast("double")
+        / (
+            F.sqrt(idot("qa", "qa").cast("double"))
+            * F.sqrt(idot("qb", "qb").cast("double"))
+        ),
+        6,
+    )
+    dropped = (
+        a.join(b, "cl")
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(cos >= F.lit(threshold))
+        .select("cl", "idb")
+        .distinct()
+        .groupBy("cl")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    sizes = asg.groupBy(F.col("__cl").alias("cl")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    return (
+        sizes.join(dropped, "cl", "left")
+        .select(
+            F.col("cl").alias("cluster_id"),
+            "n_vectors",
+            F.coalesce(F.col("n_dropped"), F.lit(0).cast("long")).alias(
+                "n_dropped"
+            ),
+            (
+                F.col("n_vectors")
+                - F.coalesce(F.col("n_dropped"), F.lit(0).cast("long"))
+            ).alias("n_kept"),
+        )
+    )
+
+
 class IvfIndex:
     """Store-backed IVF-flat index lifecycle (round-7 verdict ask #7):
     build → persist → incremental upsert → probe, through the same

@@ -4634,6 +4634,121 @@ def q_knn_join_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_oracle(k: int = 8, threshold: float = 0.95) -> str:
+    """Replays semantic_dedup end to end: the clustered fixture, the
+    exact-integer Lloyd iteration (same CTE chain as _KMEANS_ORACLE),
+    then the within-cluster greedy drop rule over integer-dot rounded
+    cosines — every arithmetic step in the same association as the
+    Spark side (operators/similarity.py::semantic_dedup)."""
+    dot = (
+        "CAST(list_sum(list_transform(range(1, len(x.qv)+1), "
+        "i -> x.qv[i]*y.qv[i])) AS DOUBLE)"
+    )
+    nx = (
+        "sqrt(CAST(list_sum(list_transform(range(1, len(x.qv)+1), "
+        "i -> x.qv[i]*x.qv[i])) AS DOUBLE))"
+    )
+    ny = (
+        "sqrt(CAST(list_sum(list_transform(range(1, len(y.qv)+1), "
+        "i -> y.qv[i]*y.qv[i])) AS DOUBLE))"
+    )
+    return f"""
+WITH {_clustered_cte()},
+q AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
+  FROM cemb
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, qv AS cv
+  FROM (SELECT id, qv FROM q ORDER BY id LIMIT {k})
+),
+d1 AS (
+  SELECT q.id, q.qv, s.cid,
+         list_sum(list_transform(range(1, len(q.qv)+1),
+                  i -> (q.qv[i]-s.cv[i])*(q.qv[i]-s.cv[i]))) AS dist
+  FROM q CROSS JOIN seeds s
+),
+a1 AS (
+  SELECT id, qv, cid AS cl FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM d1
+  ) WHERE rn = 1
+),
+u AS (
+  SELECT cl, unnest(qv) AS comp, unnest(range(1, len(qv)+1)) AS pos FROM a1
+),
+c2 AS (
+  SELECT cl, pos,
+         CAST(floor((2.0*sum(comp) + count(*)) / (2.0*count(*))) AS BIGINT) AS comp
+  FROM u GROUP BY cl, pos
+),
+cent2 AS (
+  SELECT cl, list(comp ORDER BY pos) AS cv FROM c2 GROUP BY cl
+),
+centf AS (
+  SELECT s.cid, coalesce(c.cv, s.cv) AS cv
+  FROM seeds s LEFT JOIN cent2 c ON c.cl = s.cid
+),
+d2 AS (
+  SELECT q.id, q.qv, s.cid,
+         list_sum(list_transform(range(1, len(q.qv)+1),
+                  i -> (q.qv[i]-s.cv[i])*(q.qv[i]-s.cv[i]))) AS dist
+  FROM q CROSS JOIN centf s
+),
+a2 AS (
+  SELECT id, qv, cid AS cl FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM d2
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT cl, idb, count(*) AS n_hits FROM (
+    SELECT x.cl, y.id AS idb
+    FROM a2 x JOIN a2 y ON x.cl = y.cl AND x.id < y.id
+    WHERE round(({dot}) / ({nx} * {ny}), 6) >= {threshold}
+  ) GROUP BY cl, idb
+),
+drops AS (SELECT cl, count(*) AS n_dropped FROM dropped GROUP BY cl),
+counts AS (SELECT cl, count(*) AS n_vectors FROM a2 GROUP BY cl)
+SELECT c.cl AS cluster_id,
+       c.n_vectors,
+       CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(c.n_vectors - coalesce(d.n_dropped, 0) AS BIGINT) AS n_kept
+FROM counts c LEFT JOIN drops d ON d.cl = c.cl
+"""
+
+
+@_register(
+    "semantic_dedup_embeddings",
+    _semantic_dedup_oracle(),
+    "SemDeDup (Abbas et al. 2023): semantic near-dup pruning with "
+    "k-means-partitioned candidate generation over the clustered "
+    "fixture — cluster first (the exact-integer Lloyd iteration "
+    "shared with kmeans_refine, deterministic lowest-id seeds), then "
+    "compare pairs only WITHIN clusters (a self-equi-join on the "
+    "cluster id, never cartesian) and drop any row with a lower-id "
+    "member above 0.95 cosine — the deterministic greedy form of the "
+    "paper's keep-one-per-epsilon-ball rule. The data-ADAPTIVE "
+    "candidate cut completing the dedup family: MinHash bands (text), "
+    "SRP buckets (fixed random planes), and now density-following "
+    "k-means cells. The oracle replays the full chain — fixture, "
+    "Lloyd, integer-dot rounded cosines, greedy rule — in SQL. At "
+    "100 TB k scales with the corpus so each cluster's pair block "
+    "fits an executor (the paper's own recipe).",
+    tags=("similarity", "dedup", "kmeans", "llm-pipeline"),
+)
+def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        similarity.clustered_embedding_expr("vec_id", _DIM, 16).alias(
+            "embedding"
+        ),
+    )
+    return similarity.semantic_dedup(
+        emb, "embedding", "vec_id", k=8, iters=1, threshold=0.95
+    )
+
+
 def _ann_uniform_bound_oracle() -> str:
     """Replays the SRP catch-probability model (Goemans–Williamson
     p = 1 - acos(cosine)/pi, catch = p^8 + 8 p^7 (1-p)) over the exact
@@ -6897,6 +7012,95 @@ def q_join_view_incremental_maintain(
             ).withColumn("bal_c", -F.col("bal_c"))
         )
     )
+    n_versions = len(mj.versions())
+    return mj.read().select(
+        "f_ok",
+        "f_ck",
+        "amt_c",
+        "d_ck",
+        "d_name",
+        "bal_c",
+        F.lit(n_versions).cast("long").alias("n_versions"),
+    )
+
+
+_JOIN_VIEW_TOMBSTONE_ORACLE = """
+WITH dim_final AS (
+  SELECT c_custkey AS d_ck, c_name AS d_name,
+         CASE WHEN c_custkey % 9 = 1
+              THEN -CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5)
+                         AS BIGINT)
+              ELSE CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5)
+                        AS BIGINT) END AS bal_c
+  FROM customer
+  WHERE c_custkey % 9 <> 0
+),
+fact AS (
+  SELECT o_orderkey AS f_ok, o_custkey AS f_ck,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT)
+           AS amt_c
+  FROM orders
+)
+SELECT f.f_ok, f.f_ck, f.amt_c, d.d_ck, d.d_name, d.bal_c,
+       CAST(3 AS BIGINT) AS n_versions
+FROM fact f LEFT JOIN dim_final d ON f.f_ck = d.d_ck
+"""
+
+
+@_register(
+    "join_view_dim_tombstones",
+    _JOIN_VIEW_TOMBSTONE_ORACLE,
+    "MaintainedJoin's dim-DELETION path (the seam the round-8 "
+    "verdict flagged: without it a dim row removed upstream leaves "
+    "stale columns in the view forever): the orders-LEFT-JOIN-"
+    "customer view builds complete, then ONE mixed dim increment "
+    "lands — tombstones (all non-key columns NULL, the shape the "
+    "store changelog's delete records produce) for every ninth "
+    "customer, balance-negating upserts for another ninth. The "
+    "tombstoned keys DELETE from the dim table and the dim columns "
+    "of every referencing view row revert to NULL — those facts read "
+    "as unmatched again, exactly the from-scratch LEFT JOIN against "
+    "the post-delete dim, which is the oracle. Cost profile is the "
+    "usual IVM bound: the tombstone key list is metadata-scale, both "
+    "the dim delete's match scan and the view's affected-row filter "
+    "push down, untouched buckets hard-link. n_versions pins the "
+    "delete-then-upsert commit sequence.",
+    tags=("matview", "merge", "incremental", "join", "delete"),
+)
+def q_join_view_dim_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators.matview import MaintainedJoin
+    from ..operators.merge import TableStore
+
+    cents = F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5).cast(
+        "long"
+    )
+    bal = F.floor(F.col("c_acctbal").cast("double") * 100 + 0.5).cast("long")
+    fact = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("f_ok"),
+        F.col("o_custkey").alias("f_ck"),
+        cents.alias("amt_c"),
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("d_ck"),
+        F.col("c_name").alias("d_name"),
+        bal.alias("bal_c"),
+    )
+    store = TableStore(
+        spark, _tf.mkdtemp(prefix="pulselake_jtomb_"), keep_versions=3
+    )
+    mj = MaintainedJoin(store, "v", "f_ok", "f_ck", "d", "d_ck")
+    mj.build(fact, dim)
+    tombs = dim.filter(F.col("d_ck") % 9 == 0).select(
+        "d_ck",
+        F.lit(None).cast("string").alias("d_name"),
+        F.lit(None).cast("long").alias("bal_c"),
+    )
+    ups = dim.filter(F.col("d_ck") % 9 == 1).withColumn(
+        "bal_c", -F.col("bal_c")
+    )
+    mj.apply_dim(tombs.unionByName(ups))
     n_versions = len(mj.versions())
     return mj.read().select(
         "f_ok",
