@@ -42,6 +42,15 @@ from pyspark.sql.window import Window
 from .dedup import latest_by_key
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed a new table version between this
+    operation's snapshot read and its commit — the Delta
+    ``ConcurrentModificationException`` analog. Committing anyway
+    would silently drop the other writer's version (a lost update),
+    so the commit is refused; re-run the operation against the new
+    current version (the standard optimistic-concurrency retry)."""
+
+
 def _check_columns(target: DataFrame, source: DataFrame) -> None:
     missing = set(target.columns) - set(source.columns)
     if missing:
@@ -544,6 +553,85 @@ class TableStore:
     def _pointer(self, name: str) -> str:
         return os.path.join(self.root, f"{name}._CURRENT")
 
+    # --- commit protocol (optimistic concurrency) --------------------------
+
+    _LOCK_STALE_SECONDS = 120.0
+
+    def _commit_pointer(
+        self,
+        name: str,
+        version_dir: str,
+        based_on: str | None = None,
+        cleanup_on_conflict: bool = True,
+    ) -> None:
+        """Atomically point the table at ``version_dir``. When
+        ``based_on`` names the version the operation SNAPSHOT-read
+        (the basename of ``current_path`` at its start), the swap is
+        a compare-and-set: if another writer moved the pointer in the
+        meantime, committing would drop that writer's version — a
+        lost update — so ``ConcurrentWriteError`` is raised instead
+        and the caller re-runs against the new current (the Delta
+        ConcurrentModificationException retry model). ``None`` means
+        the operation does not derive from prior state (create /
+        INSERT OVERWRITE / explicit rollback): last-writer-wins, like
+        Delta's own blind overwrite.
+
+        The check-and-swap window is serialized by an O_EXCL lock
+        file next to the pointer — held for microseconds (two file
+        ops), never across a Spark job. A lock older than
+        ``_LOCK_STALE_SECONDS`` is from a dead writer and is broken
+        (commits are never legitimately that slow — all data was
+        written BEFORE the lock is taken)."""
+        lock = os.path.join(self.root, f"{name}._COMMITLOCK")
+        deadline = time.time() + 30.0
+        fd = None
+        while fd is None:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    if (
+                        time.time() - os.stat(lock).st_mtime
+                        > self._LOCK_STALE_SECONDS
+                    ):
+                        os.unlink(lock)  # dead writer's lock
+                        continue
+                except OSError:
+                    continue  # lock released between exists and stat
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"commit lock for table {name!r} held > 30s"
+                    )
+                time.sleep(0.005)
+        try:
+            if based_on is not None:
+                cur = self.current_path(name)
+                cur_base = os.path.basename(cur) if cur else None
+                if cur_base != based_on:
+                    if cleanup_on_conflict:
+                        # the loser's fully-written version dir was
+                        # never pointed to — remove it so history and
+                        # retention never see an orphan
+                        shutil.rmtree(
+                            os.path.join(self.root, version_dir),
+                            ignore_errors=True,
+                        )
+                    raise ConcurrentWriteError(
+                        f"table {name!r}: snapshot version {based_on!r} is "
+                        f"no longer current ({cur_base!r} is) — another "
+                        "writer committed; re-run against the new version"
+                    )
+            tmp_ptr = self._pointer(name) + ".tmp"
+            with open(tmp_ptr, "w") as f:
+                f.write(version_dir)
+            os.replace(tmp_ptr, self._pointer(name))
+        finally:
+            os.close(fd)
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+
     def current_path(self, name: str) -> str | None:
         p = self._pointer(name)
         if not os.path.exists(p):
@@ -571,6 +659,7 @@ class TableStore:
         partition_by: Sequence[str] = (),
         _log_changes: bool = True,
         _op: str = "write",
+        _based_on: str | None = None,
     ) -> None:
         version_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
         full = os.path.join(self.root, version_dir)
@@ -580,10 +669,7 @@ class TableStore:
         writer.parquet(full)
         self._write_schema(full, df)
         self._write_op(full, _op)
-        tmp_ptr = self._pointer(name) + ".tmp"
-        with open(tmp_ptr, "w") as f:
-            f.write(version_dir)
-        os.replace(tmp_ptr, self._pointer(name))
+        self._commit_pointer(name, version_dir, based_on=_based_on)
         if self._changelog_enabled(name) and _log_changes:
             # full refresh/create: the whole table is the change set
             self._append_changelog(
@@ -1292,10 +1378,9 @@ class TableStore:
         self._carry_bloom_sidecars(current, full)
         self._write_schema(full, merged_schema_src)
         self._write_op(full, f"merge:{policy}")
-        tmp_ptr = self._pointer(name) + ".tmp"
-        with open(tmp_ptr, "w") as f:
-            f.write(version_dir)
-        os.replace(tmp_ptr, self._pointer(name))
+        self._commit_pointer(
+            name, version_dir, based_on=os.path.basename(current)
+        )
         if self._changelog_enabled(name):
             # diff only the affected partitions — untouched ones are
             # hard-linked and by construction unchanged
@@ -1376,7 +1461,11 @@ class TableStore:
             else:
                 self.write(name, base, _op=f"create:{policy}")
             return
-        target = self.read(name)
+        # snapshot BEFORE constructing the merge plan: current_path is
+        # resolved eagerly inside read(), so the plan is pinned to this
+        # version and the commit must be conditional on exactly it
+        old_path = self.current_path(name)
+        target = self._read_version(old_path).drop("__bucket")
         if evolve:
             target, source = align_for_evolution(target, source)
         if policy == "insert_only":
@@ -1408,8 +1497,14 @@ class TableStore:
             raise ValueError(f"unknown policy {policy!r}")
         # materialize before the pointer flip; the new version dir is
         # written from the merged plan which still reads the old version
-        old_path = self.current_path(name)
-        self.write(name, merged, _log_changes=False, _op=f"merge:{policy}")
+        self.write(
+            name,
+            merged,
+            _log_changes=False,
+            _op=f"merge:{policy}",
+            # the commit is conditional on the snapshot this merge read
+            _based_on=os.path.basename(old_path) if old_path else None,
+        )
         if self._changelog_enabled(name):
             self._log_merge_changes(
                 name,
@@ -1519,10 +1614,9 @@ class TableStore:
             for fname in files:
                 os.link(os.path.join(base, fname), os.path.join(dst, fname))
         self._write_op(full, "restore", source=version)
-        tmp_ptr = self._pointer(name) + ".tmp"
-        with open(tmp_ptr, "w") as f:
-            f.write(version_dir)
-        os.replace(tmp_ptr, self._pointer(name))
+        # explicit rollback intent: last-writer-wins (based_on=None),
+        # like Delta RESTORE itself
+        self._commit_pointer(name, version_dir)
         if log_changes:
             post = self._read_version(full).drop("__bucket")
             self._log_merge_changes(
@@ -1787,10 +1881,9 @@ class TableStore:
         self._carry_bloom_sidecars(current, full)
         self._write_schema(full, df_all)
         self._write_op(full, op)
-        tmp_ptr = self._pointer(name) + ".tmp"
-        with open(tmp_ptr, "w") as f:
-            f.write(version_dir)
-        os.replace(tmp_ptr, self._pointer(name))
+        self._commit_pointer(
+            name, version_dir, based_on=os.path.basename(current)
+        )
         if log_changes:
             plain = matches.drop(part_col) if spec["mode"] == "hash" else matches
             log(plain, list(keys))
@@ -1878,10 +1971,9 @@ class TableStore:
         self._carry_bloom_sidecars(current, full)
         self._write_schema(full, df_all)
         self._write_op(full, "optimize")
-        tmp_ptr = self._pointer(name) + ".tmp"
-        with open(tmp_ptr, "w") as f:
-            f.write(version_dir)
-        os.replace(tmp_ptr, self._pointer(name))
+        self._commit_pointer(
+            name, version_dir, based_on=os.path.basename(current)
+        )
         self._prune(name, keep=version_dir)
 
 

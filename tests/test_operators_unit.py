@@ -3209,6 +3209,65 @@ def test_maintained_join_dim_tombstones(spark, tmp_path):
     assert norm(mj.read()) == norm(expected)
 
 
+def test_table_store_optimistic_concurrency(spark, tmp_path):
+    """Commit protocol (the Delta ConcurrentModificationException
+    analog): a version-creating operation commits only if the version
+    it SNAPSHOT-read is still current — a stale commit raises
+    ConcurrentWriteError, leaves the pointer untouched, and removes
+    its orphan version dir; racing writers with retry-on-conflict all
+    land and history stays linear."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=50)
+    store.write_partitioned(
+        "t",
+        spark.createDataFrame([Row(k=i, v=i) for i in range(20)]),
+        keys=["k"],
+        n_buckets=2,
+    )
+    stale = os.path.basename(store.current_path("t"))
+    store.merge(
+        "t", spark.createDataFrame([Row(k=100, v=100)]), ["k"],
+        policy="insert_only",
+    )
+    current = store.current_path("t")
+
+    # a commit based on the superseded snapshot is refused...
+    orphan = "t.vdeadbeefcafe"
+    os.makedirs(os.path.join(str(tmp_path), orphan))
+    with pytest.raises(merge.ConcurrentWriteError, match="no longer current"):
+        store._commit_pointer("t", orphan, based_on=stale)
+    # ...the pointer is untouched and the orphan dir was cleaned up
+    assert store.current_path("t") == current
+    assert not os.path.exists(os.path.join(str(tmp_path), orphan))
+    assert orphan not in store.versions("t")
+
+    # racing writers on the SAME table: disjoint single-row inserts
+    # with the standard retry-on-conflict loop — every row must land
+    def upsert(i: int) -> int:
+        for attempt in range(25):
+            try:
+                store.merge(
+                    "t",
+                    spark.createDataFrame([Row(k=1000 + i, v=i)]),
+                    ["k"],
+                    policy="insert_only",
+                )
+                return attempt
+            except merge.ConcurrentWriteError:
+                continue
+        raise AssertionError(f"writer {i} starved after 25 attempts")
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(upsert, range(8)))
+    got = sorted(
+        r["k"] for r in store.read("t").filter(F.col("k") >= 1000).collect()
+    )
+    assert got == [1000 + i for i in range(8)]
+    assert store.read("t").count() == 29  # 20 base + merged + 8 raced
+
+
 # --- restore (rollback) -----------------------------------------------------
 
 
