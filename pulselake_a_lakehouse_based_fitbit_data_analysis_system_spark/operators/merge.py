@@ -776,14 +776,31 @@ class TableStore:
         )
         out.write.mode("append").parquet(self._changelog_dir(name))
 
-    def read_changes(self, name: str, starting_version: int = 0) -> DataFrame:
+    def read_changes(
+        self,
+        name: str,
+        starting_version: int = 0,
+        ignore_deletes: bool = False,
+    ) -> DataFrame:
         """Batch change feed: all change rows with ``_commit_version >=
         starting_version`` (reference ``startingVersion`` backfill, T9,
-        ``Silver/05-silver.py:46,65-66``)."""
+        ``Silver/05-silver.py:46,65-66``). ``ignore_deletes`` drops
+        'delete' records — the reference's ``ignoreDeletes`` consumer
+        contract (T8, ``Silver/05-silver.py:71-76``) for pipelines
+        that only propagate upserts and treat upstream deletes
+        (retention, GDPR, restores) as out-of-band."""
         df = self.spark.read.parquet(self._changelog_dir(name))
-        return df.filter(F.col("_commit_version") >= starting_version)
+        df = df.filter(F.col("_commit_version") >= starting_version)
+        if ignore_deletes:
+            df = df.filter(F.col("_change_type") != "delete")
+        return df
 
-    def stream_changes(self, name: str, starting_version: int = 0) -> DataFrame:
+    def stream_changes(
+        self,
+        name: str,
+        starting_version: int = 0,
+        ignore_deletes: bool = False,
+    ) -> DataFrame:
         """Streaming change feed — the engine's stand-in for a Delta
         CDF streaming source (reference S4,
         ``Silver/05-silver.py:71-76``): an incremental file stream over
@@ -795,7 +812,10 @@ class TableStore:
         d = self._changelog_dir(name)
         schema = self.spark.read.parquet(d).schema
         stream = self.spark.readStream.schema(schema).parquet(d)
-        return stream.filter(F.col("_commit_version") >= starting_version)
+        stream = stream.filter(F.col("_commit_version") >= starting_version)
+        if ignore_deletes:
+            stream = stream.filter(F.col("_change_type") != "delete")
+        return stream
 
     def _prune(self, name: str, keep: str) -> None:
         # order by creation time, OLDEST first — version dirs are

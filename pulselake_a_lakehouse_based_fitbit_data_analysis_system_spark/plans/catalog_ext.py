@@ -7572,6 +7572,92 @@ def q_store_history_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OCC_CONFLICT_ORACLE = """
+SELECT c_custkey, c_name,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
+       TRUE AS conflict_detected,
+       TRUE AS pointer_unchanged,
+       TRUE AS orphan_removed,
+       CAST(3 AS BIGINT) AS n_versions
+FROM customer
+UNION ALL
+SELECT CAST(-1 AS BIGINT), 'writer-A', CAST(111 AS BIGINT),
+       TRUE, TRUE, TRUE, CAST(3 AS BIGINT)
+UNION ALL
+SELECT CAST(-2 AS BIGINT), 'writer-B-retry', CAST(222 AS BIGINT),
+       TRUE, TRUE, TRUE, CAST(3 AS BIGINT)
+"""
+
+
+@_register(
+    "store_concurrent_write_conflict",
+    _OCC_CONFLICT_ORACLE,
+    "Optimistic concurrency (the Delta ConcurrentModificationException "
+    "analog, merge.py::_commit_pointer): two writers snapshot the same "
+    "customer-table version; writer A's insert-only merge commits "
+    "first, then writer B's commit — still based on the superseded "
+    "snapshot — is REFUSED with ConcurrentWriteError (conflict_"
+    "detected), leaves the pointer on A's version (pointer_unchanged), "
+    "and removes B's orphan version dir (orphan_removed; history and "
+    "retention never see it). B then follows the standard retry model "
+    "— re-run against the new current — and its merge lands as the "
+    "third version. The check-and-swap is serialized by a lock held "
+    "for two file ops, never across a Spark job, so at 1000 writers "
+    "the serial section is microseconds while data writes stay fully "
+    "parallel. Row values prove both writers' rows (and no phantom) "
+    "are in the final table.",
+    tags=("merge", "store", "concurrency", "lakehouse"),
+)
+def q_store_concurrent_write_conflict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    from ..operators.merge import ConcurrentWriteError, TableStore
+
+    store = TableStore(
+        spark, _tf.mkdtemp(prefix="pulselake_occ_"), keep_versions=4
+    )
+    c = _t(spark, sf_dir, "customer")
+    bal = F.floor(F.col("c_acctbal").cast("double") * 100 + 0.5).cast("long")
+    base = c.select("c_custkey", "c_name", bal.alias("bal_c"))
+    store.write_partitioned("t", base, keys=["c_custkey"], n_buckets=8)
+    # both writers snapshot here
+    stale = _os.path.basename(store.current_path("t"))
+    w_a = spark.createDataFrame(
+        [(-1, "writer-A", 111)], "c_custkey long, c_name string, bal_c long"
+    )
+    store.merge("t", w_a, ["c_custkey"], policy="insert_only")  # A wins
+    winner = store.current_path("t")
+    # writer B's commit from the superseded snapshot must be refused
+    orphan = "t.vconflictsim0"
+    _os.makedirs(_os.path.join(store.root, orphan))
+    conflict_detected = False
+    try:
+        store._commit_pointer("t", orphan, based_on=stale)
+    except ConcurrentWriteError:
+        conflict_detected = True
+    pointer_unchanged = store.current_path("t") == winner
+    orphan_removed = not _os.path.exists(_os.path.join(store.root, orphan))
+    # the retry model: B re-runs against the new current and lands
+    w_b = spark.createDataFrame(
+        [(-2, "writer-B-retry", 222)],
+        "c_custkey long, c_name string, bal_c long",
+    )
+    store.merge("t", w_b, ["c_custkey"], policy="insert_only")
+    n_versions = len(store.versions("t"))
+    return store.read("t").select(
+        "c_custkey",
+        "c_name",
+        "bal_c",
+        F.lit(conflict_detected).alias("conflict_detected"),
+        F.lit(pointer_unchanged).alias("pointer_unchanged"),
+        F.lit(orphan_removed).alias("orphan_removed"),
+        F.lit(n_versions).cast("long").alias("n_versions"),
+    )
+
+
 _DELETE_WHERE_ORACLE = """
 SELECT o_orderkey, o_custkey, o_orderstatus,
        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c,

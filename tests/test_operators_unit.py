@@ -3401,6 +3401,11 @@ def test_table_store_delete_commits_delete_records(spark, tmp_path):
         if r["_commit_version"] == last
     }
     assert rows == {(4, "delete", None), (5, "delete", None)}
+    # the reference's ignoreDeletes consumer contract: the same feed
+    # with ignore_deletes=True drops exactly the delete records
+    kept = store.read_changes("t", ignore_deletes=True).collect()
+    assert {r["_change_type"] for r in kept} == {"insert"}
+    assert len(kept) == len(ch) - 2
 
 
 def test_table_store_update_where(spark, tmp_path):
