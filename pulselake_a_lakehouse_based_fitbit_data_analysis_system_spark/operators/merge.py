@@ -1588,6 +1588,45 @@ class TableStore:
         path = os.path.join(self.root, version)
         return self._read_version(path).drop("__bucket")
 
+    def clone(self, src: str, dst: str) -> None:
+        """Zero-copy table clone — the Delta ``SHALLOW CLONE`` analog
+        (CREATE TABLE dst SHALLOW CLONE src): ``dst`` becomes an
+        independent table whose version 1 hard-links every file of
+        ``src``'s current version (data, schema, file-stats and bloom
+        sidecars — no data movement, no Spark job) and copies the
+        partition spec, so merges on the clone take the same pruned
+        path as on the source. From then on the tables diverge: a
+        mutation on either rewrites only ITS affected partitions into
+        its own new version while the untouched files stay shared on
+        disk (the same copy-on-write economics as version history —
+        this is how you fork a 100 TB table for an experiment in
+        milliseconds). The clone starts with no changelog and its own
+        empty history; retention applies per table."""
+        src_path = self.current_path(src)
+        if src_path is None:
+            raise FileNotFoundError(f"table {src} does not exist")
+        if self.exists(dst):
+            raise ValueError(f"table {dst!r} already exists")
+        version_dir = f"{dst}.v{uuid.uuid4().hex[:12]}"
+        full = os.path.join(self.root, version_dir)
+        os.makedirs(full)
+        for base, _dirs, files in os.walk(src_path):
+            rel = os.path.relpath(base, src_path)
+            d = full if rel == "." else os.path.join(full, rel)
+            os.makedirs(d, exist_ok=True)
+            for fname in files:
+                if fname == self._OPFILE:
+                    continue  # the clone writes its own commit info
+                os.link(os.path.join(base, fname), os.path.join(d, fname))
+        spec = self.partition_spec(src)
+        if spec is not None:
+            tmp_spec = self._spec_path(dst) + ".tmp"
+            with open(tmp_spec, "w") as f:
+                json.dump(spec, f)
+            os.replace(tmp_spec, self._spec_path(dst))
+        self._write_op(full, "clone", source=os.path.basename(src_path))
+        self._commit_pointer(dst, version_dir)
+
     def restore(
         self,
         name: str,

@@ -7572,6 +7572,85 @@ def q_store_history_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLONE_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 13 = 0
+            THEN CAST(-1 AS BIGINT)
+            ELSE CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                      AS BIGINT) END AS total_c,
+       TRUE AS zero_copy,
+       TRUE AS src_untouched,
+       'clone' AS first_op
+FROM orders
+"""
+
+
+@_register(
+    "store_shallow_clone",
+    _CLONE_ORACLE,
+    "SHALLOW CLONE (the Delta zero-copy fork, merge.py::clone): "
+    "orders land bucketed, clone() forks the table by hard-linking "
+    "every file of the current version — no data movement, no Spark "
+    "job (zero_copy pins inode identity across every data file) — "
+    "and copying the partition spec so the clone's merges stay "
+    "pruned. An SCD-1 batch then mutates ONLY the clone (every 13th "
+    "order's total zeroed to -1): the source still returns the "
+    "original values (src_untouched re-reads it), the clone's "
+    "unaffected partitions remain shared on disk, and the clone's "
+    "history starts at its own 'clone' commit. This is how a 100 TB "
+    "table forks for an experiment in milliseconds — copy-on-write "
+    "divergence, retention per table.",
+    tags=("merge", "store", "clone", "time-travel", "lakehouse"),
+)
+def q_store_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    from ..operators.merge import TableStore
+
+    store = TableStore(
+        spark, _tf.mkdtemp(prefix="pulselake_clone_"), keep_versions=3
+    )
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5).cast(
+        "long"
+    )
+    base = o.select("o_orderkey", cents.alias("total_c"))
+    store.write_partitioned("t", base, keys=["o_orderkey"], n_buckets=8)
+
+    def inodes(path):
+        return {
+            _os.path.relpath(_os.path.join(b, f), path): _os.stat(
+                _os.path.join(b, f)
+            ).st_ino
+            for b, _d, fs in _os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    src_before = inodes(store.current_path("t"))
+    store.clone("t", "fork")
+    zero_copy = inodes(store.current_path("fork")) == src_before
+    inc = base.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "total_c", F.lit(-1).cast("long")
+    )
+    store.merge("fork", inc, ["o_orderkey"], policy="scd1")
+    src_untouched = (
+        inodes(store.current_path("t")) == src_before
+        and store.read("t")
+        .filter((F.col("o_orderkey") % 13 == 0) & (F.col("total_c") == -1))
+        .isEmpty()
+    )
+    first_op = store.history("fork").orderBy("seq").collect()[0]["operation"]
+    return store.read("fork").select(
+        "o_orderkey",
+        "total_c",
+        F.lit(zero_copy).alias("zero_copy"),
+        F.lit(src_untouched).alias("src_untouched"),
+        F.lit(first_op).alias("first_op"),
+    )
+
+
 _OCC_CONFLICT_ORACLE = """
 SELECT c_custkey, c_name,
        CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,

@@ -3268,6 +3268,63 @@ def test_table_store_optimistic_concurrency(spark, tmp_path):
     assert store.read("t").count() == 29  # 20 base + merged + 8 raced
 
 
+def test_table_store_shallow_clone(spark, tmp_path):
+    """SHALLOW CLONE: the clone's first version hard-links every data
+    file of the source's current version (zero copy — inode-asserted)
+    and copies the partition spec; after a merge on the clone the two
+    tables diverge (source bytes untouched, clone's unaffected
+    partitions still shared), the clone's history starts at its own
+    'clone' commit, and cloning onto an existing name refuses."""
+    import os
+
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=4)
+    store.write_partitioned(
+        "t",
+        spark.createDataFrame([Row(k=i, v=i) for i in range(200)]),
+        keys=["k"],
+        n_buckets=4,
+    )
+    store.clone("t", "fork")
+    with pytest.raises(ValueError, match="already exists"):
+        store.clone("t", "fork")
+    with pytest.raises(FileNotFoundError):
+        store.clone("nope", "fork2")
+
+    def inode_map(path):
+        return {
+            os.path.relpath(os.path.join(b, f), path): os.stat(
+                os.path.join(b, f)
+            ).st_ino
+            for b, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    src_inodes = inode_map(store.current_path("t"))
+    fork_inodes = inode_map(store.current_path("fork"))
+    assert src_inodes == fork_inodes  # zero-copy: every file shared
+    assert sorted(r["k"] for r in store.read("fork").collect()) == list(
+        range(200)
+    )
+    ops = [r["operation"] for r in store.history("fork").collect()]
+    assert ops == ["clone"]
+    # the clone inherits the partition spec -> its merges are pruned
+    assert store.partition_spec("fork") == store.partition_spec("t")
+
+    store.merge(
+        "fork", spark.createDataFrame([Row(k=0, v=-1)]), ["k"],
+        policy="scd1",
+    )
+    # source untouched, divergence visible
+    assert {r["v"] for r in store.read("t").filter(F.col("k") == 0).collect()} == {0}
+    assert {r["v"] for r in store.read("fork").filter(F.col("k") == 0).collect()} == {-1}
+    assert inode_map(store.current_path("t")) == src_inodes
+    # unaffected fork partitions still shared with the source
+    after = inode_map(store.current_path("fork"))
+    shared = [rel for rel, ino in after.items() if src_inodes.get(rel) == ino]
+    assert shared  # hard links survive the pruned merge
+
+
 # --- restore (rollback) -----------------------------------------------------
 
 
