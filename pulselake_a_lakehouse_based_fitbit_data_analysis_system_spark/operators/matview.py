@@ -45,6 +45,8 @@ as with ``MaintainedRollup``.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -259,3 +261,200 @@ class MaintainedJoin:
         """Compact the small files incremental maintains accumulate —
         delegates to the store's OPTIMIZE analog."""
         self.store.optimize(self.name, **kwargs)
+
+
+class MaintainedStarJoin:
+    """The star-schema generalization of ``MaintainedJoin``: a
+    ``fact LEFT JOIN dim_1 ... LEFT JOIN dim_n`` view maintained
+    through TableStore versions — the silver enrich join most
+    warehouses actually run (fact + several small dims), kept as
+    STATE instead of recomputed per trigger.
+
+    ``fact_keys`` (one or more columns) uniquely key fact rows and
+    are the view's merge keys; ``dims`` maps each dim table name to
+    its ``(fact_fk, dim_key)`` pair. All fact and dim column names
+    must be mutually disjoint so the view needs no renames.
+
+    Maintenance mirrors the two-table case, per dimension:
+
+    - ``apply_fact``: the increment joins against every CURRENT dim
+      (size-guarded broadcasts) and pruned-full-upserts on the fact
+      keys — O(|increment| + affected buckets), n broadcast joins.
+    - ``apply_dim(dim_name, delta)``: upsert that dim, then refresh
+      ONLY that dim's columns of the view rows whose foreign key is
+      in the delta's key set, in place — the other dims' columns and
+      the fact columns ride along untouched, so a dim change never
+      rescans the fact OR the other dims. Late inserts fill waiting
+      NULLs; all-NULL-non-key tombstone rows delete the dim row and
+      revert referencing view rows' columns for that dim to NULL
+      (same contract as ``MaintainedJoin.apply_dim``).
+
+    At 100 TB the fact maintain prunes on the fact-key buckets and
+    each dim maintain is metadata-scale keys + an IN-pushdown (or
+    broadcast-semi) affected-row filter — cost follows the DELTAS,
+    never |fact| x n_dims.
+    """
+
+    def __init__(
+        self,
+        store: TableStore,
+        name: str,
+        fact_keys: Sequence[str] | str,
+        dims: dict[str, tuple[str, str]],
+        max_inline_keys: int = _MAX_INLINE_KEYS,
+    ) -> None:
+        if isinstance(fact_keys, str):
+            fact_keys = [fact_keys]
+        if not dims:
+            raise ValueError("need at least one dim")
+        if name in dims:
+            raise ValueError("view and dim tables must be distinct")
+        fks = [fk for fk, _dk in dims.values()]
+        if len(set(fks)) != len(fks):
+            raise ValueError(
+                "each dim needs its own fact foreign-key column; "
+                f"duplicates in {fks}"
+            )
+        self.store = store
+        self.name = name
+        self.fact_keys = list(fact_keys)
+        self.dims = dict(dims)
+        self.max_inline_keys = max_inline_keys
+
+    # --- construction -----------------------------------------------------
+
+    def _check_columns(
+        self, fact: DataFrame, dim_frames: dict[str, DataFrame]
+    ) -> None:
+        seen: dict[str, str] = {c: "fact" for c in fact.columns}
+        for dname, df in dim_frames.items():
+            for c in df.columns:
+                if c in seen:
+                    raise ValueError(
+                        f"column {c!r} appears in both {seen[c]} and "
+                        f"{dname} — all sides must be disjoint"
+                    )
+                seen[c] = dname
+        for col in (*self.fact_keys, *(fk for fk, _ in self.dims.values())):
+            if col not in fact.columns:
+                raise ValueError(f"fact frame lacks column {col!r}")
+        for dname, (_fk, dk) in self.dims.items():
+            if dk not in dim_frames[dname].columns:
+                raise ValueError(f"dim {dname!r} lacks key column {dk!r}")
+
+    def _join_all(
+        self, fact: DataFrame, dim_frames: dict[str, DataFrame]
+    ) -> DataFrame:
+        out = fact
+        for dname, (fk, dk) in self.dims.items():
+            d = dim_frames[dname]
+            out = out.join(maybe_broadcast(d), out[fk] == d[dk], "left")
+        return out
+
+    def build(
+        self, fact: DataFrame, dim_frames: dict[str, DataFrame]
+    ) -> None:
+        """Create every dim table and the view (each at version 1)."""
+        if set(dim_frames) != set(self.dims):
+            raise ValueError(
+                f"dim frames {sorted(dim_frames)} != declared "
+                f"{sorted(self.dims)}"
+            )
+        self._check_columns(fact, dim_frames)
+        for dname, (_fk, dk) in self.dims.items():
+            self.store.write_partitioned(dname, dim_frames[dname], keys=[dk])
+        self.store.write_partitioned(
+            self.name,
+            self._join_all(fact, dim_frames),
+            keys=self.fact_keys,
+        )
+
+    # --- incremental maintenance -------------------------------------------
+
+    def apply_fact(self, delta: DataFrame) -> None:
+        """Fold a fact increment (≤1 row per fact key) into the view."""
+        current = {d: self.store.read(d) for d in self.dims}
+        self.store.merge(
+            self.name,
+            self._join_all(delta, current),
+            self.fact_keys,
+            policy="full_upsert",
+        )
+
+    def _affected_view_rows(self, fk: str, delta_keys: DataFrame) -> DataFrame:
+        v = self.store.read(self.name)
+        n = delta_keys.count()
+        if n <= self.max_inline_keys:
+            vals = [r[0] for r in delta_keys.collect()]
+            return v.filter(F.col(fk).isin(vals))
+        return v.join(
+            maybe_broadcast(
+                delta_keys.withColumnRenamed(delta_keys.columns[0], fk)
+            ),
+            [fk],
+            "left_semi",
+        )
+
+    def apply_dim(self, dim_name: str, delta: DataFrame) -> None:
+        """Fold one dim's increment in — upserts refresh that dim's
+        columns of affected view rows in place, tombstones (all
+        non-key columns NULL) delete the dim row and NULL those
+        columns out; the fact and every OTHER dim are untouched."""
+        if dim_name not in self.dims:
+            raise ValueError(f"unknown dim {dim_name!r}")
+        fk, dk = self.dims[dim_name]
+        non_key = [c for c in delta.columns if c != dk]
+        if not non_key:
+            raise ValueError(
+                "dim delta carries only the key column — pass the full "
+                "dim schema (all-NULL non-key columns mark a tombstone)"
+            )
+        is_tomb = F.lit(True)
+        for c in non_key:
+            is_tomb = is_tomb & F.col(c).isNull()
+        tomb_keys = [
+            r[0] for r in delta.filter(is_tomb).select(dk).distinct().collect()
+        ]
+        ups = delta.filter(~F.coalesce(is_tomb, F.lit(False)))
+        dim_cols = set(self.store.read(dim_name).columns)
+        view = self.store.read(self.name)
+        kept = [c for c in view.columns if c not in dim_cols]
+        if tomb_keys:
+            schema = {f.name: f.dataType for f in view.schema.fields}
+            self.store.delete(dim_name, F.col(dk).isin(tomb_keys), keys=[dk])
+            cleared = view.filter(F.col(fk).isin(tomb_keys)).select(
+                *kept,
+                *[
+                    F.lit(None).cast(schema[c]).alias(c)
+                    for c in view.columns
+                    if c in dim_cols
+                ],
+            )
+            self.store.merge(
+                self.name, cleared, self.fact_keys, policy="full_upsert"
+            )
+        if ups.isEmpty():
+            return
+        self.store.merge(dim_name, ups, [dk], policy="full_upsert")
+        affected = self._affected_view_rows(fk, ups.select(dk).distinct())
+        refreshed = affected.select(*kept).join(
+            maybe_broadcast(ups), F.col(fk) == ups[dk], "inner"
+        )
+        self.store.merge(
+            self.name, refreshed, self.fact_keys, policy="full_upsert"
+        )
+
+    # --- read side ----------------------------------------------------------
+
+    def read(self, inner: bool = False) -> DataFrame:
+        """The current view; ``inner=True`` keeps rows matched in
+        EVERY dim (each dim key is NULL exactly on its unmatched
+        facts)."""
+        v = self.store.read(self.name)
+        if inner:
+            for _dname, (_fk, dk) in self.dims.items():
+                v = v.filter(F.col(dk).isNotNull())
+        return v
+
+    def versions(self) -> list[str]:
+        return self.store.versions(self.name)

@@ -7572,6 +7572,138 @@ def q_store_history_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STAR_VIEW_ORACLE = """
+WITH fact_base AS (
+  SELECT l_orderkey, l_linenumber,
+         min(l_partkey) AS l_partkey, min(l_suppkey) AS l_suppkey,
+         min(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c
+  FROM lineitem GROUP BY 1, 2
+),
+fact_final AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         CASE WHEN l_orderkey % 20 = 1
+              THEN qty_c + 777 ELSE qty_c END AS qty_c
+  FROM fact_base
+),
+dp_final AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 3 <> 0 AND p_partkey % 7 = 1
+              THEN 'RETAGGED' ELSE p_brand END AS p_brand
+  FROM part
+),
+ds_final AS (
+  SELECT s_suppkey, s_name,
+         CASE WHEN s_suppkey % 9 = 1
+              THEN -CAST(s_nationkey AS INTEGER)
+              ELSE CAST(s_nationkey AS INTEGER) END AS s_nat
+  FROM supplier
+  WHERE s_suppkey % 9 <> 0
+)
+SELECT f.l_orderkey, f.l_linenumber, f.l_partkey, f.l_suppkey, f.qty_c,
+       p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, s.s_nat,
+       CAST(5 AS BIGINT) AS n_versions
+FROM fact_final f
+LEFT JOIN dp_final p ON f.l_partkey = p.p_partkey
+LEFT JOIN ds_final s ON f.l_suppkey = s.s_suppkey
+"""
+
+
+@_register(
+    "star_join_view_maintain",
+    _STAR_VIEW_ORACLE,
+    "Star-schema IVM (operators/matview.MaintainedStarJoin — the "
+    "N-dim generalization of join_view_incremental_maintain): a "
+    "lineitem LEFT JOIN part LEFT JOIN supplier view builds with "
+    "two-thirds of the parts (the late third leaves NULL part "
+    "columns), then (1) a fact increment bumps quantities for some "
+    "order lines (composite fact key: orderkey+linenumber), (2) the "
+    "part dim's increment — the late third plus brand re-tags — "
+    "refreshes ONLY the part columns of affected view rows in place, "
+    "and (3) the supplier dim's mixed increment — tombstones for "
+    "every ninth supplier, nation-negating updates for another ninth "
+    "— deletes those suppliers and reverts ONLY the supplier columns "
+    "of referencing rows to NULL. Neither dim maintain rescans the "
+    "fact or the other dim. Five view versions pin the lifecycle; "
+    "the final state is value-identical to the from-scratch two-LEFT-"
+    "JOIN of the final states — which is the oracle. Cost follows "
+    "the deltas: fact-key-bucket pruning + per-dim IN-pushdown.",
+    tags=("matview", "merge", "incremental", "join", "star-schema"),
+)
+def q_star_join_view_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators.matview import MaintainedStarJoin
+    from ..operators.merge import TableStore
+
+    qty = F.floor(F.col("l_quantity").cast("double") * 100 + 0.5).cast("long")
+    # the synthetic lineitem does NOT carry TPC-H's (orderkey,
+    # linenumber) primary key — min-collapse duplicates to a
+    # deterministic unique-keyed fact (the IVM contract) on both sides
+    fact = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            qty.alias("qty_c"),
+        )
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.min("l_partkey").alias("l_partkey"),
+            F.min("l_suppkey").alias("l_suppkey"),
+            F.min("qty_c").alias("qty_c"),
+        )
+    )
+    dp = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ds = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.col("s_nationkey").cast("int").alias("s_nat")
+    )
+    store = TableStore(
+        spark, _tf.mkdtemp(prefix="pulselake_star_"), keep_versions=5
+    )
+    sj = MaintainedStarJoin(
+        store,
+        "v",
+        ["l_orderkey", "l_linenumber"],
+        {"dp": ("l_partkey", "p_partkey"), "ds": ("l_suppkey", "s_suppkey")},
+    )
+    sj.build(
+        fact,
+        {"dp": dp.filter(F.col("p_partkey") % 3 != 0), "ds": ds},
+    )
+    sj.apply_fact(
+        fact.filter(F.col("l_orderkey") % 20 == 1).withColumn(
+            "qty_c", F.col("qty_c") + F.lit(777)
+        )
+    )
+    sj.apply_dim(
+        "dp",
+        dp.filter(F.col("p_partkey") % 3 == 0).unionByName(
+            dp.filter(
+                (F.col("p_partkey") % 3 != 0) & (F.col("p_partkey") % 7 == 1)
+            ).withColumn("p_brand", F.lit("RETAGGED"))
+        ),
+    )
+    sj.apply_dim(
+        "ds",
+        ds.filter(F.col("s_suppkey") % 9 == 0)
+        .select(
+            "s_suppkey",
+            F.lit(None).cast("string").alias("s_name"),
+            F.lit(None).cast("int").alias("s_nat"),
+        )
+        .unionByName(
+            ds.filter(F.col("s_suppkey") % 9 == 1).withColumn(
+                "s_nat", -F.col("s_nat")
+            )
+        ),
+    )
+    n_versions = len(sj.versions())
+    return sj.read().select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "qty_c",
+        "p_partkey", "p_brand", "s_suppkey", "s_name", "s_nat",
+        F.lit(n_versions).cast("long").alias("n_versions"),
+    )
+
+
 _CLONE_ORACLE = """
 SELECT o_orderkey,
        CASE WHEN o_orderkey % 13 = 0

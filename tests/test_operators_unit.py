@@ -3209,6 +3209,100 @@ def test_maintained_join_dim_tombstones(spark, tmp_path):
     assert norm(mj.read()) == norm(expected)
 
 
+def test_maintained_star_join_incremental_equals_rebuild(spark, tmp_path):
+    """Star-schema IVM (MaintainedStarJoin): build + apply_fact +
+    per-dim apply_dim reproduce exactly the from-scratch
+    fact-LEFT-JOIN-every-dim of the final states — late dim inserts
+    fill their waiting NULLs, a dim update touches only ITS columns,
+    a tombstone on one dim reverts only that dim's columns while the
+    other dim's ride along, and validation rejects overlapping
+    columns and unknown dims."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.matview import (
+        MaintainedStarJoin,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path), keep_versions=8)
+    sj = MaintainedStarJoin(
+        store, "v", ["f_id"], {"dp": ("fk_p", "p_k"), "ds": ("fk_s", "s_k")}
+    )
+    with pytest.raises(ValueError, match="disjoint"):
+        sj._check_columns(
+            spark.createDataFrame([Row(f_id=1, fk_p=1, fk_s=1, shared=1)]),
+            {
+                "dp": spark.createDataFrame([Row(p_k=1, shared=2)]),
+                "ds": spark.createDataFrame([Row(s_k=1, s_nat=1)]),
+            },
+        )
+    with pytest.raises(ValueError, match="unknown dim"):
+        sj.apply_dim("nope", spark.createDataFrame([Row(p_k=1, p_name="x")]))
+
+    fact0 = spark.createDataFrame(
+        [Row(f_id=i, fk_p=i % 6, fk_s=i % 4, amt=i * 10) for i in range(30)]
+    )
+    dp0 = spark.createDataFrame(  # parts 4,5 arrive late
+        [Row(p_k=k, p_name=f"p{k}") for k in range(4)]
+    )
+    ds0 = spark.createDataFrame(
+        [Row(s_k=k, s_nat=k * 100) for k in range(4)]
+    )
+    sj.build(fact0, {"dp": dp0, "ds": ds0})
+
+    dfact = spark.createDataFrame(  # inserts + one update
+        [Row(f_id=i, fk_p=i % 6, fk_s=i % 4, amt=i * 10) for i in range(30, 40)]
+        + [Row(f_id=2, fk_p=5, fk_s=2, amt=-2)]
+    )
+    sj.apply_fact(dfact)
+    sj.apply_dim(  # late inserts + an update, only dp's columns move
+        "dp",
+        spark.createDataFrame(
+            [Row(p_k=4, p_name="late4"), Row(p_k=5, p_name="late5"),
+             Row(p_k=1, p_name="UPD")]
+        ),
+    )
+    sj.apply_dim(  # tombstone s_k=3, update s_k=0
+        "ds",
+        spark.createDataFrame(
+            [(3, None), (0, -999)], "s_k int, s_nat int"
+        ),
+    )
+
+    fact_final = dfact.unionByName(
+        fact0.join(dfact.select("f_id"), "f_id", "left_anti")
+    )
+    dp_final = spark.createDataFrame(
+        [Row(p_k=0, p_name="p0"), Row(p_k=1, p_name="UPD"),
+         Row(p_k=2, p_name="p2"), Row(p_k=3, p_name="p3"),
+         Row(p_k=4, p_name="late4"), Row(p_k=5, p_name="late5")]
+    )
+    ds_final = spark.createDataFrame(
+        [Row(s_k=0, s_nat=-999), Row(s_k=1, s_nat=100), Row(s_k=2, s_nat=200)]
+    )
+    expected = fact_final.join(
+        dp_final, fact_final["fk_p"] == dp_final["p_k"], "left"
+    ).join(ds_final, fact_final["fk_s"] == ds_final["s_k"], "left")
+
+    def norm(df):
+        return sorted(
+            (r["f_id"], r["fk_p"], r["fk_s"], r["amt"], r["p_k"],
+             r["p_name"], r["s_k"], r["s_nat"])
+            for r in df.collect()
+        )
+
+    assert norm(sj.read()) == norm(expected)
+    # inner=True requires a match in EVERY dim
+    assert norm(sj.read(inner=True)) == norm(
+        expected.filter(
+            F.col("p_k").isNotNull() & F.col("s_k").isNotNull()
+        )
+    )
+    # tombstoned supplier gone from its table; parts untouched by it
+    assert store.read("ds").filter(F.col("s_k") == 3).count() == 0
+    assert store.read("dp").count() == 6
+
+
 def test_table_store_optimistic_concurrency(spark, tmp_path):
     """Commit protocol (the Delta ConcurrentModificationException
     analog): a version-creating operation commits only if the version
