@@ -18,6 +18,8 @@ No pyspark.ml dependency; everything is higher-order array functions.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -772,6 +774,20 @@ class IvfIndex:
         assigned = ivf_assign(df, self.centroids(), vec_col=self.vec_col)
         self.store.merge(
             self._vectors, assigned, [self.id_col], policy="insert_only"
+        )
+
+    def delete(self, ids: Sequence) -> int:
+        """Remove vectors by id — the index-maintenance verb a real
+        corpus needs (document takedowns, re-embeddings that retire
+        old ids). Delegates to the store's pruned DELETE: one scan
+        finds the cells holding matches, only those cell partitions
+        rewrite, every other cell hard-links into the new version
+        (the same O(affected) write amplification as ``upsert``).
+        Probes never see ghosts — a deleted id is gone from the very
+        next read, and the deletion is one ``restore()`` away within
+        retention like every store commit. Returns rows deleted."""
+        return self.store.delete(
+            self._vectors, F.col(self.id_col).isin(list(ids))
         )
 
     def probe(

@@ -1216,6 +1216,19 @@ def test_ivf_index_store_lifecycle(spark, tmp_path):
 
     m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1), plan[:2000]
+    # delete (round 9): removed ids vanish from the next probe — the
+    # result equals brute force over the SURVIVING content — and the
+    # commit is versioned like every other store write
+    survivors_pred = ~(F.col("vec_id") % 7 == 0)
+    n_before = store.read("t__vectors").count()
+    n_del = idx.delete(
+        [r["vec_id"] for r in e.filter(~survivors_pred).collect()]
+    )
+    assert n_del > 0
+    assert store.read("t__vectors").count() == n_before - n_del
+    got4 = idx.probe(cents[0], k=5, nprobe=len(cents)).collect()
+    want4 = knn_brute_force(e.filter(survivors_pred), cents[0], k=5).collect()
+    assert [tuple(r) for r in got4] == [tuple(r) for r in want4]
 
 
 def test_foreach_batch_cache_batch_wraps_persist(spark, tmp_path):
