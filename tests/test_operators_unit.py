@@ -3729,12 +3729,13 @@ def test_table_store_dml_on_evolved_table(spark, tmp_path):
 
 def test_table_store_dml_model_sequence(spark, tmp_path):
     """Model-based interleaving: a fixed pseudo-random sequence of
-    merge/update/delete/optimize/restore ops runs against BOTH the
-    store and a driver-side dict model (restore rolls the model back
-    via per-version snapshots). The store must equal the model after
-    every step — catches interaction bugs (update-after-restore,
-    delete-after-optimize, rollback across rollbacks) that
-    per-operation tests cannot."""
+    merge/update/delete/optimize/restore/clone ops runs against BOTH
+    the store and a driver-side dict model (restore rolls the model
+    back via per-version snapshots; clones must equal the model at
+    fork time and their divergence must never leak back). The store
+    must equal the model after every step — catches interaction bugs
+    (update-after-restore, delete-after-optimize, rollback across
+    rollbacks, mutate-after-clone) that per-operation tests cannot."""
     import random
 
     rng = random.Random(8)
@@ -3753,7 +3754,25 @@ def test_table_store_dml_model_sequence(spark, tmp_path):
         assert got == model, f"divergence after step {step}"
 
     for step in range(12):
-        op = rng.choice(["merge", "update", "delete", "optimize", "restore"])
+        op = rng.choice(
+            ["merge", "update", "delete", "optimize", "restore", "clone"]
+        )
+        if op == "clone":
+            # forks never perturb the main table: the clone equals the
+            # model at fork time, divergence stays on the fork, and
+            # "t" gains no version (so no snapshot is appended)
+            fork = f"fork{step}"
+            store.clone("t", fork)
+            got = {r["k"]: r["v"] for r in store.read(fork).collect()}
+            assert got == model, f"clone diverged at fork, step {step}"
+            store.merge(
+                fork,
+                spark.createDataFrame([(999_000 + step, step)], "k long, v long"),
+                ["k"],
+                policy="scd1",
+            )
+            check(step)
+            continue
         if op == "merge":
             ks = rng.sample(range(100), 5)
             batch = [(k, rng.randrange(1000)) for k in ks]
