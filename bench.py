@@ -27,6 +27,14 @@ without a forced GC an iterative query's checkpoint blocks from pass
 N stay resident through pass N+1 and every later query — measured
 +3.2 s on ``pagerank_deep_trade`` running after 29 other queries vs
 alone in a fresh session (10.1 s alone, 13.3 s contaminated).
+
+Streaming rows are single-pass (a drain is stateful; re-running it
+measures a different thing), so they carry the full ambient spread.
+Round-10 A/B of the r9 ``stateful_running_totals`` +15 % (10.73 →
+12.36 s, code unchanged): three idle-machine passes gave 18.2 s cold,
+then 10.4 / 10.7 s warm — the r8 number reproduces exactly, so the r9
+reading was ambient machine state, not a regression. Read streaming
+rows with that ±15-20 % band in mind.
 """
 
 from __future__ import annotations

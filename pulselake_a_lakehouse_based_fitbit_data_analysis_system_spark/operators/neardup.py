@@ -581,3 +581,164 @@ def keep_canonical(
     """The deduplicated corpus: one canonical doc per cluster (the
     cluster's min id — deterministic, no arbitrary-row-per-group)."""
     return clustered.filter(F.col(id_col) == F.col(cluster_col))
+
+
+class LshIndex:
+    """Store-backed MinHash-LSH dedup index — INCREMENTAL corpus dedup,
+    the crawl-ingest pattern at 100 TB: index the corpus once, then
+    each new batch (a) finds its candidate near-dups against the
+    INDEXED corpus without rescanning or re-hashing it — one equi-join
+    of the batch's bands against the band table — and (b) upserts its
+    own bands so later batches dedup against it too. Every flat dedup
+    operator here (``lsh_candidate_pairs`` and friends) re-hashes the
+    WHOLE corpus per run; the index makes dedup cost O(batch), which
+    is the difference between feasible and not on a continuously-fed
+    corpus. The lifecycle sibling of ``similarity.IvfIndex`` — same
+    versioned ``TableStore``: time travel, OPTIMIZE, retention, gated
+    deletes all apply.
+
+    Layout: ``<name>__bands`` holds (id, band_id, band_key) COLUMN-
+    partitioned by ``band_pfx`` = portable_hash64(band_key) %
+    ``n_parts``. A probe computes the batch's own prefix set
+    (metadata-scale: ≤ n_parts values) and filters the scan on it, so
+    a small batch's candidate join reads only the partitions its keys
+    can live in (hive partition pruning on the parquet scan); a batch
+    covering every prefix degenerates to the full band-table scan —
+    the correct worst case. Upserts take the store's pruned merge on
+    (id, band_id); re-indexed documents (changed text → new band
+    keys) full-upsert in place.
+
+    Within-batch duplicates are intentionally out of scope: dedup the
+    batch internally first (``lsh_candidate_pairs``), then
+    ``query_pairs`` it against the index — the two-phase shape a
+    production ingest runs. Candidates verify downstream exactly as
+    LSH candidates always do (``jaccard_pairs`` on the pair set).
+    """
+
+    def __init__(
+        self,
+        store,
+        name: str = "lsh",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_hashes: int = 8,
+        bands: int = 4,
+        shingle_size: int = 3,
+        n_parts: int = 16,
+    ) -> None:
+        if num_hashes % bands:
+            raise ValueError("num_hashes must divide evenly into bands")
+        self.store = store
+        self.name = name
+        self.id_col = id_col
+        self.text_col = text_col
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_size = shingle_size
+        self.n_parts = n_parts
+
+    @property
+    def _bands_table(self) -> str:
+        return f"{self.name}__bands"
+
+    def _band_rows(self, docs: DataFrame) -> DataFrame:
+        sigs = minhash_signatures(
+            docs,
+            self.id_col,
+            self.text_col,
+            num_hashes=self.num_hashes,
+            shingle_size=self.shingle_size,
+        )
+        bd = lsh_bands(
+            sigs, self.id_col, self.bands, self.num_hashes // self.bands
+        )
+        return bd.withColumn(
+            "band_pfx",
+            F.pmod(portable_hash64(F.col("band_key"), 7), F.lit(self.n_parts)),
+        )
+
+    def build(self, docs: DataFrame) -> None:
+        """Index the corpus: hash once, store the band table column-
+        partitioned by the key prefix (version 1; a re-build is a
+        re-index — new version, old one retained per the store's
+        window)."""
+        self.store.write_partitioned(
+            self._bands_table,
+            self._band_rows(docs),
+            keys=[self.id_col, "band_id"],
+            partition_column="band_pfx",
+        )
+
+    def upsert(self, docs: DataFrame) -> None:
+        """Fold a batch into the index: full-upsert on (id, band_id),
+        so re-indexed documents replace their old band keys in place
+        and the store rewrites only the band_pfx partitions the batch
+        lands in."""
+        self.store.merge(
+            self._bands_table,
+            self._band_rows(docs),
+            [self.id_col, "band_id"],
+            policy="full_upsert",
+        )
+
+    def query_pairs(self, docs: DataFrame) -> DataFrame:
+        """Candidate near-dup pairs of ``docs`` AGAINST THE INDEX —
+        (id, match_id) distinct, where ``id`` is a batch document and
+        ``match_id`` an indexed one (a doc already indexed under the
+        same id never matches itself). The batch's bands are computed
+        fresh (O(batch) hashing) and pinned — they feed both the
+        prefix collect and the join; callers release via
+        ``cache.release_pinned()``, the tracked-persist contract every
+        LSH operator here follows — then equi-joined on
+        (band_id, band_key) against the band table pruned to the
+        batch's prefix set."""
+        probe = pin(self._band_rows(docs))
+        pfx = [r[0] for r in probe.select("band_pfx").distinct().collect()]
+        indexed = self.store.read(self._bands_table).filter(
+            F.col("band_pfx").isin(pfx)
+        )
+        a = probe.select(
+            F.col(self.id_col).alias("id"), "band_id", "band_key"
+        )
+        b = indexed.select(
+            F.col(self.id_col).alias("match_id"), "band_id", "band_key"
+        )
+        return (
+            a.join(b, ["band_id", "band_key"])
+            .filter(F.col("id") != F.col("match_id"))
+            .select("id", "match_id")
+            .distinct()
+        )
+
+    def delete(self, ids, max_inline_keys: int = 1_000) -> int:
+        """Retire documents from the index (takedowns): the gated
+        key-set DELETE — inline IN under ``max_inline_keys``, broadcast
+        anti-join above (``TableStore.delete_keys``). Returns band
+        rows deleted (bands × docs removed)."""
+        if isinstance(ids, DataFrame):
+            return self.store.delete_keys(
+                self._bands_table,
+                self.id_col,
+                ids,
+                max_inline_keys=max_inline_keys,
+            )
+        ids = list(ids)
+        if len(ids) <= max_inline_keys:
+            return self.store.delete(
+                self._bands_table, F.col(self.id_col).isin(ids)
+            )
+        kdf = self.store.spark.createDataFrame(
+            [(i,) for i in ids], [self.id_col]
+        )
+        return self.store.delete_keys(
+            self._bands_table, self.id_col, kdf,
+            max_inline_keys=max_inline_keys,
+        )
+
+    def optimize(self) -> None:
+        """Compact the small files trickle upserts leave in each
+        band_pfx partition (``TableStore.optimize``)."""
+        self.store.optimize(self._bands_table, key=self.id_col)
+
+    def versions(self) -> list[str]:
+        return self.store.versions(self._bands_table)

@@ -235,6 +235,72 @@ def q_minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_INDEX_ORACLE = (
+    _SHINGLE_CTE
+    + f"""
+, sigs AS (
+  SELECT doc_id, {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, band_id, band_key
+  FROM sigs, (VALUES {", ".join(f"({b})" for b in range(_BANDS))}) AS bb(band_id),
+  LATERAL (SELECT CASE band_id
+             {" ".join(f"WHEN {b} THEN {_band_key_sql(b)}" for b in range(_BANDS))}
+           END AS band_key)
+)
+SELECT DISTINCT a.doc_id AS id, b.doc_id AS match_id,
+       (SELECT CAST(count(*) * {_BANDS} AS BIGINT) FROM documents)
+         AS n_index_rows
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key
+WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+"""
+)
+
+
+@_register(
+    "lsh_index_incremental",
+    _LSH_INDEX_ORACLE,
+    "Store-backed incremental LSH dedup index (neardup.LshIndex — the "
+    "crawl-ingest pattern): two-thirds of the documents index as the "
+    "corpus (band table column-partitioned by a band-key prefix), "
+    "then the remaining third arrives as a batch and query_pairs "
+    "finds its candidate near-dups against the INDEX — O(batch) "
+    "hashing plus a prefix-pruned equi-join, never a corpus re-scan "
+    "(every flat LSH run re-hashes everything; at a continuously-fed "
+    "100 TB corpus the index is what makes per-batch dedup feasible). "
+    "The batch then upserts in — n_index_rows pins that the fold "
+    "landed (|documents| x bands band rows) via the store's pruned "
+    "merge on (id, band_id). The oracle replays signatures + banding "
+    "over the union and restricts to cross (batch, corpus) pairs — "
+    "exactly the index contract.",
+    tags=("neardup", "minhash", "lsh", "incremental", "store",
+          "llm-pipeline"),
+)
+def q_lsh_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators.merge import TableStore
+    from ..operators.neardup import LshIndex
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    batch = d.filter(F.col("doc_id") % 3 == 0)
+    store = TableStore(
+        spark, _tf.mkdtemp(prefix="pulselake_lshidx_"), keep_versions=3
+    )
+    idx = LshIndex(
+        store, "d", num_hashes=_N_MINHASH, bands=_BANDS, shingle_size=3
+    )
+    idx.build(corpus)
+    pairs = idx.query_pairs(batch)
+    idx.upsert(batch)
+    n_rows = store.read(idx._bands_table).count()
+    return pairs.select(
+        "id", "match_id", F.lit(n_rows).cast("long").alias("n_index_rows")
+    )
+
+
 _JACCARD_ORACLE = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents

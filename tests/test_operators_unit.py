@@ -4269,3 +4269,95 @@ def test_clone_changelog_contract_and_robustness(spark, tmp_path, monkeypatch):
     # exactly one fork2 version dir on disk: the aborted walk left no orphan
     dirs = [d for d in os.listdir(str(tmp_path)) if d.startswith("fork2.v")]
     assert len(dirs) == 1 and dirs == store.versions("fork2")
+
+
+def test_lsh_index_incremental(spark, tmp_path):
+    """Store-backed LSH dedup index: query_pairs(batch) against the
+    indexed corpus equals the flat lsh_candidate_pairs over the union
+    restricted to cross (batch, corpus) pairs — same hashing, no
+    corpus re-scan; upsert folds the batch in so later batches match
+    it; the probe scan is partition-pruned to the batch's band-key
+    prefixes; delete retires a doc's bands."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.cache import (
+        release_pinned,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.neardup import (
+        LshIndex,
+        lsh_candidate_pairs,
+    )
+
+    sents = {
+        0: "the quick brown fox jumps over the lazy dog near the river",
+        1: "a completely different sentence about spark physical plans",
+        2: "partition pruning keeps large table scans cheap at scale",
+        3: "the quick brown fox jumps over the lazy dog near the river",
+        4: "yet another unrelated string of words for the corpus here",
+    }
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=sents[i]) for i in range(5)]
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dup of corpus docs 0 and 3
+            Row(doc_id=10, text=sents[0]),
+            Row(doc_id=11, text="nothing like anything indexed so far at all"),
+        ]
+    )
+
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=4)
+    idx = LshIndex(store, "d", num_hashes=8, bands=4, n_parts=8)
+    idx.build(corpus)
+
+    got = {(r["id"], r["match_id"]) for r in idx.query_pairs(batch).collect()}
+    release_pinned(spark)
+
+    # flat-operator equivalence on the union, restricted to cross pairs
+    union = corpus.unionByName(batch)
+    flat = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            union, "doc_id", "text", num_hashes=8, bands=4
+        ).collect()
+    }
+    release_pinned(spark)
+    cross = {
+        (b, a) for a, b in flat if b >= 10 and a < 10
+    } | {(a, b) for a, b in flat if a >= 10 and b < 10}
+    assert got == cross and (10, 0) in got and (10, 3) in got
+    assert not any(i == 11 for i, _ in got)
+
+    # the probe scan is partition-pruned on band_pfx
+    probe_plan = (
+        idx.store.read(idx._bands_table)
+        .filter(F.col("band_pfx").isin([0, 1]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "band_pfx" in probe_plan and "PartitionFilters" in probe_plan
+    release_pinned(spark)
+
+    # upsert: later batches now match the earlier batch too
+    idx.upsert(batch)
+    batch2 = spark.createDataFrame([Row(doc_id=20, text=sents[0])])
+    got2 = {
+        (r["id"], r["match_id"]) for r in idx.query_pairs(batch2).collect()
+    }
+    release_pinned(spark)
+    assert {(20, 0), (20, 3), (20, 10)} <= got2
+
+    # a batch doc re-queried after its own upsert never self-matches
+    got3 = {
+        (r["id"], r["match_id"]) for r in idx.query_pairs(batch).collect()
+    }
+    release_pinned(spark)
+    assert (10, 10) not in got3 and (10, 0) in got3
+
+    # delete retires the doc's bands (4 band rows) and its matches
+    assert idx.delete([10]) == 4
+    got4 = {
+        (r["id"], r["match_id"]) for r in idx.query_pairs(batch2).collect()
+    }
+    release_pinned(spark)
+    assert (20, 10) not in got4 and (20, 0) in got4
+    assert len(idx.versions()) >= 2
