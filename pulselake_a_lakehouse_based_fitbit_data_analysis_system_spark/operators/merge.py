@@ -1076,17 +1076,19 @@ class TableStore:
         os.replace(tmp, os.path.join(version_full, self._FILESTATS))
 
     _BLOOM_PREFIX = "_BLOOM."
+    _MINMAX_PREFIX = "_MINMAX."
 
     def _carry_bloom_sidecars(self, src_full: str, dst_full: str) -> None:
-        """Carry bloom file-skipping sidecars (operators/skipping.py)
+        """Carry per-column file-skipping sidecars — bloom bitsets AND
+        secondary-column min/max bounds (operators/skipping.py) —
         across a version rewrite, the way ``_write_file_stats(carry=)``
-        carries min/max bounds: entries for files hard-linked into the
-        new version (same relative path AND same inode) are still
-        valid and copy over; rewritten files stay unindexed in the new
-        sidecar. The probe side treats an unindexed file as
+        carries the merge key's bounds: entries for files hard-linked
+        into the new version (same relative path AND same inode) are
+        still valid and copy over; rewritten files stay unindexed in
+        the new sidecar. The probe side treats an unindexed file as
         always-a-candidate (one-sided — extra reads, never a missed
-        row) and ``build_bloom_sidecar`` completes the index by
-        scanning only the unindexed files. Without the carry every
+        row) and the ``build_*_sidecar`` functions complete the index
+        by scanning only the unindexed files. Without the carry every
         mutation dropped the whole index and the next build re-scanned
         the full table. A full rewrite (nothing hard-linked) writes no
         sidecar at all — the plain full-scan fallback."""
@@ -1096,7 +1098,10 @@ class TableStore:
             return
         for fname in entries:
             if not (
-                fname.startswith(self._BLOOM_PREFIX)
+                (
+                    fname.startswith(self._BLOOM_PREFIX)
+                    or fname.startswith(self._MINMAX_PREFIX)
+                )
                 and fname.endswith(".json")
             ):
                 continue
@@ -2120,6 +2125,9 @@ class TableStore:
         name: str,
         partitions: Sequence | None = None,
         key: str | None = None,
+        zorder_by: Sequence[str] | None = None,
+        zorder_bits: int = 20,
+        n_files: int | None = None,
     ) -> None:
         """Compact a partitioned table's files — the OPTIMIZE analog
         for the merge path. Each trickle merge leaves an affected
@@ -2136,7 +2144,25 @@ class TableStore:
         ``key`` defaults to the sidecar's stats key (or the hash
         spec's first key) — pass it explicitly for column-partitioned
         tables created before any merge.
-        """
+
+        ``zorder_by=[x, y]`` is the ``OPTIMIZE ... ZORDER BY``
+        analog: instead of range-clustering by the merge key, files
+        cluster by the Morton (Z-order) interleave of the two columns'
+        low ``zorder_bits`` bits, so each file covers a TIGHT range of
+        BOTH columns simultaneously — per-file min/max skipping
+        (``skipping.build_minmax_sidecar`` + ``read_where_between``)
+        then prunes scans filtered on EITHER column, where a plain
+        sort clusters only its leading column. Columns must be
+        non-negative integral; values above 2^bits clamp into the top
+        cell — clustering quality degrades there but pruning stays
+        CORRECT, because the sidecar stores each file's true bounds
+        regardless of layout. ``n_files`` pins the rewritten file
+        count per selected partition (deterministic multi-file layout
+        — intra-partition pruning needs >1 file; default lets AQE
+        size them, which at small scale gives one file per partition).
+        Re-run the minmax sidecar builds after a zorder rewrite: the
+        rewritten files are new paths, so the incremental build scans
+        exactly them."""
         spec = self.partition_spec(name)
         if spec is None:
             raise ValueError(f"{name} has no partition spec — nothing to optimize")
@@ -2156,7 +2182,36 @@ class TableStore:
             else df_all.filter(F.col(part_col).isin(list(partitions)))
         )
         n_before = sub.count()
-        out = sub.repartitionByRange(F.col(part_col), F.col(key))
+        if zorder_by is not None:
+            if len(zorder_by) != 2:
+                raise ValueError(
+                    "zorder_by takes exactly two columns (the Morton "
+                    f"interleave is 2-D); got {list(zorder_by)}"
+                )
+            missing = [c for c in zorder_by if c not in df_all.columns]
+            if missing:
+                raise ValueError(f"zorder_by columns not in table: {missing}")
+            from ..functions.expressions import morton_code
+
+            cap = F.lit((1 << zorder_bits) - 1)
+            cx, cy = (
+                F.least(F.greatest(F.col(c).cast("long"), F.lit(0)), cap)
+                for c in zorder_by
+            )
+            cluster = morton_code(cx, cy, zorder_bits)
+        else:
+            cluster = F.col(key)
+        if n_files is not None:
+            n_sel = (
+                len(list(partitions))
+                if partitions is not None
+                else sub.select(part_col).distinct().count()
+            )
+            out = sub.repartitionByRange(
+                max(1, int(n_files) * n_sel), F.col(part_col), cluster
+            )
+        else:
+            out = sub.repartitionByRange(F.col(part_col), cluster)
         scratch = os.path.join(self.root, f"{name}.opt{uuid.uuid4().hex[:12]}")
         out.write.mode("overwrite").partitionBy(part_col).parquet(scratch)
         n_scratch = self.spark.read.parquet(scratch).count()

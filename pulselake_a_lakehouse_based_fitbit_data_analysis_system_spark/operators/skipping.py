@@ -204,3 +204,106 @@ def read_where_eq(
     reader = store.spark.read.option("basePath", version_dir)
     df = reader.parquet(*cand).filter(F.col(col) == F.lit(value))
     return df, len(cand), total
+
+
+# --- secondary-column min/max skipping (the OPTIMIZE ZORDER companion) ----
+
+
+def _minmax_path(version_dir: str, col: str) -> str:
+    return os.path.join(version_dir, f"_MINMAX.{col}.json")
+
+
+def build_minmax_sidecar(store: TableStore, name: str, col: str) -> int:
+    """Per-file [min, max] bounds of an ARBITRARY column for the
+    table's CURRENT version — the secondary-column generalization of
+    the store's merge-key ``_FILESTATS`` sidecar, and the read side of
+    ``optimize(zorder_by=...)``: after a Z-order rewrite each file
+    covers a tight range of BOTH clustered columns, so range probes on
+    EITHER prune to the few intersecting files. Returns the number of
+    files scanned. INCREMENTAL across mutations exactly like the bloom
+    sidecar: every DML carries the entries of hard-linked files
+    forward (``TableStore._carry_bloom_sidecars`` handles both
+    prefixes), so a re-run scans only rewritten files; departed
+    entries drop. Bounds are exact (one min/max agg per file), so
+    pruning is one-sided: a file is skipped ONLY when its true range
+    cannot intersect the probe."""
+    version_dir = store.current_path(name)
+    if version_dir is None:
+        raise ValueError(f"table {name!r} does not exist")
+    existing: dict[str, list] = {}
+    path = _minmax_path(version_dir, col)
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                existing = json.load(f)["files"]
+        except Exception:
+            existing = {}  # torn sidecar: rebuild everything
+    all_rel = _version_parquet_files(version_dir)
+    sidecar = {rel: existing[rel] for rel in all_rel if rel in existing}
+    missing = [rel for rel in all_rel if rel not in existing]
+    if missing:
+        df = (
+            store.spark.read.option("basePath", version_dir)
+            .parquet(*[os.path.join(version_dir, rel) for rel in missing])
+        )
+        per_file = (
+            df.select(F.input_file_name().alias("__f"), F.col(col))
+            .groupBy("__f")
+            .agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"))
+            .collect()  # one row per file — metadata-scale
+        )
+        for r in per_file:
+            rel = os.path.relpath(
+                r["__f"].replace("file://", ""), version_dir
+            )
+            sidecar[rel] = [r["__lo"], r["__hi"]]
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"col": col, "files": sidecar}, f)
+    os.replace(tmp, path)
+    return len(missing)
+
+
+def candidate_files_range(
+    store: TableStore, name: str, col: str, lo, hi
+) -> list[str] | None:
+    """Absolute paths of files whose [min, max] can intersect
+    [lo, hi] — or None when no sidecar exists for this version (caller
+    must full-scan). Driver-side metadata test; files without an entry
+    (rewritten since the last build) are always candidates —
+    one-sided, never a missed row."""
+    version_dir = store.current_path(name)
+    path = _minmax_path(version_dir, col)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        indexed = json.load(f)["files"]
+    out = []
+    for rel in _version_parquet_files(version_dir):
+        bounds = indexed.get(rel)
+        if bounds is None or bounds[0] is None or bounds[1] is None:
+            out.append(os.path.join(version_dir, rel))
+            continue
+        if not (bounds[1] < lo or bounds[0] > hi):
+            out.append(os.path.join(version_dir, rel))
+    return out
+
+
+def read_where_between(
+    store: TableStore, name: str, col: str, lo, hi
+) -> tuple[DataFrame, int, int]:
+    """Range scan ``col BETWEEN lo AND hi`` through the min/max
+    sidecar. Returns (rows, files_read, files_total): only candidate
+    files are opened (``basePath`` keeps partition columns); the
+    residual BETWEEN filter is exact. Falls back to a full scan when
+    the sidecar is absent."""
+    version_dir = store.current_path(name)
+    total = len(_version_parquet_files(version_dir))
+    cand = candidate_files_range(store, name, col, lo, hi)
+    cond = F.col(col).between(F.lit(lo), F.lit(hi))
+    if cand is None:
+        return store.read(name).filter(cond), total, total
+    if not cand:
+        return store.read(name).filter(F.lit(False)), 0, total
+    reader = store.spark.read.option("basePath", version_dir)
+    return reader.parquet(*cand).filter(cond), len(cand), total

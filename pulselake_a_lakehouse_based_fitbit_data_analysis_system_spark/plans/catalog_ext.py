@@ -8183,3 +8183,85 @@ def q_store_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bal_c",
         F.lit(n_upd).cast("long").alias("n_updated"),
     )
+
+
+_ZORDER_ORACLE = """
+WITH pts AS (
+  SELECT o_orderkey AS rid,
+         o_custkey % 64 AS x,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT)
+           % 64 AS y
+  FROM orders
+)
+SELECT
+  (SELECT count(*) FROM pts WHERE x BETWEEN 0 AND 7)   AS n_x_rows,
+  (SELECT CAST(coalesce(sum(rid), 0) AS BIGINT)
+   FROM pts WHERE x BETWEEN 0 AND 7)                   AS sum_x_rid,
+  (SELECT count(*) FROM pts WHERE y BETWEEN 0 AND 7)   AS n_y_rows,
+  (SELECT CAST(coalesce(sum(rid), 0) AS BIGINT)
+   FROM pts WHERE y BETWEEN 0 AND 7)                   AS sum_y_rid,
+  TRUE AS pruned_x,
+  TRUE AS pruned_y
+"""
+
+
+@_register(
+    "zorder_multi_column_pruning",
+    _ZORDER_ORACLE,
+    "OPTIMIZE ZORDER BY (x, y) + secondary-column min/max skipping "
+    "(merge.py::optimize(zorder_by=...), skipping.py::"
+    "build_minmax_sidecar/read_where_between — the Delta OPTIMIZE "
+    "ZORDER analog): orders-derived points land hash-bucketed (the "
+    "merge layout), files re-cluster by the Morton interleave of "
+    "(x, y), and per-file [min, max] sidecars — incremental across "
+    "DML like the bloom index — then prune 12.5%-selectivity range "
+    "probes on EITHER column to a fraction of the files, where the "
+    "unclustered layout reads all of them. pruned_x / pruned_y pin "
+    "files_read <= 70% of files_total per probe AT RUNTIME; the probe "
+    "results themselves (counts + rid sums through the pruned scans) "
+    "are value-checked against the plain filters. At 100 TB this is "
+    "the second axis of scan pruning on top of partitioning: "
+    "partition prunes the merge key, Z-order + minmax prunes the "
+    "query columns.",
+    tags=("store", "optimize", "zorder", "skipping", "lakehouse"),
+)
+def q_zorder_multi_column_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators.merge import TableStore
+    from ..operators.skipping import build_minmax_sidecar, read_where_between
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5).cast(
+        "long"
+    )
+    pts = o.select(
+        F.col("o_orderkey").alias("rid"),
+        (F.col("o_custkey") % 64).alias("x"),
+        (cents % 64).alias("y"),
+    )
+    store = TableStore(
+        spark, _tf.mkdtemp(prefix="pulselake_zorder_"), keep_versions=3
+    )
+    store.write_partitioned("t", pts, keys=["rid"], n_buckets=4)
+    store.optimize("t", zorder_by=["x", "y"], n_files=8)
+    build_minmax_sidecar(store, "t", "x")
+    build_minmax_sidecar(store, "t", "y")
+    df_x, read_x, total = read_where_between(store, "t", "x", 0, 7)
+    df_y, read_y, _ = read_where_between(store, "t", "y", 0, 7)
+    agg_x = df_x.agg(
+        F.count(F.lit(1)).alias("n_x_rows"),
+        F.coalesce(F.sum("rid"), F.lit(0)).cast("long").alias("sum_x_rid"),
+    )
+    agg_y = df_y.agg(
+        F.count(F.lit(1)).alias("n_y_rows"),
+        F.coalesce(F.sum("rid"), F.lit(0)).cast("long").alias("sum_y_rid"),
+    )
+    return agg_x.crossJoin(agg_y).select(
+        "n_x_rows",
+        "sum_x_rid",
+        "n_y_rows",
+        "sum_y_rid",
+        F.lit(read_x <= int(total * 0.7)).alias("pruned_x"),
+        F.lit(read_y <= int(total * 0.7)).alias("pruned_y"),
+    )

@@ -4361,3 +4361,86 @@ def test_lsh_index_incremental(spark, tmp_path):
     release_pinned(spark)
     assert (20, 10) not in got4 and (20, 0) in got4
     assert len(idx.versions()) >= 2
+
+
+def test_optimize_zorder_multi_column_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER analog: after clustering files by the Morton
+    interleave of (x, y), per-file min/max sidecars prune range probes
+    on EITHER column to a subset of files, where the unclustered
+    layout reads everything — and results are identical to the full
+    filter. The sidecar build is incremental and its entries carry
+    across a later merge for hard-linked files."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.skipping import (
+        build_minmax_sidecar,
+        read_where_between,
+    )
+
+    n, side = 4096, 64
+    base = spark.range(n).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("long").alias("y"),
+    )
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=4)
+    store.write_partitioned("t", base, keys=["rid"], n_buckets=4)
+
+    def probe(col, lo, hi):
+        df, nread, ntotal = read_where_between(store, "t", col, lo, hi)
+        rows = sorted(r["rid"] for r in df.collect())
+        want = sorted(
+            r["rid"]
+            for r in store.read("t")
+            .filter(F.col(col).between(lo, hi))
+            .collect()
+        )
+        assert rows == want
+        return nread, ntotal
+
+    # unclustered: every file spans nearly the full x and y ranges
+    assert build_minmax_sidecar(store, "t", "x") > 0
+    assert build_minmax_sidecar(store, "t", "y") > 0
+    assert build_minmax_sidecar(store, "t", "x") == 0  # incremental no-op
+    nread, ntotal = probe("x", 0, 7)
+    assert nread == ntotal
+    nread, ntotal = probe("y", 0, 7)
+    assert nread == ntotal
+
+    # zorder rewrite: ~16 files per bucket (range tasks straddling a
+    # bucket boundary split into one file per bucket dir, so the count
+    # lands a little above n_files x buckets), clustered on morton(x,y)
+    store.optimize("t", zorder_by=["x", "y"], n_files=16)
+    # rewritten files are new paths: the incremental build scans
+    # exactly them and nothing else
+    scanned_x = build_minmax_sidecar(store, "t", "x")
+    assert scanned_x >= 64
+    assert build_minmax_sidecar(store, "t", "y") == scanned_x
+    nread_x, ntotal = probe("x", 0, 7)
+    nread_y, _ = probe("y", 0, 7)
+    assert ntotal == scanned_x  # every file was rewritten and indexed
+    # an x:[0,7] probe selects 1/8 of the plane; z-clustered files
+    # bound it to well under the full scan on BOTH columns (range-
+    # quantile file boundaries are count-based, not cell-aligned, so
+    # the bound is ~curve-locality, not the perfect 1/8 — measured
+    # 31/67 on x and 23/67 on y vs 67/67 unclustered)
+    assert nread_x <= int(ntotal * 0.6), (nread_x, ntotal)
+    assert nread_y <= int(ntotal * 0.6), (nread_y, ntotal)
+
+    # zorder validation errors
+    with pytest.raises(ValueError, match="exactly two"):
+        store.optimize("t", zorder_by=["x"])
+    with pytest.raises(ValueError, match="not in table"):
+        store.optimize("t", zorder_by=["x", "nope"])
+
+    # a later merge carries minmax entries for hard-linked files: the
+    # re-build scans only the rewritten bucket's files
+    store.merge(
+        "t",
+        spark.createDataFrame([Row(rid=n + 1, x=0, y=0)]),
+        ["rid"],
+        policy="insert_only",
+    )
+    scanned = build_minmax_sidecar(store, "t", "x")
+    assert 0 < scanned < scanned_x
+    build_minmax_sidecar(store, "t", "y")
+    nread2, ntotal2 = probe("x", 0, 7)
+    assert nread2 < ntotal2
