@@ -876,6 +876,69 @@ class TableStore:
             stream = stream.filter(F.col("_change_type") != "delete")
         return stream
 
+    def vacuum_changelog(
+        self, name: str, keep_from_version: int, dry_run: bool = False
+    ) -> dict:
+        """Change-feed RETENTION — truncate the CDF history below
+        ``keep_from_version`` (Delta's 'CDF reads respect the table's
+        retention window' analog): the changelog is append-only
+        parquet, one-plus files per commit, so at 100 TB an
+        IVM/streaming feed grows without bound unless reclaimed. One
+        column-pruned scan maps each data file to its max
+        ``_commit_version`` (driver collect bounded by file count);
+        files whose records sit ENTIRELY below the cursor delete,
+        files straddling it stay whole — one-sided: ``read_changes``
+        filters by version anyway, so consumers never see a record
+        twice nor lose one at/above the cursor. Already-running
+        streaming consumers are unaffected (their checkpoints recorded
+        the deleted files' offsets; the file source never re-lists
+        them); NEW consumers must start at >= ``keep_from_version`` —
+        a lower ``starting_version`` returns only what survives, which
+        is what a retention window means. Returns
+        ``{"files", "bytes", "max_version_reclaimed"}``; ``dry_run``
+        reports without deleting."""
+        d = self._require_changelog(name)
+        per_file = (
+            self.spark.read.parquet(d)
+            .select(F.input_file_name().alias("__f"), "_commit_version")
+            .groupBy("__f")
+            .agg(F.max("_commit_version").alias("__v"))
+            .collect()
+        )
+        # the newest commit's files always survive (cutoff clamps to
+        # the max version present): a cursor past the head must not
+        # empty the feed — schema inference and consumer resumption
+        # keep working, and the head commit is what a late subscriber
+        # bootstraps from
+        global_max = max((int(r["__v"]) for r in per_file), default=0)
+        cutoff = min(int(keep_from_version), global_max)
+        doomed: list[str] = []
+        max_reclaimed = 0
+        for r in per_file:
+            if r["__v"] < cutoff:
+                doomed.append(r["__f"].replace("file://", ""))
+                max_reclaimed = max(max_reclaimed, int(r["__v"]))
+        n_bytes = sum(
+            os.path.getsize(p) for p in doomed if os.path.exists(p)
+        )
+        if not dry_run:
+            for p in doomed:
+                for victim in (
+                    p,
+                    os.path.join(
+                        os.path.dirname(p), f".{os.path.basename(p)}.crc"
+                    ),
+                ):
+                    try:
+                        os.unlink(victim)
+                    except OSError:
+                        pass
+        return {
+            "files": len(doomed),
+            "bytes": int(n_bytes),
+            "max_version_reclaimed": max_reclaimed,
+        }
+
     def _prune(self, name: str, keep: str) -> None:
         # order by creation time, OLDEST first — version dirs are
         # uuid-named, so a lexicographic sort would prune an arbitrary

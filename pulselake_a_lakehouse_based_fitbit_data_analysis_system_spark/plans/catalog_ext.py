@@ -2510,6 +2510,60 @@ def q_cdf_changes_since(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read_changes("t", starting_version=2)
 
 
+_CDF_RETENTION_ORACLE = _CDF_BASE_ORACLE + """
+, s2 AS (
+  SELECT t0.user_id, coalesce(b.total, t0.total) AS total
+  FROM t0 LEFT JOIN b USING (user_id)
+), b3 AS (
+  SELECT user_id, round(sum(value) * 3, 2) AS total
+  FROM events WHERE user_id % 7 = 0 GROUP BY user_id
+)
+SELECT b.user_id, b.total, 'update_postimage' AS _change_type,
+       CAST(2 AS INTEGER) AS _commit_version, TRUE AS reclaimed
+FROM b JOIN t0 USING (user_id)
+WHERE b.total <> t0.total
+UNION ALL
+SELECT b3.user_id, b3.total, 'update_postimage', CAST(3 AS INTEGER), TRUE
+FROM b3 JOIN s2 USING (user_id)
+WHERE b3.total <> s2.total
+"""
+
+
+@_register(
+    "cdf_retention_vacuum",
+    _CDF_RETENTION_ORACLE,
+    "Change-feed RETENTION (merge.py::vacuum_changelog — Delta's 'CDF "
+    "reads respect the retention window' analog): three commits land "
+    "on the changelogged store (initial insert, then two SCD-1 "
+    "merges), the feed vacuums below version 2, and read_changes must "
+    "return EXACTLY commits 2 and 3's changed-row post-images — the "
+    "reclaim deletes whole files entirely below the cursor (one "
+    "column-pruned scan maps file -> max commit version, driver-side "
+    "metadata), straddling files stay whole, and the newest commit "
+    "always survives. reclaimed pins that files were actually "
+    "deleted. At 100 TB this is what keeps an IVM/streaming feed from "
+    "growing without bound.",
+    tags=("cdf", "merge", "vacuum", "store"),
+)
+def q_cdf_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _cdf_store(spark, sf_dir)
+    e = _t(spark, sf_dir, "events")
+    b3 = (
+        e.filter(F.col("user_id") % 7 == 0)
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value") * 3, 2).alias("total"))
+    )
+    store.merge("t", b3, ["user_id"], policy="scd1")
+    rep = store.vacuum_changelog("t", keep_from_version=2)
+    return store.read_changes("t").select(
+        "user_id",
+        "total",
+        "_change_type",
+        "_commit_version",
+        F.lit(rep["files"] > 0).alias("reclaimed"),
+    )
+
+
 _STORE_MERGE_ORACLE = _CDF_BASE_ORACLE + """
 SELECT t0.user_id, coalesce(b.total, t0.total) AS total
 FROM t0 LEFT JOIN b USING (user_id)

@@ -4444,3 +4444,49 @@ def test_optimize_zorder_multi_column_pruning(spark, tmp_path):
     build_minmax_sidecar(store, "t", "y")
     nread2, ntotal2 = probe("x", 0, 7)
     assert nread2 < ntotal2
+
+
+def test_vacuum_changelog_retention(spark, tmp_path):
+    """Change-feed retention: vacuum_changelog deletes the changelog
+    files entirely below the version cursor (dry_run reports without
+    deleting), read_changes afterwards returns exactly the surviving
+    commits, straddling files stay whole, and the newest commit always
+    survives even when the cursor overshoots the head."""
+    store = merge.TableStore(spark, str(tmp_path), changelog=True)
+    store.write("t", spark.createDataFrame([Row(k=i, v=0) for i in range(10)]))
+    store.merge("t", spark.createDataFrame([Row(k=1, v=1)]), ["k"],
+                policy="scd1")
+    store.merge("t", spark.createDataFrame([Row(k=2, v=2)]), ["k"],
+                policy="scd1")
+    feed = store.read_changes("t")
+    assert {r["_commit_version"] for r in feed.collect()} == {1, 2, 3}
+
+    rep = store.vacuum_changelog("t", keep_from_version=2, dry_run=True)
+    assert rep["files"] > 0 and rep["bytes"] > 0
+    assert rep["max_version_reclaimed"] == 1
+    # dry run deleted nothing
+    assert {r["_commit_version"] for r in store.read_changes("t").collect()} \
+        == {1, 2, 3}
+
+    rep2 = store.vacuum_changelog("t", keep_from_version=2)
+    assert rep2 == rep
+    got = store.read_changes("t").collect()
+    assert {r["_commit_version"] for r in got} == {2, 3}
+    assert [(r["k"], r["v"]) for r in sorted(got, key=lambda r: r["k"])] == [
+        (1, 1), (2, 2)
+    ]
+    # idempotent: nothing left below the cursor
+    assert store.vacuum_changelog("t", keep_from_version=2)["files"] == 0
+
+    # overshooting the head keeps the newest commit's files
+    store.vacuum_changelog("t", keep_from_version=99)
+    left = store.read_changes("t").collect()
+    assert {r["_commit_version"] for r in left} == {3}
+    # the streaming source still reads the surviving feed
+    sink = __import__(
+        "pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.streaming.ops",
+        fromlist=["run_stream_to_memory"],
+    ).run_stream_to_memory(
+        store.stream_changes("t", starting_version=3), output_mode="append"
+    )
+    assert sink.count() == 1
