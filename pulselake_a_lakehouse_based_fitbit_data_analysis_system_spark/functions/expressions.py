@@ -174,3 +174,36 @@ def sql_morton(xe: str, ye: str, bits: int = 10) -> str:
         terms.append(f"(((({xe}) >> {i}) & 1) << {2 * i})")
         terms.append(f"(((({ye}) >> {i}) & 1) << {2 * i + 1})")
     return "(" + " | ".join(terms) + ")"
+
+
+def morton_code_n(cols: Sequence[Column | str], bits: int = 10) -> Column:
+    """N-dimensional Z-order code: round-robin interleave of the low
+    ``bits`` bits of each column — column j owns positions
+    ``i * n + j`` (so for two columns this is exactly
+    :func:`morton_code`'s layout: first column even, second odd). The
+    clustering key behind Delta's multi-column ``OPTIMIZE ZORDER BY
+    (a, b, c, ...)``: range-partitioning by the code keeps rows close
+    in EVERY listed dimension, so per-file min/max prunes scans on any
+    of them (each extra dimension dilutes all of them — 2-4 columns is
+    the practical range, the same guidance Delta documents). Pure
+    shift/and/or Column arithmetic, codegen'd, oracle-checkable.
+    ``bits * n`` must fit a signed 64-bit int (≤ 62)."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("morton_code_n needs at least two columns")
+    if not 1 <= bits * n <= 62:
+        raise ValueError(
+            f"bits * n_cols must be in [1, 62]; got {bits} x {n}"
+        )
+    cs = [
+        (F.col(c) if isinstance(c, str) else c).cast("long") for c in cols
+    ]
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+            )
+    return z

@@ -2208,13 +2208,16 @@ class TableStore:
         spec's first key) — pass it explicitly for column-partitioned
         tables created before any merge.
 
-        ``zorder_by=[x, y]`` is the ``OPTIMIZE ... ZORDER BY``
+        ``zorder_by=[x, y, ...]`` is the ``OPTIMIZE ... ZORDER BY``
         analog: instead of range-clustering by the merge key, files
-        cluster by the Morton (Z-order) interleave of the two columns'
-        low ``zorder_bits`` bits, so each file covers a TIGHT range of
-        BOTH columns simultaneously — per-file min/max skipping
+        cluster by the Morton (Z-order) interleave of the listed
+        columns' low ``zorder_bits`` bits (two or more columns —
+        round-robin interleave via ``morton_code_n``; each extra
+        dimension dilutes all of them, so 2-4 is the practical range,
+        as Delta documents), so each file covers a TIGHT range of
+        EVERY listed column simultaneously — per-file min/max skipping
         (``skipping.build_minmax_sidecar`` + ``read_where_between``)
-        then prunes scans filtered on EITHER column, where a plain
+        then prunes scans filtered on ANY of them, where a plain
         sort clusters only its leading column. Columns must be
         non-negative integral; values above 2^bits clamp into the top
         cell — clustering quality degrades there but pruning stays
@@ -2246,22 +2249,22 @@ class TableStore:
         )
         n_before = sub.count()
         if zorder_by is not None:
-            if len(zorder_by) != 2:
+            if len(zorder_by) < 2:
                 raise ValueError(
-                    "zorder_by takes exactly two columns (the Morton "
-                    f"interleave is 2-D); got {list(zorder_by)}"
+                    "zorder_by takes at least two columns; got "
+                    f"{list(zorder_by)}"
                 )
             missing = [c for c in zorder_by if c not in df_all.columns]
             if missing:
                 raise ValueError(f"zorder_by columns not in table: {missing}")
-            from ..functions.expressions import morton_code
+            from ..functions.expressions import morton_code_n
 
             cap = F.lit((1 << zorder_bits) - 1)
-            cx, cy = (
+            clamped = [
                 F.least(F.greatest(F.col(c).cast("long"), F.lit(0)), cap)
                 for c in zorder_by
-            )
-            cluster = morton_code(cx, cy, zorder_bits)
+            ]
+            cluster = morton_code_n(clamped, zorder_bits)
         else:
             cluster = F.col(key)
         if n_files is not None:

@@ -4426,10 +4426,25 @@ def test_optimize_zorder_multi_column_pruning(spark, tmp_path):
     assert nread_y <= int(ntotal * 0.6), (nread_y, ntotal)
 
     # zorder validation errors
-    with pytest.raises(ValueError, match="exactly two"):
+    with pytest.raises(ValueError, match="at least two"):
         store.optimize("t", zorder_by=["x"])
     with pytest.raises(ValueError, match="not in table"):
         store.optimize("t", zorder_by=["x", "nope"])
+
+    # N-dimensional form (Delta's multi-column ZORDER BY): a third
+    # clustered column also gains pruning, and the first two keep
+    # theirs (diluted — each extra dimension spreads the curve)
+    base3 = base.withColumn("w", (F.col("x") + F.col("y")) % side)
+    store3 = merge.TableStore(spark, str(tmp_path / "n3"), keep_versions=4)
+    store3.write_partitioned("t", base3, keys=["rid"], n_buckets=4)
+    store3.optimize("t", zorder_by=["x", "y", "w"], zorder_bits=6, n_files=16)
+    for col in ("x", "y", "w"):
+        build_minmax_sidecar(store3, "t", col)
+    for col in ("x", "y", "w"):
+        df3, nr, nt = read_where_between(store3, "t", col, 0, 7)
+        want = store3.read("t").filter(F.col(col).between(0, 7)).count()
+        assert df3.count() == want
+        assert nr < nt, (col, nr, nt)
 
     # a later merge carries minmax entries for hard-linked files: the
     # re-build scans only the rewritten bucket's files
