@@ -876,6 +876,53 @@ class TableStore:
             stream = stream.filter(F.col("_change_type") != "delete")
         return stream
 
+    def detail(self, name: str) -> dict:
+        """``DESCRIBE DETAIL`` analog: physical metadata of the
+        CURRENT version — format, location, file count, total bytes,
+        partition spec, retained version count, changelog flag, and
+        the data-skipping sidecars present (min/max stats key, bloom
+        and minmax sidecar columns). Purely driver-side: one directory
+        walk plus the sidecar/spec reads, no Spark job — the
+        'how is this table laid out' call an operator dashboard polls,
+        and the numbers OPTIMIZE/VACUUM decisions key off (file count
+        vs bytes ratio = small-file pressure)."""
+        current = self.current_path(name)
+        if current is None:
+            raise FileNotFoundError(f"table {name} does not exist")
+        n_files = 0
+        n_bytes = 0
+        for root, _dirs, fs in os.walk(current):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(root, f))
+        stats = self._load_file_stats(current)
+        sidecars = sorted(
+            fname[len(self._BLOOM_PREFIX):-len(".json")]
+            for fname in os.listdir(current)
+            if fname.startswith(self._BLOOM_PREFIX)
+            and fname.endswith(".json")
+        )
+        minmax = sorted(
+            fname[len(self._MINMAX_PREFIX):-len(".json")]
+            for fname in os.listdir(current)
+            if fname.startswith(self._MINMAX_PREFIX)
+            and fname.endswith(".json")
+        )
+        return {
+            "name": name,
+            "format": "parquet",
+            "location": current,
+            "num_files": n_files,
+            "size_bytes": int(n_bytes),
+            "partition_spec": self.partition_spec(name),
+            "num_versions": len(self.versions(name)),
+            "changelog_enabled": self._changelog_enabled(name),
+            "stats_key": (stats or {}).get("key"),
+            "bloom_columns": sidecars,
+            "minmax_columns": minmax,
+        }
+
     def vacuum_changelog(
         self, name: str, keep_from_version: int, dry_run: bool = False
     ) -> dict:

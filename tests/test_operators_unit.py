@@ -4505,3 +4505,109 @@ def test_vacuum_changelog_retention(spark, tmp_path):
         store.stream_changes("t", starting_version=3), output_mode="append"
     )
     assert sink.count() == 1
+
+
+def test_table_store_detail(spark, tmp_path):
+    """DESCRIBE DETAIL analog: physical metadata of the current
+    version — files/bytes, partition spec, version count, changelog
+    flag, and which skipping sidecars exist — all driver-side."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.skipping import (
+        build_bloom_sidecar,
+        build_minmax_sidecar,
+    )
+
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=4)
+    store.write_partitioned(
+        "t",
+        spark.createDataFrame([Row(k=i, v=i % 7) for i in range(100)]),
+        keys=["k"],
+        n_buckets=4,
+    )
+    store.enable_changelog("t")
+    store.merge("t", spark.createDataFrame([Row(k=1, v=-1)]), ["k"],
+                policy="scd1")
+    build_bloom_sidecar(store, "t", "v")
+    build_minmax_sidecar(store, "t", "v")
+
+    d = store.detail("t")
+    assert d["name"] == "t" and d["format"] == "parquet"
+    assert d["location"] == store.current_path("t")
+    assert d["num_files"] > 0 and d["size_bytes"] > 0
+    assert d["partition_spec"]["mode"] == "hash"
+    assert d["num_versions"] == 2
+    assert d["changelog_enabled"] is True
+    assert d["stats_key"] == "k"
+    # the sidecars were built on the PRE-build current version; after
+    # the merge above they were built fresh on the new current
+    assert d["bloom_columns"] == ["v"] and d["minmax_columns"] == ["v"]
+    with pytest.raises(FileNotFoundError):
+        store.detail("nope")
+
+
+def test_lsh_index_streaming_ingest(spark, tmp_path):
+    """The crawl-ingest composition END TO END: a document stream
+    drains through the foreachBatch batch-id ledger into
+    LshIndex.upsert, and the resulting index equals the one built from
+    the same documents in one batch — streaming ingest is exactly-once
+    into the same store machinery."""
+    import tempfile as tf
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.cache import (
+        release_pinned,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.neardup import (
+        LshIndex,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.sources.sinks import (
+        start_foreach_batch_sink,
+    )
+
+    sents = [
+        "the quick brown fox jumps over the lazy dog near the river",
+        "a completely different sentence about spark physical plans",
+        "partition pruning keeps large table scans cheap at scale",
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=sents[i % 3]) for i in range(30)]
+    )
+    # stage the docs as parquet and stream them in 3 files
+    staged = tf.mkdtemp(prefix="lsh_stream_")
+    docs.repartition(3).write.mode("overwrite").parquet(staged)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+
+    store = merge.TableStore(spark, str(tmp_path / "s"), keep_versions=4)
+    idx = LshIndex(store, "d", num_hashes=8, bands=4, n_parts=8)
+    idx.build(docs.filter(F.lit(False)))  # empty index, schema fixed
+
+    q = start_foreach_batch_sink(
+        stream,
+        lambda batch_df, _id: idx.upsert(batch_df),
+        checkpoint=tf.mkdtemp(prefix="lsh_stream_ckpt_"),
+    )
+    q.awaitTermination(300)
+
+    batch_store = merge.TableStore(spark, str(tmp_path / "b"), keep_versions=4)
+    batch_idx = LshIndex(batch_store, "d", num_hashes=8, bands=4, n_parts=8)
+    batch_idx.build(docs)
+
+    def bands(ix):
+        return sorted(
+            (r["doc_id"], r["band_id"], r["band_key"])
+            for r in ix.store.read(ix._bands_table).collect()
+        )
+
+    assert bands(idx) == bands(batch_idx)
+    # and the streamed index answers queries identically
+    probe = spark.createDataFrame([Row(doc_id=100, text=sents[0])])
+    got = {(r["id"], r["match_id"]) for r in idx.query_pairs(probe).collect()}
+    release_pinned(spark)
+    want = {
+        (r["id"], r["match_id"])
+        for r in batch_idx.query_pairs(probe).collect()
+    }
+    release_pinned(spark)
+    assert got == want and (100, 0) in got
