@@ -174,7 +174,20 @@ class MaintainedJoin:
         deletion upstream would leave its stale columns in the view
         forever (round-8 verdict 'What's wrong' #3). A delta whose
         schema is the bare key column is rejected as ambiguous — a
-        tombstone must SAY it is one by carrying the nulled columns."""
+        tombstone must SAY it is one by carrying the nulled columns.
+
+        Both key-set filters are GATED on ``max_inline_keys``
+        (round-9 verdict 'What's wrong' #3): a metadata-scale batch
+        inlines as a pushed-down IN list, a bulk GDPR takedown runs
+        the dim delete as a broadcast anti join
+        (``TableStore.delete_keys``) and the affected-view filter as a
+        broadcast semi join (``_affected_view_rows``). A mixed delta's
+        cleared and refreshed view rows are DISJOINT (≤1 delta row per
+        dim key, so a key is a tombstone xor an upsert), so they fold
+        into the view as ONE merge — one commit cycle, not two (a
+        maintain's cost is its view-merge writes; measured on the
+        star lifecycle at sf0.1 the fusion removes a full merge's
+        probe+write from every mixed increment)."""
         non_key = [c for c in delta.columns if c != self.dim_key]
         if not non_key:
             raise ValueError(
@@ -189,65 +202,50 @@ class MaintainedJoin:
         # local relation; at worst two passes over a tiny frame
         tombs = delta.filter(is_tomb).select(self.dim_key).distinct()
         ups = delta.filter(~F.coalesce(is_tomb, F.lit(False)))
-        if not tombs.isEmpty():
-            self._delete_dim_keys(tombs)
-        if ups.isEmpty():
-            return
-        self.store.merge(
-            self.dim_name, ups, [self.dim_key], policy="full_upsert"
-        )
-        dim_cols = self.store.read(self.dim_name).columns
-        fact_cols = [
-            c
-            for c in self.store.read(self.name).columns
-            if c not in set(dim_cols)
-        ]
-        affected = self._affected_view_rows(
-            ups.select(self.dim_key).distinct()
-        )
-        refreshed = affected.select(*fact_cols).join(
-            maybe_broadcast(ups),
-            F.col(self.fact_fk) == ups[self.dim_key],
-            "inner",
-        )
-        self.store.merge(
-            self.name, refreshed, [self.fact_key], policy="full_upsert"
-        )
-
-    def _delete_dim_keys(self, tombs: DataFrame) -> None:
-        """Tombstone execution: DELETE the keys in ``tombs`` (a
-        one-column key frame) from the dim table and null the dim
-        columns of every view row referencing them (the dim key
-        included — it is the view's match indicator, so the fact rows
-        read as unmatched again). Both key-set filters are GATED on
-        ``max_inline_keys`` (round-9 verdict 'What's wrong' #3): a
-        metadata-scale tombstone batch inlines as a pushed-down IN
-        list, while a bulk GDPR takedown runs the dim delete as a
-        broadcast anti join (``TableStore.delete_keys``) and the
-        affected-view filter as a broadcast semi join
-        (``_affected_view_rows``) — never a giant literal IN in the
-        plan."""
         view = self.store.read(self.name)
         schema = {f.name: f.dataType for f in view.schema.fields}
         dim_cols = self.store.read(self.dim_name).columns
         fact_cols = [c for c in view.columns if c not in set(dim_cols)]
-        self.store.delete_keys(
-            self.dim_name,
-            self.dim_key,
-            tombs,
-            keys=[self.dim_key],
-            max_inline_keys=self.max_inline_keys,
-        )
-        cleared = self._affected_view_rows(tombs).select(
-            *fact_cols,
-            *[
-                F.lit(None).cast(schema[c]).alias(c)
-                for c in view.columns
-                if c not in set(fact_cols)
-            ],
-        )
+        increments: list[DataFrame] = []
+        if not tombs.isEmpty():
+            self.store.delete_keys(
+                self.dim_name,
+                self.dim_key,
+                tombs,
+                keys=[self.dim_key],
+                max_inline_keys=self.max_inline_keys,
+            )
+            increments.append(
+                self._affected_view_rows(tombs).select(
+                    *fact_cols,
+                    *[
+                        F.lit(None).cast(schema[c]).alias(c)
+                        for c in view.columns
+                        if c not in set(fact_cols)
+                    ],
+                )
+            )
+        if not ups.isEmpty():
+            self.store.merge(
+                self.dim_name, ups, [self.dim_key], policy="full_upsert"
+            )
+            affected = self._affected_view_rows(
+                ups.select(self.dim_key).distinct()
+            )
+            increments.append(
+                affected.select(*fact_cols).join(
+                    maybe_broadcast(ups),
+                    F.col(self.fact_fk) == ups[self.dim_key],
+                    "inner",
+                )
+            )
+        if not increments:
+            return
+        inc = increments[0]
+        for more in increments[1:]:
+            inc = inc.unionByName(more)
         self.store.merge(
-            self.name, cleared, [self.fact_key], policy="full_upsert"
+            self.name, inc, [self.fact_key], policy="full_upsert"
         )
 
     # --- read side --------------------------------------------------------
@@ -422,6 +420,7 @@ class MaintainedStarJoin:
         dim_cols = set(self.store.read(dim_name).columns)
         view = self.store.read(self.name)
         kept = [c for c in view.columns if c not in dim_cols]
+        increments: list[DataFrame] = []
         if not tombs.isEmpty():
             # both key-set filters gated on max_inline_keys — IN-list
             # pushdown for metadata-scale tombstones, broadcast
@@ -434,26 +433,34 @@ class MaintainedStarJoin:
                 keys=[dk],
                 max_inline_keys=self.max_inline_keys,
             )
-            cleared = self._affected_view_rows(fk, tombs).select(
-                *kept,
-                *[
-                    F.lit(None).cast(schema[c]).alias(c)
-                    for c in view.columns
-                    if c in dim_cols
-                ],
+            increments.append(
+                self._affected_view_rows(fk, tombs).select(
+                    *kept,
+                    *[
+                        F.lit(None).cast(schema[c]).alias(c)
+                        for c in view.columns
+                        if c in dim_cols
+                    ],
+                )
             )
-            self.store.merge(
-                self.name, cleared, self.fact_keys, policy="full_upsert"
+        if not ups.isEmpty():
+            self.store.merge(dim_name, ups, [dk], policy="full_upsert")
+            affected = self._affected_view_rows(fk, ups.select(dk).distinct())
+            increments.append(
+                affected.select(*kept).join(
+                    maybe_broadcast(ups), F.col(fk) == ups[dk], "inner"
+                )
             )
-        if ups.isEmpty():
+        if not increments:
             return
-        self.store.merge(dim_name, ups, [dk], policy="full_upsert")
-        affected = self._affected_view_rows(fk, ups.select(dk).distinct())
-        refreshed = affected.select(*kept).join(
-            maybe_broadcast(ups), F.col(fk) == ups[dk], "inner"
-        )
+        # cleared and refreshed rows are disjoint (≤1 delta row per dim
+        # key: tombstone xor upsert), so a mixed increment folds into
+        # the view as ONE merge — one commit cycle, not two
+        inc = increments[0]
+        for more in increments[1:]:
+            inc = inc.unionByName(more)
         self.store.merge(
-            self.name, refreshed, self.fact_keys, policy="full_upsert"
+            self.name, inc, self.fact_keys, policy="full_upsert"
         )
 
     # --- read side ----------------------------------------------------------

@@ -7296,7 +7296,7 @@ fact AS (
   FROM orders
 )
 SELECT f.f_ok, f.f_ck, f.amt_c, d.d_ck, d.d_name, d.bal_c,
-       CAST(3 AS BIGINT) AS n_versions
+       CAST(2 AS BIGINT) AS n_versions
 FROM fact f LEFT JOIN dim_final d ON f.f_ck = d.d_ck
 """
 
@@ -7317,8 +7317,10 @@ FROM fact f LEFT JOIN dim_final d ON f.f_ck = d.d_ck
     "the post-delete dim, which is the oracle. Cost profile is the "
     "usual IVM bound: the tombstone key list is metadata-scale, both "
     "the dim delete's match scan and the view's affected-row filter "
-    "push down, untouched buckets hard-link. n_versions pins the "
-    "delete-then-upsert commit sequence.",
+    "push down, untouched buckets hard-link. n_versions pins that the "
+    "mixed increment's cleared and refreshed rows — disjoint by the "
+    "one-row-per-key contract — fold in as ONE view commit "
+    "(round 10: one merge cycle, not two).",
     tags=("matview", "merge", "incremental", "join", "delete"),
 )
 def q_join_view_dim_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7855,7 +7857,7 @@ ds_final AS (
 )
 SELECT f.l_orderkey, f.l_linenumber, f.l_partkey, f.l_suppkey, f.qty_c,
        p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, s.s_nat,
-       CAST(5 AS BIGINT) AS n_versions
+       CAST(4 AS BIGINT) AS n_versions
 FROM fact_final f
 LEFT JOIN dp_final p ON f.l_partkey = p.p_partkey
 LEFT JOIN ds_final s ON f.l_suppkey = s.s_suppkey
@@ -7876,8 +7878,10 @@ LEFT JOIN ds_final s ON f.l_suppkey = s.s_suppkey
     "and (3) the supplier dim's mixed increment — tombstones for "
     "every ninth supplier, nation-negating updates for another ninth "
     "— deletes those suppliers and reverts ONLY the supplier columns "
-    "of referencing rows to NULL. Neither dim maintain rescans the "
-    "fact or the other dim. Five view versions pin the lifecycle; "
+    "of referencing rows to NULL, fused with the updates into ONE "
+    "view commit (cleared and refreshed rows are disjoint). Neither "
+    "dim maintain rescans the fact or the other dim. Four view "
+    "versions pin the lifecycle; "
     "the final state is value-identical to the from-scratch two-LEFT-"
     "JOIN of the final states — which is the oracle. Cost follows "
     "the deltas: fact-key-bucket pruning + per-dim gated IN-pushdown "
