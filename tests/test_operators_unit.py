@@ -4611,3 +4611,69 @@ def test_lsh_index_streaming_ingest(spark, tmp_path):
     }
     release_pinned(spark)
     assert got == want and (100, 0) in got
+
+
+def test_maintained_join_streaming_fact_ingest(spark, tmp_path):
+    """IVM from a stream, end to end: a fact stream drains through the
+    foreachBatch batch-id ledger into MaintainedJoin.apply_fact (one
+    pruned maintain per micro-batch), and the final view equals the
+    from-scratch fact LEFT JOIN dim over everything that arrived —
+    the silver enrich join as STATE fed by a stream, which is exactly
+    the shape the reference recomputes per trigger."""
+    import tempfile as tf
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.matview import (
+        MaintainedJoin,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.sources.sinks import (
+        start_foreach_batch_sink,
+    )
+
+    dim = spark.createDataFrame(
+        [Row(d_ck=k, d_name=f"n{k}", d_val=k * 100) for k in range(5)]
+    )
+    facts = spark.createDataFrame(
+        [Row(f_id=i, f_ck=i % 7, f_amt=i * 10) for i in range(60)]
+    )
+    store = merge.TableStore(spark, str(tmp_path / "s"), keep_versions=8)
+    mj = MaintainedJoin(store, "v", "f_id", "f_ck", "d", "d_ck")
+    mj.build(facts.filter(F.lit(False)), dim)  # empty view, dim loaded
+
+    staged = tf.mkdtemp(prefix="mj_stream_")
+    facts.repartition(3).write.mode("overwrite").parquet(staged)
+    stream = (
+        spark.readStream.schema(facts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = start_foreach_batch_sink(
+        stream,
+        lambda batch_df, _id: mj.apply_fact(batch_df),
+        checkpoint=tf.mkdtemp(prefix="mj_stream_ckpt_"),
+    )
+    q.awaitTermination(300)
+
+    expected = facts.join(dim, facts["f_ck"] == dim["d_ck"], "left")
+
+    def norm(df):
+        return sorted(
+            (r["f_id"], r["f_ck"], r["f_amt"], r["d_ck"], r["d_name"],
+             r["d_val"])
+            for r in df.collect()
+        )
+
+    assert norm(mj.read()) == norm(expected)
+    # keys 5 and 6 have no dim row: unmatched-yet facts survive (LEFT)
+    assert mj.read().filter(F.col("d_ck").isNull()).count() == facts.filter(
+        F.col("f_ck") >= 5
+    ).count()
+    # and a later dim insert fills their waiting NULLs incrementally
+    mj.apply_dim(
+        spark.createDataFrame([Row(d_ck=5, d_name="late", d_val=500)])
+    )
+    dim2 = dim.unionByName(
+        spark.createDataFrame([Row(d_ck=5, d_name="late", d_val=500)])
+    )
+    assert norm(mj.read()) == norm(
+        facts.join(dim2, facts["f_ck"] == dim2["d_ck"], "left")
+    )
