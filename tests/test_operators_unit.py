@@ -4677,3 +4677,54 @@ def test_maintained_join_streaming_fact_ingest(spark, tmp_path):
     assert norm(mj.read()) == norm(
         facts.join(dim2, facts["f_ck"] == dim2["d_ck"], "left")
     )
+
+
+def _lock_contender(args):
+    """Child-process body for the cross-process commit-lock test:
+    acquire the table's commit lock through TableStore._commit_lock
+    (bound to a minimal namespace — the method touches only ``root``
+    and the timeout), then do a non-atomic read-modify-write of a
+    counter file. Lost updates are possible ONLY if two holders ever
+    overlap."""
+    import os
+    import time as _time
+    from types import SimpleNamespace
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        TableStore,
+    )
+
+    root, counter, n_iters = args
+    ns = SimpleNamespace(root=root, _LOCK_TIMEOUT_SECONDS=30.0)
+    for _ in range(n_iters):
+        with TableStore._commit_lock(ns, "t"):
+            with open(counter) as f:
+                v = int(f.read().strip())
+            _time.sleep(0.001)  # widen the lost-update window
+            with open(counter, "w") as f:
+                f.write(str(v + 1))
+    return n_iters
+
+
+def test_commit_lock_cross_process(tmp_path):
+    """The commit lock excludes across PROCESSES, not just threads
+    (flock is per open-file-description; every acquisition opens its
+    own fd): 6 processes each perform 25 non-atomic read-modify-write
+    increments under the lock — the counter ends exactly at 150, which
+    is impossible if any two holders ever overlapped. No SparkSession
+    involved: the lock primitive is pure os/fcntl."""
+    from multiprocessing import get_context
+
+    counter = str(tmp_path / "counter")
+    with open(counter, "w") as f:
+        f.write("0")
+    n_procs, n_iters = 6, 25
+    ctx = get_context("spawn")
+    with ctx.Pool(n_procs) as pool:
+        done = pool.map(
+            _lock_contender,
+            [(str(tmp_path), counter, n_iters)] * n_procs,
+        )
+    assert done == [n_iters] * n_procs
+    with open(counter) as f:
+        assert int(f.read().strip()) == n_procs * n_iters
