@@ -307,3 +307,50 @@ def read_where_between(
         return store.read(name).filter(F.lit(False)), 0, total
     reader = store.spark.read.option("basePath", version_dir)
     return reader.parquet(*cand).filter(cond), len(cand), total
+
+
+def read_where(
+    store: TableStore,
+    name: str,
+    eq: dict | None = None,
+    ranges: dict | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Composed file-skipping scan — the multi-predicate form behind
+    a Z-ordered table's BOX query (``x BETWEEN .. AND y BETWEEN ..``,
+    where pruning multiplies across dimensions) and mixed
+    point+range lookups: per-column candidate sets INTERSECT, each
+    column contributing whatever sidecars it has — the bloom bitset
+    for an equality predicate, the min/max bounds for ranges AND
+    equalities (an ``=v`` probe is the degenerate ``[v, v]`` range) —
+    and the final pruned read applies the full residual filter, so
+    extra candidates cost reads, never wrong rows. Columns with no
+    sidecar contribute nothing (their predicate is residual-only);
+    with no sidecar anywhere this degrades to a full scan with the
+    filter, the correct fallback. Returns
+    (rows, files_read, files_total)."""
+    version_dir = store.current_path(name)
+    if version_dir is None:
+        raise FileNotFoundError(f"table {name} does not exist")
+    total = len(_version_parquet_files(version_dir))
+    cand: set[str] | None = None  # None = no sidecar narrowed anything
+
+    def narrow(files: list[str] | None) -> None:
+        nonlocal cand
+        if files is None:
+            return
+        cand = set(files) if cand is None else cand & set(files)
+
+    cond = F.lit(True)
+    for col, value in (eq or {}).items():
+        narrow(candidate_files(store, name, col, value))
+        narrow(candidate_files_range(store, name, col, value, value))
+        cond = cond & (F.col(col) == F.lit(value))
+    for col, (lo, hi) in (ranges or {}).items():
+        narrow(candidate_files_range(store, name, col, lo, hi))
+        cond = cond & F.col(col).between(F.lit(lo), F.lit(hi))
+    if cand is None:
+        return store.read(name).filter(cond), total, total
+    if not cand:
+        return store.read(name).filter(F.lit(False)), 0, total
+    reader = store.spark.read.option("basePath", version_dir)
+    return reader.parquet(*sorted(cand)).filter(cond), len(cand), total

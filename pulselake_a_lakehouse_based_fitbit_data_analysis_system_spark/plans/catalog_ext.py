@@ -8258,8 +8258,13 @@ SELECT
   (SELECT count(*) FROM pts WHERE y BETWEEN 0 AND 7)   AS n_y_rows,
   (SELECT CAST(coalesce(sum(rid), 0) AS BIGINT)
    FROM pts WHERE y BETWEEN 0 AND 7)                   AS sum_y_rid,
+  (SELECT count(*) FROM pts
+   WHERE x BETWEEN 0 AND 7 AND y BETWEEN 0 AND 7)      AS n_box_rows,
+  (SELECT CAST(coalesce(sum(rid), 0) AS BIGINT)
+   FROM pts WHERE x BETWEEN 0 AND 7 AND y BETWEEN 0 AND 7) AS sum_box_rid,
   TRUE AS pruned_x,
-  TRUE AS pruned_y
+  TRUE AS pruned_y,
+  TRUE AS pruned_box
 """
 
 
@@ -8287,7 +8292,11 @@ def q_zorder_multi_column_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
     import tempfile as _tf
 
     from ..operators.merge import TableStore
-    from ..operators.skipping import build_minmax_sidecar, read_where_between
+    from ..operators.skipping import (
+        build_minmax_sidecar,
+        read_where,
+        read_where_between,
+    )
 
     o = _t(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5).cast(
@@ -8307,6 +8316,9 @@ def q_zorder_multi_column_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
     build_minmax_sidecar(store, "t", "y")
     df_x, read_x, total = read_where_between(store, "t", "x", 0, 7)
     df_y, read_y, _ = read_where_between(store, "t", "y", 0, 7)
+    df_box, read_box, _ = read_where(
+        store, "t", ranges={"x": (0, 7), "y": (0, 7)}
+    )
     agg_x = df_x.agg(
         F.count(F.lit(1)).alias("n_x_rows"),
         F.coalesce(F.sum("rid"), F.lit(0)).cast("long").alias("sum_x_rid"),
@@ -8315,11 +8327,18 @@ def q_zorder_multi_column_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_y_rows"),
         F.coalesce(F.sum("rid"), F.lit(0)).cast("long").alias("sum_y_rid"),
     )
-    return agg_x.crossJoin(agg_y).select(
+    agg_box = df_box.agg(
+        F.count(F.lit(1)).alias("n_box_rows"),
+        F.coalesce(F.sum("rid"), F.lit(0)).cast("long").alias("sum_box_rid"),
+    )
+    return agg_x.crossJoin(agg_y).crossJoin(agg_box).select(
         "n_x_rows",
         "sum_x_rid",
         "n_y_rows",
         "sum_y_rid",
+        "n_box_rows",
+        "sum_box_rid",
         F.lit(read_x <= int(total * 0.7)).alias("pruned_x"),
         F.lit(read_y <= int(total * 0.7)).alias("pruned_y"),
+        F.lit(read_box <= min(read_x, read_y)).alias("pruned_box"),
     )

@@ -4728,3 +4728,64 @@ def test_commit_lock_cross_process(tmp_path):
     assert done == [n_iters] * n_procs
     with open(counter) as f:
         assert int(f.read().strip()) == n_procs * n_iters
+
+
+def test_read_where_composed_pruning(spark, tmp_path):
+    """Composed skipping (read_where): on a Z-ordered table a BOX
+    query's per-column candidate sets INTERSECT — reading no more
+    files than either single-column probe and strictly fewer than the
+    full scan — an equality probe intersects its bloom bitset with
+    its min/max range, results always equal the plain filters, and a
+    table with no sidecars degrades to a full scan."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.skipping import (
+        build_bloom_sidecar,
+        build_minmax_sidecar,
+        read_where,
+        read_where_between,
+    )
+
+    n, side = 4096, 64
+    base = spark.range(n).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("long").alias("y"),
+    )
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=4)
+    store.write_partitioned("t", base, keys=["rid"], n_buckets=4)
+    store.optimize("t", zorder_by=["x", "y"], n_files=16)
+    for col in ("x", "y"):
+        build_minmax_sidecar(store, "t", col)
+    build_bloom_sidecar(store, "t", "x")
+
+    def full(cond):
+        return sorted(r["rid"] for r in store.read("t").filter(cond).collect())
+
+    # box query: the intersection prunes at least as hard as either axis
+    df, nbox, ntotal = read_where(
+        store, "t", ranges={"x": (0, 7), "y": (0, 7)}
+    )
+    assert sorted(r["rid"] for r in df.collect()) == full(
+        F.col("x").between(0, 7) & F.col("y").between(0, 7)
+    )
+    _, nx, _ = read_where_between(store, "t", "x", 0, 7)
+    _, ny, _ = read_where_between(store, "t", "y", 0, 7)
+    assert nbox <= min(nx, ny) < ntotal
+
+    # equality probe: bloom bitset AND the [v, v] min/max range both
+    # narrow; residual filter keeps it exact
+    df_eq, neq, _ = read_where(store, "t", eq={"x": 3}, ranges={"y": (0, 7)})
+    assert sorted(r["rid"] for r in df_eq.collect()) == full(
+        (F.col("x") == 3) & F.col("y").between(0, 7)
+    )
+    assert neq <= nbox
+
+    # empty candidate set short-circuits to zero files read
+    _, nmiss, _ = read_where(store, "t", ranges={"x": (1000, 2000)})
+    assert nmiss == 0
+
+    # no sidecars anywhere -> full scan with the residual filter
+    store2 = merge.TableStore(spark, str(tmp_path / "plain"), keep_versions=3)
+    store2.write_partitioned("t", base, keys=["rid"], n_buckets=2)
+    df2, nread2, ntotal2 = read_where(store2, "t", ranges={"x": (0, 7)})
+    assert nread2 == ntotal2
+    assert df2.count() == base.filter(F.col("x").between(0, 7)).count()
