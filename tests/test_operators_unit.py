@@ -4789,3 +4789,79 @@ def test_read_where_composed_pruning(spark, tmp_path):
     df2, nread2, ntotal2 = read_where(store2, "t", ranges={"x": (0, 7)})
     assert nread2 == ntotal2
     assert df2.count() == base.filter(F.col("x").between(0, 7)).count()
+
+
+def test_lsh_index_full_dedup_pipeline(spark, tmp_path):
+    """The complete corpus-dedup composition a production ingest runs:
+    batch near-dup pairs against the INDEX (LshIndex.query_pairs) plus
+    within-batch pairs (lsh_candidate_pairs) union into the pair
+    graph, connected_components clusters it, keep_canonical keeps one
+    doc per cluster (min id) — and the surviving set equals the flat
+    whole-corpus pipeline over the union, so incremental dedup loses
+    nothing vs re-running from scratch."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.cache import (
+        release_pinned,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.neardup import (
+        LshIndex,
+        connected_components,
+        keep_canonical,
+        lsh_candidate_pairs,
+    )
+
+    sents = [
+        "the quick brown fox jumps over the lazy dog near the river",
+        "a completely different sentence about spark physical plans",
+        "partition pruning keeps large table scans cheap at scale",
+        "one more unique sentence that matches nothing else here",
+    ]
+    # corpus: ids 0-7 (two copies of each of 4 texts); batch: ids
+    # 10-12 (dups of texts 0 and 1, plus one novel text)
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=sents[i % 4]) for i in range(8)]
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=sents[0]),
+            Row(doc_id=11, text=sents[1]),
+            Row(doc_id=12, text="an entirely novel document arrives"),
+        ]
+    )
+    union = corpus.unionByName(batch)
+
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=3)
+    idx = LshIndex(store, "d", num_hashes=8, bands=4, n_parts=8)
+    idx.build(corpus)
+
+    cross = idx.query_pairs(batch).select(
+        F.col("id").alias("id_a"), F.col("match_id").alias("id_b")
+    )
+    within = lsh_candidate_pairs(batch, "doc_id", "text", num_hashes=8,
+                                 bands=4)
+    corpus_pairs = lsh_candidate_pairs(corpus, "doc_id", "text",
+                                       num_hashes=8, bands=4)
+    edges = corpus_pairs.unionByName(within).unionByName(cross)
+    clustered = connected_components(
+        edges, union.select("doc_id"), id_col="doc_id"
+    )
+    kept = {
+        r["doc_id"] for r in keep_canonical(clustered, "doc_id").collect()
+    }
+    release_pinned(spark)
+
+    # flat whole-corpus pipeline over the union gives the same survivors
+    flat_edges = lsh_candidate_pairs(
+        union, "doc_id", "text", num_hashes=8, bands=4
+    )
+    flat_kept = {
+        r["doc_id"]
+        for r in keep_canonical(
+            connected_components(flat_edges, union.select("doc_id"),
+                                 id_col="doc_id"),
+            "doc_id",
+        ).collect()
+    }
+    release_pinned(spark)
+    assert kept == flat_kept
+    # one canonical per text: min ids 0,1,2,3 survive + the novel 12
+    assert kept == {0, 1, 2, 3, 12}
