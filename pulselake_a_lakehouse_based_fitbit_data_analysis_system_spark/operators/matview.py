@@ -59,6 +59,27 @@ from .merge import TableStore
 _MAX_INLINE_KEYS = 1_000
 
 
+def _assert_disjoint_keys(
+    tombs: DataFrame, ups: DataFrame, dim_key: str
+) -> None:
+    """The fused tombstone+upsert view merge is deterministic ONLY
+    under the '≤1 delta row per dim key' contract — a key that is both
+    a tombstone and an upsert would put two source rows for the same
+    fact key into one full_upsert (nondeterministic winner). Enforce
+    the contract instead of documenting it (round-10 ADVICE #4): one
+    semi-join count over the metadata-scale increments, BEFORE any
+    table is mutated, so a violating delta fails with nothing
+    half-applied."""
+    n = ups.select(dim_key).join(tombs, [dim_key], "left_semi").count()
+    if n:
+        raise ValueError(
+            f"dim delta has {n} key(s) appearing as BOTH tombstone and "
+            "upsert — the ≤1-row-per-key contract makes a key a "
+            "tombstone xor an upsert; split the delta or collapse it "
+            "to the intended final state per key"
+        )
+
+
 class MaintainedJoin:
     """A ``fact LEFT JOIN dim`` view maintained through TableStore
     versions (time travel, changelog, OPTIMIZE and retention all
@@ -202,12 +223,15 @@ class MaintainedJoin:
         # local relation; at worst two passes over a tiny frame
         tombs = delta.filter(is_tomb).select(self.dim_key).distinct()
         ups = delta.filter(~F.coalesce(is_tomb, F.lit(False)))
+        has_tombs, has_ups = not tombs.isEmpty(), not ups.isEmpty()
+        if has_tombs and has_ups:
+            _assert_disjoint_keys(tombs, ups, self.dim_key)
         view = self.store.read(self.name)
         schema = {f.name: f.dataType for f in view.schema.fields}
         dim_cols = self.store.read(self.dim_name).columns
         fact_cols = [c for c in view.columns if c not in set(dim_cols)]
         increments: list[DataFrame] = []
-        if not tombs.isEmpty():
+        if has_tombs:
             self.store.delete_keys(
                 self.dim_name,
                 self.dim_key,
@@ -225,7 +249,7 @@ class MaintainedJoin:
                     ],
                 )
             )
-        if not ups.isEmpty():
+        if has_ups:
             self.store.merge(
                 self.dim_name, ups, [self.dim_key], policy="full_upsert"
             )
@@ -417,11 +441,14 @@ class MaintainedStarJoin:
             is_tomb = is_tomb & F.col(c).isNull()
         tombs = delta.filter(is_tomb).select(dk).distinct()
         ups = delta.filter(~F.coalesce(is_tomb, F.lit(False)))
+        has_tombs, has_ups = not tombs.isEmpty(), not ups.isEmpty()
+        if has_tombs and has_ups:
+            _assert_disjoint_keys(tombs, ups, dk)
         dim_cols = set(self.store.read(dim_name).columns)
         view = self.store.read(self.name)
         kept = [c for c in view.columns if c not in dim_cols]
         increments: list[DataFrame] = []
-        if not tombs.isEmpty():
+        if has_tombs:
             # both key-set filters gated on max_inline_keys — IN-list
             # pushdown for metadata-scale tombstones, broadcast
             # semi/anti joins for bulk takedowns (round-9 verdict #3)
@@ -443,7 +470,7 @@ class MaintainedStarJoin:
                     ],
                 )
             )
-        if not ups.isEmpty():
+        if has_ups:
             self.store.merge(dim_name, ups, [dk], policy="full_upsert")
             affected = self._affected_view_rows(fk, ups.select(dk).distinct())
             increments.append(

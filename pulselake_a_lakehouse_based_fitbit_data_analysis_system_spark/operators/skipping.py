@@ -33,7 +33,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .merge import TableStore
+from .merge import TableStore, local_path_from_uri
 
 
 def _sidecar_path(version_dir: str, col: str) -> str:
@@ -113,9 +113,12 @@ def build_bloom_sidecar(
             for p in r["__ps"]:
                 bits[p // 8] |= 1 << (p % 8)
             # file paths inside the version dir only — relative keys
-            # keep the sidecar valid when hard-linked forward
+            # keep the sidecar valid when hard-linked forward;
+            # input_file_name() is a URI (percent-escaped), so decode
+            # before relpath or keys with spaces never match the
+            # os.walk names and those files are silently re-scanned
             rel = os.path.relpath(
-                r["__f"].replace("file://", ""), version_dir
+                local_path_from_uri(r["__f"]), version_dir
             )
             sidecar[rel] = bytes(bits).hex()
     tmp = _sidecar_path(version_dir, col) + ".tmp"
@@ -126,13 +129,21 @@ def build_bloom_sidecar(
 
 
 def candidate_files(
-    store: TableStore, name: str, col: str, value
+    store: TableStore,
+    name: str,
+    col: str,
+    value,
+    version_dir: str | None = None,
 ) -> list[str] | None:
     """Absolute paths of files that might contain ``value`` — or None
     when no sidecar exists for this version (caller must full-scan).
     The membership test runs driver-side over metadata: k positions
-    against each file's bitset."""
-    version_dir = store.current_path(name)
+    against each file's bitset. ``version_dir`` pins the snapshot: the
+    ``read_where*`` callers resolve it ONCE and pass it in, so a
+    concurrent commit between candidate evaluations cannot intersect
+    sets from different versions (which would silently go empty)."""
+    if version_dir is None:
+        version_dir = store.current_path(name)
     path = _sidecar_path(version_dir, col)
     if not os.path.exists(path):
         return None
@@ -192,7 +203,7 @@ def read_where_eq(
         for f in fs
         if f.endswith(".parquet")
     )
-    cand = candidate_files(store, name, col, value)
+    cand = candidate_files(store, name, col, value, version_dir=version_dir)
     if cand is None:
         return store.read(name).filter(F.col(col) == F.lit(value)), total, total
     if not cand:
@@ -254,7 +265,7 @@ def build_minmax_sidecar(store: TableStore, name: str, col: str) -> int:
         )
         for r in per_file:
             rel = os.path.relpath(
-                r["__f"].replace("file://", ""), version_dir
+                local_path_from_uri(r["__f"]), version_dir
             )
             sidecar[rel] = [r["__lo"], r["__hi"]]
     tmp = path + ".tmp"
@@ -265,14 +276,21 @@ def build_minmax_sidecar(store: TableStore, name: str, col: str) -> int:
 
 
 def candidate_files_range(
-    store: TableStore, name: str, col: str, lo, hi
+    store: TableStore,
+    name: str,
+    col: str,
+    lo,
+    hi,
+    version_dir: str | None = None,
 ) -> list[str] | None:
     """Absolute paths of files whose [min, max] can intersect
     [lo, hi] — or None when no sidecar exists for this version (caller
     must full-scan). Driver-side metadata test; files without an entry
     (rewritten since the last build) are always candidates —
-    one-sided, never a missed row."""
-    version_dir = store.current_path(name)
+    one-sided, never a missed row. ``version_dir`` pins the snapshot
+    (see ``candidate_files``)."""
+    if version_dir is None:
+        version_dir = store.current_path(name)
     path = _minmax_path(version_dir, col)
     if not os.path.exists(path):
         return None
@@ -299,7 +317,9 @@ def read_where_between(
     the sidecar is absent."""
     version_dir = store.current_path(name)
     total = len(_version_parquet_files(version_dir))
-    cand = candidate_files_range(store, name, col, lo, hi)
+    cand = candidate_files_range(
+        store, name, col, lo, hi, version_dir=version_dir
+    )
     cond = F.col(col).between(F.lit(lo), F.lit(hi))
     if cand is None:
         return store.read(name).filter(cond), total, total
@@ -342,11 +362,19 @@ def read_where(
 
     cond = F.lit(True)
     for col, value in (eq or {}).items():
-        narrow(candidate_files(store, name, col, value))
-        narrow(candidate_files_range(store, name, col, value, value))
+        narrow(candidate_files(store, name, col, value, version_dir=version_dir))
+        narrow(
+            candidate_files_range(
+                store, name, col, value, value, version_dir=version_dir
+            )
+        )
         cond = cond & (F.col(col) == F.lit(value))
     for col, (lo, hi) in (ranges or {}).items():
-        narrow(candidate_files_range(store, name, col, lo, hi))
+        narrow(
+            candidate_files_range(
+                store, name, col, lo, hi, version_dir=version_dir
+            )
+        )
         cond = cond & F.col(col).between(F.lit(lo), F.lit(hi))
     if cand is None:
         return store.read(name).filter(cond), total, total

@@ -2519,11 +2519,13 @@ _CDF_RETENTION_ORACLE = _CDF_BASE_ORACLE + """
   FROM events WHERE user_id % 7 = 0 GROUP BY user_id
 )
 SELECT b.user_id, b.total, 'update_postimage' AS _change_type,
-       CAST(2 AS INTEGER) AS _commit_version, TRUE AS reclaimed
+       CAST(2 AS INTEGER) AS _commit_version, TRUE AS reclaimed,
+       TRUE AS cursor_enforced
 FROM b JOIN t0 USING (user_id)
 WHERE b.total <> t0.total
 UNION ALL
-SELECT b3.user_id, b3.total, 'update_postimage', CAST(3 AS INTEGER), TRUE
+SELECT b3.user_id, b3.total, 'update_postimage', CAST(3 AS INTEGER), TRUE,
+       TRUE
 FROM b3 JOIN s2 USING (user_id)
 WHERE b3.total <> s2.total
 """
@@ -2541,8 +2543,11 @@ WHERE b3.total <> s2.total
     "column-pruned scan maps file -> max commit version, driver-side "
     "metadata), straddling files stay whole, and the newest commit "
     "always survives. reclaimed pins that files were actually "
-    "deleted. At 100 TB this is what keeps an IVM/streaming feed from "
-    "growing without bound.",
+    "deleted; cursor_enforced pins that the persisted retention "
+    "cursor makes a below-cursor read raise instead of silently "
+    "returning a partial history (round-10 verdict ask #3). At 100 TB "
+    "this is what keeps an IVM/streaming feed from growing without "
+    "bound.",
     tags=("cdf", "merge", "vacuum", "store"),
 )
 def q_cdf_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2555,12 +2560,20 @@ def q_cdf_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store.merge("t", b3, ["user_id"], policy="scd1")
     rep = store.vacuum_changelog("t", keep_from_version=2)
-    return store.read_changes("t").select(
+    enforced = False
+    try:
+        store.read_changes("t", starting_version=0)
+    except ValueError:
+        enforced = True  # truncated history fails loud, never partial
+    return store.read_changes(
+        "t", starting_version=rep["min_retained_version"]
+    ).select(
         "user_id",
         "total",
         "_change_type",
         "_commit_version",
         F.lit(rep["files"] > 0).alias("reclaimed"),
+        F.lit(enforced).alias("cursor_enforced"),
     )
 
 
