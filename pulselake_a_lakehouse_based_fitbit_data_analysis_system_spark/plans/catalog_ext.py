@@ -301,6 +301,91 @@ def q_lsh_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_LIFECYCLE_ORACLE = (
+    _SHINGLE_CTE
+    + f"""
+, sigs AS (
+  SELECT doc_id, {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, band_id, band_key
+  FROM sigs, (VALUES {", ".join(f"({b})" for b in range(_BANDS))}) AS bb(band_id),
+  LATERAL (SELECT CASE band_id
+             {" ".join(f"WHEN {b} THEN {_band_key_sql(b)}" for b in range(_BANDS))}
+           END AS band_key)
+)
+SELECT DISTINCT a.doc_id AS id, b.doc_id AS match_id,
+       (SELECT CAST(count(*) * {_BANDS} AS BIGINT)
+        FROM documents WHERE doc_id % 5 = 0)            AS n_deleted,
+       (SELECT CAST(count(*) * {_BANDS} AS BIGINT)
+        FROM documents WHERE doc_id % 5 <> 0)           AS n_band_rows,
+       TRUE AS no_retired_matches,
+       TRUE AS optimize_stable
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key
+WHERE a.doc_id % 7 = 1 AND b.doc_id % 5 <> 0 AND a.doc_id <> b.doc_id
+"""
+)
+
+
+@_register(
+    "lsh_index_lifecycle",
+    _LSH_LIFECYCLE_ORACLE,
+    "Full LshIndex lifecycle (neardup.LshIndex — the dedup-index "
+    "sibling of ivf_index_lifecycle, round-10 verdict ask #5): build "
+    "on two-thirds of the corpus, upsert the late third in, DELETE "
+    "every fifth document (takedowns through the gated key-set path "
+    "— DataFrame keys, broadcast anti above the inline cap), then "
+    "query a probe set: no retired id may surface as a match, "
+    "n_deleted/n_band_rows pin the delete's row accounting "
+    "(bands x docs removed / surviving), and OPTIMIZE must compact "
+    "without changing a single candidate pair (optimize_stable "
+    "compares the full pair set before/after). The oracle replays "
+    "signatures + banding and joins probe bands against the "
+    "surviving documents' bands — exactly the post-takedown index "
+    "contract.",
+    tags=("neardup", "minhash", "lsh", "incremental", "store",
+          "lifecycle", "llm-pipeline"),
+)
+def q_lsh_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators.merge import TableStore
+    from ..operators.neardup import LshIndex
+
+    d = _t(spark, sf_dir, "documents")
+    store = TableStore(
+        spark, _tf.mkdtemp(prefix="pulselake_lshlc_"), keep_versions=3
+    )
+    idx = LshIndex(
+        store, "d", num_hashes=_N_MINHASH, bands=_BANDS, shingle_size=3
+    )
+    idx.build(d.filter(F.col("doc_id") % 3 != 0))
+    idx.upsert(d.filter(F.col("doc_id") % 3 == 0))
+    n_deleted = idx.delete(
+        d.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    )
+    probe = d.filter(F.col("doc_id") % 7 == 1)
+    before = idx.query_pairs(probe)
+    no_retired = before.filter(F.col("match_id") % 5 == 0).isEmpty()
+    n_rows = store.read(idx._bands_table).count()
+    idx.optimize()
+    after = idx.query_pairs(probe)
+    stable = (
+        before.exceptAll(after).isEmpty()
+        and after.exceptAll(before).isEmpty()
+        and store.read(idx._bands_table).count() == n_rows
+    )
+    return after.select(
+        "id",
+        "match_id",
+        F.lit(n_deleted).cast("long").alias("n_deleted"),
+        F.lit(n_rows).cast("long").alias("n_band_rows"),
+        F.lit(no_retired).alias("no_retired_matches"),
+        F.lit(stable).alias("optimize_stable"),
+    )
+
+
 _JACCARD_ORACLE = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -8354,4 +8439,117 @@ def q_zorder_multi_column_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(read_x <= int(total * 0.7)).alias("pruned_x"),
         F.lit(read_y <= int(total * 0.7)).alias("pruned_y"),
         F.lit(read_box <= min(read_x, read_y)).alias("pruned_box"),
+    )
+
+
+_ZORDER3_ORACLE = """
+WITH pts AS (
+  SELECT o_orderkey AS rid,
+         o_custkey % 32 AS x,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT)
+           % 32 AS y,
+         o_orderkey % 32 AS w
+  FROM orders
+)
+SELECT
+  (SELECT count(*) FROM pts WHERE x BETWEEN 0 AND 1)   AS n_x_rows,
+  (SELECT CAST(coalesce(sum(rid), 0) AS BIGINT)
+   FROM pts WHERE x BETWEEN 0 AND 1)                   AS sum_x_rid,
+  (SELECT count(*) FROM pts WHERE y BETWEEN 0 AND 1)   AS n_y_rows,
+  (SELECT CAST(coalesce(sum(rid), 0) AS BIGINT)
+   FROM pts WHERE y BETWEEN 0 AND 1)                   AS sum_y_rid,
+  (SELECT count(*) FROM pts WHERE w BETWEEN 0 AND 1)   AS n_w_rows,
+  (SELECT CAST(coalesce(sum(rid), 0) AS BIGINT)
+   FROM pts WHERE w BETWEEN 0 AND 1)                   AS sum_w_rid,
+  (SELECT count(*) FROM pts
+   WHERE x BETWEEN 0 AND 1 AND y BETWEEN 0 AND 1
+     AND w BETWEEN 0 AND 1)                            AS n_box_rows,
+  (SELECT CAST(coalesce(sum(rid), 0) AS BIGINT) FROM pts
+   WHERE x BETWEEN 0 AND 1 AND y BETWEEN 0 AND 1
+     AND w BETWEEN 0 AND 1)                            AS sum_box_rid,
+  TRUE AS pruned_x,
+  TRUE AS pruned_y,
+  TRUE AS pruned_w,
+  TRUE AS pruned_box
+"""
+
+
+@_register(
+    "zorder_3col_pruning",
+    _ZORDER3_ORACLE,
+    "N-dimensional OPTIMIZE ZORDER BY (x, y, w) — the 3-column form "
+    "of zorder_multi_column_pruning, driver-pinned per the round-10 "
+    "verdict ask #4 (morton_code_n's round-robin interleave, default "
+    "zorder_bits self-sized to the column count): after the Z-order "
+    "rewrite, 1/16-selectivity range probes on EACH of the three "
+    "clustered columns prune through their min/max sidecars "
+    "(files_read <= 80% of files_total pinned AT RUNTIME per column "
+    "— each extra dimension dilutes all of them, so the single-column "
+    "bound is looser than 2-d), and the 3-d BOX query composes all "
+    "three candidate sets to <= 35% of the files — the multiplicative "
+    "pruning that is the point of Z-ordering. All probe results are "
+    "value-checked against the plain filters.",
+    tags=("store", "optimize", "zorder", "skipping", "lakehouse"),
+)
+def q_zorder_3col_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators.merge import TableStore
+    from ..operators.skipping import (
+        build_minmax_sidecar,
+        read_where,
+        read_where_between,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5).cast(
+        "long"
+    )
+    pts = o.select(
+        F.col("o_orderkey").alias("rid"),
+        (F.col("o_custkey") % 32).alias("x"),
+        (cents % 32).alias("y"),
+        (F.col("o_orderkey") % 32).alias("w"),
+    )
+    store = TableStore(
+        spark, _tf.mkdtemp(prefix="pulselake_zorder3_"), keep_versions=3
+    )
+    store.write_partitioned("t", pts, keys=["rid"], n_buckets=4)
+    store.optimize("t", zorder_by=["x", "y", "w"], n_files=16)
+    for c in ("x", "y", "w"):
+        build_minmax_sidecar(store, "t", c)
+    df_x, read_x, total = read_where_between(store, "t", "x", 0, 1)
+    df_y, read_y, _ = read_where_between(store, "t", "y", 0, 1)
+    df_w, read_w, _ = read_where_between(store, "t", "w", 0, 1)
+    df_box, read_box, _ = read_where(
+        store, "t", ranges={"x": (0, 1), "y": (0, 1), "w": (0, 1)}
+    )
+
+    def _agg(df, tag):
+        return df.agg(
+            F.count(F.lit(1)).alias(f"n_{tag}_rows"),
+            F.coalesce(F.sum("rid"), F.lit(0))
+            .cast("long")
+            .alias(f"sum_{tag}_rid"),
+        )
+
+    return (
+        _agg(df_x, "x")
+        .crossJoin(_agg(df_y, "y"))
+        .crossJoin(_agg(df_w, "w"))
+        .crossJoin(_agg(df_box, "box"))
+        .select(
+            "n_x_rows",
+            "sum_x_rid",
+            "n_y_rows",
+            "sum_y_rid",
+            "n_w_rows",
+            "sum_w_rid",
+            "n_box_rows",
+            "sum_box_rid",
+            F.lit(read_x <= int(total * 0.8)).alias("pruned_x"),
+            F.lit(read_y <= int(total * 0.8)).alias("pruned_y"),
+            F.lit(read_w <= int(total * 0.8)).alias("pruned_w"),
+            F.lit(read_box <= int(total * 0.35)).alias("pruned_box"),
+        )
     )

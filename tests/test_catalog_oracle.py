@@ -151,14 +151,18 @@ def test_driver_priority_orders_never_green_then_changed_then_stalest():
 
     def cls(n):
         g = green.get(n, 0)
-        return 0 if g == 0 else (1 if n in changed else 2)
+        if g == 0:
+            return 0
+        if changed.get(n) == "def":
+            return 1
+        return 2 if n in changed else 3
 
     insertion = {n: i for i, n in enumerate(_CANONICAL_ORDER)}
     plain = sorted(
         _CANONICAL_ORDER,
         key=lambda n: (cls(n), green.get(n, 0), insertion[n]),
     )
-    stalest = [n for n in plain if cls(n) == 2][:_STALE_QUOTA]
+    stalest = [n for n in plain if cls(n) == 3][:_STALE_QUOTA]
     if stalest:
         reserved = set(stalest)
         non_res = [n for n in plain if n not in reserved]
