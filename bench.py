@@ -34,7 +34,14 @@ Round-10 A/B of the r9 ``stateful_running_totals`` +15 % (10.73 →
 12.36 s, code unchanged): three idle-machine passes gave 18.2 s cold,
 then 10.4 / 10.7 s warm — the r8 number reproduces exactly, so the r9
 reading was ambient machine state, not a regression. Read streaming
-rows with that ±15-20 % band in mind.
+rows with that ±15-20 % band in mind. Round 11 profiled the row
+properly after it swung a third time (verdict ask #8): a null update
+body costs the same wall as the real one, so the per-key pandas
+conversion was never the cost — per-key-group JVM↔Python protocol
+overhead was, and it parallelizes with state partitions; the
+auto-sizer now applies a tighter per-store budget to python-channel
+stateful plans (streaming/ops.py::_rows_per_store_for; measured
+12.5 → 8.9 s warm at the sized 16 partitions).
 """
 
 from __future__ import annotations

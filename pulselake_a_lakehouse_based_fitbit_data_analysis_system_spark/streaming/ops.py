@@ -44,6 +44,18 @@ _STAGED_ROWS: dict[str, int] = {}
 # rows; 4-8 stores of ~5-10k rows each measured 3.5-4x faster than
 # the 32-partition batch default):
 _ROWS_PER_STORE = 5_000  # target held-state rows per state store
+# Python-channel stateful operators (applyInPandasWithState /
+# transformWithStateInPandas) are bound by PER-KEY-GROUP protocol
+# overhead in the JVM<->Python worker channel, not per-store commit
+# cost — profiled in round 11 on stateful_running_totals at sf0.1
+# (verdict ask #8): a null update body costs the same wall as the
+# real one (13.6 vs 13.3 s warm), so the pandas conversion is NOT the
+# cost; spreading the groups over more partitions is what pays
+# (5 -> 12.5 s, 10 -> 10.0, 16 -> 8.9, 32 -> 10.2 — too many stores
+# re-adds per-store overhead). A tighter rows-per-store budget scales
+# the partition count to the channel, keeping the same
+# state-volume-proportional rule.
+_ROWS_PER_STORE_PY = 1_600
 _STATE_FRACTION = 0.25  # held state ≈ this fraction of drained input
 
 
@@ -70,6 +82,24 @@ def sized_state_partitions(
     if rows_per_store < 1:
         raise ValueError(f"rows_per_store must be >= 1, got {rows_per_store}")
     return max(1, -(-expected_state_rows // rows_per_store))
+
+
+def _rows_per_store_for(result_stream: DataFrame) -> int:
+    """Per-store row budget for the auto-sizer, by operator class: a
+    plan carrying a python-channel stateful operator
+    (applyInPandasWithState / transformWithStateInPandas) sizes to
+    ``_ROWS_PER_STORE_PY`` — per-key-group protocol overhead
+    dominates there and parallelizes with partitions — everything
+    else to the JVM-operator budget ``_ROWS_PER_STORE``."""
+    try:
+        plan = result_stream._jdf.queryExecution().logical().toString()
+    except Exception:
+        return _ROWS_PER_STORE
+    if "FlatMapGroupsInPandasWithState" in plan or (
+        "TransformWithStateInPandas" in plan
+    ):
+        return _ROWS_PER_STORE_PY
+    return _ROWS_PER_STORE
 
 
 def _sweep_staged_dirs() -> None:
@@ -407,13 +437,16 @@ def run_stream_to_memory(
     """
     name = f"sink_{uuid.uuid4().hex[:12]}"
     spark = result_stream.sparkSession
+    rows_per_store = _rows_per_store_for(result_stream)
     if state_partitions is None and expected_state_rows is not None:
-        state_partitions = sized_state_partitions(expected_state_rows)
+        state_partitions = sized_state_partitions(
+            expected_state_rows, rows_per_store
+        )
     if state_partitions is None:
         staged = _staged_input_rows(result_stream)
         if staged is not None:
             state_partitions = sized_state_partitions(
-                int(staged * _STATE_FRACTION)
+                int(staged * _STATE_FRACTION), rows_per_store
             )
     if stats_out is not None:
         stats_out["state_partitions"] = state_partitions
