@@ -682,6 +682,174 @@ class TableStore:
                 f.write(version_dir)
             os.replace(tmp_ptr, self._pointer(name))
 
+    # --- partition-level conflict detection (the Delta logical-
+    # conflict analog: disjoint writers both commit) -----------------------
+
+    _REWRITTENFILE = "_REWRITTEN.json"
+
+    def _write_rewritten(
+        self, version_full: str, rewritten, based_on: str | None
+    ) -> None:
+        """Record WHICH partition dirs this version rewrote (vs
+        hard-linked) and which version it derived from — the metadata
+        partition-level conflict detection walks. Ops that rewrite
+        unbounded/unknown sets (create, OVERWRITE, RESTORE, OPTIMIZE,
+        clone) simply don't write it; a missing sidecar reads as
+        'touched everything', the conservative answer."""
+        rec = {"rewritten": sorted(rewritten), "based_on": based_on}
+        tmp = os.path.join(version_full, self._REWRITTENFILE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, os.path.join(version_full, self._REWRITTENFILE))
+
+    def _chain_rewritten(
+        self, from_version: str, to_version: str
+    ) -> set[str] | None:
+        """Union of partition dirs rewritten by every commit that
+        moved the pointer from ``from_version`` to ``to_version`` —
+        or None when the chain can't be proven (a hop's sidecar is
+        missing or names no parent, a hop's version dir was pruned,
+        or the walk doesn't reach ``from_version``): unknown means
+        'assume everything changed'."""
+        union: set[str] = set()
+        cur = to_version
+        for _ in range(256):  # bound the walk; real chains are short
+            if cur == from_version:
+                return union
+            p = os.path.join(self.root, cur, self._REWRITTENFILE)
+            try:
+                with open(p) as f:
+                    rec = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                return None
+            rewritten = rec.get("rewritten")
+            based = rec.get("based_on")
+            if rewritten is None or based is None:
+                return None
+            union |= set(rewritten)
+            cur = based
+        return None
+
+    def _commit_pointer_or_rebase(
+        self,
+        name: str,
+        version_dir: str,
+        based_on: str,
+        rewritten: set[str],
+    ) -> str:
+        """Commit a partition-scoped version: the plain compare-and-set
+        when the snapshot is still current; otherwise PARTITION-LEVEL
+        conflict detection (the Delta logical-conflict analog — two
+        writers touching disjoint partitions must both land, at 1000
+        concurrent writers table-level CAS alone would serialize the
+        world through retries). If every intervening commit rewrote
+        only partitions DISJOINT from ours — proven by walking their
+        ``_REWRITTEN`` sidecars — the version REBASES: a new version
+        dir takes the current version's partitions (hard links) plus
+        ours for the partitions we rewrote, sidecars re-derived
+        (schema must be identical — a concurrent schema evolution is
+        a real conflict), and the pointer flips to the rebase. Any
+        doubt (unknown op in the chain, pruned hop, schema drift,
+        overlapping partitions, vanished snapshot) raises
+        ``ConcurrentWriteError`` exactly as before. Returns the
+        version dir name actually committed (ours, or the rebase)."""
+        with self._commit_lock(name):
+            cur = self.current_path(name)
+            cur_base = os.path.basename(cur) if cur else None
+            if cur_base == based_on:
+                tmp_ptr = self._pointer(name) + ".tmp"
+                with open(tmp_ptr, "w") as f:
+                    f.write(version_dir)
+                os.replace(tmp_ptr, self._pointer(name))
+                return version_dir
+            ours_full = os.path.join(self.root, version_dir)
+            inter = (
+                self._chain_rewritten(based_on, cur_base)
+                if cur_base is not None
+                else None
+            )
+            snap_full = os.path.join(self.root, based_on)
+            ok = (
+                inter is not None
+                and not (inter & set(rewritten))
+                # the changelog pre-image (and any straggler reads)
+                # come from the snapshot dir — don't rebase over a
+                # pruned one
+                and os.path.isdir(snap_full)
+            )
+            if ok:
+                # a concurrent schema change is a REAL conflict even
+                # on disjoint partitions (the rebase would mix schemas)
+                try:
+                    with open(os.path.join(cur, self._SCHEMAFILE)) as f:
+                        cur_schema = f.read()
+                    with open(
+                        os.path.join(ours_full, self._SCHEMAFILE)
+                    ) as f:
+                        ours_schema = f.read()
+                    ok = cur_schema == ours_schema
+                except OSError:
+                    ok = False
+            if not ok:
+                shutil.rmtree(ours_full, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"table {name!r}: snapshot version {based_on!r} is "
+                    f"no longer current ({cur_base!r} is) and the "
+                    "intervening commits could not be proven disjoint "
+                    "from this write's partitions — another writer "
+                    "committed; re-run against the new version"
+                )
+            rebase_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
+            rebase_full = os.path.join(self.root, rebase_dir)
+            os.makedirs(rebase_full)
+            for entry in os.listdir(cur):
+                src_path = os.path.join(cur, entry)
+                if not os.path.isdir(src_path) or entry in rewritten:
+                    continue
+                os.makedirs(os.path.join(rebase_full, entry))
+                for fname in os.listdir(src_path):
+                    os.link(
+                        os.path.join(src_path, fname),
+                        os.path.join(rebase_full, entry, fname),
+                    )
+            for entry in rewritten:
+                src_path = os.path.join(ours_full, entry)
+                if os.path.isdir(src_path):
+                    os.rename(src_path, os.path.join(rebase_full, entry))
+            # merge-key stats: union both carries (rel paths are
+            # uuid-unique per file; _write_file_stats walks the REAL
+            # dir listing, so stale entries are simply never consulted)
+            stats_cur = self._load_file_stats(cur)
+            stats_ours = self._load_file_stats(ours_full)
+            key = (stats_ours or {}).get("key") or (stats_cur or {}).get(
+                "key"
+            )
+            if key is not None:
+                carry: dict = {}
+                for s in (stats_cur, stats_ours):
+                    if s is not None and s.get("key") == key:
+                        carry.update(s.get("files") or {})
+                self._write_file_stats(rebase_full, key, carry=carry)
+            # per-column skipping sidecars: inode-keyed carry keeps
+            # exactly the entries whose files made it into the rebase
+            self._carry_bloom_sidecars(cur, rebase_full)
+            self._carry_bloom_sidecars(ours_full, rebase_full)
+            for sidecar in (self._SCHEMAFILE, self._OPFILE):
+                try:
+                    shutil.copyfile(
+                        os.path.join(ours_full, sidecar),
+                        os.path.join(rebase_full, sidecar),
+                    )
+                except OSError:
+                    pass
+            self._write_rewritten(rebase_full, rewritten, cur_base)
+            shutil.rmtree(ours_full, ignore_errors=True)
+            tmp_ptr = self._pointer(name) + ".tmp"
+            with open(tmp_ptr, "w") as f:
+                f.write(rebase_dir)
+            os.replace(tmp_ptr, self._pointer(name))
+            return rebase_dir
+
     def current_path(self, name: str) -> str | None:
         p = self._pointer(name)
         if not os.path.exists(p):
@@ -1678,22 +1846,29 @@ class TableStore:
         self._carry_bloom_sidecars(current, full)
         self._write_schema(full, merged_schema_src)
         self._write_op(full, f"merge:{policy}")
-        self._commit_pointer(
-            name, version_dir, based_on=os.path.basename(current)
+        self._write_rewritten(full, rewritten, os.path.basename(current))
+        final = self._commit_pointer_or_rebase(
+            name,
+            version_dir,
+            based_on=os.path.basename(current),
+            rewritten=set(rewritten),
         )
+        final_full = os.path.join(self.root, final)
         if self._changelog_enabled(name):
             # diff only the affected partitions — untouched ones are
-            # hard-linked and by construction unchanged
+            # hard-linked and by construction unchanged (under a
+            # rebase the intervening commits were proven disjoint
+            # from them, so the snapshot is still their pre-image)
             pre = self._read_version(current).filter(
                 F.col(part_col).isin(affected)
             )
-            post = self._read_version(full).filter(
+            post = self._read_version(final_full).filter(
                 F.col(part_col).isin(affected)
             )
             if spec["mode"] == "hash":
                 pre, post = pre.drop(part_col), post.drop(part_col)
             self._log_merge_changes(name, pre, post, keys)
-        self._prune(name, keep=version_dir)
+        self._prune(name, keep=final)
 
     def merge(
         self,
@@ -2330,13 +2505,28 @@ class TableStore:
         self._carry_bloom_sidecars(current, full)
         self._write_schema(full, df_all)
         self._write_op(full, op)
-        self._commit_pointer(
-            name, version_dir, based_on=os.path.basename(current)
-        )
+        if simple:
+            # touched = rewritten dirs PLUS fully-emptied ones (a
+            # delete that drains a partition leaves no scratch dir);
+            # non-simple values rewrote an unprovable set — leave the
+            # sidecar off so conflict detection stays conservative
+            touched = rewritten | set(affected_dirs)
+            self._write_rewritten(full, touched, os.path.basename(current))
+            final = self._commit_pointer_or_rebase(
+                name,
+                version_dir,
+                based_on=os.path.basename(current),
+                rewritten=touched,
+            )
+        else:
+            self._commit_pointer(
+                name, version_dir, based_on=os.path.basename(current)
+            )
+            final = version_dir
         if log_changes:
             plain = matches.drop(part_col) if spec["mode"] == "hash" else matches
             log(plain, list(keys))
-        self._prune(name, keep=version_dir)
+        self._prune(name, keep=final)
         return int(n_hit)
 
     def optimize(
@@ -2432,17 +2622,54 @@ class TableStore:
             cluster = morton_code_n(clamped, zorder_bits)
         else:
             cluster = F.col(key)
+        n_sel = (
+            len(list(partitions))
+            if partitions is not None
+            else sub.select(part_col).distinct().count()
+        )
         if n_files is not None:
-            n_sel = (
-                len(list(partitions))
-                if partitions is not None
-                else sub.select(part_col).distinct().count()
-            )
             out = sub.repartitionByRange(
                 max(1, int(n_files) * n_sel), F.col(part_col), cluster
             )
         else:
-            out = sub.repartitionByRange(F.col(part_col), cluster)
+            # Size-targeted file count (the Delta OPTIMIZE bin-packing
+            # analog): aim each output file at the scan's
+            # maxPartitionBytes so compaction is GUARANTEED at small
+            # scale (an unpinned range shuffle inherits
+            # spark.sql.shuffle.partitions and can leave MORE files
+            # than the trickle state it was asked to fix) and file
+            # sizes stay scan-friendly at large scale. Bytes come from
+            # a driver-side walk of the selected partition dirs —
+            # metadata, no Spark job.
+            sel_dirs = None
+            if partitions is not None:
+                sel_dirs = {
+                    self._simple_partition_dir(part_col, v)
+                    for v in partitions
+                }
+                if None in sel_dirs:
+                    sel_dirs = None  # escaped value: size the whole table
+            total_bytes = 0
+            for entry in os.listdir(current):
+                pdir = os.path.join(current, entry)
+                if not os.path.isdir(pdir):
+                    continue
+                if sel_dirs is not None and entry not in sel_dirs:
+                    continue
+                for fname in os.listdir(pdir):
+                    if fname.endswith(".parquet"):
+                        total_bytes += os.path.getsize(
+                            os.path.join(pdir, fname)
+                        )
+            try:
+                raw = str(
+                    self.spark.conf.get("spark.sql.files.maxPartitionBytes")
+                )
+                target = int(re.sub(r"[^0-9]", "", raw) or 134217728)
+            except Exception:
+                target = 134217728
+            n_range = max(n_sel, 1, -(-total_bytes // max(1, target)))
+            out = sub.repartitionByRange(n_range, F.col(part_col), cluster)
         scratch = os.path.join(self.root, f"{name}.opt{uuid.uuid4().hex[:12]}")
         out.write.mode("overwrite").partitionBy(part_col).parquet(scratch)
         n_scratch = self.spark.read.parquet(scratch).count()

@@ -7738,6 +7738,13 @@ SELECT o_orderkey, o_custkey,
        + CASE WHEN o_orderkey % 10 = 0 THEN 999 ELSE 0 END AS total_c,
        TRUE AS compacted
 FROM orders
+WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT -o_orderkey, o_custkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+       TRUE
+FROM orders
+WHERE o_orderkey % 2 = 1
 """
 
 
@@ -7754,14 +7761,19 @@ def _parquet_file_count(root: str) -> int:
     "store_optimize_roundtrip",
     _OPTIMIZE_ROUNDTRIP_ORACLE,
     "OPTIMIZE as a logical no-op (the Delta OPTIMIZE analog for the "
-    "small-file problem): base load + an insert-only trickle + an "
-    "SCD-1 update each leave fresh files beside hard-linked "
-    "survivors; optimize() rewrites every bucket as one "
-    "range-clustered file set and flips the pointer only after "
-    "row-count validation. The row values prove the rewrite changed "
-    "nothing; the `compacted` flag asserts the parquet file count "
-    "strictly dropped (driver-side metadata walk, not a data job). "
-    "Range re-clustering's skipping power is pinned by "
+    "small-file problem): after the SCD-1 update re-compacts the "
+    "base, three insert-only trickles land in key bands DISJOINT "
+    "from every existing file's range (negated odd keys, banded by "
+    "tertile), so each APPENDS a fresh file per bucket beside the "
+    "hard-linked survivors — the genuine small-file shape, now that "
+    "ordinary merges cluster their output and self-compact; "
+    "optimize() (size-targeted file count, the Delta bin-packing "
+    "analog) rewrites every bucket back to a range-clustered file "
+    "set and flips the pointer only after row-count validation. The "
+    "row values prove the rewrite changed nothing; the `compacted` "
+    "flag asserts the parquet file count strictly dropped "
+    "(driver-side metadata walk, not a data job). Range "
+    "re-clustering's skipping power is pinned by "
     "test_optimize_after_replay_restores_disjoint_ranges_and_pruning.",
     tags=("merge", "store", "compaction"),
 )
@@ -7783,14 +7795,28 @@ def q_store_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", (cents + 999).alias("total_c")
     )
     store.merge("t", upd, ["o_orderkey"], policy="scd1")
-    # the insert-only trickle goes LAST: it appends fresh files beside
-    # each bucket's hard-linked survivors (an scd1 merge would rewrite
-    # and thereby re-compact every affected bucket), so the table
-    # reaches optimize() with the small-file problem it exists to fix
+    # the insert-only trickles go LAST, each in a key band disjoint
+    # from every existing file's [min, max] (negated keys, tertile
+    # bands): range skipping proves no file can hold them, so the
+    # merge APPENDS one file per bucket next to hard-linked survivors
+    # — small files accumulate exactly as a production trickle feed
+    # leaves them, and the table reaches optimize() with the problem
+    # it exists to fix
     odds = o.filter(F.col("o_orderkey") % 2 == 1).select(
-        "o_orderkey", "o_custkey", cents.alias("total_c")
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        "o_custkey",
+        cents.alias("total_c"),
     )
-    store.merge("t", odds, ["o_orderkey"], policy="insert_only")
+    max_key = o.agg(F.max("o_orderkey")).collect()[0][0]
+    t1, t2 = -(max_key // 3), -(2 * max_key // 3)
+    for band in (
+        odds.filter(F.col("o_orderkey") >= t1),
+        odds.filter(
+            (F.col("o_orderkey") < t1) & (F.col("o_orderkey") >= t2)
+        ),
+        odds.filter(F.col("o_orderkey") < t2),
+    ):
+        store.merge("t", band, ["o_orderkey"], policy="insert_only")
     n_before = _parquet_file_count(store.current_path("t"))
     store.optimize("t")
     n_after = _parquet_file_count(store.current_path("t"))
@@ -8225,6 +8251,129 @@ def q_store_concurrent_write_conflict(
         F.lit(conflict_detected).alias("conflict_detected"),
         F.lit(pointer_unchanged).alias("pointer_unchanged"),
         F.lit(orphan_removed).alias("orphan_removed"),
+        F.lit(n_versions).cast("long").alias("n_versions"),
+    )
+
+
+_DISJOINT_REBASE_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+       + CASE WHEN c_mktsegment = 'BUILDING' THEN 111
+              WHEN c_mktsegment = 'MACHINERY' THEN -222
+              ELSE 0 END AS bal_c,
+       TRUE AS rebase_committed,
+       TRUE AS links_carried,
+       TRUE AS overlap_still_conflicts,
+       CAST(3 AS BIGINT) AS n_versions
+FROM customer
+"""
+
+
+@_register(
+    "store_disjoint_writers_rebase",
+    _DISJOINT_REBASE_ORACLE,
+    "PARTITION-level conflict detection (merge.py::"
+    "_commit_pointer_or_rebase — the Delta logical-conflict analog; "
+    "table-level CAS alone would serialize 1000 disjoint writers "
+    "through retries): writer A merges the BUILDING partition and "
+    "commits; writer B's merge of the MACHINERY partition was "
+    "computed against the now-SUPERSEDED snapshot (the interleaving "
+    "is simulated deterministically with a two-call stale "
+    "current_path, the same seam store_concurrent_write_conflict "
+    "uses) — instead of raising, the commit walks the intervening "
+    "commits' _REWRITTEN sidecars, proves them disjoint from B's "
+    "partitions, and REBASES: a new version takes A's partitions by "
+    "hard link plus B's rewritten one, so both writers land with "
+    "zero retries and zero data movement (links_carried pins "
+    "inode-equality of A's partition across the rebase). A third "
+    "stale writer touching BUILDING — a REAL overlap — still raises "
+    "ConcurrentWriteError (overlap_still_conflicts) and leaves no "
+    "orphan version (n_versions pins create + A + rebase = 3). "
+    "Values prove base + A's update + B's update and nothing else.",
+    tags=("merge", "store", "concurrency", "lakehouse"),
+)
+def q_store_disjoint_writers_rebase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    from ..operators.merge import ConcurrentWriteError, TableStore
+
+    store = TableStore(
+        spark, _tf.mkdtemp(prefix="pulselake_rebase_"), keep_versions=6
+    )
+    c = _t(spark, sf_dir, "customer")
+    bal = F.floor(F.col("c_acctbal").cast("double") * 100 + 0.5).cast("long")
+    base = c.select("c_custkey", "c_mktsegment", bal.alias("bal_c"))
+    store.write_partitioned(
+        "t", base, keys=["c_custkey"], partition_column="c_mktsegment"
+    )
+    snap = store.current_path("t")
+
+    def seg_delta(seg: str, bump: int):
+        return base.filter(F.col("c_mktsegment") == seg).withColumn(
+            "bal_c", F.col("bal_c") + F.lit(bump)
+        )
+
+    store.merge("t", seg_delta("BUILDING", 111), ["c_custkey"], policy="scd1")
+    v2 = store.current_path("t")
+    v2_building = sorted(
+        _os.listdir(_os.path.join(v2, "c_mktsegment=BUILDING"))
+    )
+
+    def stale_for(n_calls: int):
+        # merge() reads current twice before its commit (exists() +
+        # the snapshot read); the commit-time check must see the REAL
+        # current for the interleaving to be a genuine conflict
+        orig = type(store).current_path
+        calls = {"n": 0}
+
+        def patched(name):
+            if name == "t" and calls["n"] < n_calls:
+                calls["n"] += 1
+                return snap
+            return orig(store, name)
+
+        return patched
+
+    store.current_path = stale_for(2)
+    try:
+        store.merge(
+            "t", seg_delta("MACHINERY", -222), ["c_custkey"], policy="scd1"
+        )
+        rebase_committed = True
+    except ConcurrentWriteError:
+        rebase_committed = False
+    finally:
+        del store.current_path
+    v3 = store.current_path("t")
+    links_carried = v3 not in (snap, v2) and all(
+        _os.path.samefile(
+            _os.path.join(v2, "c_mktsegment=BUILDING", f),
+            _os.path.join(v3, "c_mktsegment=BUILDING", f),
+        )
+        for f in v2_building
+    )
+
+    store.current_path = stale_for(2)
+    try:
+        store.merge(
+            "t", seg_delta("BUILDING", 999), ["c_custkey"], policy="scd1"
+        )
+        overlap_conflicts = False
+    except ConcurrentWriteError:
+        overlap_conflicts = True
+    finally:
+        del store.current_path
+    n_versions = len(store.versions("t"))
+    return store.read("t").select(
+        "c_custkey",
+        "c_mktsegment",
+        "bal_c",
+        F.lit(rebase_committed).alias("rebase_committed"),
+        F.lit(links_carried).alias("links_carried"),
+        F.lit(overlap_conflicts).alias("overlap_still_conflicts"),
         F.lit(n_versions).cast("long").alias("n_versions"),
     )
 

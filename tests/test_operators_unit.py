@@ -3525,6 +3525,110 @@ def test_table_store_optimistic_concurrency(spark, tmp_path):
     assert store.read("t").count() == 29  # 20 base + merged + 8 raced
 
 
+def test_partition_disjoint_writers_rebase_commit(spark, tmp_path):
+    """Partition-level conflict detection (the Delta logical-conflict
+    analog): a merge whose snapshot was superseded by commits that
+    rewrote only DISJOINT partitions rebases onto the new current —
+    both writers land with no retry — while an OVERLAPPING stale
+    write still raises ConcurrentWriteError. The rebase hard-links
+    the winner's partitions (inode-equal), carries the merge-key
+    stats for both sides, and the change feed records both writers'
+    rows."""
+    import os
+
+    store = merge.TableStore(
+        spark, str(tmp_path), keep_versions=8, changelog=True
+    )
+    base = spark.createDataFrame(
+        [Row(k=i, seg="A" if i % 2 == 0 else "B", v=0) for i in range(40)]
+    )
+    store.write_partitioned("t", base, keys=["k"], partition_column="seg")
+    snap = store.current_path("t")
+
+    # writer 1 commits first: touches only seg=A
+    w1 = spark.createDataFrame([Row(k=0, seg="A", v=100), Row(k=2, seg="A", v=102)])
+    store.merge("t", w1, ["k"], policy="scd1")
+    v2 = store.current_path("t")
+    v2_files = _partition_file_map(v2)
+
+    # writer 2 computed against the SUPERSEDED snapshot (simulate the
+    # interleaving with a one-shot stale current_path, the same seam
+    # the conflict row uses) and touches only seg=B -> must REBASE
+    calls = {"n": 0}
+    orig = store.current_path
+
+    def stale_once(name):
+        # merge() reads current twice before committing (exists() +
+        # the snapshot read); the commit-time check must see the REAL
+        # current for the interleaving to be a genuine conflict
+        if name == "t" and calls["n"] < 2:
+            calls["n"] += 1
+            return snap
+        return orig(name)
+
+    store.current_path = stale_once
+    try:
+        w2 = spark.createDataFrame([Row(k=1, seg="B", v=-101)])
+        store.merge("t", w2, ["k"], policy="scd1")
+    finally:
+        del store.current_path
+    v3 = store.current_path("t")
+    assert v3 not in (snap, v2)
+    got = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert got[0] == 100 and got[2] == 102  # writer 1 survived the rebase
+    assert got[1] == -101  # writer 2 landed
+    assert got[3] == 0 and len(got) == 40
+    # winner's untouched partition rode through the rebase as links
+    v3_files = _partition_file_map(v3)
+    assert v3_files["seg=A"] == v2_files["seg=A"]
+    assert v3_files["seg=B"] != v2_files["seg=B"]
+    # merge-key stats carried for BOTH sides' files
+    stats = store._load_file_stats(v3)
+    assert stats is not None and stats["key"] == "k"
+    assert set(stats["files"]) == {
+        f"{d}/{f}" for d, fs in v3_files.items() for f in fs
+    }
+    assert all(b is not None for b in stats["files"].values())
+    # the change feed saw both writers
+    ch = store.read_changes("t")
+    assert {r["k"] for r in ch.collect()} >= {0, 1, 2}
+
+    # an OVERLAPPING stale write is still a real conflict
+    calls["n"] = 0
+    store.current_path = stale_once
+    try:
+        w3 = spark.createDataFrame([Row(k=4, seg="A", v=999)])
+        with pytest.raises(merge.ConcurrentWriteError, match="disjoint"):
+            store.merge("t", w3, ["k"], policy="scd1")
+    finally:
+        del store.current_path
+    assert store.current_path("t") == v3  # pointer untouched
+    assert {r["k"]: r["v"] for r in store.read("t").collect()} == got
+    # the loser's version dir did not leak
+    assert len(store.versions("t")) == 3
+
+    # a chain hop WITHOUT rewritten metadata blocks the rebase:
+    # restore to the CREATE version (which carries none — a restored
+    # version hard-links its source's sidecars, and content-wise the
+    # inherited 'based_on + rewritten' claim stays true of the
+    # restored state) and a stale writer must hit the conservative
+    # conflict
+    store.restore("t", 0, keys=["k"])
+    calls["n"] = 0
+
+    store.current_path = stale_once
+    try:
+        with pytest.raises(merge.ConcurrentWriteError):
+            store.merge(
+                "t",
+                spark.createDataFrame([Row(k=5, seg="B", v=5)]),
+                ["k"],
+                policy="scd1",
+            )
+    finally:
+        del store.current_path
+
+
 def test_commit_lock_never_broken_into(spark, tmp_path):
     """Round-9 verdict 'What's wrong' #1 regression (the stale-break
     TOCTOU): the commit lock is now a kernel flock, so a holder that
