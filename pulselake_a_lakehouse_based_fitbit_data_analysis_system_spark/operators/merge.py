@@ -942,15 +942,41 @@ class TableStore:
         )
 
     def _next_commit_version(self, name: str) -> int:
+        """Allocate the next changelog commit version — under its own
+        flock (same protocol as ``_commit_lock``, separate persistent
+        lock file since changelog appends happen OUTSIDE the pointer
+        lock): an unguarded read-inc-write would let two concurrent
+        writers — now that partition-disjoint writers both land — both
+        read n and stamp their change rows with the same version,
+        silently merging two commits in every consumer's eyes."""
         vf = os.path.join(self.root, f"{name}._VERSION")
-        n = 0
-        if os.path.exists(vf):
-            with open(vf) as f:
-                n = int(f.read().strip() or 0)
-        n += 1
-        with open(vf, "w") as f:
-            f.write(str(n))
-        return n
+        lock = os.path.join(self.root, f"{name}._VERSIONLOCK")
+        fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
+        try:
+            deadline = time.time() + self._LOCK_TIMEOUT_SECONDS
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.time() > deadline:
+                        raise TimeoutError(
+                            f"version lock for table {name!r} held > "
+                            f"{self._LOCK_TIMEOUT_SECONDS:g}s"
+                        ) from None
+                    time.sleep(0.005)
+            n = 0
+            if os.path.exists(vf):
+                with open(vf) as f:
+                    n = int(f.read().strip() or 0)
+            n += 1
+            tmp = vf + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(n))
+            os.replace(tmp, vf)
+            return n
+        finally:
+            os.close(fd)
 
     def _append_changelog(
         self, name: str, rows: DataFrame, change_type: str

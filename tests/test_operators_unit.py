@@ -3629,6 +3629,22 @@ def test_partition_disjoint_writers_rebase_commit(spark, tmp_path):
         del store.current_path
 
 
+def test_changelog_version_counter_race_free(spark, tmp_path):
+    """The changelog commit-version allocator is flock-guarded: 32
+    threads hammering it concurrently must get 32 UNIQUE sequential
+    versions — an unguarded read-inc-write would let two concurrent
+    (now rebase-landing) writers stamp the same version and silently
+    merge two commits for every consumer."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    store = merge.TableStore(spark, str(tmp_path), changelog=True)
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        got = sorted(
+            ex.map(lambda _i: store._next_commit_version("t"), range(32))
+        )
+    assert got == list(range(1, 33))
+
+
 def test_commit_lock_never_broken_into(spark, tmp_path):
     """Round-9 verdict 'What's wrong' #1 regression (the stale-break
     TOCTOU): the commit lock is now a kernel flock, so a holder that
