@@ -230,8 +230,18 @@ class MaintainedJoin:
         schema = {f.name: f.dataType for f in view.schema.fields}
         dim_cols = self.store.read(self.dim_name).columns
         fact_cols = [c for c in view.columns if c not in set(dim_cols)]
-        increments: list[DataFrame] = []
-        if has_tombs:
+        # the DIM table takes a mixed increment as ONE fused commit
+        # (upsert_delete) — a separate delete + merge pays two full
+        # commit cycles of write amplification for the same state
+        if has_tombs and has_ups:
+            self.store.merge(
+                self.dim_name,
+                ups,
+                [self.dim_key],
+                policy="upsert_delete",
+                tombs=tombs,
+            )
+        elif has_tombs:
             self.store.delete_keys(
                 self.dim_name,
                 self.dim_key,
@@ -239,6 +249,12 @@ class MaintainedJoin:
                 keys=[self.dim_key],
                 max_inline_keys=self.max_inline_keys,
             )
+        elif has_ups:
+            self.store.merge(
+                self.dim_name, ups, [self.dim_key], policy="full_upsert"
+            )
+        increments: list[DataFrame] = []
+        if has_tombs:
             increments.append(
                 self._affected_view_rows(tombs).select(
                     *fact_cols,
@@ -250,9 +266,6 @@ class MaintainedJoin:
                 )
             )
         if has_ups:
-            self.store.merge(
-                self.dim_name, ups, [self.dim_key], policy="full_upsert"
-            )
             affected = self._affected_view_rows(
                 ups.select(self.dim_key).distinct()
             )
@@ -447,12 +460,17 @@ class MaintainedStarJoin:
         dim_cols = set(self.store.read(dim_name).columns)
         view = self.store.read(self.name)
         kept = [c for c in view.columns if c not in dim_cols]
-        increments: list[DataFrame] = []
-        if has_tombs:
-            # both key-set filters gated on max_inline_keys — IN-list
+        # dim-side mutation: ONE fused commit for a mixed increment
+        # (upsert_delete), the gated key-set delete for tombs-only,
+        # the plain pruned merge for upserts-only
+        if has_tombs and has_ups:
+            self.store.merge(
+                dim_name, ups, [dk], policy="upsert_delete", tombs=tombs
+            )
+        elif has_tombs:
+            # key-set filters gated on max_inline_keys — IN-list
             # pushdown for metadata-scale tombstones, broadcast
             # semi/anti joins for bulk takedowns (round-9 verdict #3)
-            schema = {f.name: f.dataType for f in view.schema.fields}
             self.store.delete_keys(
                 dim_name,
                 dk,
@@ -460,6 +478,11 @@ class MaintainedStarJoin:
                 keys=[dk],
                 max_inline_keys=self.max_inline_keys,
             )
+        elif has_ups:
+            self.store.merge(dim_name, ups, [dk], policy="full_upsert")
+        increments: list[DataFrame] = []
+        if has_tombs:
+            schema = {f.name: f.dataType for f in view.schema.fields}
             increments.append(
                 self._affected_view_rows(fk, tombs).select(
                     *kept,
@@ -471,7 +494,6 @@ class MaintainedStarJoin:
                 )
             )
         if has_ups:
-            self.store.merge(dim_name, ups, [dk], policy="full_upsert")
             affected = self._affected_view_rows(fk, ups.select(dk).distinct())
             increments.append(
                 affected.select(*kept).join(

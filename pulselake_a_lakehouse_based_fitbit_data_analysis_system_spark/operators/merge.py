@@ -1639,6 +1639,60 @@ class TableStore:
         spec: dict,
         **kwargs,
     ) -> None:
+        tombs = kwargs.pop("tombs", None)
+        # ONE snapshot resolution for the whole merge: schema read,
+        # data read, stats read and the commit's based_on all pin to
+        # the same version dir.
+        current = self.current_path(name)
+        # Canonicalize the SOURCE's key dtypes to the TARGET's before
+        # anything derives from them: the hash-bucket expression is
+        # type-sensitive (xxhash64(int 3) != xxhash64(bigint 3)), so an
+        # int-typed CDC batch merged into a bigint-keyed table would
+        # land its rows in the WRONG partition — a silent duplicate on
+        # upsert, a silent miss on delete. Join coercion used to paper
+        # over this for the policy itself; the partition routing never
+        # had that safety net.
+        target_schema = self._stored_schema(current)
+        if target_schema is not None:
+            tfields = {f.name: f.dataType for f in target_schema.fields}
+            for k in keys:
+                want = tfields.get(k)
+                if want is not None and source.schema[k].dataType != want:
+                    source = source.withColumn(k, F.col(k).cast(want))
+                if (
+                    tombs is not None
+                    and want is not None
+                    and k in tombs.columns
+                    and tombs.schema[k].dataType != want
+                ):
+                    tombs = tombs.withColumn(k, F.col(k).cast(want))
+        if policy == "upsert_delete":
+            if tombs is None:
+                raise ValueError(
+                    "policy='upsert_delete' requires tombs=<DataFrame of "
+                    "key column(s) to delete>"
+                )
+            if kwargs.get("evolve_schema"):
+                raise ValueError(
+                    "evolve_schema is not supported with upsert_delete"
+                )
+            # fold the tomb keys into the source as NULL-payload marker
+            # rows so ONE pass yields the affected partitions and key
+            # bounds of BOTH sides (files holding doomed keys must
+            # rewrite too)
+            tomb_rows = tombs.select(
+                *[F.col(k) for k in keys]
+            ).distinct()
+            for c in source.columns:
+                if c not in keys:
+                    tomb_rows = tomb_rows.withColumn(
+                        c, F.lit(None).cast(source.schema[c].dataType)
+                    )
+            source = source.withColumn("__tomb", F.lit(False)).unionByName(
+                tomb_rows.select(*source.columns).withColumn(
+                    "__tomb", F.lit(True)
+                )
+            )
         part_col = "__bucket" if spec["mode"] == "hash" else spec["column"]
         if spec["mode"] == "hash":
             src = source.withColumn(part_col, self._partition_expr(spec, keys))
@@ -1659,7 +1713,6 @@ class TableStore:
         # is pure driver-side metadata; scattered multi-key sources
         # rewrite a few more files — extra rewrites, never wrong rows.
         key0 = keys[0]
-        current = self.current_path(name)
         target_all = self._read_version(current)
         stats = self._load_file_stats(current)
         src_key_dtype = dict(src.dtypes).get(key0, "")
@@ -1692,14 +1745,29 @@ class TableStore:
         # otherwise all files of affected partitions rewrite (the
         # round-2 behavior — still correct).
         affected_dirs: dict[str, object] = {}
-        use_stats = stats is not None and stats.get("key") == key0 and integral
-        if use_stats:
-            for v in affected:
-                d = self._simple_partition_dir(part_col, v)
-                if d is None:
-                    use_stats = False
-                    break
-                affected_dirs[d] = v
+        all_simple = True
+        for v in affected:
+            d = self._simple_partition_dir(part_col, v)
+            if d is None:
+                all_simple = False
+                affected_dirs = {}
+                break
+            affected_dirs[d] = v
+        if policy == "upsert_delete" and not all_simple:
+            # an affected partition can be EMPTIED by the fused delete
+            # (no scratch output dir), and the link phase must then
+            # know its dir name to avoid resurrecting it wholesale —
+            # escape-encoded partition values make that unprovable
+            raise ValueError(
+                "upsert_delete needs partition values that map to plain "
+                f"dir names; got {affected!r} for {part_col!r}"
+            )
+        use_stats = (
+            stats is not None
+            and stats.get("key") == key0
+            and integral
+            and all_simple
+        )
         hit_by_dir: dict[str, set[str]] = {}
         if use_stats:
             for d, v in affected_dirs.items():
@@ -1766,6 +1834,17 @@ class TableStore:
         elif policy == "full_upsert":
             merged = merge_full_upsert(
                 target_affected, src_plain, keys, kwargs.get("update_cols")
+            )
+        elif policy == "upsert_delete":
+            from .joins import maybe_broadcast
+
+            t_keys = src_plain.filter(F.col("__tomb")).select(*keys).distinct()
+            ups = src_plain.filter(~F.col("__tomb")).drop("__tomb")
+            survivors = target_affected.join(
+                maybe_broadcast(t_keys), list(keys), "left_anti"
+            )
+            merged = merge_full_upsert(
+                survivors, ups, keys, kwargs.get("update_cols")
             )
         elif policy == "cdc_versioned":
             merged = apply_cdc_versioned(
@@ -1854,6 +1933,32 @@ class TableStore:
                         os.path.join(src_path, fname),
                         os.path.join(full, entry, fname),
                     )
+            elif policy == "upsert_delete" and entry in affected_dirs:
+                # affected partition whose post-merge state produced NO
+                # scratch output: the fused delete emptied its rewritten
+                # content (all of it when unpruned; its HIT files under
+                # file pruning). Linking it wholesale would resurrect
+                # the deleted keys — link only the non-hit survivors.
+                if not use_stats:
+                    continue  # fully rewritten to empty
+                hit = hit_by_dir.get(entry, set())
+                keep = [
+                    fname
+                    for fname in os.listdir(src_path)
+                    if fname not in hit
+                    and not (
+                        fname.startswith(".")
+                        and fname.endswith(".crc")
+                        and fname[1:-4] in hit
+                    )
+                ]
+                if keep:
+                    os.makedirs(os.path.join(full, entry))
+                    for fname in keep:
+                        os.link(
+                            os.path.join(src_path, fname),
+                            os.path.join(full, entry, fname),
+                        )
             else:
                 os.makedirs(os.path.join(full, entry))
                 for fname in os.listdir(src_path):
@@ -1872,12 +1977,18 @@ class TableStore:
         self._carry_bloom_sidecars(current, full)
         self._write_schema(full, merged_schema_src)
         self._write_op(full, f"merge:{policy}")
-        self._write_rewritten(full, rewritten, os.path.basename(current))
+        touched = set(rewritten)
+        if policy == "upsert_delete":
+            # partitions the fused delete EMPTIED have no scratch dir
+            # but their content changed — conflict detection must see
+            # them as rewritten
+            touched |= set(affected_dirs)
+        self._write_rewritten(full, touched, os.path.basename(current))
         final = self._commit_pointer_or_rebase(
             name,
             version_dir,
             based_on=os.path.basename(current),
-            rewritten=set(rewritten),
+            rewritten=touched,
         )
         final_full = os.path.join(self.root, final)
         if self._changelog_enabled(name):
@@ -1893,7 +2004,13 @@ class TableStore:
             )
             if spec["mode"] == "hash":
                 pre, post = pre.drop(part_col), post.drop(part_col)
-            self._log_merge_changes(name, pre, post, keys)
+            self._log_merge_changes(
+                name,
+                pre,
+                post,
+                keys,
+                include_deletes=(policy == "upsert_delete"),
+            )
         self._prune(name, keep=final)
 
     def merge(
@@ -1910,7 +2027,14 @@ class TableStore:
         I/U/D changelogs order-robustly — see ``apply_cdc_versioned``),
         scd2 (requires ``seq_col``, optional ``tiebreak_col``;
         maintains a full-history version table order-robustly — see
-        ``scd2_merge_batch``).
+        ``scd2_merge_batch``), upsert_delete (requires
+        ``tombs=<DataFrame of key column(s)>``: ONE commit deletes the
+        tomb keys AND full-upserts ``source`` — the mixed-CDC-batch
+        shape; a separate delete + merge pays two full commit cycles
+        of write amplification for the same state, and the change feed
+        records the deletes ('delete' rows, post-image NULL) alongside
+        the upserts in the same commit. Keys appearing on BOTH sides
+        are deleted then upserted, i.e. the upsert wins).
 
         Tables created with ``write_partitioned`` take the
         partition-pruned path: only partitions containing source keys
@@ -1977,6 +2101,16 @@ class TableStore:
             merged = merge_conditional_update(target, source, keys, **kwargs)
         elif policy == "full_upsert":
             merged = merge_full_upsert(target, source, keys, kwargs.get("update_cols"))
+        elif policy == "upsert_delete":
+            from .joins import maybe_broadcast
+
+            t_keys = kwargs["tombs"].select(*keys).distinct()
+            merged = merge_full_upsert(
+                target.join(maybe_broadcast(t_keys), list(keys), "left_anti"),
+                source,
+                keys,
+                kwargs.get("update_cols"),
+            )
         elif policy == "cdc_versioned":
             merged = apply_cdc_versioned(
                 target,
@@ -2012,6 +2146,7 @@ class TableStore:
                 self._read_version(old_path),
                 self.read(name),
                 keys,
+                include_deletes=(policy == "upsert_delete"),
             )
 
 

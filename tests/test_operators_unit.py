@@ -3629,6 +3629,50 @@ def test_partition_disjoint_writers_rebase_commit(spark, tmp_path):
         del store.current_path
 
 
+def test_merge_upsert_delete_fused(spark, tmp_path):
+    """policy='upsert_delete': ONE commit deletes the tomb keys and
+    full-upserts the source — partitioned tables prune to the union of
+    both sides' partitions, the change feed carries the deletes and
+    upserts in the same commit, a key on both sides resolves to the
+    upsert, and the unpartitioned path matches."""
+    store = merge.TableStore(spark, str(tmp_path), changelog=True)
+    base = spark.createDataFrame([Row(k=i, v=i) for i in range(40)])
+    store.write_partitioned("t", base, keys=["k"], n_buckets=8)
+    n_versions_before = len(store.versions("t"))
+    ups = spark.createDataFrame(
+        [Row(k=1, v=-1), Row(k=100, v=100), Row(k=5, v=-5)]
+    )
+    tombs = spark.createDataFrame([Row(k=2), Row(k=3), Row(k=5)])
+    store.merge("t", ups, ["k"], policy="upsert_delete", tombs=tombs)
+    got = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert 2 not in got and 3 not in got
+    assert got[1] == -1 and got[100] == 100
+    assert got[5] == -5  # tomb + upsert on the same key: upsert wins
+    assert len(got) == 39  # 40 - 2 deleted + 1 inserted
+    # ONE commit, not two
+    assert len(store.versions("t")) == n_versions_before + 1
+    # the change feed carries deletes AND upserts in the same commit
+    ch = store.read_changes("t").collect()
+    vmax = max(r["_commit_version"] for r in ch)
+    last = [r for r in ch if r["_commit_version"] == vmax]
+    by_type = {}
+    for r in last:
+        by_type.setdefault(r["_change_type"], set()).add(r["k"])
+    assert by_type["delete"] == {2, 3}
+    assert by_type["update_postimage"] >= {1, 5}
+    assert 100 in by_type["insert"]
+    # tombs are required
+    with pytest.raises(ValueError, match="tombs"):
+        store.merge("t", ups, ["k"], policy="upsert_delete")
+
+    # unpartitioned path matches
+    store2 = merge.TableStore(spark, str(tmp_path / "u"))
+    store2.write("t", base)
+    store2.merge("t", ups, ["k"], policy="upsert_delete", tombs=tombs)
+    got2 = {r["k"]: r["v"] for r in store2.read("t").collect()}
+    assert got2 == got
+
+
 def test_changelog_version_counter_race_free(spark, tmp_path):
     """The changelog commit-version allocator is flock-guarded: 32
     threads hammering it concurrently must get 32 UNIQUE sequential
