@@ -2788,20 +2788,25 @@ class TableStore:
             if partitions is not None
             else sub.select(part_col).distinct().count()
         )
+        max_records = None
         if n_files is not None:
             out = sub.repartitionByRange(
                 max(1, int(n_files) * n_sel), F.col(part_col), cluster
             )
         else:
-            # Size-targeted file count (the Delta OPTIMIZE bin-packing
-            # analog): aim each output file at the scan's
-            # maxPartitionBytes so compaction is GUARANTEED at small
-            # scale (an unpinned range shuffle inherits
-            # spark.sql.shuffle.partitions and can leave MORE files
-            # than the trickle state it was asked to fix) and file
-            # sizes stay scan-friendly at large scale. Bytes come from
-            # a driver-side walk of the selected partition dirs —
-            # metadata, no Spark job.
+            # Size-targeted bin packing (the Delta OPTIMIZE analog):
+            # ONE write task per partition dir (hash on the partition
+            # column — a range shuffle's boundaries straddle dirs, so
+            # tasks x straddles leaves MORE files than the trickle
+            # state optimize was asked to fix), cluster-SORTED within
+            # the task, split into ~maxPartitionBytes files by
+            # maxRecordsPerFile — consecutive splits of a sorted run,
+            # so every dir's files carry DISJOINT cluster ranges
+            # (maximal skipping) and a small partition lands exactly
+            # ONE file. Bytes/rows come from a driver-side walk plus
+            # the validation count already taken — metadata, no extra
+            # job. Writer parallelism = selected partitions; at scale
+            # that is the same per-partition bin model Delta runs.
             sel_dirs = None
             if partitions is not None:
                 sel_dirs = {
@@ -2829,10 +2834,17 @@ class TableStore:
                 target = int(re.sub(r"[^0-9]", "", raw) or 134217728)
             except Exception:
                 target = 134217728
-            n_range = max(n_sel, 1, -(-total_bytes // max(1, target)))
-            out = sub.repartitionByRange(n_range, F.col(part_col), cluster)
+            if total_bytes > 0 and n_before > 0:
+                bytes_per_row = total_bytes / n_before
+                max_records = max(1, int(target / max(1e-9, bytes_per_row)))
+            out = sub.repartition(F.col(part_col)).sortWithinPartitions(
+                F.col(part_col), cluster
+            )
         scratch = os.path.join(self.root, f"{name}.opt{uuid.uuid4().hex[:12]}")
-        out.write.mode("overwrite").partitionBy(part_col).parquet(scratch)
+        writer = out.write.mode("overwrite")
+        if max_records is not None:
+            writer = writer.option("maxRecordsPerFile", max_records)
+        writer.partitionBy(part_col).parquet(scratch)
         n_scratch = self.spark.read.parquet(scratch).count()
         if n_scratch != n_before:
             shutil.rmtree(scratch, ignore_errors=True)
