@@ -2690,6 +2690,83 @@ class TableStore:
         self._prune(name, keep=final)
         return int(n_hit)
 
+    def maybe_optimize(
+        self,
+        name: str,
+        max_files_per_partition: int = 8,
+        **optimize_kwargs,
+    ) -> dict:
+        """Auto-compaction policy (the Delta auto-compaction /
+        optimizeWrite cadence analog): ONE driver-side metadata walk
+        finds the partitions whose parquet file count exceeds
+        ``max_files_per_partition`` — the small-file pressure trickle
+        merges accumulate — and compacts EXACTLY those via
+        ``optimize(partitions=...)``; everything else hard-links
+        through untouched, so the compaction cost follows the
+        pressure, never the table. A no-op (and no new version) when
+        nothing exceeds the threshold — call it on a cadence (every N
+        merges / from foreachBatch) without thinking. Returns
+        ``{"triggered", "partitions", "files_before", "files_after"}``
+        (file counts for the SELECTED partitions only)."""
+        spec = self.partition_spec(name)
+        if spec is None:
+            raise ValueError(
+                f"{name} has no partition spec — nothing to auto-compact"
+            )
+        part_col = "__bucket" if spec["mode"] == "hash" else spec["column"]
+        current = self.current_path(name)
+        if current is None:
+            raise FileNotFoundError(f"table {name} does not exist")
+        pressured: list = []
+        files_before = 0
+        for entry in sorted(os.listdir(current)):
+            pdir = os.path.join(current, entry)
+            if not os.path.isdir(pdir) or "=" not in entry:
+                continue
+            n = sum(1 for f in os.listdir(pdir) if f.endswith(".parquet"))
+            if n <= max_files_per_partition:
+                continue
+            raw = entry.split("=", 1)[1]
+            # recover the partition VALUE from the dir name: hash mode
+            # buckets are ints; column mode tries int first (plain
+            # numeric partition columns), else passes the string and
+            # lets the isin literal coerce. Values whose dir name
+            # round-trips through Spark's escape encoding are SKIPPED
+            # (conservative: their pressure stays until a manual
+            # optimize names them) — a mis-parsed literal would
+            # compact the wrong partition
+            try:
+                value = int(raw)
+            except ValueError:
+                value = raw
+            if self._simple_partition_dir(part_col, value) != entry:
+                continue
+            pressured.append(value)
+            files_before += n
+        if not pressured:
+            return {
+                "triggered": False,
+                "partitions": [],
+                "files_before": 0,
+                "files_after": 0,
+            }
+        self.optimize(name, partitions=pressured, **optimize_kwargs)
+        new = self.current_path(name)
+        files_after = 0
+        dirs = {self._simple_partition_dir(part_col, v) for v in pressured}
+        for entry in os.listdir(new):
+            if entry in dirs:
+                pdir = os.path.join(new, entry)
+                files_after += sum(
+                    1 for f in os.listdir(pdir) if f.endswith(".parquet")
+                )
+        return {
+            "triggered": True,
+            "partitions": pressured,
+            "files_before": files_before,
+            "files_after": files_after,
+        }
+
     def optimize(
         self,
         name: str,

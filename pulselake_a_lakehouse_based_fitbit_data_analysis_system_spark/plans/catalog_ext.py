@@ -8255,6 +8255,112 @@ def q_store_concurrent_write_conflict(
     )
 
 
+_AUTO_COMPACT_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
+       TRUE AS triggered,
+       TRUE AS only_pressured,
+       TRUE AS compacted,
+       TRUE AS second_call_noop
+FROM customer
+UNION ALL
+SELECT -c_custkey, c_mktsegment,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT),
+       TRUE, TRUE, TRUE, TRUE
+FROM customer
+WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+@_register(
+    "auto_compaction_policy",
+    _AUTO_COMPACT_ORACLE,
+    "Auto-compaction policy (merge.py::maybe_optimize — the Delta "
+    "auto-compaction cadence analog): three range-disjoint insert "
+    "bands land in the BUILDING partition only (each APPENDS a file "
+    "beside hard-linked survivors — the trickle small-file shape), "
+    "then ONE metadata walk finds the partitions over the file "
+    "threshold and compacts EXACTLY those: triggered pins the "
+    "policy fired on BUILDING alone, only_pressured pins every other "
+    "partition rode through inode-equal (zero data movement), "
+    "compacted pins the selected partition's file count strictly "
+    "dropped, and second_call_noop pins that a re-run under the same "
+    "threshold creates NO new version. Values prove compaction "
+    "changed nothing. The call is safe on any cadence — from "
+    "foreachBatch or every N merges — which is what keeps a "
+    "trickle-fed 100 TB table scan-friendly without a human in the "
+    "loop.",
+    tags=("merge", "store", "compaction", "lakehouse"),
+)
+def q_auto_compaction_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    from ..operators.merge import TableStore
+
+    store = TableStore(
+        spark, _tf.mkdtemp(prefix="pulselake_autoc_"), keep_versions=6
+    )
+    c = _t(spark, sf_dir, "customer")
+    bal = F.floor(F.col("c_acctbal").cast("double") * 100 + 0.5).cast("long")
+    base = c.select("c_custkey", "c_mktsegment", bal.alias("bal_c"))
+    store.write_partitioned(
+        "t", base, keys=["c_custkey"], partition_column="c_mktsegment"
+    )
+    bld = base.filter(F.col("c_mktsegment") == "BUILDING").select(
+        (-F.col("c_custkey")).alias("c_custkey"), "c_mktsegment", "bal_c"
+    )
+    max_key = c.agg(F.max("c_custkey")).collect()[0][0]
+    t1, t2 = -(max_key // 3), -(2 * max_key // 3)
+    for band in (
+        bld.filter(F.col("c_custkey") >= t1),
+        bld.filter((F.col("c_custkey") < t1) & (F.col("c_custkey") >= t2)),
+        bld.filter(F.col("c_custkey") < t2),
+    ):
+        store.merge("t", band, ["c_custkey"], policy="insert_only")
+
+    def file_map(path):
+        out = {}
+        for entry in _os.listdir(path):
+            pdir = _os.path.join(path, entry)
+            if _os.path.isdir(pdir):
+                out[entry] = {
+                    f: _os.stat(_os.path.join(pdir, f)).st_ino
+                    for f in _os.listdir(pdir)
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    before = file_map(store.current_path("t"))
+    rep = store.maybe_optimize("t", max_files_per_partition=2)
+    after = file_map(store.current_path("t"))
+    triggered = rep["triggered"] and rep["partitions"] == ["BUILDING"]
+    only_pressured = all(
+        after[d] == before[d]
+        for d in before
+        if d != "c_mktsegment=BUILDING"
+    )
+    compacted = (
+        rep["files_after"] < rep["files_before"]
+        and len(after["c_mktsegment=BUILDING"]) <= 2
+    )
+    n_versions = len(store.versions("t"))
+    rep2 = store.maybe_optimize("t", max_files_per_partition=2)
+    noop = (
+        not rep2["triggered"]
+        and len(store.versions("t")) == n_versions
+    )
+    return store.read("t").select(
+        "c_custkey",
+        "c_mktsegment",
+        "bal_c",
+        F.lit(triggered).alias("triggered"),
+        F.lit(only_pressured).alias("only_pressured"),
+        F.lit(compacted).alias("compacted"),
+        F.lit(noop).alias("second_call_noop"),
+    )
+
+
 _DISJOINT_REBASE_ORACLE = """
 SELECT c_custkey, c_mktsegment,
        CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)

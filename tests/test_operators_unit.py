@@ -3629,6 +3629,70 @@ def test_partition_disjoint_writers_rebase_commit(spark, tmp_path):
         del store.current_path
 
 
+def test_maybe_optimize_compacts_only_pressured_partitions(spark, tmp_path):
+    """Auto-compaction policy (maybe_optimize): one metadata walk
+    finds partitions over the file threshold, compacts EXACTLY those,
+    hard-links the rest, changes no values, and is a no-op (no new
+    version) when nothing exceeds the threshold."""
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=8)
+    base = spark.createDataFrame(
+        [Row(k=i, seg="A" if i % 2 == 0 else "B", v=i) for i in range(40)]
+    )
+    store.write_partitioned("t", base, keys=["k"], partition_column="seg")
+    # three range-disjoint insert bands into seg=A only: each appends a
+    # fresh file beside hard-linked survivors -> A gets small-file
+    # pressure, B stays compact
+    for lo in (100, 200, 300):
+        store.merge(
+            "t",
+            spark.createDataFrame(
+                [Row(k=lo + j, seg="A", v=-lo) for j in range(4)]
+            ),
+            ["k"],
+            policy="insert_only",
+        )
+    before = _partition_file_map(store.current_path("t"))
+    assert len(before["seg=A"]) >= 4 and len(before["seg=B"]) == 1
+    rows_before = {r["k"]: r["v"] for r in store.read("t").collect()}
+    n_versions = len(store.versions("t"))
+
+    rep = store.maybe_optimize("t", max_files_per_partition=2)
+    assert rep["triggered"] and rep["partitions"] == ["A"]
+    assert rep["files_after"] < rep["files_before"]
+    after = _partition_file_map(store.current_path("t"))
+    assert len(after["seg=A"]) <= 2
+    assert after["seg=B"] == before["seg=B"]  # inode-equal: untouched
+    assert {r["k"]: r["v"] for r in store.read("t").collect()} == rows_before
+    assert len(store.versions("t")) == n_versions + 1
+
+    # below threshold everywhere: a no-op, no new version
+    rep2 = store.maybe_optimize("t", max_files_per_partition=2)
+    assert rep2 == {
+        "triggered": False,
+        "partitions": [],
+        "files_before": 0,
+        "files_after": 0,
+    }
+    assert len(store.versions("t")) == n_versions + 1
+
+    # hash-mode buckets parse back to ints
+    store.write_partitioned("h", base.drop("seg"), keys=["k"], n_buckets=2)
+    for lo in (100, 200, 300):
+        store.merge(
+            "h",
+            spark.createDataFrame([Row(k=lo + j, v=-lo) for j in range(6)]),
+            ["k"],
+            policy="insert_only",
+        )
+    rep3 = store.maybe_optimize("h", max_files_per_partition=2)
+    assert rep3["triggered"]
+    assert all(isinstance(p, int) for p in rep3["partitions"])
+    assert {r["k"]: r["v"] for r in store.read("h").collect()} == {
+        **{i: i for i in range(40)},
+        **{lo + j: -lo for lo in (100, 200, 300) for j in range(6)},
+    }
+
+
 def test_merge_upsert_delete_fused(spark, tmp_path):
     """policy='upsert_delete': ONE commit deletes the tomb keys and
     full-upserts the source — partitioned tables prune to the union of
