@@ -999,12 +999,15 @@ class TableStore:
         """Diff post-merge vs pre-merge state into change rows —
         policy-agnostic (works for every merge shape): a key absent
         from pre is an 'insert'; a key whose non-key row hash moved is
-        an 'update_postimage'. Merges never delete, so their feed has
-        no delete records (the reference's ``ignoreDeletes`` holds by
-        construction); ``restore()`` is the one caller that passes
-        ``include_deletes=True`` — keys the rollback removes join the
-        SAME commit as 'delete' rows (post-schema, non-key columns
-        NULL: the post-image of a deleted row is no row). Row
+        an 'update_postimage'. Upsert-shaped merges never remove rows,
+        so their feeds have no delete records (the reference's
+        ``ignoreDeletes`` holds by construction; cdc_versioned KEEPS
+        its 'D' tombstones as rows, so they surface as post-images);
+        the row-REMOVING callers pass ``include_deletes=True`` —
+        ``restore()`` and ``upsert_delete`` merges — and keys the
+        operation removes join the SAME commit as 'delete' rows
+        (post-schema, non-key columns NULL: the post-image of a
+        deleted row is no row). Row
         comparison is xxhash64 over non-key columns (a hash collision
         would drop one change record — astronomically unlikely, and
         harmless for at-least-once consumers)."""
