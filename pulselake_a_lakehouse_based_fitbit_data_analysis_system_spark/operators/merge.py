@@ -1050,7 +1050,7 @@ class TableStore:
     def read_changes(
         self,
         name: str,
-        starting_version: int = 0,
+        starting_version: int | None = None,
         ignore_deletes: bool = False,
     ) -> DataFrame:
         """Batch change feed: all change rows with ``_commit_version >=
@@ -1059,11 +1059,25 @@ class TableStore:
         'delete' records — the reference's ``ignoreDeletes`` consumer
         contract (T8, ``Silver/05-silver.py:71-76``) for pipelines
         that only propagate upserts and treat upstream deletes
-        (retention, GDPR, restores) as out-of-band. Raises when
-        ``starting_version`` is below the feed's retention cursor
-        (see ``vacuum_changelog``) — a truncated history must fail
-        loud, not under-build."""
-        self._check_changelog_cursor(name, starting_version)
+        (retention, GDPR, restores) as out-of-band.
+
+        ``starting_version=None`` (the default) means 'from the feed's
+        retention cursor' — the full history that actually EXISTS: 0
+        on a never-vacuumed feed, the vacuum floor afterwards, so
+        default-arg callers keep working across a ``vacuum_changelog``
+        instead of erroring on history nobody promised them. An
+        EXPLICIT ``starting_version`` below the cursor raises — the
+        caller named a point in truncated history, and serving a
+        partial feed there would silently under-build an IVM/bootstrap
+        consumer. Vacuum and read are not atomic with respect to each
+        other: a ``vacuum_changelog`` landing between this cursor
+        check and the parquet listing can remove files this reader was
+        promised — that window fails LOUD (missing-file read error),
+        never as silent partial data."""
+        if starting_version is None:
+            starting_version = self.changelog_cursor(name)
+        else:
+            self._check_changelog_cursor(name, starting_version)
         df = self.spark.read.parquet(self._require_changelog(name))
         df = df.filter(F.col("_commit_version") >= starting_version)
         if ignore_deletes:
@@ -1073,7 +1087,7 @@ class TableStore:
     def stream_changes(
         self,
         name: str,
-        starting_version: int = 0,
+        starting_version: int | None = None,
         ignore_deletes: bool = False,
     ) -> DataFrame:
         """Streaming change feed — the engine's stand-in for a Delta
@@ -1084,11 +1098,24 @@ class TableStore:
         discovery; ``starting_version`` prunes history and, like the
         reference's ``startingVersion``, only matters for an empty
         checkpoint (afterwards the checkpoint's file offsets govern).
-        Like ``read_changes``, raises when ``starting_version`` is
-        below the feed's retention cursor — running consumers resume
-        from checkpoints and never hit this; only a NEW subscription
-        asking for truncated history does."""
-        self._check_changelog_cursor(name, starting_version)
+
+        ``starting_version=None`` (the default) resolves to the feed's
+        retention cursor, exactly like ``read_changes`` — crucially,
+        a CHECKPOINTED consumer restarting with defaults after a
+        ``vacuum_changelog`` must not raise at DataFrame construction:
+        its checkpoint governs which files it reads, it never needed
+        the reclaimed history, and the cursor-clamped filter only
+        affects commits it has not yet seen (all above the cursor).
+        Only an EXPLICIT below-cursor ``starting_version`` — a new
+        subscription naming truncated history — raises. Vacuum and
+        subscribe are not atomic with respect to each other: a vacuum
+        landing between the cursor check and the first micro-batch's
+        file listing surfaces as a loud missing-file error, never as
+        silent partial data."""
+        if starting_version is None:
+            starting_version = self.changelog_cursor(name)
+        else:
+            self._check_changelog_cursor(name, starting_version)
         d = self._require_changelog(name)
         schema = self.spark.read.parquet(d).schema
         stream = self.spark.readStream.schema(schema).parquet(d)
@@ -1200,6 +1227,20 @@ class TableStore:
                 os.path.getsize(p) for p in doomed if os.path.exists(p)
             )
         else:
+            if doomed:
+                # persist the retention cursor BEFORE any unlink
+                # (monotonic max): a crash mid-loop then leaves a feed
+                # whose cursor already covers the truncation — a new
+                # consumer raises and bootstraps from the table — never
+                # a cursor-0 feed missing files, which read_changes
+                # would silently serve as a PARTIAL history (the
+                # under-build the cursor exists to prevent). The
+                # inverse failure — crash after the cursor write,
+                # before any delete — merely over-claims truncation on
+                # files that still exist: one-sided, safe.
+                self._set_changelog_cursor(
+                    name, max(cutoff, self.changelog_cursor(name))
+                )
             for p in doomed:
                 # count only files actually unlinked: a stale listing
                 # (concurrent vacuum) must not report bytes it never
@@ -1219,13 +1260,6 @@ class TableStore:
                     )
                 except OSError:
                     pass
-            if n_files:
-                # history below `cutoff` is now incomplete (whole files
-                # gone; straddling survivors are partial) — advance the
-                # persisted floor for new consumers, monotonically
-                self._set_changelog_cursor(
-                    name, max(cutoff, self.changelog_cursor(name))
-                )
         return {
             "files": n_files,
             "bytes": int(n_bytes),
@@ -1511,11 +1545,29 @@ class TableStore:
                     continue  # file not carried into the new version
             if not kept:
                 continue
+            dst_p = os.path.join(dst_full, fname)
+            if os.path.exists(dst_p):
+                # the rebase path carries from BOTH parents (cur, then
+                # ours) — union with the entries an earlier carry
+                # already validated instead of clobbering them, else
+                # files the intervening commit indexed post-commit
+                # drop out of the rebase (one-sided: extra scans,
+                # never wrong rows — but pointless). Params must match
+                # to union; on drift keep the later carry as before.
+                try:
+                    with open(dst_p) as f:
+                        prev = json.load(f)
+                    if {k: v for k, v in prev.items() if k != "files"} == {
+                        k: v for k, v in meta.items() if k != "files"
+                    }:
+                        kept = {**(prev.get("files") or {}), **kept}
+                except Exception:
+                    pass
             meta["files"] = kept
-            tmp = os.path.join(dst_full, fname + ".tmp")
+            tmp = dst_p + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(meta, f)
-            os.replace(tmp, os.path.join(dst_full, fname))
+            os.replace(tmp, dst_p)
 
     def _load_file_stats(self, version_full: str) -> dict | None:
         p = os.path.join(version_full, self._FILESTATS)
@@ -1669,6 +1721,13 @@ class TableStore:
                     and tombs.schema[k].dataType != want
                 ):
                     tombs = tombs.withColumn(k, F.col(k).cast(want))
+            # column-mode tombs may carry the partition column (it is
+            # what routes the delete) — canonicalize its dtype too
+            pc = spec.get("column") if spec.get("mode") == "column" else None
+            if tombs is not None and pc is not None and pc in tombs.columns:
+                want = tfields.get(pc)
+                if want is not None and tombs.schema[pc].dataType != want:
+                    tombs = tombs.withColumn(pc, F.col(pc).cast(want))
         if policy == "upsert_delete":
             if tombs is None:
                 raise ValueError(
@@ -1682,12 +1741,26 @@ class TableStore:
             # fold the tomb keys into the source as NULL-payload marker
             # rows so ONE pass yields the affected partitions and key
             # bounds of BOTH sides (files holding doomed keys must
-            # rewrite too)
+            # rewrite too). In column mode the partition column is what
+            # ROUTES the delete (the keys don't determine it), so tombs
+            # must carry it and it survives the fold; hash mode derives
+            # __bucket from the keys, so keys alone suffice there.
+            tomb_cols = list(keys)
+            pcol = spec["column"] if spec["mode"] == "column" else None
+            if pcol is not None and pcol not in keys:
+                if pcol not in tombs.columns:
+                    raise ValueError(
+                        "upsert_delete on a column-partitioned table "
+                        f"needs the partition column {pcol!r} on tombs "
+                        "— the keys alone cannot route the delete to "
+                        "its partition"
+                    )
+                tomb_cols.append(pcol)
             tomb_rows = tombs.select(
-                *[F.col(k) for k in keys]
+                *[F.col(c) for c in tomb_cols]
             ).distinct()
             for c in source.columns:
-                if c not in keys:
+                if c not in tomb_cols:
                     tomb_rows = tomb_rows.withColumn(
                         c, F.lit(None).cast(source.schema[c].dataType)
                     )
@@ -2050,6 +2123,23 @@ class TableStore:
         read time), and a source missing target columns inserts NULLs
         there instead of erroring.
         """
+        if policy == "upsert_delete":
+            # validate BEFORE dispatching so every path — partitioned,
+            # unpartitioned, create — gives the documented errors: a
+            # missing tombs must be this ValueError (the unpartitioned
+            # branch used to KeyError), and evolve_schema is rejected
+            # uniformly (the partitioned path enforced it; the
+            # unpartitioned path silently half-applied it to the
+            # source while never aligning the tombs)
+            if kwargs.get("tombs") is None:
+                raise ValueError(
+                    "policy='upsert_delete' requires tombs=<DataFrame of "
+                    "key column(s) to delete>"
+                )
+            if kwargs.get("evolve_schema"):
+                raise ValueError(
+                    "evolve_schema is not supported with upsert_delete"
+                )
         spec = self.partition_spec(name)
         if spec is not None and self.exists(name):
             self._merge_partitioned(name, source, keys, policy, spec, **kwargs)
@@ -2914,8 +3004,18 @@ class TableStore:
                 target = int(re.sub(r"[^0-9]", "", raw) or 134217728)
             except Exception:
                 target = 134217728
-            if total_bytes > 0 and n_before > 0:
-                bytes_per_row = total_bytes / n_before
+            size_rows = n_before
+            if partitions is not None and sel_dirs is None:
+                # escape-encoded partition value degraded the byte walk
+                # to the WHOLE table, so the rows denominator must
+                # cover the whole table too — dividing whole-table
+                # bytes by selected-partition rows inflates
+                # bytes_per_row and undersizes maxRecordsPerFile
+                # (many extra small files; layout-only, values stay
+                # correct either way)
+                size_rows = df_all.count()
+            if total_bytes > 0 and size_rows > 0:
+                bytes_per_row = total_bytes / size_rows
                 max_records = max(1, int(target / max(1e-9, bytes_per_row)))
             out = sub.repartition(F.col(part_col)).sortWithinPartitions(
                 F.col(part_col), cluster

@@ -4870,11 +4870,20 @@ def test_vacuum_changelog_retention(spark, tmp_path):
     )
     assert rep2["min_retained_version"] == 2
     assert store.changelog_cursor("t") == 2
-    # below the cursor: loud failure, never a silent partial history
+    # an EXPLICIT starting_version below the cursor: loud failure,
+    # never a silent partial history
     with pytest.raises(ValueError, match="vacuumed"):
-        store.read_changes("t")
+        store.read_changes("t", starting_version=0)
     with pytest.raises(ValueError, match="vacuumed"):
         store.stream_changes("t", starting_version=1)
+    # the DEFAULT (None) means 'from the retention cursor' — a
+    # default-arg caller (fitbit.py's silver feeds, a checkpointed
+    # stream restarting) keeps working across a vacuum instead of
+    # erroring on history nobody promised it
+    assert {
+        r["_commit_version"] for r in store.read_changes("t").collect()
+    } == {2, 3}
+    assert store.stream_changes("t").isStreaming  # constructs, no raise
     # exactly at the cursor: the full surviving feed
     got = store.read_changes("t", starting_version=2).collect()
     assert {r["_commit_version"] for r in got} == {2, 3}
@@ -5259,3 +5268,220 @@ def test_lsh_index_full_dedup_pipeline(spark, tmp_path):
     assert kept == flat_kept
     # one canonical per text: min ids 0,1,2,3 survive + the novel 12
     assert kept == {0, 1, 2, 3, 12}
+
+
+# --- round-12 hardening: vacuum crash-safety, dtype key routing, ----------
+# --- cross-process rebase, upsert_delete validation, sidecar union --------
+
+
+def test_vacuum_changelog_crash_safe_cursor_first(spark, tmp_path,
+                                                  monkeypatch):
+    """vacuum_changelog persists the retention cursor BEFORE the first
+    unlink (round-11 verdict "What's wrong" #1): a crash mid-loop must
+    leave a feed whose cursor already covers the truncation, so a new
+    consumer raises (over-claim, safe) — never a cursor-0 feed with
+    files missing, which read_changes would serve as a silent PARTIAL
+    history."""
+    store = merge.TableStore(spark, str(tmp_path), changelog=True)
+    store.write("t", spark.createDataFrame([Row(k=i, v=0) for i in range(10)]))
+    for ver in (1, 2, 3):
+        store.merge(
+            "t",
+            spark.createDataFrame([Row(k=ver, v=ver)]),
+            ["k"],
+            policy="scd1",
+        )
+    assert store.changelog_cursor("t") == 0
+
+    real_unlink = os.unlink
+    state = {"parquet_unlinks": 0}
+
+    def crash_after_first(path, *a, **kw):
+        p = str(path)
+        if p.endswith(".parquet"):
+            if state["parquet_unlinks"] >= 1:
+                raise RuntimeError("injected crash mid-vacuum")
+            state["parquet_unlinks"] += 1
+        return real_unlink(path, *a, **kw)
+
+    monkeypatch.setattr(merge.os, "unlink", crash_after_first)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        store.vacuum_changelog("t", keep_from_version=4)
+    monkeypatch.undo()
+
+    # exactly one file actually unlinked -> feed is genuinely truncated
+    assert state["parquet_unlinks"] == 1
+    # the cursor was persisted FIRST, so it already covers the cutoff
+    assert store.changelog_cursor("t") == 4
+    # a new consumer naming truncated history fails loud ...
+    with pytest.raises(ValueError, match="vacuumed"):
+        store.read_changes("t", starting_version=0)
+    # ... and the default reads from the cursor: complete (the head
+    # commit's files are never doomed), no partial history served
+    got = store.read_changes("t").collect()
+    assert {r["_commit_version"] for r in got} == {4}
+    assert [(r["k"], r["v"]) for r in got] == [(3, 3)]
+
+
+def test_merge_dtype_mismatched_key_routing(spark, tmp_path):
+    """An int-typed CDC batch merged into a bigint-keyed hash-bucketed
+    table routes by the TARGET's key dtype (merge.py canonicalizes
+    source/tomb key dtypes before the bucket expression — xxhash64(int
+    3) != xxhash64(bigint 3), so without the cast rows land in the
+    wrong partition: silent duplicates on upsert, silent misses on
+    delete). Pins the round-11 fix; red if the cast block is removed."""
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=8,
+                             changelog=True)
+    # bigint keys (spark.range yields LongType)
+    base = spark.range(200).select(
+        F.col("id").alias("k"), F.lit(0).alias("v")
+    )
+    store.write_partitioned("t", base, keys=["k"], n_buckets=8)
+
+    # int-typed source + tombs (the mismatched CDC batch)
+    src = spark.createDataFrame(
+        [Row(k=5, v=55), Row(k=205, v=66)],
+        schema="k int, v int",
+    )
+    tombs = spark.createDataFrame([Row(k=7)], schema="k int")
+    store.merge("t", src, ["k"], policy="upsert_delete", tombs=tombs)
+
+    rows = store.read("t").collect()
+    by_k: dict = {}
+    for r in rows:
+        by_k.setdefault(r["k"], []).append(r["v"])
+    # no duplicate rows per key anywhere (wrong-bucket routing would
+    # leave the stale copy in its old partition beside the new one)
+    dupes = {k: vs for k, vs in by_k.items() if len(vs) > 1}
+    assert dupes == {}
+    assert by_k[5] == [55] and by_k[205] == [66]  # upserts landed once
+    assert 7 not in by_k  # the tomb actually deleted
+    assert len(rows) == 200  # 200 - 1 tombed + 1 inserted
+    # the change feed carries both the upserts and the delete
+    ch = store.read_changes("t")
+    assert {
+        (r["k"], r["_change_type"]) for r in ch.collect()
+        if r["_commit_version"] == 2
+    } == {(5, "update_postimage"), (205, "insert"), (7, "delete")}
+
+    # column-partitioned (non-hash) mode: same mismatched batch shape
+    base2 = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("seg"),
+        F.lit(0).alias("v"),
+    )
+    store.write_partitioned("t2", base2, keys=["k"],
+                            partition_column="seg")
+    src2 = spark.createDataFrame(
+        [Row(k=5, seg=1, v=55)], schema="k int, seg int, v int"
+    )
+    tombs2 = spark.createDataFrame(
+        [Row(k=8, seg=0)], schema="k int, seg int"
+    )
+    store.merge("t2", src2, ["k"], policy="upsert_delete", tombs=tombs2)
+    got2 = {r["k"]: r["v"] for r in store.read("t2").collect()}
+    assert got2[5] == 55 and 8 not in got2 and len(got2) == 99
+
+
+def test_merge_upsert_delete_validation_all_paths(spark, tmp_path):
+    """upsert_delete validates uniformly on EVERY dispatch path
+    (ADVICE r11): a missing tombs raises the documented ValueError —
+    not a KeyError from the unpartitioned branch — and evolve_schema
+    is rejected on the unpartitioned path exactly as the partitioned
+    one always did."""
+    store = merge.TableStore(spark, str(tmp_path))
+    store.write("t", spark.createDataFrame([Row(k=1, v=1)]))
+    src = spark.createDataFrame([Row(k=2, v=2)])
+
+    with pytest.raises(ValueError, match="requires tombs"):
+        store.merge("t", src, ["k"], policy="upsert_delete")
+    with pytest.raises(ValueError, match="not supported with upsert_delete"):
+        store.merge(
+            "t", src, ["k"], policy="upsert_delete",
+            tombs=spark.createDataFrame([Row(k=1)]),
+            evolve_schema=True,
+        )
+    # the valid unpartitioned call still works: delete k=1, upsert k=2
+    store.merge(
+        "t", src, ["k"], policy="upsert_delete",
+        tombs=spark.createDataFrame([Row(k=1)]),
+    )
+    assert {(r["k"], r["v"]) for r in store.read("t").collect()} == {(2, 2)}
+
+
+def test_rebase_unions_both_parents_sidecars(spark, tmp_path):
+    """The rebase carries per-column skipping sidecars from BOTH
+    parents by UNION (ADVICE r11: the second carry used to os.replace-
+    clobber the first): entries the intervening commit added via a
+    post-commit build_bloom_sidecar for its NEW files must survive the
+    rebase alongside the stale writer's carried entries — dropping
+    them is one-sided (extra scans) but defeats the index."""
+    import json as _json
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.skipping import (
+        build_bloom_sidecar,
+    )
+
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=8)
+    base = spark.createDataFrame(
+        [Row(k=i, seg="A" if i % 2 == 0 else "B", v=i) for i in range(40)]
+    )
+    store.write_partitioned("t", base, keys=["k"], partition_column="seg")
+    build_bloom_sidecar(store, "t", "v")
+    snap = store.current_path("t")
+
+    # intervening writer: new rows into seg=A, then index the new files
+    store.merge(
+        "t",
+        spark.createDataFrame([Row(k=100, seg="A", v=100)]),
+        ["k"],
+        policy="scd1",
+    )
+    build_bloom_sidecar(store, "t", "v")
+    cur = store.current_path("t")
+    with open(os.path.join(cur, "_BLOOM.v.json")) as f:
+        cur_entries = set(_json.load(f)["files"])
+
+    # stale writer computed against snap, touches only seg=B -> rebase
+    calls = {"n": 0}
+    orig = store.current_path
+
+    def stale_once(name):
+        if name == "t" and calls["n"] < 2:
+            calls["n"] += 1
+            return snap
+        return orig(name)
+
+    store.current_path = stale_once
+    try:
+        store.merge(
+            "t",
+            spark.createDataFrame([Row(k=1, seg="B", v=-1)]),
+            ["k"],
+            policy="scd1",
+        )
+    finally:
+        del store.current_path
+    reb = store.current_path("t")
+    assert reb != cur
+    with open(os.path.join(reb, "_BLOOM.v.json")) as f:
+        reb_entries = set(_json.load(f)["files"])
+    # every cur entry whose file rode into the rebase (all of seg=A,
+    # hard-linked) survives — including the intervening commit's NEW
+    # files, which only cur's sidecar knew about
+    surviving_cur = {
+        rel for rel in cur_entries
+        if os.path.exists(os.path.join(reb, rel))
+        and os.path.samefile(
+            os.path.join(cur, rel), os.path.join(reb, rel)
+        )
+    }
+    assert surviving_cur  # the scenario is non-degenerate
+    assert surviving_cur <= reb_entries
+    # and at least one of those is a file snap's sidecar never indexed
+    # (the intervening commit's new file — the clobbered case)
+    with open(os.path.join(snap, "_BLOOM.v.json")) as f:
+        snap_entries = set(_json.load(f)["files"])
+    assert surviving_cur - snap_entries, (
+        "scenario degenerate: no post-snap file was indexed in cur"
+    )
