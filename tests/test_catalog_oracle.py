@@ -132,6 +132,7 @@ def test_driver_priority_orders_never_green_then_changed_then_stalest():
         changed_since_green,
         driver_priority,
         last_green_rounds,
+        module_churn_since_green,
     )
 
     from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import (
@@ -142,6 +143,7 @@ def test_driver_priority_orders_never_green_then_changed_then_stalest():
 
     green = last_green_rounds()
     changed = changed_since_green(green)
+    churn = module_churn_since_green(green, changed)
     order = driver_priority()
     assert order == list(QUERIES), "QUERIES dict order must match priority"
     # idempotence: the priority keys on the canonical registration
@@ -158,22 +160,23 @@ def test_driver_priority_orders_never_green_then_changed_then_stalest():
         return 2 if n in changed else 3
 
     insertion = {n: i for i, n in enumerate(_CANONICAL_ORDER)}
-    plain = sorted(
-        _CANONICAL_ORDER,
-        key=lambda n: (cls(n), green.get(n, 0), insertion[n]),
-    )
+
+    def key(n):
+        c = -churn.get(n, 0) if cls(n) == 2 else 0
+        return (cls(n), c, green.get(n, 0), insertion[n])
+
+    plain = sorted(_CANONICAL_ORDER, key=key)
     stalest = [n for n in plain if cls(n) == 3][:_STALE_QUOTA]
     if stalest:
         reserved = set(stalest)
         non_res = [n for n in plain if n not in reserved]
         cut = max(0, _DRIVER_BUDGET - len(stalest))
-        window = sorted(
-            non_res[:cut] + stalest,
-            key=lambda n: (cls(n), green.get(n, 0), insertion[n]),
-        )
+        window = sorted(non_res[:cut] + stalest, key=key)
         in_window = set(window)
         plain = window + [n for n in plain if n not in in_window]
-    assert order == plain, "not (class, last-green)-sorted modulo the stale quota"
+    assert order == plain, (
+        "not (class, churn, last-green)-sorted modulo the stale quota"
+    )
 
 
 def test_driver_priority_bumps_changed_module_query():
@@ -196,6 +199,15 @@ def test_driver_priority_bumps_changed_module_query():
     green[third] = 2
     order2 = driver_priority(green=green, changed={newer_changed, third})
     assert order2.index(third) < order2.index(newer_changed)
+    # round-11 ask #1: a BIGGER module diff since the green commit
+    # outranks mere staleness within the mods class — the most-churned
+    # module's rows get the freshest driver evidence
+    order3 = driver_priority(
+        green=green,
+        changed={newer_changed, third},
+        churn={newer_changed: 800, third: 12},
+    )
+    assert order3.index(newer_changed) < order3.index(third)
 
 
 def test_driver_priority_reserves_slots_for_stalest_untouched_rows():

