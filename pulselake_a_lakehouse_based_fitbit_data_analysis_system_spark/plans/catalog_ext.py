@@ -8808,3 +8808,136 @@ def q_zorder_3col_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(read_box <= int(total * 0.35)).alias("pruned_box"),
         )
     )
+
+
+# --- round-12 hardening rows: CDF default reader, column-mode fused --------
+# --- upsert_delete with dtype canonicalization ------------------------------
+
+_CDF_DEFAULT_ORACLE = _CDF_BASE_ORACLE + """
+, s2 AS (
+  SELECT t0.user_id, coalesce(b.total, t0.total) AS total
+  FROM t0 LEFT JOIN b USING (user_id)
+), b3 AS (
+  SELECT user_id, round(sum(value) * 3, 2) AS total
+  FROM events WHERE user_id % 7 = 0 GROUP BY user_id
+)
+SELECT b.user_id, b.total, 'update_postimage' AS _change_type,
+       CAST(2 AS INTEGER) AS _commit_version, TRUE AS stream_constructs
+FROM b JOIN t0 USING (user_id)
+WHERE b.total <> t0.total
+UNION ALL
+SELECT b3.user_id, b3.total, 'update_postimage', CAST(3 AS INTEGER), TRUE
+FROM b3 JOIN s2 USING (user_id)
+WHERE b3.total <> s2.total
+"""
+
+
+@_register(
+    "cdf_default_reader_after_vacuum",
+    _CDF_DEFAULT_ORACLE,
+    "Default-arg CDF consumers SURVIVE retention (merge.py r12: "
+    "starting_version=None means 'from the retention cursor'): after "
+    "three commits and a vacuum below version 2, read_changes() with "
+    "NO starting_version returns exactly the surviving commits 2-3 "
+    "instead of raising on history nobody promised it — the silver "
+    "feeds (fitbit.py) and any checkpointed stream restarting with "
+    "defaults keep working across a vacuum, while an EXPLICIT "
+    "below-cursor start still fails loud (pinned by "
+    "cdf_retention_vacuum). stream_constructs pins that the default "
+    "STREAMING subscription also constructs post-vacuum.",
+    tags=("cdf", "merge", "vacuum", "store"),
+)
+def q_cdf_default_reader_after_vacuum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    store = _cdf_store(spark, sf_dir)
+    e = _t(spark, sf_dir, "events")
+    b3 = (
+        e.filter(F.col("user_id") % 7 == 0)
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value") * 3, 2).alias("total"))
+    )
+    store.merge("t", b3, ["user_id"], policy="scd1")
+    store.vacuum_changelog("t", keep_from_version=2)
+    # the DEFAULT batch reader: no starting_version anywhere
+    feed = store.read_changes("t")
+    # and the default streaming subscription must CONSTRUCT (its
+    # checkpoint would govern offsets; it never needed the reclaimed
+    # history) — the pre-fix behavior raised ValueError right here
+    stream_ok = store.stream_changes("t").isStreaming
+    return feed.select(
+        "user_id",
+        "total",
+        "_change_type",
+        "_commit_version",
+        F.lit(bool(stream_ok)).alias("stream_constructs"),
+    )
+
+
+_UPSERT_DELETE_COLPART_ORACLE = """
+WITH t0 AS (
+  SELECT user_id, user_id % 4 AS seg, round(sum(value), 2) AS total
+  FROM events GROUP BY user_id
+), src AS (
+  SELECT user_id, user_id % 4 AS seg, round(sum(value) * 2, 2) AS total
+  FROM events WHERE user_id % 5 = 0 GROUP BY user_id
+), tomb AS (
+  SELECT user_id FROM t0 WHERE user_id % 7 = 0
+)
+SELECT user_id, seg, total FROM src
+UNION ALL
+SELECT t0.user_id, t0.seg, t0.total FROM t0
+WHERE t0.user_id NOT IN (SELECT user_id FROM src)
+  AND t0.user_id NOT IN (SELECT user_id FROM tomb)
+"""
+
+
+@_register(
+    "upsert_delete_column_partitioned",
+    _UPSERT_DELETE_COLPART_ORACLE,
+    "Fused upsert_delete on a COLUMN-partitioned table with a dtype-"
+    "mismatched CDC batch (merge.py r12): tombs carry the partition "
+    "column so the delete routes to its partition (previously the "
+    "fold NULLed it and every column-mode tomb hit the escape-dir "
+    "guard), and the int-typed source/tomb keys are canonicalized to "
+    "the table's bigint before routing — a mismatched batch must not "
+    "duplicate upserts or miss deletes. ONE commit applies deletes "
+    "(user_id % 7) and upserts (user_id % 5, doubled totals); keys on "
+    "both sides: the upsert wins. Value-checked against the "
+    "relational union.",
+    tags=("merge", "store", "cdc"),
+)
+def q_upsert_delete_column_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from ..operators.merge import TableStore
+
+    e = _t(spark, sf_dir, "events")
+    t0 = e.groupBy("user_id").agg(
+        F.round(F.sum("value"), 2).alias("total")
+    ).withColumn("seg", F.col("user_id") % 4).select(
+        "user_id", "seg", "total"
+    )
+    root = tempfile.mkdtemp(prefix="pulselake_udcp_")
+    stream_ops._STAGED_DIRS.append(root)  # swept on interpreter exit
+    store = TableStore(spark, root)
+    store.write_partitioned(
+        "t", t0, keys=["user_id"], partition_column="seg"
+    )
+    # the mismatched CDC batch: int keys into a bigint-keyed table
+    src = (
+        e.filter(F.col("user_id") % 5 == 0)
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value") * 2, 2).alias("total"))
+        .withColumn("seg", (F.col("user_id") % 4).cast("int"))
+        .withColumn("user_id", F.col("user_id").cast("int"))
+        .select("user_id", "seg", "total")
+    )
+    tombs = t0.filter(F.col("user_id") % 7 == 0).select(
+        F.col("user_id").cast("int").alias("user_id"),
+        F.col("seg").cast("int").alias("seg"),
+    )
+    store.merge("t", src, ["user_id"], policy="upsert_delete", tombs=tombs)
+    return store.read("t").select("user_id", "seg", "total")
