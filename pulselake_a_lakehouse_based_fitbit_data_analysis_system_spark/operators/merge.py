@@ -2110,7 +2110,11 @@ class TableStore:
         of write amplification for the same state, and the change feed
         records the deletes ('delete' rows, post-image NULL) alongside
         the upserts in the same commit. Keys appearing on BOTH sides
-        are deleted then upserted, i.e. the upsert wins).
+        are deleted then upserted, i.e. the upsert wins. On a
+        COLUMN-partitioned table the tombs must also carry the
+        partition column — it is what routes each delete to its
+        partition, and the partition column is frozen per key, so the
+        caller derives it the same way the original insert did).
 
         Tables created with ``write_partitioned`` take the
         partition-pruned path: only partitions containing source keys
