@@ -2144,6 +2144,13 @@ class TableStore:
                 raise ValueError(
                     "evolve_schema is not supported with upsert_delete"
                 )
+        if policy in ("cdc_versioned", "scd2") and not kwargs.get("seq_col"):
+            # same uniformity: a missing ordering column is the
+            # documented ValueError on every path, never a KeyError
+            raise ValueError(
+                f"policy={policy!r} requires seq_col=<monotonic ordering "
+                "column> — order-robust application needs it"
+            )
         spec = self.partition_spec(name)
         if spec is not None and self.exists(name):
             self._merge_partitioned(name, source, keys, policy, spec, **kwargs)

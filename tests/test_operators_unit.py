@@ -5407,6 +5407,11 @@ def test_merge_upsert_delete_validation_all_paths(spark, tmp_path):
         tombs=spark.createDataFrame([Row(k=1)]),
     )
     assert {(r["k"], r["v"]) for r in store.read("t").collect()} == {(2, 2)}
+    # seq_col-requiring policies give the documented error too, on
+    # every dispatch path — never a KeyError
+    for policy in ("cdc_versioned", "scd2"):
+        with pytest.raises(ValueError, match="requires seq_col"):
+            store.merge("t", src, ["k"], policy=policy)
 
 
 def test_rebase_unions_both_parents_sidecars(spark, tmp_path):
