@@ -27,6 +27,7 @@ the source — it shrinks the CDC batch *before* the join.
 
 from __future__ import annotations
 
+import datetime
 import fcntl
 import json
 import os
@@ -2299,11 +2300,59 @@ class TableStore:
             )
         return str(version)
 
-    def read_at(self, name: str, version: str | int) -> DataFrame:
-        """Time-travel read (``VERSION AS OF`` analog): ``version`` is
-        a version dir name from ``versions()`` or a negative index
-        into it (-1 = current, -2 = previous, …). Only versions inside
-        the ``keep_versions`` retention window exist."""
+    def version_at_timestamp(self, name: str, ts) -> str:
+        """Latest retained version committed at or before ``ts`` — the
+        resolution step behind ``TIMESTAMP AS OF``. ``ts`` is epoch
+        seconds, a ``datetime``, or an ISO-8601 string. Commit time
+        comes from each version's commit-info sidecar (``history()``'s
+        ``ts_epoch``); versions predating the sidecar fall back to the
+        dir mtime (which later sidecar builds may touch — one-sided:
+        a too-new mtime can only make this pick an OLDER version).
+        Raises when ``ts`` predates every retained version — outside
+        the ``keep_versions`` window, exactly like a pruned
+        ``VERSION AS OF``."""
+        if isinstance(ts, str):
+            ts = datetime.datetime.fromisoformat(ts).timestamp()
+        elif isinstance(ts, datetime.datetime):
+            ts = ts.timestamp()
+        ts = float(ts)
+        best = None
+        for v in self.versions(name):  # oldest -> newest
+            p = os.path.join(self.root, v, self._OPFILE)
+            try:
+                with open(p) as f:
+                    vts = float(json.load(f)["ts"])
+            except Exception:
+                vts = os.path.getmtime(os.path.join(self.root, v))
+            if vts <= ts:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no retained version of {name} existed at {ts} — the "
+                f"timestamp predates the keep_versions="
+                f"{self.keep_versions} retention window"
+            )
+        return best
+
+    def read_at(
+        self,
+        name: str,
+        version: str | int | None = None,
+        timestamp_as_of=None,
+    ) -> DataFrame:
+        """Time-travel read (``VERSION AS OF`` / ``TIMESTAMP AS OF``
+        analog): ``version`` is a version dir name from ``versions()``
+        or a negative index into it (-1 = current, -2 = previous, …);
+        ``timestamp_as_of`` (epoch seconds, datetime, or ISO string)
+        reads the latest version committed at or before that moment
+        (``version_at_timestamp``). Pass exactly one. Only versions
+        inside the ``keep_versions`` retention window exist."""
+        if (version is None) == (timestamp_as_of is None):
+            raise ValueError(
+                "pass exactly one of version / timestamp_as_of"
+            )
+        if timestamp_as_of is not None:
+            version = self.version_at_timestamp(name, timestamp_as_of)
         version = self._resolve_version(name, version)
         path = os.path.join(self.root, version)
         return self._read_version(path).drop("__bucket")

@@ -8941,3 +8941,43 @@ def q_upsert_delete_column_partitioned(
     )
     store.merge("t", src, ["user_id"], policy="upsert_delete", tombs=tombs)
     return store.read("t").select("user_id", "seg", "total")
+
+
+_TIME_TRAVEL_TS_ORACLE = _CDF_BASE_ORACLE + """
+SELECT t0.user_id, coalesce(b.total, t0.total) AS total
+FROM t0 LEFT JOIN b USING (user_id)
+"""
+
+
+@_register(
+    "time_travel_timestamp",
+    _TIME_TRAVEL_TS_ORACLE,
+    "TIMESTAMP AS OF time travel (merge.py::read_at(timestamp_as_of) "
+    "r12): three commits land (initial insert, SCD-1 doubling of "
+    "user_id % 5, SCD-1 tripling of user_id % 7); reading AS OF the "
+    "midpoint between commit 2 and commit 3's history() timestamps "
+    "must return exactly the post-commit-2 state — the third commit "
+    "is invisible to the past. The resolver picks the latest version "
+    "committed at or before the moment from the same commit-info "
+    "clock history() reports; value-checked against the relational "
+    "reconstruction of commit 2.",
+    tags=("store", "merge", "time-travel"),
+)
+def q_time_travel_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _cdf_store(spark, sf_dir)  # commits 1 + 2
+    e = _t(spark, sf_dir, "events")
+    b3 = (
+        e.filter(F.col("user_id") % 7 == 0)
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value") * 3, 2).alias("total"))
+    )
+    store.merge("t", b3, ["user_id"], policy="scd1")  # commit 3
+    ts = sorted(
+        r["ts_epoch"]
+        for r in store.history("t").collect()
+        if r["ts_epoch"] is not None
+    )
+    mid = (ts[-2] + ts[-1]) / 2.0
+    return store.read_at("t", timestamp_as_of=mid).select(
+        "user_id", "total"
+    )

@@ -5585,3 +5585,50 @@ def test_rebase_cross_process_disjoint_writers(spark, tmp_path):
     cur = os.path.basename(store.current_path("t"))
     chain = store._chain_rewritten(v0, cur)
     assert chain == {"seg=A", "seg=B"}
+
+
+def test_read_at_timestamp_as_of(spark, tmp_path):
+    """TIMESTAMP AS OF time travel: read_at(timestamp_as_of=...)
+    resolves the latest version committed at or before the moment
+    (commit-info ts, the same clock history() reports), a timestamp
+    predating retention raises, and passing both/neither selectors
+    raises."""
+    import time as _time
+
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=6)
+    store.write("t", spark.createDataFrame([Row(k=1, v=0)]))
+    _time.sleep(0.05)
+    t_after_v1 = _time.time()
+    _time.sleep(0.05)
+    store.merge("t", spark.createDataFrame([Row(k=1, v=1)]), ["k"],
+                policy="scd1")
+    _time.sleep(0.05)
+    t_after_v2 = _time.time()
+    _time.sleep(0.05)
+    store.merge("t", spark.createDataFrame([Row(k=1, v=2)]), ["k"],
+                policy="scd1")
+
+    def val(df):
+        return {r["k"]: r["v"] for r in df.collect()}
+
+    assert val(store.read_at("t", timestamp_as_of=t_after_v1)) == {1: 0}
+    assert val(store.read_at("t", timestamp_as_of=t_after_v2)) == {1: 1}
+    # a far-future timestamp reads the current version; datetime and
+    # ISO-string forms resolve identically
+    assert val(store.read_at("t", timestamp_as_of=_time.time() + 60)) == {1: 2}
+    dt = datetime.datetime.fromtimestamp(t_after_v2)
+    assert val(store.read_at("t", timestamp_as_of=dt)) == {1: 1}
+    assert val(store.read_at("t", timestamp_as_of=dt.isoformat())) == {1: 1}
+    # the resolver agrees with history(): its pick IS a listed version
+    v = store.version_at_timestamp("t", t_after_v2)
+    assert v in store.versions("t")
+    # predating every retained version: loud retention error
+    with pytest.raises(FileNotFoundError, match="retention"):
+        store.read_at("t", timestamp_as_of=t_after_v1 - 3600)
+    # exactly one selector
+    with pytest.raises(ValueError, match="exactly one"):
+        store.read_at("t")
+    with pytest.raises(ValueError, match="exactly one"):
+        store.read_at("t", -1, timestamp_as_of=t_after_v1)
+    # positional VERSION AS OF unchanged
+    assert val(store.read_at("t", -2)) == {1: 1}
