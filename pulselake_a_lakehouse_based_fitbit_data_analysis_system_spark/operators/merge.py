@@ -2428,13 +2428,18 @@ class TableStore:
     def restore(
         self,
         name: str,
-        version: str | int,
+        version: str | int | None = None,
         keys: Sequence[str] | None = None,
+        timestamp_as_of=None,
     ) -> None:
         """Roll the table back to a retained version — the Delta
-        ``RESTORE TABLE ... TO VERSION AS OF`` analog. The restore is
-        itself a NEW version (history stays append-only, so a restore
-        can be restored away again and ``versions()`` ordering holds);
+        ``RESTORE TABLE ... TO VERSION AS OF`` analog
+        (``timestamp_as_of`` gives the ``TO TIMESTAMP AS OF`` form:
+        the latest version committed at or before that moment, same
+        resolution as ``read_at``; pass exactly one selector). The
+        restore is itself a NEW version (history stays append-only,
+        so a restore can be restored away again and ``versions()``
+        ordering holds);
         it costs zero data movement — every file of the source
         version, including the schema and data-skipping sidecars, is
         hard-linked into the new version dir — and no Spark job unless
@@ -2452,6 +2457,12 @@ class TableStore:
         (``write_partitioned`` with a different bucket count) leaves
         data and spec inconsistent. Re-create rather than restore
         across a layout change."""
+        if (version is None) == (timestamp_as_of is None):
+            raise ValueError(
+                "pass exactly one of version / timestamp_as_of"
+            )
+        if timestamp_as_of is not None:
+            version = self.version_at_timestamp(name, timestamp_as_of)
         version = self._resolve_version(name, version)
         src = os.path.join(self.root, version)
         log_changes = self._changelog_enabled(name)

@@ -5632,3 +5632,10 @@ def test_read_at_timestamp_as_of(spark, tmp_path):
         store.read_at("t", -1, timestamp_as_of=t_after_v1)
     # positional VERSION AS OF unchanged
     assert val(store.read_at("t", -2)) == {1: 1}
+    # RESTORE TO TIMESTAMP AS OF: rolls back to the resolved version
+    # (a NEW version; history append-only), same selector validation
+    with pytest.raises(ValueError, match="exactly one"):
+        store.restore("t")
+    store.restore("t", timestamp_as_of=t_after_v2)
+    assert val(store.read("t")) == {1: 1}
+    assert len(store.versions("t")) == 4  # restore appended a version
