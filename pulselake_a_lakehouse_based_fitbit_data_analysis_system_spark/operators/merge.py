@@ -2316,8 +2316,11 @@ class TableStore:
         elif isinstance(ts, datetime.datetime):
             ts = ts.timestamp()
         ts = float(ts)
+        vs = self.versions(name)
+        if not vs:
+            raise FileNotFoundError(f"table {name} has no versions")
         best = None
-        for v in self.versions(name):  # oldest -> newest
+        for v in vs:  # oldest -> newest
             p = os.path.join(self.root, v, self._OPFILE)
             try:
                 with open(p) as f:
