@@ -79,6 +79,13 @@ def _key_join_ops(
     return matcher, remover
 
 
+class ConstraintViolationError(ValueError):
+    """A CHECK constraint rejected data about to be committed (or, on
+    ``add_check_constraint``, already-present data). Nothing was
+    written: the table, its changelog, and its version history are
+    exactly as before the attempt."""
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed a new table version between this
     operation's snapshot read and its commit — the Delta
@@ -880,6 +887,7 @@ class TableStore:
         _op: str = "write",
         _based_on: str | None = None,
     ) -> None:
+        self._enforce_constraints(name, df)
         version_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
         full = os.path.join(self.root, version_dir)
         writer = df.write.mode("overwrite")
@@ -895,6 +903,83 @@ class TableStore:
                 name, self._read_version(full).drop("__bucket"), "insert"
             )
         self._prune(name, keep=version_dir)
+
+    # --- CHECK constraints (Delta ADD CONSTRAINT analog) ------------------
+
+    def _constraints_path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}._CONSTRAINTS")
+
+    def constraints(self, name: str) -> dict:
+        """Declared CHECK constraints: name -> SQL boolean expression.
+        Empty dict when none were declared."""
+        try:
+            with open(self._constraints_path(name)) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def add_check_constraint(self, name: str, cname: str, expr: str) -> None:
+        """Declare a CHECK constraint — the Delta ``ALTER TABLE ...
+        ADD CONSTRAINT ... CHECK (expr)`` analog. Like Delta, the
+        EXISTING data must already satisfy it (one filter + limit-1
+        probe — predicate reaches the scan, short-circuits on the
+        first violation) or this raises and persists nothing. From
+        then on every version-creating data write (create, OVERWRITE,
+        every merge policy on both the partitioned and unpartitioned
+        paths) validates the data it is about to commit and raises
+        ``ConstraintViolationError`` BEFORE anything mutates — the
+        batch that would corrupt a 100 TB table dies at its own
+        commit, not in a downstream audit. SQL NULL semantics: a row
+        violates only when the expression evaluates to FALSE (unknown
+        passes, as in standard CHECK); constrain NULLs explicitly
+        with ``IS NOT NULL``. Tables without constraints pay zero —
+        the enforcement hook is one sidecar existence probe."""
+        if not self.exists(name):
+            raise FileNotFoundError(f"table {name} does not exist")
+        bad = self.read(name).filter(~F.expr(expr)).limit(1).collect()
+        if bad:
+            raise ConstraintViolationError(
+                f"cannot add CHECK constraint {cname!r} ({expr}) to "
+                f"{name!r}: existing data violates it, e.g. "
+                f"{bad[0].asDict()}"
+            )
+        cons = self.constraints(name)
+        cons[cname] = expr
+        tmp = self._constraints_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cons, f)
+        os.replace(tmp, self._constraints_path(name))
+
+    def drop_check_constraint(self, name: str, cname: str) -> None:
+        """Remove a declared constraint (``DROP CONSTRAINT`` analog);
+        unknown names raise."""
+        cons = self.constraints(name)
+        if cname not in cons:
+            raise ValueError(
+                f"table {name!r} has no constraint {cname!r} "
+                f"(declared: {sorted(cons)})"
+            )
+        del cons[cname]
+        tmp = self._constraints_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cons, f)
+        os.replace(tmp, self._constraints_path(name))
+
+    def _enforce_constraints(self, name: str, df: DataFrame) -> None:
+        """Validate data about to become part of a new version. One
+        limit-1 probe per declared constraint (no-op without any):
+        the violating batch raises before any scratch write, pointer
+        flip, or changelog append — nothing is half-applied."""
+        cons = self.constraints(name)
+        for cname, expr in cons.items():
+            bad = df.filter(~F.expr(expr)).limit(1).collect()
+            if bad:
+                raise ConstraintViolationError(
+                    f"CHECK constraint {cname!r} ({expr}) on table "
+                    f"{name!r} violated by incoming data, e.g. "
+                    f"{bad[0].asDict()} — commit aborted, table "
+                    "untouched"
+                )
 
     # --- change-data-feed (CDF-lite) --------------------------------------
 
@@ -1942,6 +2027,11 @@ class TableStore:
             )
         else:
             raise ValueError(f"unknown policy {policy!r}")
+        # CHECK constraints validate the affected partitions' NEW
+        # content before any scratch write or commit (the partitioned
+        # path bypasses write(), so it hooks here; no-op without
+        # declared constraints)
+        self._enforce_constraints(name, merged)
         if spec["mode"] == "hash":
             merged = merged.withColumn(part_col, self._partition_expr(spec, keys))
         # Write ONLY the affected partitions to a scratch dir. No
@@ -2425,6 +2515,14 @@ class TableStore:
             os.replace(tmp_spec, self._spec_path(dst))
         if self._changelog_enabled(src) and not self.changelog:
             self.enable_changelog(dst)
+        # a fork keeps its invariants: CHECK constraints inherit like
+        # the partition spec and changelog setting
+        cons = self.constraints(src)
+        if cons:
+            tmp_c = self._constraints_path(dst) + ".tmp"
+            with open(tmp_c, "w") as f:
+                json.dump(cons, f)
+            os.replace(tmp_c, self._constraints_path(dst))
         self._write_op(full, "clone", source=os.path.basename(src_path))
         self._commit_pointer(dst, version_dir)
 
@@ -2790,6 +2888,10 @@ class TableStore:
         out = mutate(
             df_all.filter(F.col(part_col).isin(affected)) if simple else df_all
         )
+        # UPDATE can set a violating value; validate the rewritten
+        # content before the scratch write (the unpartitioned branch
+        # goes through write(), which already enforces)
+        self._enforce_constraints(name, out)
         scratch = os.path.join(self.root, f"{name}.{op}{uuid.uuid4().hex[:12]}")
         # same bounded-output clustering as the pruned merge: one file
         # per rewritten partition, not scan-tasks x dirs

@@ -8981,3 +8981,64 @@ def q_time_travel_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read_at("t", timestamp_as_of=mid).select(
         "user_id", "total"
     )
+
+
+_CHECK_CONSTRAINT_ORACLE = _CDF_BASE_ORACLE + """
+SELECT t0.user_id, coalesce(b.total, t0.total) AS total,
+       TRUE AS add_validates, TRUE AS commit_gated
+FROM t0 LEFT JOIN b USING (user_id)
+"""
+
+
+@_register(
+    "check_constraint_gate",
+    _CHECK_CONSTRAINT_ORACLE,
+    "CHECK constraints (merge.py r12 — the Delta ALTER TABLE ADD "
+    "CONSTRAINT analog): declaring validates EXISTING data (an "
+    "impossible bound is rejected and never persisted — "
+    "add_validates), and a violating CDC batch (NULL totals against "
+    "total IS NOT NULL) dies at ITS OWN COMMIT with the table, "
+    "version history, and changelog untouched (commit_gated) — then "
+    "the clean batch applies normally. Final state value-checked "
+    "against the relational source-wins upsert of ONLY the clean "
+    "batch. At 100 TB this is the write-side gate that stops one bad "
+    "producer from corrupting a shared table.",
+    tags=("store", "merge", "constraints"),
+)
+def q_check_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.merge import ConstraintViolationError, TableStore
+
+    e = _t(spark, sf_dir, "events")
+    t0 = e.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("total"))
+    good = (
+        e.filter(F.col("user_id") % 5 == 0)
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value") * 2, 2).alias("total"))
+    )
+    bad = good.withColumn("total", F.lit(None).cast("double"))
+    root = tempfile.mkdtemp(prefix="pulselake_chk_")
+    stream_ops._STAGED_DIRS.append(root)  # swept on interpreter exit
+    store = TableStore(spark, root)
+    store.write_partitioned("t", t0, keys=["user_id"], n_buckets=8)
+    add_validates = False
+    try:
+        store.add_check_constraint("t", "impossible", "total > 1e15")
+    except ConstraintViolationError:
+        add_validates = True  # existing data fails the bound: rejected
+    store.add_check_constraint("t", "total_set", "total IS NOT NULL")
+    n_versions = len(store.versions("t"))
+    commit_gated = False
+    try:
+        store.merge("t", bad, ["user_id"], policy="scd1")
+    except ConstraintViolationError:
+        # nothing half-applied: no new version landed
+        commit_gated = len(store.versions("t")) == n_versions
+    store.merge("t", good, ["user_id"], policy="scd1")
+    return store.read("t").select(
+        "user_id",
+        "total",
+        F.lit(add_validates).alias("add_validates"),
+        F.lit(commit_gated).alias("commit_gated"),
+    )

@@ -5639,3 +5639,82 @@ def test_read_at_timestamp_as_of(spark, tmp_path):
     store.restore("t", timestamp_as_of=t_after_v2)
     assert val(store.read("t")) == {1: 1}
     assert len(store.versions("t")) == 4  # restore appended a version
+
+
+def test_check_constraints_lifecycle(spark, tmp_path):
+    """CHECK constraints (Delta ADD CONSTRAINT analog): declaring
+    validates EXISTING data; every later data commit — OVERWRITE,
+    unpartitioned merge, partitioned merge, UPDATE — validates what it
+    is about to write and aborts BEFORE anything mutates; SQL NULL
+    semantics (unknown passes, IS NOT NULL constrains explicitly);
+    drop re-opens the gate; a shallow clone inherits the invariants."""
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=8)
+    store.write("t", spark.createDataFrame(
+        [Row(k=i, v=i * 10) for i in range(1, 6)]
+    ))
+    # existing data violates -> add raises, nothing persisted
+    with pytest.raises(merge.ConstraintViolationError, match="existing"):
+        store.add_check_constraint("t", "v_big", "v > 100")
+    assert store.constraints("t") == {}
+    store.add_check_constraint("t", "v_nonneg", "v >= 0")
+    store.add_check_constraint("t", "v_set", "v IS NOT NULL")
+    assert set(store.constraints("t")) == {"v_nonneg", "v_set"}
+
+    before = {(r["k"], r["v"]) for r in store.read("t").collect()}
+    n_versions = len(store.versions("t"))
+    # unpartitioned merge with a violating row: aborted, untouched
+    with pytest.raises(merge.ConstraintViolationError, match="v_nonneg"):
+        store.merge("t", spark.createDataFrame([Row(k=9, v=-1)]), ["k"],
+                    policy="scd1")
+    # NULL hits the explicit IS NOT NULL constraint (plain v >= 0
+    # would PASS a NULL — SQL unknown semantics)
+    with pytest.raises(merge.ConstraintViolationError, match="v_set"):
+        store.merge(
+            "t",
+            spark.createDataFrame([Row(k=9, v=None)], schema="k long, v long"),
+            ["k"],
+            policy="scd1",
+        )
+    # OVERWRITE with violating data: aborted too
+    with pytest.raises(merge.ConstraintViolationError):
+        store.write("t", spark.createDataFrame([Row(k=1, v=-5)]))
+    assert {(r["k"], r["v"]) for r in store.read("t").collect()} == before
+    assert len(store.versions("t")) == n_versions  # no orphan commits
+    # a clean merge passes
+    store.merge("t", spark.createDataFrame([Row(k=9, v=90)]), ["k"],
+                policy="scd1")
+    assert (9, 90) in {(r["k"], r["v"]) for r in store.read("t").collect()}
+
+    # partitioned path: same gate before any scratch write
+    store.write_partitioned(
+        "p",
+        spark.createDataFrame([Row(k=i, v=i) for i in range(40)]),
+        keys=["k"],
+        n_buckets=4,
+    )
+    store.add_check_constraint("p", "v_nonneg", "v >= 0")
+    with pytest.raises(merge.ConstraintViolationError, match="v_nonneg"):
+        store.merge("p", spark.createDataFrame([Row(k=3, v=-3)]), ["k"],
+                    policy="scd1")
+    assert {r["v"] for r in store.read("p").collect()} == set(range(40))
+    # UPDATE that would set a violating value: aborted
+    with pytest.raises(merge.ConstraintViolationError, match="v_nonneg"):
+        store.update("p", F.col("k") == 5, {"v": F.lit(-1)}, keys=["k"])
+    assert {r["v"] for r in store.read("p").collect()} == set(range(40))
+    store.update("p", F.col("k") == 5, {"v": F.lit(500)}, keys=["k"])
+    assert 500 in {r["v"] for r in store.read("p").collect()}
+
+    # a shallow clone inherits the constraints
+    store.clone("p", "p2")
+    assert store.constraints("p2") == store.constraints("p")
+    with pytest.raises(merge.ConstraintViolationError):
+        store.merge("p2", spark.createDataFrame([Row(k=1, v=-9)]), ["k"],
+                    policy="scd1")
+    # drop re-opens the gate (unknown names raise)
+    with pytest.raises(ValueError, match="no constraint"):
+        store.drop_check_constraint("t", "nope")
+    store.drop_check_constraint("t", "v_nonneg")
+    store.drop_check_constraint("t", "v_set")
+    store.merge("t", spark.createDataFrame([Row(k=9, v=-1)]), ["k"],
+                policy="scd1")
+    assert (9, -1) in {(r["k"], r["v"]) for r in store.read("t").collect()}
