@@ -842,14 +842,23 @@ class TableStore:
             # exactly the entries whose files made it into the rebase
             self._carry_bloom_sidecars(cur, rebase_full)
             self._carry_bloom_sidecars(ours_full, rebase_full)
-            for sidecar in (self._SCHEMAFILE, self._OPFILE):
-                try:
-                    shutil.copyfile(
-                        os.path.join(ours_full, sidecar),
-                        os.path.join(rebase_full, sidecar),
-                    )
-                except OSError:
-                    pass
+            try:
+                shutil.copyfile(
+                    os.path.join(ours_full, self._SCHEMAFILE),
+                    os.path.join(rebase_full, self._SCHEMAFILE),
+                )
+            except OSError:
+                pass
+            # fresh commit info, NOT a copy of ours': the rebase dir's
+            # operationMetrics (n_files/bytes) must describe the
+            # merged dir — cur's partitions plus ours — and the
+            # provenance records what it rebased onto
+            try:
+                with open(os.path.join(ours_full, self._OPFILE)) as f:
+                    ours_op = str(json.load(f).get("op", "merge"))
+            except Exception:
+                ours_op = "merge"
+            self._write_op(rebase_full, ours_op, rebased_onto=cur_base)
             self._write_rewritten(rebase_full, rewritten, cur_base)
             shutil.rmtree(ours_full, ignore_errors=True)
             tmp_ptr = self._pointer(name) + ".tmp"
@@ -1448,8 +1457,29 @@ class TableStore:
         commit-info analog behind ``history()``. Written with the
         tmp+replace pattern so a restore's hard-linked copy of the
         source sidecar is REPLACED (new inode), never mutated through
-        the shared link."""
-        rec = {"op": op, "ts": time.time(), **details}
+        the shared link. Also records the version's physical
+        ``n_files``/``bytes`` (the Delta operationMetrics analog,
+        surfaced through ``history()``'s details) — a driver-side
+        metadata walk of the just-written version dir, the same scale
+        as the file-stats sidecar every partitioned commit already
+        pays."""
+        n_files = 0
+        n_bytes = 0
+        try:
+            for root, _dirs, fs in os.walk(version_full):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        n_files += 1
+                        n_bytes += os.path.getsize(os.path.join(root, f))
+        except OSError:
+            pass  # metrics are best-effort; the commit itself is not
+        rec = {
+            "op": op,
+            "ts": time.time(),
+            "n_files": n_files,
+            "bytes": int(n_bytes),
+            **details,
+        }
         tmp = os.path.join(version_full, self._OPFILE + ".tmp")
         with open(tmp, "w") as f:
             json.dump(rec, f)

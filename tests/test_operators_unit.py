@@ -5718,3 +5718,55 @@ def test_check_constraints_lifecycle(spark, tmp_path):
     store.merge("t", spark.createDataFrame([Row(k=9, v=-1)]), ["k"],
                 policy="scd1")
     assert (9, -1) in {(r["k"], r["v"]) for r in store.read("t").collect()}
+
+
+def test_history_operation_metrics(spark, tmp_path):
+    """history() details carry the operationMetrics analog: every
+    version records its physical n_files/bytes at commit time, and a
+    rebase's commit info describes the MERGED dir (with rebase
+    provenance), not a copy of the stale writer's."""
+    import json as _json
+
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=8)
+    base = spark.createDataFrame(
+        [Row(k=i, seg="A" if i % 2 == 0 else "B", v=0) for i in range(40)]
+    )
+    store.write_partitioned("t", base, keys=["k"], partition_column="seg")
+    store.merge("t", spark.createDataFrame([Row(k=0, seg="A", v=1)]), ["k"],
+                policy="scd1")
+    for r in store.history("t").collect():
+        d = _json.loads(r["details"])
+        assert d["n_files"] >= 1 and d["bytes"] > 0, r
+
+    # rebase: stale writer on seg=B while seg=A moved ahead
+    snap = store.current_path("t")
+    store.merge("t", spark.createDataFrame([Row(k=2, seg="A", v=2)]), ["k"],
+                policy="scd1")
+    calls = {"n": 0}
+    orig = store.current_path
+
+    def stale_once(name):
+        if name == "t" and calls["n"] < 2:
+            calls["n"] += 1
+            return snap
+        return orig(name)
+
+    store.current_path = stale_once
+    try:
+        store.merge("t", spark.createDataFrame([Row(k=1, seg="B", v=-1)]),
+                    ["k"], policy="scd1")
+    finally:
+        del store.current_path
+    reb = store.current_path("t")
+    with open(os.path.join(reb, "_OP.json")) as f:
+        rec = _json.load(f)
+    assert rec["op"] == "merge:scd1"
+    assert rec["rebased_onto"] is not None
+    # metrics cover the whole merged dir: both partitions' files
+    n_disk = sum(
+        1
+        for root, _d, fs in os.walk(reb)
+        for fname in fs
+        if fname.endswith(".parquet")
+    )
+    assert rec["n_files"] == n_disk >= 2
