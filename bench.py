@@ -28,6 +28,15 @@ N stay resident through pass N+1 and every later query — measured
 +3.2 s on ``pagerank_deep_trade`` running after 29 other queries vs
 alone in a fresh session (10.1 s alone, 13.3 s contaminated).
 
+Ambient calibration, round 12: the identical 440-test pytest suite
+that took 15m40s in the round-11 judge review took 21-24m in the
+round-12 session on unchanged test code, and two same-day bench
+passes totaled 61.6 / 57.8 s against r11's 54.6 with the per-query
+drift uniform across rows whose modules did not change at all
+(pagerank_deep_trade +6-10% on a file untouched for two rounds) —
+i.e. whole-machine state, not any query's plan. Compare rounds with
+that factor in mind before reading a uniform shift as a regression.
+
 Streaming rows are single-pass (a drain is stateful; re-running it
 measures a different thing), so they carry the full ambient spread.
 Round-10 A/B of the r9 ``stateful_running_totals`` +15 % (10.73 →
