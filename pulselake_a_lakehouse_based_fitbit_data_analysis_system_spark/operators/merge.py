@@ -981,7 +981,20 @@ class TableStore:
         flip, or changelog append — nothing is half-applied."""
         cons = self.constraints(name)
         for cname, expr in cons.items():
-            bad = df.filter(~F.expr(expr)).limit(1).collect()
+            try:
+                bad = df.filter(~F.expr(expr)).limit(1).collect()
+            except Exception as exc:
+                # e.g. a schema-changing OVERWRITE dropped a column the
+                # constraint references: that is a violation of the
+                # declared invariant, not an internal error — name the
+                # constraint so the caller knows to drop it first
+                raise ConstraintViolationError(
+                    f"CHECK constraint {cname!r} ({expr}) on table "
+                    f"{name!r} cannot be evaluated against the incoming "
+                    f"data ({exc.__class__.__name__}) — drop the "
+                    "constraint first if the schema change is "
+                    "intentional; commit aborted, table untouched"
+                ) from exc
             if bad:
                 raise ConstraintViolationError(
                     f"CHECK constraint {cname!r} ({expr}) on table "

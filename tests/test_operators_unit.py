@@ -5710,6 +5710,13 @@ def test_check_constraints_lifecycle(spark, tmp_path):
     with pytest.raises(merge.ConstraintViolationError):
         store.merge("p2", spark.createDataFrame([Row(k=1, v=-9)]), ["k"],
                     policy="scd1")
+    # a schema-changing OVERWRITE dropping the constrained column is a
+    # named violation (drop the constraint first), not a raw analysis
+    # crash — and the table stays untouched
+    with pytest.raises(merge.ConstraintViolationError,
+                       match="cannot be evaluated"):
+        store.write("p", spark.createDataFrame([Row(k=1, other=1)]))
+    assert 500 in {r["v"] for r in store.read("p").collect()}
     # drop re-opens the gate (unknown names raise)
     with pytest.raises(ValueError, match="no constraint"):
         store.drop_check_constraint("t", "nope")
