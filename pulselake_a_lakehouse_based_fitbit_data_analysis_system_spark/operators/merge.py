@@ -842,6 +842,11 @@ class TableStore:
             # exactly the entries whose files made it into the rebase
             self._carry_bloom_sidecars(cur, rebase_full)
             self._carry_bloom_sidecars(ours_full, rebase_full)
+            # deletion vectors carry EXACTLY (inode-keyed, unioned
+            # across both parents) — dropping an entry would resurrect
+            # deleted rows in a hard-linked file
+            self._carry_dv(cur, rebase_full)
+            self._carry_dv(ours_full, rebase_full)
             try:
                 shutil.copyfile(
                     os.path.join(ours_full, self._SCHEMAFILE),
@@ -1002,6 +1007,209 @@ class TableStore:
                     f"{bad[0].asDict()} — commit aborted, table "
                     "untouched"
                 )
+
+    # --- deletion vectors (Delta merge-on-read DELETE analog) -------------
+
+    _DVFILE = "_DV.json"
+
+    def _load_dv(self, version_full: str) -> dict:
+        """The version's deletion vector: rel file path -> sorted row
+        indices marked deleted. {} when none."""
+        try:
+            with open(os.path.join(version_full, self._DVFILE)) as f:
+                dv = json.load(f)
+            return {rel: rows for rel, rows in dv.items() if rows}
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def _write_dv(self, version_full: str, dv: dict) -> None:
+        dv = {rel: sorted(set(int(r) for r in rows))
+              for rel, rows in dv.items() if rows}
+        p = os.path.join(version_full, self._DVFILE)
+        if not dv:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+            return
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(dv, f)
+        os.replace(tmp, p)
+
+    def _dv_rel_expr(self, version_full: str) -> Column:
+        """Version-relative file path of each row's source file,
+        derived from ``_metadata.file_path`` by stripping through the
+        version dir component — version dir names are uuid-suffixed,
+        so the anchor is unambiguous, and hard-linked files keep the
+        same rel path across versions."""
+        base = os.path.basename(version_full)
+        return F.regexp_replace(
+            F.col("_metadata.file_path"), ".*" + re.escape(base) + "/", ""
+        )
+
+    def _dv_filter(self, df: DataFrame, version_full: str) -> DataFrame:
+        """Drop rows marked deleted by the version's deletion vector —
+        the merge-on-read half of ``delete_vectored``. No-op (and no
+        plan change) without a DV. With one: the (rel path, row index)
+        pairs broadcast into a left-anti hash join against the scan's
+        ``_metadata`` columns — filters still push through the anti
+        join's left side, so partition pruning and predicate pushdown
+        survive. MUST wrap every read of raw version files (the
+        central ``_read_version`` plus the file-pruned direct readers
+        in the merge and skipping paths): an unwrapped reader would
+        resurrect deleted rows."""
+        dv = self._load_dv(version_full)
+        if not dv:
+            return df
+        pairs = [
+            (rel, int(ri)) for rel, rows in dv.items() for ri in rows
+        ]
+        doomed = self.spark.createDataFrame(
+            pairs, "__dv_rel string, __dv_ri long"
+        )
+        out = (
+            df.withColumn("__dv_rel", self._dv_rel_expr(version_full))
+            .withColumn("__dv_ri", F.col("_metadata.row_index"))
+            .join(F.broadcast(doomed), ["__dv_rel", "__dv_ri"], "left_anti")
+            .drop("__dv_rel", "__dv_ri")
+        )
+        return out
+
+    def _carry_dv(self, src_full: str, dst_full: str) -> None:
+        """Carry deletion-vector entries across a version rewrite —
+        CORRECTNESS-critical, unlike the advisory bloom/minmax carry:
+        a hard-linked file whose DV entry is dropped would resurrect
+        its deleted rows. Entries carry exactly for files hard-linked
+        into the new version (same rel path AND same inode); rewritten
+        files materialized the filter through a DV-wrapped read, so
+        their entries correctly die with them. Unions with a DV
+        already present at the destination (the rebase carries from
+        both parents)."""
+        src_dv = self._load_dv(src_full)
+        if not src_dv:
+            return
+        kept: dict = {}
+        for rel, rows in src_dv.items():
+            try:
+                if os.path.samefile(
+                    os.path.join(src_full, rel), os.path.join(dst_full, rel)
+                ):
+                    kept[rel] = rows
+            except OSError:
+                continue
+        if not kept:
+            return
+        merged = self._load_dv(dst_full)
+        for rel, rows in kept.items():
+            merged[rel] = sorted(set(merged.get(rel, [])) | set(rows))
+        self._write_dv(dst_full, merged)
+
+    def delete_vectored(
+        self,
+        name: str,
+        cond: Column,
+        keys: Sequence[str] | None = None,
+        max_rows: int = 100_000,
+    ) -> int:
+        """DELETE without rewriting a single data file — the Delta
+        deletion-vector / merge-on-read analog. The matching rows'
+        (file, row index) positions (from the scan's ``_metadata``
+        columns, existing DV already applied) append to the version's
+        deletion vector; the new version HARD-LINKS every data file of
+        the current one, so the commit is pure metadata — at 100 TB a
+        GDPR point-delete costs a sidecar write instead of rewriting
+        the parquet files that hold the rows. Reads apply the DV as a
+        broadcast anti join; every later rewrite (merge / optimize /
+        delete / update) materializes the filter for the files it
+        rewrites and carries entries for the files it hard-links, so
+        ``optimize()`` doubles as the DV purge cadence. Skipping
+        sidecars keep their (now slightly over-wide) bounds — one-sided.
+
+        ``max_rows`` bounds the driver-side position collect: a mass
+        delete past it raises and should use ``delete()`` (the
+        copy-on-write path) instead, exactly Delta's DV-vs-rewrite
+        split. Returns the number of rows marked. With the changelog
+        enabled pass ``keys`` — the marked rows commit as 'delete'
+        change records like every other delete path."""
+        current = self.current_path(name)
+        if current is None:
+            raise FileNotFoundError(f"table {name} does not exist")
+        log_changes = self._changelog_enabled(name)
+        if log_changes and not keys:
+            raise ValueError(
+                f"{name} has an active changelog: pass keys=<merge keys> "
+                "so the delete can commit its row-level records"
+            )
+        reader = self.spark.read
+        stored = self._stored_schema(current)
+        if stored is not None:
+            reader = reader.schema(stored)
+        raw = (
+            reader.parquet(current)
+            .withColumn("__dv_rel", self._dv_rel_expr(current))
+            .withColumn("__dv_ri", F.col("_metadata.row_index"))
+        )
+        dv = self._load_dv(current)
+        if dv:
+            doomed0 = self.spark.createDataFrame(
+                [(rel, int(ri)) for rel, rows in dv.items() for ri in rows],
+                "__dv_rel string, __dv_ri long",
+            )
+            raw = raw.join(
+                F.broadcast(doomed0), ["__dv_rel", "__dv_ri"], "left_anti"
+            )
+        matches = raw.filter(cond)
+        pairs = matches.select("__dv_rel", "__dv_ri").limit(
+            max_rows + 1
+        ).collect()
+        if len(pairs) > max_rows:
+            raise ValueError(
+                f"delete_vectored matched more than max_rows={max_rows} "
+                "rows — use delete() (copy-on-write) for mass deletes, "
+                "or raise max_rows deliberately"
+            )
+        if not pairs:
+            return 0
+        new_dv = {rel: list(rows) for rel, rows in dv.items()}
+        for r in pairs:
+            new_dv.setdefault(r["__dv_rel"], []).append(int(r["__dv_ri"]))
+        version_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
+        full = os.path.join(self.root, version_dir)
+        os.makedirs(full)
+        for base, _dirs, files in os.walk(current):
+            rel = os.path.relpath(base, current)
+            dst = full if rel == "." else os.path.join(full, rel)
+            os.makedirs(dst, exist_ok=True)
+            for fname in files:
+                if fname in (self._OPFILE, self._DVFILE, self._REWRITTENFILE):
+                    continue  # fresh commit metadata below
+                os.link(os.path.join(base, fname), os.path.join(dst, fname))
+        self._write_dv(full, new_dv)
+        self._write_op(full, "delete_vectored", n_rows=len(pairs))
+        affected = sorted(
+            {r["__dv_rel"].split("/", 1)[0] for r in pairs
+             if "/" in r["__dv_rel"]}
+        )
+        cur_base = os.path.basename(current)
+        if affected and self.partition_spec(name) is not None:
+            # logical content of exactly these partitions changed:
+            # participate in partition-level conflict detection
+            self._write_rewritten(full, set(affected), cur_base)
+            final = self._commit_pointer_or_rebase(
+                name, version_dir, cur_base, set(affected)
+            )
+        else:
+            self._commit_pointer(name, version_dir, based_on=cur_base)
+            final = version_dir
+        if log_changes:
+            self._append_delete_records(
+                name,
+                matches.drop("__dv_rel", "__dv_ri"),
+                list(keys),
+            )
+        self._prune(name, keep=final)
+        return len(pairs)
 
     # --- change-data-feed (CDF-lite) --------------------------------------
 
@@ -1560,7 +1768,7 @@ class TableStore:
         reader = self.spark.read
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(path)
+        return self._dv_filter(reader.parquet(path), path)
 
     # --- file-level min/max pruning (Delta data-skipping analog) ----------
 
@@ -2012,7 +2220,11 @@ class TableStore:
                 stored = self._stored_schema(current)
                 if stored is not None:
                     reader = reader.schema(stored)
-                target_affected = reader.parquet(*hit_paths)
+                # DV-wrap the direct file read too, or deleted rows
+                # would resurrect into the rewritten files
+                target_affected = self._dv_filter(
+                    reader.parquet(*hit_paths), current
+                )
             else:
                 target_affected = target_all.filter(F.lit(False))
             if spec["mode"] == "hash":
@@ -2185,6 +2397,7 @@ class TableStore:
         )
         self._write_file_stats(full, key0, carry=carry)
         self._carry_bloom_sidecars(current, full)
+        self._carry_dv(current, full)
         self._write_schema(full, merged_schema_src)
         self._write_op(full, f"merge:{policy}")
         touched = set(rewritten)
@@ -2976,6 +3189,7 @@ class TableStore:
             )
             self._write_file_stats(full, key0, carry=carry)
         self._carry_bloom_sidecars(current, full)
+        self._carry_dv(current, full)
         self._write_schema(full, df_all)
         self._write_op(full, op)
         if simple:
@@ -3279,6 +3493,7 @@ class TableStore:
         )
         self._write_file_stats(full, key, carry=carry)
         self._carry_bloom_sidecars(current, full)
+        self._carry_dv(current, full)
         self._write_schema(full, df_all)
         self._write_op(full, "optimize")
         self._commit_pointer(

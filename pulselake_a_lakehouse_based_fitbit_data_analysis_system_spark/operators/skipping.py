@@ -213,7 +213,10 @@ def read_where_eq(
             total,
         )
     reader = store.spark.read.option("basePath", version_dir)
-    df = reader.parquet(*cand).filter(F.col(col) == F.lit(value))
+    # DV-wrap the direct file read (no-op without a deletion vector)
+    df = store._dv_filter(reader.parquet(*cand), version_dir).filter(
+        F.col(col) == F.lit(value)
+    )
     return df, len(cand), total
 
 
@@ -326,7 +329,11 @@ def read_where_between(
     if not cand:
         return store.read(name).filter(F.lit(False)), 0, total
     reader = store.spark.read.option("basePath", version_dir)
-    return reader.parquet(*cand).filter(cond), len(cand), total
+    return (
+        store._dv_filter(reader.parquet(*cand), version_dir).filter(cond),
+        len(cand),
+        total,
+    )
 
 
 def read_where(
@@ -381,4 +388,10 @@ def read_where(
     if not cand:
         return store.read(name).filter(F.lit(False)), 0, total
     reader = store.spark.read.option("basePath", version_dir)
-    return reader.parquet(*sorted(cand)).filter(cond), len(cand), total
+    return (
+        store._dv_filter(
+            reader.parquet(*sorted(cand)), version_dir
+        ).filter(cond),
+        len(cand),
+        total,
+    )

@@ -9042,3 +9042,61 @@ def q_check_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(add_validates).alias("add_validates"),
         F.lit(commit_gated).alias("commit_gated"),
     )
+
+
+_DV_POINT_DELETE_ORACLE = """
+WITH t0 AS (
+  SELECT user_id, round(sum(value), 2) AS total
+  FROM events GROUP BY user_id
+)
+SELECT user_id, total, TRUE AS metadata_only,
+       (SELECT count(*) FROM t0 WHERE user_id % 7 = 0) AS n_marked
+FROM t0 WHERE user_id % 7 <> 0
+"""
+
+
+@_register(
+    "delete_vectors_pointwise",
+    _DV_POINT_DELETE_ORACLE,
+    "Deletion vectors (merge.py::delete_vectored r12 — the Delta "
+    "merge-on-read DELETE analog): marking user_id % 7 deletes ZERO "
+    "data files — the new version hard-links every parquet file of "
+    "the previous one (metadata_only pins per-file inode equality at "
+    "runtime) and records the (file, row-index) positions in a "
+    "sidecar the read path applies as a broadcast anti join. n_marked "
+    "pins the returned mark count against the relational count. At "
+    "100 TB this is the GDPR point-delete that costs a sidecar write "
+    "instead of rewriting the files holding the rows; optimize() is "
+    "the purge cadence.",
+    tags=("store", "merge", "delete", "dv"),
+)
+def q_delete_vectors_pointwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile
+
+    from ..operators.merge import TableStore
+
+    e = _t(spark, sf_dir, "events")
+    t0 = e.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("total"))
+    root = tempfile.mkdtemp(prefix="pulselake_dv_")
+    stream_ops._STAGED_DIRS.append(root)  # swept on interpreter exit
+    store = TableStore(spark, root)
+    store.write_partitioned("t", t0, keys=["user_id"], n_buckets=8)
+    v1 = store.current_path("t")
+    n_marked = store.delete_vectored("t", F.col("user_id") % 7 == 0)
+    v2 = store.current_path("t")
+    metadata_only = True
+    for r, _d, fs in _os.walk(v2):
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            p2 = _os.path.join(r, f)
+            rel = _os.path.relpath(p2, v2)
+            if not _os.path.samefile(p2, _os.path.join(v1, rel)):
+                metadata_only = False
+    return store.read("t").select(
+        "user_id",
+        "total",
+        F.lit(metadata_only).alias("metadata_only"),
+        F.lit(int(n_marked)).cast("long").alias("n_marked"),
+    )

@@ -5777,3 +5777,105 @@ def test_history_operation_metrics(spark, tmp_path):
         if fname.endswith(".parquet")
     )
     assert rec["n_files"] == n_disk >= 2
+
+
+def test_deletion_vectors_merge_on_read(spark, tmp_path):
+    """Deletion vectors (the Delta merge-on-read DELETE analog):
+    delete_vectored marks (file, row) positions in a sidecar and
+    hard-links EVERY data file — a pure metadata commit — while every
+    read path (read, the file-pruned merge reader, min/max skipping)
+    applies the DV; later rewrites materialize the filter for files
+    they rewrite and carry entries for files they hard-link; a full
+    optimize purges the DV entirely; the changelog records the
+    deletes; mass deletes past max_rows are refused toward delete()."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.skipping import (
+        build_minmax_sidecar,
+        read_where_between,
+    )
+
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=10,
+                             changelog=True)
+    base = spark.createDataFrame([Row(k=i, v=i * 10) for i in range(40)])
+    store.write_partitioned("t", base, keys=["k"], n_buckets=4)
+    v1 = store.current_path("t")
+    v1_files = {
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(v1)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+
+    n = store.delete_vectored("t", F.col("k").isin(3, 5), keys=["k"])
+    assert n == 2
+    v2 = store.current_path("t")
+    got = {r["k"] for r in store.read("t").collect()}
+    assert got == set(range(40)) - {3, 5}
+    # METADATA-ONLY commit: every parquet file hard-linked (same inode)
+    v2_files = {
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(v2)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert len(v2_files) == len(v1_files)
+    for p2 in v2_files:
+        rel = os.path.relpath(p2, v2)
+        assert os.path.samefile(p2, os.path.join(v1, rel))
+
+    # a second DV delete unions with the first
+    assert store.delete_vectored("t", F.col("k") == 7, keys=["k"]) == 1
+    assert {r["k"] for r in store.read("t").collect()} == (
+        set(range(40)) - {3, 5, 7}
+    )
+    # deleting an already-deleted row matches nothing (no new version)
+    n_versions = len(store.versions("t"))
+    assert store.delete_vectored("t", F.col("k") == 3, keys=["k"]) == 0
+    assert len(store.versions("t")) == n_versions
+
+    # the changelog carries the delete records
+    ch = store.read_changes("t").filter(F.col("_change_type") == "delete")
+    assert {r["k"] for r in ch.collect()} >= {3, 5, 7}
+
+    # min/max skipping path applies the DV too
+    build_minmax_sidecar(store, "t", "v")
+    df, n_read, n_total = read_where_between(store, "t", "v", 0, 100)
+    assert {r["k"] for r in df.collect()} == set(range(11)) - {3, 5, 7}
+    assert n_read <= n_total
+
+    # a merge rewriting the deleted keys' partitions must NOT
+    # resurrect them (the file-pruned direct reader is DV-wrapped);
+    # hard-linked partitions keep their entries via the exact carry
+    store.merge("t", spark.createDataFrame([Row(k=3, v=333)]), ["k"],
+                policy="scd1")
+    got = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert got[3] == 333  # explicit re-insert of a DV-deleted key wins
+    assert 5 not in got and 7 not in got  # others stay deleted
+    assert len(got) == 38
+
+    # full OPTIMIZE materializes the filter everywhere and purges the DV
+    store.optimize("t")
+    cur = store.current_path("t")
+    assert store._load_dv(cur) == {}
+    got2 = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert got2 == got
+
+    # mass-delete guard points at the copy-on-write path
+    with pytest.raises(ValueError, match="max_rows"):
+        store.delete_vectored("t", F.col("k") >= 0, keys=["k"], max_rows=5)
+
+    # unpartitioned table: plain CAS commit, same semantics
+    store2 = merge.TableStore(spark, str(tmp_path / "u"), keep_versions=4)
+    store2.write("u", spark.createDataFrame([Row(k=i, v=i) for i in range(10)]))
+    assert store2.delete_vectored("u", F.col("k") == 4) == 1
+    assert {r["k"] for r in store2.read("u").collect()} == set(range(10)) - {4}
+
+    # UPDATE after a DV delete: the mutate path reads DV-filtered and
+    # carries entries for the partitions it links
+    store2.write_partitioned(
+        "p", spark.createDataFrame([Row(k=i, v=i) for i in range(20)]),
+        keys=["k"], n_buckets=4,
+    )
+    store2.delete_vectored("p", F.col("k") == 2)
+    store2.update("p", F.col("k") == 11, {"v": F.lit(-11)})
+    got3 = {r["k"]: r["v"] for r in store2.read("p").collect()}
+    assert 2 not in got3 and got3[11] == -11 and len(got3) == 19
