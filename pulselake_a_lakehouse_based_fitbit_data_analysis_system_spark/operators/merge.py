@@ -787,16 +787,32 @@ class TableStore:
             )
             if ok:
                 # a concurrent schema change is a REAL conflict even
-                # on disjoint partitions (the rebase would mix schemas)
+                # on disjoint partitions (the rebase would mix
+                # schemas) — but compare FIELD SETS, not raw text:
+                # a partitionBy write orders the partition column
+                # last while a linked create-era sidecar keeps the
+                # original order, and parquet reads by name, so a
+                # pure column reordering is not a conflict (a
+                # metadata-only commit like delete_vectored links the
+                # older sidecar verbatim and used to false-conflict
+                # against any later merge)
+                def _fieldset(p: str):
+                    with open(p) as f:
+                        s = json.load(f)
+                    return sorted(
+                        (
+                            fld.get("name"),
+                            json.dumps(fld.get("type"), sort_keys=True),
+                            fld.get("nullable"),
+                        )
+                        for fld in s.get("fields", [])
+                    )
+
                 try:
-                    with open(os.path.join(cur, self._SCHEMAFILE)) as f:
-                        cur_schema = f.read()
-                    with open(
-                        os.path.join(ours_full, self._SCHEMAFILE)
-                    ) as f:
-                        ours_schema = f.read()
-                    ok = cur_schema == ours_schema
-                except OSError:
+                    ok = _fieldset(
+                        os.path.join(cur, self._SCHEMAFILE)
+                    ) == _fieldset(os.path.join(ours_full, self._SCHEMAFILE))
+                except (OSError, json.JSONDecodeError):
                     ok = False
             if not ok:
                 shutil.rmtree(ours_full, ignore_errors=True)
@@ -842,11 +858,29 @@ class TableStore:
             # exactly the entries whose files made it into the rebase
             self._carry_bloom_sidecars(cur, rebase_full)
             self._carry_bloom_sidecars(ours_full, rebase_full)
-            # deletion vectors carry EXACTLY (inode-keyed, unioned
-            # across both parents) — dropping an entry would resurrect
-            # deleted rows in a hard-linked file
+            # deletion vectors carry EXACTLY — dropping an entry would
+            # resurrect deleted rows. cur's entries carry inode-
+            # validated for the hard-linked partitions; ours' entries
+            # under the partitions we MOVED in transfer verbatim (the
+            # os.rename emptied ours_full, so samefile cannot see
+            # them — but those files came from ours by construction).
+            # Ours' entries OUTSIDE its rewritten set are dropped:
+            # those partitions came from cur, whose own carry is the
+            # valid one (ours' copies are redundant or stale).
             self._carry_dv(cur, rebase_full)
-            self._carry_dv(ours_full, rebase_full)
+            ours_dv = self._load_dv(ours_full)
+            moved = {
+                rel: rows
+                for rel, rows in ours_dv.items()
+                if rel.split("/", 1)[0] in rewritten
+            }
+            if moved:
+                merged_dv = self._load_dv(rebase_full)
+                for rel, rows in moved.items():
+                    merged_dv[rel] = sorted(
+                        set(merged_dv.get(rel, [])) | set(rows)
+                    )
+                self._write_dv(rebase_full, merged_dv)
             try:
                 shutil.copyfile(
                     os.path.join(ours_full, self._SCHEMAFILE),

@@ -5879,3 +5879,46 @@ def test_deletion_vectors_merge_on_read(spark, tmp_path):
     store2.update("p", F.col("k") == 11, {"v": F.lit(-11)})
     got3 = {r["k"]: r["v"] for r in store2.read("p").collect()}
     assert 2 not in got3 and got3[11] == -11 and len(got3) == 19
+
+
+def test_deletion_vector_survives_rebase(spark, tmp_path):
+    """A DV-marked partition hard-linked through a REBASE keeps its
+    deletion vector (the exact inode-keyed carry): writer 1 merges
+    seg=A ahead; a stale DV delete on seg=B rebases past it — both
+    land, and neither the rebase nor later reads resurrect the
+    marked row."""
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=8)
+    base = spark.createDataFrame(
+        [Row(k=i, seg="A" if i % 2 == 0 else "B", v=i) for i in range(20)]
+    )
+    store.write_partitioned("t", base, keys=["k"], partition_column="seg")
+    # DV-delete k=1 (seg=B): later versions must carry this mark
+    assert store.delete_vectored("t", F.col("k") == 1) == 1
+    snap = store.current_path("t")
+
+    # intervening writer touches only seg=A
+    store.merge("t", spark.createDataFrame([Row(k=0, seg="A", v=100)]),
+                ["k"], policy="scd1")
+    # the merge hard-linked seg=B: the DV entry must have carried
+    assert 1 not in {r["k"] for r in store.read("t").collect()}
+
+    # stale writer computed against snap, DV-deletes k=3 (seg=B) ->
+    # its commit must REBASE onto the seg=A merge and union both DVs
+    calls = {"n": 0}
+    orig = store.current_path
+
+    def stale_once(name):
+        if name == "t" and calls["n"] < 1:
+            calls["n"] += 1
+            return snap
+        return orig(name)
+
+    store.current_path = stale_once
+    try:
+        assert store.delete_vectored("t", F.col("k") == 3) == 1
+    finally:
+        del store.current_path
+    got = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert 1 not in got and 3 not in got  # both DV marks hold
+    assert got[0] == 100  # the intervening merge survived the rebase
+    assert len(got) == 18
