@@ -788,11 +788,15 @@ class TableStore:
             if ok:
                 # a concurrent schema change is a REAL conflict even
                 # on disjoint partitions (the rebase would mix
-                # schemas) — but compare FIELD SETS, not raw text:
-                # a partitionBy write orders the partition column
-                # last while a linked create-era sidecar keeps the
-                # original order, and parquet reads by name, so a
-                # pure column reordering is not a conflict (a
+                # schemas) — but compare FIELD NAME/TYPE SETS, not raw
+                # text: a partitionBy write orders the partition
+                # column last while a linked create-era sidecar keeps
+                # the original order, and merge plans routinely widen
+                # nullability (align_for_evolution / tomb folds cast
+                # F.lit(None)); parquet reads by name and the rebase
+                # applies ours' sidecar to unchanged values, so
+                # neither reordering nor nullability drift is a
+                # conflict — only a name/type change is (a
                 # metadata-only commit like delete_vectored links the
                 # older sidecar verbatim and used to false-conflict
                 # against any later merge)
@@ -803,7 +807,6 @@ class TableStore:
                         (
                             fld.get("name"),
                             json.dumps(fld.get("type"), sort_keys=True),
-                            fld.get("nullable"),
                         )
                         for fld in s.get("fields", [])
                     )
@@ -891,13 +894,24 @@ class TableStore:
             # fresh commit info, NOT a copy of ours': the rebase dir's
             # operationMetrics (n_files/bytes) must describe the
             # merged dir — cur's partitions plus ours — and the
-            # provenance records what it rebased onto
+            # provenance records what it rebased onto. Ours' OTHER
+            # detail keys (e.g. delete_vectored's n_rows) carry
+            # through: history() must not lose them just because the
+            # commit landed via rebase instead of plain CAS
             try:
                 with open(os.path.join(ours_full, self._OPFILE)) as f:
-                    ours_op = str(json.load(f).get("op", "merge"))
+                    ours_rec = json.load(f)
             except Exception:
-                ours_op = "merge"
-            self._write_op(rebase_full, ours_op, rebased_onto=cur_base)
+                ours_rec = {}
+            ours_op = str(ours_rec.get("op", "merge"))
+            extras = {
+                k: v
+                for k, v in ours_rec.items()
+                if k not in ("op", "ts", "n_files", "bytes")
+            }
+            self._write_op(
+                rebase_full, ours_op, rebased_onto=cur_base, **extras
+            )
             self._write_rewritten(rebase_full, rewritten, cur_base)
             shutil.rmtree(ours_full, ignore_errors=True)
             tmp_ptr = self._pointer(name) + ".tmp"
@@ -984,63 +998,109 @@ class TableStore:
         the enforcement hook is one sidecar existence probe."""
         if not self.exists(name):
             raise FileNotFoundError(f"table {name} does not exist")
-        bad = self.read(name).filter(~F.expr(expr)).limit(1).collect()
-        if bad:
-            raise ConstraintViolationError(
-                f"cannot add CHECK constraint {cname!r} ({expr}) to "
-                f"{name!r}: existing data violates it, e.g. "
-                f"{bad[0].asDict()}"
-            )
-        cons = self.constraints(name)
-        cons[cname] = expr
-        tmp = self._constraints_path(name) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(cons, f)
-        os.replace(tmp, self._constraints_path(name))
+        # under the table's commit flock: (a) two concurrent adds must
+        # not lose each other's entry to a read-modify-write race, and
+        # (b) no data commit may land between the validation probe and
+        # the sidecar persist (commits take the same lock), so a
+        # persisted constraint really holds for the version it
+        # validated
+        with self._commit_lock(name):
+            bad = self.read(name).filter(~F.expr(expr)).limit(1).collect()
+            if bad:
+                raise ConstraintViolationError(
+                    f"cannot add CHECK constraint {cname!r} ({expr}) to "
+                    f"{name!r}: existing data violates it, e.g. "
+                    f"{bad[0].asDict()}"
+                )
+            cons = self.constraints(name)
+            cons[cname] = expr
+            tmp = self._constraints_path(name) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(cons, f)
+            os.replace(tmp, self._constraints_path(name))
 
     def drop_check_constraint(self, name: str, cname: str) -> None:
         """Remove a declared constraint (``DROP CONSTRAINT`` analog);
-        unknown names raise."""
-        cons = self.constraints(name)
-        if cname not in cons:
-            raise ValueError(
-                f"table {name!r} has no constraint {cname!r} "
-                f"(declared: {sorted(cons)})"
-            )
-        del cons[cname]
-        tmp = self._constraints_path(name) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(cons, f)
-        os.replace(tmp, self._constraints_path(name))
+        unknown names raise. Flock-serialized like ``add`` so
+        concurrent mutations never lose each other's entries."""
+        with self._commit_lock(name):
+            cons = self.constraints(name)
+            if cname not in cons:
+                raise ValueError(
+                    f"table {name!r} has no constraint {cname!r} "
+                    f"(declared: {sorted(cons)})"
+                )
+            del cons[cname]
+            tmp = self._constraints_path(name) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(cons, f)
+            os.replace(tmp, self._constraints_path(name))
 
     def _enforce_constraints(self, name: str, df: DataFrame) -> None:
-        """Validate data about to become part of a new version. One
-        limit-1 probe per declared constraint (no-op without any):
-        the violating batch raises before any scratch write, pointer
-        flip, or changelog append — nothing is half-applied."""
-        cons = self.constraints(name)
-        for cname, expr in cons.items():
-            try:
-                bad = df.filter(~F.expr(expr)).limit(1).collect()
-            except Exception as exc:
-                # e.g. a schema-changing OVERWRITE dropped a column the
-                # constraint references: that is a violation of the
-                # declared invariant, not an internal error — name the
-                # constraint so the caller knows to drop it first
-                raise ConstraintViolationError(
-                    f"CHECK constraint {cname!r} ({expr}) on table "
-                    f"{name!r} cannot be evaluated against the incoming "
-                    f"data ({exc.__class__.__name__}) — drop the "
-                    "constraint first if the schema change is "
-                    "intentional; commit aborted, table untouched"
-                ) from exc
-            if bad:
-                raise ConstraintViolationError(
-                    f"CHECK constraint {cname!r} ({expr}) on table "
-                    f"{name!r} violated by incoming data, e.g. "
-                    f"{bad[0].asDict()} — commit aborted, table "
-                    "untouched"
-                )
+        """Validate data about to become part of a new version with
+        ONE probe job regardless of constraint count: every constraint
+        evaluates as a boolean column in a single limit-1 pass (a row
+        violates iff some flag is FALSE — SQL CHECK null semantics),
+        and the hit row names exactly the constraints it fails. A
+        constraint the incoming frame cannot ANALYZE (a
+        schema-changing overwrite dropped its column) raises the same
+        error naming it; RUNTIME failures (lost executor, transient
+        IO) propagate as themselves — misreporting them as violations
+        would tell an operator to drop a valid constraint over a flaky
+        cluster. No-op without declared constraints; a violating batch
+        raises before any scratch write, pointer flip, or changelog
+        append."""
+        items = list(self.constraints(name).items())
+        if not items:
+            return
+        from pyspark.errors import AnalysisException
+
+        flags = [
+            F.expr(expr).alias(f"__chk{i}")
+            for i, (_, expr) in enumerate(items)
+        ]
+        bad = None
+        for i in range(len(items)):
+            c = ~F.col(f"__chk{i}")
+            bad = c if bad is None else (bad | c)
+        try:
+            hit = df.select("*", *flags).filter(bad).limit(1).collect()
+        except AnalysisException as exc:
+            # identify the unanalyzable constraint(s) schema-only — no
+            # jobs: resolving each expression alone raises eagerly
+            failing = []
+            for cname, expr in items:
+                try:
+                    df.select(F.expr(expr))
+                except AnalysisException:
+                    failing.append(cname)
+            named = ", ".join(
+                repr(c) for c in (failing or [c for c, _ in items])
+            )
+            raise ConstraintViolationError(
+                f"CHECK constraint(s) {named} on table {name!r} cannot "
+                "be evaluated against the incoming data "
+                f"({exc.__class__.__name__}) — drop the constraint "
+                "first if the schema change is intentional; commit "
+                "aborted, table untouched"
+            ) from exc
+        if hit:
+            row = hit[0].asDict()
+            failing = [
+                items[i][0]
+                for i in range(len(items))
+                if row.get(f"__chk{i}") is False
+            ]
+            example = {
+                k: v for k, v in row.items() if not k.startswith("__chk")
+            }
+            by_name = dict(items)
+            descr = "; ".join(f"{c!r} ({by_name[c]})" for c in failing)
+            raise ConstraintViolationError(
+                f"CHECK constraint(s) {descr} on table {name!r} "
+                f"violated by incoming data, e.g. {example} — commit "
+                "aborted, table untouched"
+            )
 
     # --- deletion vectors (Delta merge-on-read DELETE analog) -------------
 
@@ -1194,6 +1254,34 @@ class TableStore:
                 F.broadcast(doomed0), ["__dv_rel", "__dv_ri"], "left_anti"
             )
         matches = raw.filter(cond)
+        if log_changes:
+            # the match scan feeds BOTH the position collect and the
+            # change-record write — pin it so the changelog path does
+            # not pay a second full predicate scan (same contract as
+            # _mutate_rows)
+            from .cache import pin
+
+            matches = pin(matches)
+        try:
+            return self._delete_vectored_inner(
+                name, current, dv, matches, keys, max_rows, log_changes
+            )
+        finally:
+            if log_changes:
+                from .cache import unpin
+
+                unpin(matches)
+
+    def _delete_vectored_inner(
+        self,
+        name: str,
+        current: str,
+        dv: dict,
+        matches: DataFrame,
+        keys: Sequence[str] | None,
+        max_rows: int,
+        log_changes: bool,
+    ) -> int:
         pairs = matches.select("__dv_rel", "__dv_ri").limit(
             max_rows + 1
         ).collect()
@@ -1237,9 +1325,13 @@ class TableStore:
             self._commit_pointer(name, version_dir, based_on=cur_base)
             final = version_dir
         if log_changes:
+            # drop the internal bucket column like every other
+            # changelog writer (the stored schema carries it on
+            # hash-partitioned tables; leaking it would give the
+            # feed's files inconsistent schemas)
             self._append_delete_records(
                 name,
-                matches.drop("__dv_rel", "__dv_ri"),
+                matches.drop("__dv_rel", "__dv_ri", "__bucket"),
                 list(keys),
             )
         self._prune(name, keep=final)

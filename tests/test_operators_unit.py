@@ -5832,8 +5832,11 @@ def test_deletion_vectors_merge_on_read(spark, tmp_path):
     assert store.delete_vectored("t", F.col("k") == 3, keys=["k"]) == 0
     assert len(store.versions("t")) == n_versions
 
-    # the changelog carries the delete records
-    ch = store.read_changes("t").filter(F.col("_change_type") == "delete")
+    # the changelog carries the delete records — and no internal
+    # bucket column leaks into the feed's schema
+    feed = store.read_changes("t")
+    assert "__bucket" not in feed.columns
+    ch = feed.filter(F.col("_change_type") == "delete")
     assert {r["k"] for r in ch.collect()} >= {3, 5, 7}
 
     # min/max skipping path applies the DV too
@@ -5922,3 +5925,10 @@ def test_deletion_vector_survives_rebase(spark, tmp_path):
     assert 1 not in got and 3 not in got  # both DV marks hold
     assert got[0] == 100  # the intervening merge survived the rebase
     assert len(got) == 18
+    # the rebase's fresh commit info kept ours' operation details
+    import json as _json
+    reb = store.current_path("t")
+    with open(os.path.join(reb, "_OP.json")) as f:
+        rec = _json.load(f)
+    assert rec["op"] == "delete_vectored"
+    assert rec["n_rows"] == 1 and rec["rebased_onto"]
