@@ -5932,3 +5932,33 @@ def test_deletion_vector_survives_rebase(spark, tmp_path):
         rec = _json.load(f)
     assert rec["op"] == "delete_vectored"
     assert rec["n_rows"] == 1 and rec["rebased_onto"]
+
+
+def test_check_constraint_concurrent_adds_all_survive(spark, tmp_path):
+    """add_check_constraint is flock-serialized: concurrent adds from
+    multiple threads must ALL land (the unlocked read-modify-write
+    lost every entry but the last writer's)."""
+    import threading
+
+    store = merge.TableStore(spark, str(tmp_path))
+    store.write("t", spark.createDataFrame([Row(k=i, v=i) for i in range(5)]))
+    errs = []
+
+    def add(i):
+        try:
+            store.add_check_constraint("t", f"c{i}", f"v >= -{i + 1}")
+        except Exception as exc:  # surfaced by the main thread
+            errs.append(exc)
+
+    threads = [threading.Thread(target=add, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert set(store.constraints("t")) == {f"c{i}" for i in range(8)}
+    # and the gate actually uses all of them (ONE probe job): the
+    # tightest bound is c0 (v >= -1)
+    with pytest.raises(merge.ConstraintViolationError, match="'c0'"):
+        store.merge("t", spark.createDataFrame([Row(k=9, v=-5)]), ["k"],
+                    policy="scd1")
