@@ -907,7 +907,7 @@ class TableStore:
             extras = {
                 k: v
                 for k, v in ours_rec.items()
-                if k not in ("op", "ts", "n_files", "bytes")
+                if k not in ("op", "ts", "n_files", "bytes", "rebased_onto")
             }
             self._write_op(
                 rebase_full, ours_op, rebased_onto=cur_base, **extras
