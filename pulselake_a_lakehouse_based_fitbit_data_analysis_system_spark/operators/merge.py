@@ -817,6 +817,15 @@ class TableStore:
                     ) == _fieldset(os.path.join(ours_full, self._SCHEMAFILE))
                 except (OSError, json.JSONDecodeError):
                     ok = False
+                # a concurrent rename/drop (column mapping change) is
+                # a real conflict even on disjoint partitions — the
+                # rebase would mix two logical views of the same
+                # physical files; the loser retries and re-reads the
+                # new mapping
+                if ok and self._load_colmap(cur) != self._load_colmap(
+                    ours_full
+                ):
+                    ok = False
             if not ok:
                 shutil.rmtree(ours_full, ignore_errors=True)
                 raise ConcurrentWriteError(
@@ -891,6 +900,8 @@ class TableStore:
                 )
             except OSError:
                 pass
+            # proven equal to cur's above, so either parent's copy works
+            self._carry_colmap(ours_full, rebase_full)
             # fresh commit info, NOT a copy of ours': the rebase dir's
             # operationMetrics (n_files/bytes) must describe the
             # merged dir — cur's partitions plus ours — and the
@@ -1239,10 +1250,11 @@ class TableStore:
         stored = self._stored_schema(current)
         if stored is not None:
             reader = reader.schema(stored)
-        raw = (
+        raw = self._apply_colmap(
             reader.parquet(current)
             .withColumn("__dv_rel", self._dv_rel_expr(current))
-            .withColumn("__dv_ri", F.col("_metadata.row_index"))
+            .withColumn("__dv_ri", F.col("_metadata.row_index")),
+            current,
         )
         dv = self._load_dv(current)
         if dv:
@@ -1515,13 +1527,44 @@ class TableStore:
         other: a ``vacuum_changelog`` landing between this cursor
         check and the parquet listing can remove files this reader was
         promised — that window fails LOUD (missing-file read error),
-        never as silent partial data."""
+        never as silent partial data.
+
+        A ``rename_column``/``drop_column`` on a changelog table
+        advances the feed's SCHEMA-BREAK version: records before it
+        carry the old logical schema, and mixing the two would
+        surface NULLs where the renamed column's values belong. The
+        default read starts at the break (full CURRENT-schema
+        history); an explicit ``starting_version`` below it raises —
+        the Delta 'CDF read across a column mapping change' failure,
+        surfaced as a contract."""
+        brk = self.schema_break_version(name)
         if starting_version is None:
-            starting_version = self.changelog_cursor(name)
+            starting_version = max(self.changelog_cursor(name), brk)
         else:
             self._check_changelog_cursor(name, starting_version)
-        df = self.spark.read.parquet(self._require_changelog(name))
+            if starting_version < brk:
+                raise ValueError(
+                    f"changelog for {name!r} crossed a column-mapping "
+                    f"change at commit version {brk} — records before "
+                    "it use the old logical schema; restart this "
+                    f"consumer with starting_version >= {brk}"
+                )
+        # mergeSchema: the feed legitimately mixes file schemas after
+        # an evolution merge (new columns NULL-fill in old records) —
+        # a single-footer inference would drop them
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            self._require_changelog(name)
+        )
         df = df.filter(F.col("_commit_version") >= starting_version)
+        if brk:
+            # records at/after the break were all written with the
+            # CURRENT logical schema; columns surviving in the frame
+            # beyond it are pre-break (retired names) — NULL here
+            keep = set(self.read(name).columns) | {
+                "_change_type",
+                "_commit_version",
+            }
+            df = df.select(*[c for c in df.columns if c in keep])
         if ignore_deletes:
             df = df.filter(F.col("_change_type") != "delete")
         return df
@@ -1553,15 +1596,38 @@ class TableStore:
         subscribe are not atomic with respect to each other: a vacuum
         landing between the cursor check and the first micro-batch's
         file listing surfaces as a loud missing-file error, never as
-        silent partial data."""
+        silent partial data.
+
+        Column-mapping changes (rename/drop) follow the same
+        schema-break contract as ``read_changes``: defaults resolve
+        to the break, an explicit pre-break ``starting_version``
+        raises, and pre-break columns are projected away."""
+        brk = self.schema_break_version(name)
         if starting_version is None:
-            starting_version = self.changelog_cursor(name)
+            starting_version = max(self.changelog_cursor(name), brk)
         else:
             self._check_changelog_cursor(name, starting_version)
+            if starting_version < brk:
+                raise ValueError(
+                    f"changelog for {name!r} crossed a column-mapping "
+                    f"change at commit version {brk} — records before "
+                    "it use the old logical schema; restart this "
+                    f"consumer with starting_version >= {brk}"
+                )
         d = self._require_changelog(name)
-        schema = self.spark.read.parquet(d).schema
+        schema = (
+            self.spark.read.option("mergeSchema", "true").parquet(d).schema
+        )
         stream = self.spark.readStream.schema(schema).parquet(d)
         stream = stream.filter(F.col("_commit_version") >= starting_version)
+        if brk:
+            keep = set(self.read(name).columns) | {
+                "_change_type",
+                "_commit_version",
+            }
+            stream = stream.select(
+                *[c for c in stream.columns if c in keep]
+            )
         if ignore_deletes:
             stream = stream.filter(F.col("_change_type") != "delete")
         return stream
@@ -1894,7 +1960,287 @@ class TableStore:
         reader = self.spark.read
         if schema is not None:
             reader = reader.schema(schema)
-        return self._dv_filter(reader.parquet(path), path)
+        return self._apply_colmap(
+            self._dv_filter(reader.parquet(path), path), path
+        )
+
+    # --- column mapping (Delta RENAME / DROP COLUMN analog) ---------------
+
+    _COLMAPFILE = "_COLMAP.json"
+
+    def _load_colmap(self, version_full: str) -> dict | None:
+        """The version's column mapping — ``{"map": {logical:
+        physical, ...}, "retired": [physical, ...]}`` — or None for
+        the identity mapping (tables that never renamed or dropped a
+        column pay exactly one ``os.path.exists`` per read)."""
+        p = os.path.join(version_full, self._COLMAPFILE)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_colmap(self, version_full: str, cm: dict | None) -> None:
+        if cm is None:
+            return
+        tmp = os.path.join(version_full, self._COLMAPFILE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(cm, f)
+        os.replace(tmp, os.path.join(version_full, self._COLMAPFILE))
+
+    def _carry_colmap(self, src_full: str, dst_full: str) -> None:
+        """Copy the column mapping into a new version dir assembled
+        from ``src_full``'s files (pruned merges, mutations,
+        optimize). Paths that hard-link the WHOLE source dir (clone,
+        restore, delete_vectored) carry it via their walk already."""
+        p = os.path.join(src_full, self._COLMAPFILE)
+        if os.path.exists(p):
+            shutil.copyfile(
+                p, os.path.join(dst_full, self._COLMAPFILE)
+            )
+
+    def _apply_colmap(self, df: DataFrame, version_full: str) -> DataFrame:
+        """Physical file columns -> the version's logical view: mapped
+        physical columns rename to their logical names, retired
+        (dropped) physicals disappear (column pruning pushes the
+        exclusion into the scan — a dropped column's bytes are never
+        read), internal columns (``__bucket``, DV bookkeeping) pass
+        through. A narrow projection — no shuffle, stays inside
+        whole-stage codegen."""
+        cm = self._load_colmap(version_full)
+        if cm is None:
+            return df
+        ptl = {p: l for l, p in cm["map"].items()}
+        retired = set(cm.get("retired") or [])
+        sel = []
+        for c in df.columns:
+            if c in ptl:
+                sel.append(F.col(c).alias(ptl[c]) if ptl[c] != c else F.col(c))
+            elif c in retired:
+                continue
+            else:
+                sel.append(F.col(c))
+        return df.select(*sel)
+
+    def _to_physical(
+        self, df: DataFrame, cm: dict | None
+    ) -> tuple[DataFrame, dict | None]:
+        """Logical DataFrame -> physical file columns for a write that
+        will MIX with hard-linked older files (pruned merge, mutation,
+        optimize scratch). Unmapped non-internal columns are NEW
+        (schema evolution): they get a physical name — the logical
+        name itself unless a prior life of that name still exists in
+        retained files (then a suffixed fresh name, so re-adding a
+        dropped column can never resurrect its old values) — and the
+        returned mapping is extended with them."""
+        if cm is None:
+            return df, None
+        cmap = dict(cm["map"])
+        retired = list(cm.get("retired") or [])
+        used = set(cmap.values()) | set(retired)
+        sel = []
+        for c in df.columns:
+            if c in cmap:
+                sel.append(
+                    F.col(c).alias(cmap[c]) if cmap[c] != c else F.col(c)
+                )
+            elif c.startswith("__"):
+                sel.append(F.col(c))
+            else:
+                phys = c if c not in used else f"{c}__{uuid.uuid4().hex[:8]}"
+                cmap[c] = phys
+                used.add(phys)
+                sel.append(F.col(c).alias(phys) if phys != c else F.col(c))
+        return df.select(*sel), {"map": cmap, "retired": retired}
+
+    def _logical_fields(self, version_full: str) -> dict | None:
+        """Logical column name -> Spark DataType for the version, from
+        the stored (physical) schema through the column mapping; None
+        when no schema sidecar exists."""
+        schema = self._stored_schema(version_full)
+        if schema is None:
+            return None
+        fields = {f.name: f.dataType for f in schema.fields}
+        cm = self._load_colmap(version_full)
+        if cm is None:
+            return fields
+        retired = set(cm.get("retired") or [])
+        phys = set(cm["map"].values())
+        out = {
+            logical: fields[p]
+            for logical, p in cm["map"].items()
+            if p in fields
+        }
+        for nm, dt in fields.items():
+            if nm not in phys and nm not in retired:
+                out[nm] = dt  # internal passthrough (__bucket)
+        return out
+
+    def _identity_colmap(self, name: str, current: str) -> dict:
+        schema = self._stored_schema(current)
+        if schema is not None:
+            cols = [f.name for f in schema.fields]
+        else:
+            cols = self._read_version(current).columns
+        return {
+            "map": {c: c for c in cols if not c.startswith("__")},
+            "retired": [],
+        }
+
+    def _colmap_guard(self, name: str, col: str, verb: str) -> None:
+        """Shared rename/drop preconditions: partitioning/merge-key
+        columns and constraint-referenced columns are frozen (rename
+        them by rewriting — ``write_partitioned`` — or drop the
+        constraint first; Delta restricts the same surface)."""
+        spec = self.partition_spec(name)
+        frozen: set[str] = set()
+        if spec is not None:
+            frozen = set(spec.get("keys") or [])
+            if spec.get("mode") == "column":
+                frozen.add(spec["column"])
+        if col in frozen:
+            raise ValueError(
+                f"cannot {verb} column {col!r}: it is a merge-key/"
+                "partition column of the table's partition spec — "
+                "partition routing and dir layout are keyed on it; "
+                "re-create via write_partitioned to change it"
+            )
+        for cname, expr in self.constraints(name).items():
+            if re.search(rf"\b{re.escape(col)}\b", expr):
+                raise ValueError(
+                    f"cannot {verb} column {col!r}: CHECK constraint "
+                    f"{cname!r} references it ({expr}) — drop the "
+                    "constraint first"
+                )
+
+    def _commit_colmap_change(
+        self, name: str, current: str, cm: dict, op: str, **details
+    ) -> None:
+        """Metadata-only commit of a new column mapping: every file of
+        the current version hard-links into the new version dir (zero
+        data movement — at 100 TB a rename costs one sidecar write),
+        only ``_COLMAP.json`` and the commit info are fresh. With the
+        changelog enabled the commit also advances the feed's
+        schema-break version: change records before it carry the old
+        logical schema, so consumers must restart from the break
+        (``read_changes``/``stream_changes`` enforce it — the Delta
+        'streaming read across a column mapping change' failure,
+        surfaced as a contract instead of silent NULLs)."""
+        version_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
+        full = os.path.join(self.root, version_dir)
+        os.makedirs(full)
+        for base, _dirs, files in os.walk(current):
+            rel = os.path.relpath(base, current)
+            dst = full if rel == "." else os.path.join(full, rel)
+            os.makedirs(dst, exist_ok=True)
+            for fname in files:
+                if fname in (
+                    self._OPFILE,
+                    self._COLMAPFILE,
+                    self._REWRITTENFILE,
+                ):
+                    continue
+                os.link(os.path.join(base, fname), os.path.join(dst, fname))
+        self._write_colmap(full, cm)
+        self._write_op(full, op, **details)
+        if self._changelog_enabled(name):
+            self._set_schema_break(name, self._next_commit_version(name))
+        self._commit_pointer(
+            name, version_dir, based_on=os.path.basename(current)
+        )
+        self._prune(name, keep=version_dir)
+
+    def rename_column(self, name: str, old: str, new: str) -> None:
+        """``ALTER TABLE ... RENAME COLUMN old TO new`` — the Delta
+        column-mapping analog: a METADATA-ONLY commit (hard-linked
+        files + a ``_COLMAP.json`` logical->physical mapping; zero
+        data rewritten, no Spark job). Reads at this and later
+        versions surface ``new``; time travel to earlier versions
+        still surfaces ``old`` (the mapping is versioned). Later
+        pruned merges/mutations keep writing the PHYSICAL name, so
+        their rewritten files stay byte-compatible with the
+        hard-linked old ones. Partition-spec key/column and
+        constraint-referenced columns are frozen (see
+        ``_colmap_guard``); per-column skipping sidecars built under
+        the old name simply stop matching probes of the new name
+        (conservative full scans) until rebuilt."""
+        current = self.current_path(name)
+        if current is None:
+            raise FileNotFoundError(f"table {name} does not exist")
+        self._colmap_guard(name, old, "rename")
+        cm = self._load_colmap(current) or self._identity_colmap(
+            name, current
+        )
+        if old not in cm["map"]:
+            raise ValueError(
+                f"table {name!r} has no column {old!r} "
+                f"(columns: {list(cm['map'])})"
+            )
+        if new in cm["map"]:
+            raise ValueError(
+                f"table {name!r} already has a column {new!r}"
+            )
+        if new.startswith("__"):
+            raise ValueError(
+                f"column name {new!r} is reserved (internal prefix)"
+            )
+        cm["map"] = {
+            (new if logical == old else logical): phys
+            for logical, phys in cm["map"].items()
+        }
+        self._commit_colmap_change(
+            name, current, cm, "rename_column", old=old, new=new
+        )
+
+    def drop_column(self, name: str, col: str) -> None:
+        """``ALTER TABLE ... DROP COLUMN`` — metadata-only like
+        ``rename_column``: the physical column retires in the mapping
+        and is never read again (column pruning means its bytes are
+        skipped at the scan, not filtered after). A later
+        evolution-merge re-adding the same logical name gets a FRESH
+        physical column — old values can never resurrect. The
+        physical bytes remain until files naturally rewrite
+        (optimize/merge), exactly Delta's DROP COLUMN economics."""
+        current = self.current_path(name)
+        if current is None:
+            raise FileNotFoundError(f"table {name} does not exist")
+        self._colmap_guard(name, col, "drop")
+        cm = self._load_colmap(current) or self._identity_colmap(
+            name, current
+        )
+        if col not in cm["map"]:
+            raise ValueError(
+                f"table {name!r} has no column {col!r} "
+                f"(columns: {list(cm['map'])})"
+            )
+        if len(cm["map"]) == 1:
+            raise ValueError(f"cannot drop the only column of {name!r}")
+        retired_phys = cm["map"].pop(col)
+        cm.setdefault("retired", []).append(retired_phys)
+        self._commit_colmap_change(
+            name, current, cm, "drop_column", column=col
+        )
+
+    # --- changelog schema-break (column mapping x CDF) --------------------
+
+    def _schema_break_path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}._SCHEMA_BREAK")
+
+    def schema_break_version(self, name: str) -> int:
+        """First changelog commit version whose records carry the
+        CURRENT logical schema — advanced by every rename/drop on a
+        changelog table; 0 when the feed never crossed one."""
+        try:
+            with open(self._schema_break_path(name)) as f:
+                return int(f.read().strip() or 0)
+        except (OSError, ValueError):
+            return 0
+
+    def _set_schema_break(self, name: str, version: int) -> None:
+        version = max(version, self.schema_break_version(name))
+        tmp = self._schema_break_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._schema_break_path(name))
 
     # --- file-level min/max pruning (Delta data-skipping analog) ----------
 
@@ -2170,9 +2516,10 @@ class TableStore:
         # upsert, a silent miss on delete. Join coercion used to paper
         # over this for the policy itself; the partition routing never
         # had that safety net.
-        target_schema = self._stored_schema(current)
-        if target_schema is not None:
-            tfields = {f.name: f.dataType for f in target_schema.fields}
+        # logical view of the stored schema (column mapping applied):
+        # merge keys arrive as LOGICAL names
+        tfields = self._logical_fields(current)
+        if tfields is not None:
             for k in keys:
                 want = tfields.get(k)
                 if want is not None and source.schema[k].dataType != want:
@@ -2347,9 +2694,11 @@ class TableStore:
                 if stored is not None:
                     reader = reader.schema(stored)
                 # DV-wrap the direct file read too, or deleted rows
-                # would resurrect into the rewritten files
-                target_affected = self._dv_filter(
-                    reader.parquet(*hit_paths), current
+                # would resurrect into the rewritten files; the column
+                # mapping then lifts physical names to logical ones
+                target_affected = self._apply_colmap(
+                    self._dv_filter(reader.parquet(*hit_paths), current),
+                    current,
                 )
             else:
                 target_affected = target_all.filter(F.lit(False))
@@ -2439,6 +2788,13 @@ class TableStore:
         # scale). Plain hash repartition, NOT repartitionByRange: the
         # range sampler adds a whole extra job per merge, which the
         # fitbit E2E trickle replay measured at ~40% wall.
+        # rewritten files must stay byte-compatible with the version's
+        # hard-linked survivors: write PHYSICAL column names (the
+        # column mapping lifts them back at read; evolution-added
+        # logical columns extend the mapping here)
+        merged, cm_out = self._to_physical(
+            merged, self._load_colmap(current)
+        )
         merged = merged.repartition(F.col(part_col))
         merged.write.mode("overwrite").partitionBy(part_col).parquet(scratch)
         merged_schema_src = merged
@@ -2525,6 +2881,7 @@ class TableStore:
         self._carry_bloom_sidecars(current, full)
         self._carry_dv(current, full)
         self._write_schema(full, merged_schema_src)
+        self._write_colmap(full, cm_out)
         self._write_op(full, f"merge:{policy}")
         touched = set(rewritten)
         if policy == "upsert_delete":
@@ -2954,6 +3311,23 @@ class TableStore:
                 f"{name} has an active changelog: pass keys=<merge keys> "
                 "so the restore can commit its row-level diff"
             )
+        cur_for_diff = self.current_path(name)
+        if (
+            log_changes
+            and cur_for_diff is not None
+            and self._load_colmap(cur_for_diff) != self._load_colmap(src)
+        ):
+            # the row diff would compare two different LOGICAL views
+            # of the table (a rename in between makes the same
+            # physical column look like a drop+add) — refuse loudly
+            # rather than emit a nonsense change set
+            raise ValueError(
+                f"restore of {name!r} crosses a column-mapping change "
+                "(rename/drop) and the changelog is enabled — the "
+                "row-level diff across two logical schemas is not "
+                "expressible; restore to a version on this side of "
+                "the mapping change, or rebuild consumers batch-wise"
+            )
         pre = self.read(name) if log_changes else None
         version_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
         full = os.path.join(self.root, version_dir)
@@ -3275,6 +3649,11 @@ class TableStore:
         # goes through write(), which already enforces)
         self._enforce_constraints(name, out)
         scratch = os.path.join(self.root, f"{name}.{op}{uuid.uuid4().hex[:12]}")
+        # rewritten partitions mix with hard-linked ones: write
+        # physical column names (mutations never add columns, so the
+        # mapping itself is unchanged)
+        cm_cur = self._load_colmap(current)
+        out, _cm = self._to_physical(out, cm_cur)
         # same bounded-output clustering as the pruned merge: one file
         # per rewritten partition, not scan-tasks x dirs
         out = out.repartition(F.col(part_col))
@@ -3316,7 +3695,8 @@ class TableStore:
             self._write_file_stats(full, key0, carry=carry)
         self._carry_bloom_sidecars(current, full)
         self._carry_dv(current, full)
-        self._write_schema(full, df_all)
+        self._write_schema(full, self._to_physical(df_all, cm_cur)[0])
+        self._carry_colmap(current, full)
         self._write_op(full, op)
         if simple:
             # touched = rewritten dirs PLUS fully-emptied ones (a
@@ -3580,6 +3960,11 @@ class TableStore:
                 F.col(part_col), cluster
             )
         scratch = os.path.join(self.root, f"{name}.opt{uuid.uuid4().hex[:12]}")
+        # physical column names for files that sit beside hard-linked
+        # unselected partitions (narrow projection — the cluster sort
+        # order within each write task is preserved)
+        cm_cur = self._load_colmap(current)
+        out, _cm = self._to_physical(out, cm_cur)
         writer = out.write.mode("overwrite")
         if max_records is not None:
             writer = writer.option("maxRecordsPerFile", max_records)
@@ -3620,7 +4005,8 @@ class TableStore:
         self._write_file_stats(full, key, carry=carry)
         self._carry_bloom_sidecars(current, full)
         self._carry_dv(current, full)
-        self._write_schema(full, df_all)
+        self._write_schema(full, self._to_physical(df_all, cm_cur)[0])
+        self._carry_colmap(current, full)
         self._write_op(full, "optimize")
         self._commit_pointer(
             name, version_dir, based_on=os.path.basename(current)

@@ -89,9 +89,10 @@ def build_bloom_sidecar(
     if missing:
         # scan ONLY the unindexed files; basePath keeps partition
         # columns resolvable even when ``col`` is one of them
-        df = (
+        df = store._apply_colmap(
             store.spark.read.option("basePath", version_dir)
-            .parquet(*[os.path.join(version_dir, rel) for rel in missing])
+            .parquet(*[os.path.join(version_dir, rel) for rel in missing]),
+            version_dir,
         )
         pos_cols = [
             F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(n_bits)).alias(
@@ -213,10 +214,11 @@ def read_where_eq(
             total,
         )
     reader = store.spark.read.option("basePath", version_dir)
-    # DV-wrap the direct file read (no-op without a deletion vector)
-    df = store._dv_filter(reader.parquet(*cand), version_dir).filter(
-        F.col(col) == F.lit(value)
-    )
+    # DV-wrap the direct file read (no-op without a deletion vector),
+    # then lift physical names to logical (column mapping; no-op too)
+    df = store._apply_colmap(
+        store._dv_filter(reader.parquet(*cand), version_dir), version_dir
+    ).filter(F.col(col) == F.lit(value))
     return df, len(cand), total
 
 
@@ -256,9 +258,10 @@ def build_minmax_sidecar(store: TableStore, name: str, col: str) -> int:
     sidecar = {rel: existing[rel] for rel in all_rel if rel in existing}
     missing = [rel for rel in all_rel if rel not in existing]
     if missing:
-        df = (
+        df = store._apply_colmap(
             store.spark.read.option("basePath", version_dir)
-            .parquet(*[os.path.join(version_dir, rel) for rel in missing])
+            .parquet(*[os.path.join(version_dir, rel) for rel in missing]),
+            version_dir,
         )
         per_file = (
             df.select(F.input_file_name().alias("__f"), F.col(col))
@@ -330,7 +333,10 @@ def read_where_between(
         return store.read(name).filter(F.lit(False)), 0, total
     reader = store.spark.read.option("basePath", version_dir)
     return (
-        store._dv_filter(reader.parquet(*cand), version_dir).filter(cond),
+        store._apply_colmap(
+            store._dv_filter(reader.parquet(*cand), version_dir),
+            version_dir,
+        ).filter(cond),
         len(cand),
         total,
     )
@@ -389,8 +395,9 @@ def read_where(
         return store.read(name).filter(F.lit(False)), 0, total
     reader = store.spark.read.option("basePath", version_dir)
     return (
-        store._dv_filter(
-            reader.parquet(*sorted(cand)), version_dir
+        store._apply_colmap(
+            store._dv_filter(reader.parquet(*sorted(cand)), version_dir),
+            version_dir,
         ).filter(cond),
         len(cand),
         total,

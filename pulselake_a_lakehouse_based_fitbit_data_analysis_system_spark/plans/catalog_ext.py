@@ -9100,3 +9100,100 @@ def q_delete_vectors_pointwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(metadata_only).alias("metadata_only"),
         F.lit(int(n_marked)).cast("long").alias("n_marked"),
     )
+
+
+_COLUMN_MAPPING_ORACLE = """
+SELECT c_custkey,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+       + CASE WHEN c_mktsegment = 'BUILDING' THEN 1000000 ELSE 0 END
+         AS balance,
+       CASE WHEN c_mktsegment = 'MACHINERY' THEN 'readded' END AS c_name,
+       TRUE AS rename_metadata_only,
+       TRUE AS drop_metadata_only,
+       TRUE AS time_travel_old_name,
+       CAST(5 AS BIGINT) AS n_versions
+FROM customer
+"""
+
+
+@_register(
+    "column_mapping_lifecycle",
+    _COLUMN_MAPPING_ORACLE,
+    "Column mapping (merge.py::rename_column/drop_column r12 — the "
+    "Delta ALTER TABLE RENAME/DROP COLUMN analog): rename bal_c -> "
+    "balance and a later DROP are METADATA-ONLY commits — every "
+    "parquet file hard-links into the new version "
+    "(rename/drop_metadata_only pin per-file inode equality at "
+    "runtime) and only the versioned _COLMAP.json logical->physical "
+    "mapping changes; at 100 TB a rename costs one sidecar write, "
+    "not a table rewrite. The pruned merge AFTER the rename keeps "
+    "writing the physical name (its files stay byte-compatible with "
+    "the hard-linked survivors), time travel to v0 still surfaces "
+    "the OLD logical name (time_travel_old_name), and the "
+    "evolution-merge re-ADD of the dropped c_name gets a FRESH "
+    "physical column — the final values prove no resurrection: "
+    "c_name is NULL everywhere except the re-adding increment's own "
+    "rows. n_versions pins the commit chain (create + rename + merge "
+    "+ drop + merge).",
+    tags=("store", "merge", "lakehouse", "schema"),
+)
+def q_column_mapping_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile
+
+    from ..operators.merge import TableStore
+
+    c = _t(spark, sf_dir, "customer")
+    bal = F.floor(F.col("c_acctbal").cast("double") * 100 + 0.5).cast("long")
+    base = c.select("c_custkey", "c_name", bal.alias("bal_c"))
+    root = tempfile.mkdtemp(prefix="pulselake_colmap_")
+    stream_ops._STAGED_DIRS.append(root)  # swept on interpreter exit
+    store = TableStore(spark, root, keep_versions=8)
+    store.write_partitioned("t", base, keys=["c_custkey"], n_buckets=8)
+
+    def _inode_equal(v_old: str, v_new: str) -> bool:
+        for r, _d, fs in _os.walk(v_new):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                p2 = _os.path.join(r, f)
+                rel = _os.path.relpath(p2, v_new)
+                if not _os.path.samefile(p2, _os.path.join(v_old, rel)):
+                    return False
+        return True
+
+    v0 = store.current_path("t")
+    store.rename_column("t", "bal_c", "balance")
+    rename_meta = _inode_equal(v0, store.current_path("t"))
+    # pruned merge through the mapping: physical files keep the old name
+    inc = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        F.lit("updated").alias("c_name"),
+        (bal + F.lit(1000000)).alias("balance"),
+    )
+    store.merge("t", inc, ["c_custkey"], policy="scd1")
+    v_pre_drop = store.current_path("t")
+    store.drop_column("t", "c_name")
+    drop_meta = _inode_equal(v_pre_drop, store.current_path("t"))
+    # evolution re-add of the dropped logical name: fresh physical
+    # column, so pre-drop values can never resurrect
+    readd = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        "c_custkey",
+        bal.alias("balance"),
+        F.lit("readded").alias("c_name"),
+    )
+    store.merge(
+        "t", readd, ["c_custkey"], policy="scd1", evolve_schema=True
+    )
+    tt_old = store.read_at("t", 0).columns
+    time_travel_old = "bal_c" in tt_old and "balance" not in tt_old
+    n_versions = len(store.versions("t"))
+    return store.read("t").select(
+        "c_custkey",
+        "balance",
+        "c_name",
+        F.lit(rename_meta).alias("rename_metadata_only"),
+        F.lit(drop_meta).alias("drop_metadata_only"),
+        F.lit(time_travel_old).alias("time_travel_old_name"),
+        F.lit(n_versions).cast("long").alias("n_versions"),
+    )

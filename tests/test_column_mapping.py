@@ -1,0 +1,354 @@
+"""Column mapping — the Delta ``ALTER TABLE RENAME/DROP COLUMN``
+analog (metadata-only schema changes over immutable parquet files).
+
+Reference parity: the reference's Delta tables would use column
+mapping (``delta.columnMapping.mode``) for this; the TableStore
+reproduces the semantics — versioned logical->physical mapping in a
+``_COLMAP.json`` sidecar, zero data rewritten on rename/drop, no
+resurrection on re-add, CDF schema-break contract — over plain
+parquet.
+"""
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+    ConcurrentWriteError,
+    TableStore,
+)
+from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+    skipping,
+)
+
+
+def _inodes(version_dir: str) -> dict[str, int]:
+    return {
+        os.path.relpath(f, version_dir): os.stat(f).st_ino
+        for f in glob.glob(
+            os.path.join(version_dir, "**", "*.parquet"), recursive=True
+        )
+    }
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k long, name string, val long",
+    )
+
+
+def test_rename_is_metadata_only_and_versioned(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), keep_versions=10)
+    store.write_partitioned("t", _base(spark), keys=["k"], n_buckets=2)
+    v1 = store.current_path("t")
+    store.rename_column("t", "val", "amount")
+    v2 = store.current_path("t")
+    # zero data movement: every parquet file shares its inode
+    assert _inodes(v1) == _inodes(v2)
+    assert store.read("t").columns == ["k", "name", "amount"]
+    got = {r["k"]: r["amount"] for r in store.read("t").collect()}
+    assert got == {1: 10, 2: 20, 3: 30, 4: 40}
+    # time travel surfaces the mapping AS OF each version
+    assert "val" in store.read_at("t", 0).columns
+    assert "amount" not in store.read_at("t", 0).columns
+    ops = [r["operation"] for r in store.history("t").collect()]
+    assert "rename_column" in ops
+
+
+def test_pruned_merge_after_rename_writes_physical(spark, tmp_path):
+    """Post-rename merges keep writing the PHYSICAL column so their
+    fresh files stay byte-compatible with hard-linked old ones."""
+    store = TableStore(spark, str(tmp_path), keep_versions=10)
+    store.write_partitioned("t", _base(spark), keys=["k"], n_buckets=4)
+    store.rename_column("t", "val", "amount")
+    pre = _inodes(store.current_path("t"))
+    inc = spark.createDataFrame(
+        [(2, "b2", 99), (9, "i", 90)], "k long, name string, amount long"
+    )
+    store.merge("t", inc, ["k"], policy="scd1")
+    cur = store.current_path("t")
+    post = _inodes(cur)
+    # pruned: some old files rode through by hard link
+    shared = [rel for rel, ino in post.items() if pre.get(rel) == ino]
+    assert shared, "merge after rename must stay partition-pruned"
+    # new files carry the physical (old) name in their parquet footer
+    import pyarrow.parquet as pq
+
+    new_files = [rel for rel in post if rel not in pre]
+    assert new_files
+    for rel in new_files:
+        names = pq.ParquetFile(os.path.join(cur, rel)).schema_arrow.names
+        assert "val" in names and "amount" not in names
+    got = {r["k"]: (r["name"], r["amount"]) for r in store.read("t").collect()}
+    assert got[2] == ("b2", 99) and got[9] == ("i", 90) and got[1] == ("a", 10)
+
+
+def test_drop_then_evolution_readd_never_resurrects(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), keep_versions=10)
+    df = spark.createDataFrame(
+        [(1, "a", 111), (2, "b", 222)], "k long, name string, secret long"
+    )
+    store.write_partitioned("t", df, keys=["k"], n_buckets=2)
+    v1 = store.current_path("t")
+    store.drop_column("t", "secret")
+    assert store.read("t").columns == ["k", "name"]
+    # metadata-only: the bytes stay until files naturally rewrite
+    assert _inodes(v1) == _inodes(store.current_path("t"))
+    # evolution re-add of the SAME logical name: fresh physical column
+    inc = spark.createDataFrame(
+        [(3, "c", 333)], "k long, name string, secret long"
+    )
+    store.merge("t", inc, ["k"], policy="scd1", evolve_schema=True)
+    got = {r["k"]: r["secret"] for r in store.read("t").collect()}
+    assert got == {1: None, 2: None, 3: 333}, "dropped values resurrected"
+    # unpartitioned-table variant exercises the full-rewrite path
+    store.write("u", df)
+    store.drop_column("u", "secret")
+    store.merge("u", inc, ["k"], policy="scd1", evolve_schema=True)
+    got_u = {r["k"]: r["secret"] for r in store.read("u").collect()}
+    assert got_u == {1: None, 2: None, 3: 333}
+
+
+def test_rename_guards(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), keep_versions=5)
+    store.write_partitioned(
+        "t",
+        spark.createDataFrame(
+            [(1, "A", 10)], "k long, seg string, val long"
+        ),
+        keys=["k"],
+        partition_column="seg",
+    )
+    with pytest.raises(ValueError, match="no column"):
+        store.rename_column("t", "nope", "x")
+    with pytest.raises(ValueError, match="already has"):
+        store.rename_column("t", "val", "seg")
+    with pytest.raises(ValueError, match="reserved"):
+        store.rename_column("t", "val", "__v")
+    # partition-spec key and partition column are frozen
+    with pytest.raises(ValueError, match="partition"):
+        store.rename_column("t", "k", "key2")
+    with pytest.raises(ValueError, match="partition"):
+        store.drop_column("t", "seg")
+    # constraint-referenced columns are frozen until the constraint drops
+    store.add_check_constraint("t", "pos", "val >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        store.rename_column("t", "val", "amount")
+    with pytest.raises(ValueError, match="constraint"):
+        store.drop_column("t", "val")
+    store.drop_check_constraint("t", "pos")
+    store.rename_column("t", "val", "amount")
+    # (partitionBy layout orders the partition column last — compare sets)
+    assert set(store.read("t").columns) == {"k", "seg", "amount"}
+
+
+def test_update_delete_and_dv_on_renamed_column(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), keep_versions=10)
+    store.write_partitioned("t", _base(spark), keys=["k"], n_buckets=2)
+    store.rename_column("t", "val", "amount")
+    assert store.update("t", F.col("amount") == 20, {"amount": F.lit(21)}) == 1
+    assert store.delete("t", F.col("amount") == 30) == 1
+    assert store.delete_vectored("t", F.col("amount") == 40) == 1
+    got = {r["k"]: r["amount"] for r in store.read("t").collect()}
+    assert got == {1: 10, 2: 21}
+    # a later rewrite materializes the DV without resurrecting k=4
+    store.optimize("t", key="k")
+    got2 = {r["k"]: r["amount"] for r in store.read("t").collect()}
+    assert got2 == {1: 10, 2: 21}
+
+
+def test_skipping_sidecars_across_rename(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), keep_versions=10)
+    # val unique per row: each value lives in exactly one bucket file,
+    # so a correct bloom rebuild must actually prune
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1000).alias("val"),
+    )
+    store.write_partitioned("t", df, keys=["k"], n_buckets=4)
+    skipping.build_bloom_sidecar(store, "t", "val")
+    rows, files_read, total = skipping.read_where_eq(store, "t", "val", 5000)
+    assert rows.count() == df.filter(F.col("val") == 5000).count()
+    store.rename_column("t", "val", "v2")
+    # old-name sidecar no longer matches the new logical name:
+    # conservative full scan, CORRECT values
+    rows2, fr2, tot2 = skipping.read_where_eq(store, "t", "v2", 5000)
+    assert fr2 == tot2
+    assert rows2.count() == df.filter(F.col("val") == 5000).count()
+    # rebuild under the new name restores pruning over physical files
+    skipping.build_bloom_sidecar(store, "t", "v2")
+    rows3, fr3, tot3 = skipping.read_where_eq(store, "t", "v2", 5000)
+    assert fr3 < tot3
+    assert sorted(r["k"] for r in rows3.collect()) == sorted(
+        r["k"] for r in df.filter(F.col("val") == 5000).collect()
+    )
+
+
+def test_changelog_schema_break_contract(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), keep_versions=10, changelog=True)
+    store.write_partitioned("t", _base(spark), keys=["k"], n_buckets=2)
+    store.enable_changelog("t")
+    store.merge(
+        "t",
+        spark.createDataFrame([(5, "e", 50)], "k long, name string, val long"),
+        ["k"],
+        policy="scd1",
+    )
+    pre_rows = store.read_changes("t").count()
+    assert pre_rows > 0
+    store.rename_column("t", "val", "amount")
+    brk = store.schema_break_version("t")
+    assert brk > 0
+    # default read restarts at the break: no old-schema records
+    assert store.read_changes("t").count() == 0
+    # an explicit pre-break subscription names unreadable history
+    with pytest.raises(ValueError, match="column-mapping"):
+        store.read_changes("t", starting_version=1)
+    with pytest.raises(ValueError, match="column-mapping"):
+        store.stream_changes("t", starting_version=1)
+    # post-break commits flow with the new schema
+    store.merge(
+        "t",
+        spark.createDataFrame(
+            [(6, "f", 60)], "k long, name string, amount long"
+        ),
+        ["k"],
+        policy="scd1",
+    )
+    feed = store.read_changes("t")
+    assert "amount" in feed.columns and "val" not in feed.columns
+    assert feed.count() == 1
+    # streaming subscription constructs with the same projection
+    s = store.stream_changes("t")
+    assert "amount" in s.columns and "val" not in s.columns
+    # restore across the mapping change on a changelog table refuses
+    with pytest.raises(ValueError, match="column-mapping"):
+        store.restore("t", 0, keys=["k"])
+
+
+def test_concurrent_rename_conflicts_with_stale_merge(spark, tmp_path):
+    """A merge computed against a pre-rename snapshot must NOT land:
+    the rebase path sees the colmap drift and raises."""
+    store = TableStore(spark, str(tmp_path), keep_versions=10)
+    store.write_partitioned("t", _base(spark), keys=["k"], n_buckets=2)
+    snap = store.current_path("t")
+    store.rename_column("t", "val", "amount")
+    # merge() resolves current twice before committing (exists() + the
+    # snapshot read) — the commit-time check sees the REAL current, so
+    # the interleaving is a genuine stale write (the same seam the
+    # rebase tests use)
+    calls = {"n": 0}
+    orig = store.current_path
+
+    def stale_twice(name):
+        if name == "t" and calls["n"] < 2:
+            calls["n"] += 1
+            return snap
+        return orig(name)
+
+    store.current_path = stale_twice
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            store.merge(
+                "t",
+                spark.createDataFrame(
+                    [(1, "a2", 11)], "k long, name string, val long"
+                ),
+                ["k"],
+                policy="scd1",
+            )
+    finally:
+        del store.current_path
+    # retry against the new current (new logical name) lands
+    store.merge(
+        "t",
+        spark.createDataFrame(
+            [(1, "a2", 11)], "k long, name string, amount long"
+        ),
+        ["k"],
+        policy="scd1",
+    )
+    got = {r["k"]: r["amount"] for r in store.read("t").collect()}
+    assert got[1] == 11
+
+
+def test_disjoint_rebase_on_mapped_table_carries_colmap(spark, tmp_path):
+    """Two disjoint writers on a RENAMED table: identical mappings on
+    both sides pass the rebase's colmap-equality gate and the mapping
+    rides into the rebase version."""
+    store = TableStore(spark, str(tmp_path), keep_versions=10)
+    df = spark.createDataFrame(
+        [(1, "A", 10), (2, "B", 20)], "k long, seg string, val long"
+    )
+    store.write_partitioned("t", df, keys=["k"], partition_column="seg")
+    store.rename_column("t", "val", "amount")
+    snap = store.current_path("t")
+    # writer 1: seg=A
+    store.merge(
+        "t",
+        spark.createDataFrame([(1, "A", 11)], "k long, seg string, amount long"),
+        ["k"],
+        policy="scd1",
+    )
+    # writer 2 computed against the superseded snapshot, touches seg=B
+    calls = {"n": 0}
+    orig = store.current_path
+
+    def stale_twice(name):
+        if name == "t" and calls["n"] < 2:
+            calls["n"] += 1
+            return snap
+        return orig(name)
+
+    store.current_path = stale_twice
+    try:
+        store.merge(
+            "t",
+            spark.createDataFrame(
+                [(2, "B", 22)], "k long, seg string, amount long"
+            ),
+            ["k"],
+            policy="scd1",
+        )
+    finally:
+        del store.current_path
+    got = {r["k"]: r["amount"] for r in store.read("t").collect()}
+    assert got == {1: 11, 2: 22}  # both writers landed, logical view held
+    assert store._load_colmap(store.current_path("t")) is not None
+
+
+def test_clone_and_restore_carry_mapping(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), keep_versions=10)
+    store.write_partitioned("t", _base(spark), keys=["k"], n_buckets=2)
+    store.rename_column("t", "val", "amount")
+    store.clone("t", "fork")
+    assert store.read("fork").columns == ["k", "name", "amount"]
+    # restore to the pre-rename version resurrects the OLD logical view
+    store.restore("t", 0)
+    assert store.read("t").columns == ["k", "name", "val"]
+    # and a restore forward to the renamed version brings the map back
+    store.restore("t", 1)
+    assert store.read("t").columns == ["k", "name", "amount"]
+
+
+def test_successive_renames_and_detail(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), keep_versions=10)
+    store.write_partitioned("t", _base(spark), keys=["k"], n_buckets=2)
+    store.rename_column("t", "val", "v1")
+    store.rename_column("t", "v1", "v2")
+    store.rename_column("t", "name", "label")
+    assert store.read("t").columns == ["k", "label", "v2"]
+    got = {r["k"]: (r["label"], r["v2"]) for r in store.read("t").collect()}
+    assert got[1] == ("a", 10)
+    # merge still lands through two rename hops
+    store.merge(
+        "t",
+        spark.createDataFrame([(7, "g", 70)], "k long, label string, v2 long"),
+        ["k"],
+        policy="scd1",
+    )
+    assert store.read("t").filter(F.col("k") == 7).count() == 1
