@@ -960,6 +960,7 @@ class TableStore:
         _op: str = "write",
         _based_on: str | None = None,
     ) -> None:
+        df = self._apply_generated(name, df)
         self._enforce_constraints(name, df)
         version_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
         full = os.path.join(self.root, version_dir)
@@ -1062,6 +1063,14 @@ class TableStore:
         raises before any scratch write, pointer flip, or changelog
         append."""
         items = list(self.constraints(name).items())
+        # generated columns enforce as implicit CHECKs in the same
+        # single probe: a frame CARRYING a generated column must agree
+        # with its expression (frames missing it had it computed by
+        # _apply_generated before reaching any write)
+        items += [
+            (f"generated[{col}]", f"{col} <=> ({expr})")
+            for col, expr in self.generated_columns(name).items()
+        ]
         if not items:
             return
         from pyspark.errors import AnalysisException
@@ -1112,6 +1121,94 @@ class TableStore:
                 f"violated by incoming data, e.g. {example} — commit "
                 "aborted, table untouched"
             )
+
+    # --- generated columns (Delta GENERATED ALWAYS AS analog) -------------
+
+    def _generated_path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}._GENERATED")
+
+    def generated_columns(self, name: str) -> dict:
+        """Declared generated columns: column -> deterministic SQL
+        expression over the row's OTHER columns. Empty when none."""
+        try:
+            with open(self._generated_path(name)) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def declare_generated(self, name: str, col: str, expr: str) -> None:
+        """Declare ``col`` as ``GENERATED ALWAYS AS (expr)`` — the
+        Delta generated-column analog. From then on every ingest path
+        (create, OVERWRITE, every merge policy) COMPUTES the column
+        when the incoming frame lacks it and VALIDATES it when the
+        frame carries it (an implicit CHECK ``col <=> (expr)`` rides
+        the same single-job probe as declared constraints — a batch
+        supplying a contradicting value aborts before anything
+        mutates, Delta's own contract). The headline use at 100 TB is
+        a GENERATED PARTITION COLUMN: declare the partitioning on a
+        date derivation (``CAST(ts AS DATE)``) and every producer's
+        batch routes to the right partitions without each one
+        re-deriving the column — and without trusting them to derive
+        it the SAME way. ``expr`` must be deterministic (as in Delta);
+        declare BEFORE the table exists (alongside
+        ``declare_partitioning``) or on a table whose existing data
+        already satisfies the expression."""
+        if self.exists(name):
+            with self._commit_lock(name):
+                cur = self.read(name)
+                if col not in cur.columns:
+                    raise ValueError(
+                        f"table {name!r} has no column {col!r} — a "
+                        "generated column declared on an existing "
+                        "table must already be materialized (backfill "
+                        "it first; computing it here would rewrite "
+                        "the table)"
+                    )
+                bad = cur.filter(
+                    ~F.expr(f"{col} <=> ({expr})")
+                ).limit(1).collect()
+                if bad:
+                    raise ConstraintViolationError(
+                        f"cannot declare {col!r} GENERATED AS ({expr}) "
+                        f"on {name!r}: existing data contradicts it, "
+                        f"e.g. {bad[0].asDict()}"
+                    )
+                self._persist_generated(name, col, expr)
+        else:
+            self._persist_generated(name, col, expr)
+
+    def _persist_generated(self, name: str, col: str, expr: str) -> None:
+        gens = self.generated_columns(name)
+        gens[col] = expr
+        tmp = self._generated_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(gens, f)
+        os.replace(tmp, self._generated_path(name))
+
+    def drop_generated(self, name: str, col: str) -> None:
+        """Remove the generation rule (the column itself stays — it
+        becomes an ordinary column); unknown names raise."""
+        gens = self.generated_columns(name)
+        if col not in gens:
+            raise ValueError(
+                f"table {name!r} has no generated column {col!r} "
+                f"(declared: {sorted(gens)})"
+            )
+        del gens[col]
+        tmp = self._generated_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(gens, f)
+        os.replace(tmp, self._generated_path(name))
+
+    def _apply_generated(self, name: str, df: DataFrame) -> DataFrame:
+        """Compute declared generated columns the frame is MISSING
+        (frames that carry them are validated by the implicit CHECK in
+        ``_enforce_constraints`` instead). Pure projection — stays in
+        whole-stage codegen, no extra job."""
+        for col, expr in self.generated_columns(name).items():
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr))
+        return df
 
     # --- deletion vectors (Delta merge-on-read DELETE analog) -------------
 
@@ -2111,6 +2208,13 @@ class TableStore:
                     f"{cname!r} references it ({expr}) — drop the "
                     "constraint first"
                 )
+        for gcol, gexpr in self.generated_columns(name).items():
+            if col == gcol or re.search(rf"\b{re.escape(col)}\b", gexpr):
+                raise ValueError(
+                    f"cannot {verb} column {col!r}: generated column "
+                    f"{gcol!r} ({gexpr}) is or references it — drop "
+                    "the generation rule first"
+                )
 
     def _commit_colmap_change(
         self, name: str, current: str, cm: dict, op: str, **details
@@ -2471,6 +2575,9 @@ class TableStore:
         merge policy (they are — policies match ON the keys), so a
         row's partition never changes across merges.
         """
+        # a declared GENERATED partition column may be absent from the
+        # creating frame — compute it before the layout derives from it
+        df = self._apply_generated(name, df)
         if partition_column is not None:
             spec = {
                 "mode": "column",
@@ -2981,6 +3088,11 @@ class TableStore:
                 f"policy={policy!r} requires seq_col=<monotonic ordering "
                 "column> — order-robust application needs it"
             )
+        # generated columns the batch lacks are computed HERE, before
+        # partition routing derives from them (the generated-partition-
+        # column case); batches that carry them are validated by the
+        # implicit CHECK at commit instead
+        source = self._apply_generated(name, source)
         spec = self.partition_spec(name)
         if spec is not None and self.exists(name):
             self._merge_partitioned(name, source, keys, policy, spec, **kwargs)
@@ -3254,14 +3366,20 @@ class TableStore:
             os.replace(tmp_spec, self._spec_path(dst))
         if self._changelog_enabled(src) and not self.changelog:
             self.enable_changelog(dst)
-        # a fork keeps its invariants: CHECK constraints inherit like
-        # the partition spec and changelog setting
+        # a fork keeps its invariants: CHECK constraints and generated
+        # columns inherit like the partition spec and changelog setting
         cons = self.constraints(src)
         if cons:
             tmp_c = self._constraints_path(dst) + ".tmp"
             with open(tmp_c, "w") as f:
                 json.dump(cons, f)
             os.replace(tmp_c, self._constraints_path(dst))
+        gens = self.generated_columns(src)
+        if gens:
+            tmp_g = self._generated_path(dst) + ".tmp"
+            with open(tmp_g, "w") as f:
+                json.dump(gens, f)
+            os.replace(tmp_g, self._generated_path(dst))
         self._write_op(full, "clone", source=os.path.basename(src_path))
         self._commit_pointer(dst, version_dir)
 
@@ -3482,6 +3600,14 @@ class TableStore:
                 f"SET may not touch merge-key/partition columns {bad} — "
                 "an update that moves rows across partitions is a "
                 "delete + insert"
+            )
+        gen = sorted(set(set_exprs) & set(self.generated_columns(name)))
+        if gen:
+            raise ValueError(
+                f"SET may not touch generated columns {gen} — they are "
+                "GENERATED ALWAYS AS their expression (update the "
+                "input columns; an update leaving a generated column "
+                "inconsistent is rejected at commit)"
             )
         table_schema = self.read(name).schema
         unknown = sorted(set(set_exprs) - set(table_schema.names))

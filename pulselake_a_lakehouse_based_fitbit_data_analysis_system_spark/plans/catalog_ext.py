@@ -9197,3 +9197,118 @@ def q_column_mapping_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(time_travel_old).alias("time_travel_old_name"),
         F.lit(n_versions).cast("long").alias("n_versions"),
     )
+
+
+_GENERATED_COLUMN_ORACLE = """
+SELECT o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       TRUE AS computed_at_ingest,
+       TRUE AS routed_by_generated,
+       TRUE AS contradiction_aborted,
+       TRUE AS pruned_second_batch
+FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
+@_register(
+    "generated_column_routing",
+    _GENERATED_COLUMN_ORACLE,
+    "Generated columns (merge.py::declare_generated r12 — the Delta "
+    "GENERATED ALWAYS AS analog, composed with a generated PARTITION "
+    "column): the table partitions on o_year declared as "
+    "year(o_orderdate), and NEITHER ingest batch carries the column "
+    "— the engine computes it at the merge boundary "
+    "(computed_at_ingest) and the partition dirs it routes to are "
+    "exactly the years in the data (routed_by_generated pins the dir "
+    "listing against the distinct computed values). The second batch "
+    "rides the PRUNED merge path: partitions for years absent from "
+    "it hard-link through inode-equal (pruned_second_batch) — at "
+    "100 TB this is how every producer's date-derived routing stays "
+    "consistent without each pipeline re-deriving the column. A "
+    "batch CARRYING a contradicting o_year aborts at commit with no "
+    "new version (contradiction_aborted): the generated rule rides "
+    "the same single-job CHECK probe as declared constraints. Values "
+    "prove both batches landed with the derived year.",
+    tags=("store", "merge", "lakehouse", "schema", "generated"),
+)
+def q_generated_column_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile
+
+    from ..operators.merge import ConstraintViolationError, TableStore
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    price_c = F.floor(
+        F.col("o_totalprice").cast("double") * 100 + 0.5
+    ).cast("long")
+    base = o.select(
+        "o_orderkey", price_c.alias("price_c"), "o_orderdate"
+    )
+    root = tempfile.mkdtemp(prefix="pulselake_gencol_")
+    stream_ops._STAGED_DIRS.append(root)  # swept on interpreter exit
+    store = TableStore(spark, root, keep_versions=6)
+    store.declare_partitioning(
+        "t", keys=["o_orderkey"], partition_column="o_year"
+    )
+    store.declare_generated(
+        "t", "o_year", "CAST(year(o_orderdate) AS BIGINT)"
+    )
+    # batch 1: even half; batch 2: odd half — both LACK o_year
+    b1 = base.filter(F.col("o_orderkey") % 2 == 0)
+    b2 = base.filter(F.col("o_orderkey") % 2 == 1)
+    store.merge("t", b1, ["o_orderkey"], policy="scd1")
+    computed = "o_year" in store.read("t").columns
+    years = {
+        r["o_year"]
+        for r in store.read("t").select("o_year").distinct().collect()
+    }
+    v1 = store.current_path("t")
+    dirs1 = {
+        e
+        for e in _os.listdir(v1)
+        if _os.path.isdir(_os.path.join(v1, e))
+    }
+    routed = dirs1 == {f"o_year={y}" for y in years}
+    # batch 2 only touches ONE year: every other year's partition
+    # must ride through by hard link (inode-equal)
+    one_year = b2.withColumn(
+        "__y", F.year("o_orderdate").cast("long")
+    )
+    ymin = one_year.agg(F.min("__y")).collect()[0][0]
+    b2a = one_year.filter(F.col("__y") == ymin).drop("__y")
+    b2b = one_year.filter(F.col("__y") != ymin).drop("__y")
+    store.merge("t", b2a, ["o_orderkey"], policy="scd1")
+    v2 = store.current_path("t")
+    pruned = True
+    for d in dirs1:
+        if d == f"o_year={ymin}":
+            continue
+        for fn in _os.listdir(_os.path.join(v1, d)):
+            if not fn.endswith(".parquet"):
+                continue
+            p_old = _os.path.join(v1, d, fn)
+            p_new = _os.path.join(v2, d, fn)
+            if not (
+                _os.path.exists(p_new)
+                and _os.path.samefile(p_old, p_new)
+            ):
+                pruned = False
+    store.merge("t", b2b, ["o_orderkey"], policy="scd1")
+    # a batch CARRYING a contradicting generated value must abort
+    n_versions = len(store.versions("t"))
+    bad = base.limit(5).withColumn("o_year", F.lit(1900).cast("long"))
+    aborted = False
+    try:
+        store.merge("t", bad, ["o_orderkey"], policy="scd1")
+    except ConstraintViolationError:
+        aborted = len(store.versions("t")) == n_versions
+    return store.read("t").select(
+        "o_orderkey",
+        "price_c",
+        "o_year",
+        F.lit(computed).alias("computed_at_ingest"),
+        F.lit(routed).alias("routed_by_generated"),
+        F.lit(aborted).alias("contradiction_aborted"),
+        F.lit(pruned).alias("pruned_second_batch"),
+    ).drop("o_orderdate")

@@ -352,3 +352,99 @@ def test_successive_renames_and_detail(spark, tmp_path):
         policy="scd1",
     )
     assert store.read("t").filter(F.col("k") == 7).count() == 1
+
+
+# --- generated columns (Delta GENERATED ALWAYS AS analog) -----------------
+
+
+def test_generated_partition_column_computed_and_routed(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), keep_versions=10)
+    store.declare_partitioning("t", keys=["k"], partition_column="day")
+    store.declare_generated("t", "day", "CAST(ts AS DATE)")
+    src = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 10.0), (2, "2024-01-02 09:00:00", 20.0)],
+        "k long, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    store.merge("t", src, ["k"], policy="scd1")  # batch LACKS day
+    assert "day" in store.read("t").columns
+    dirs = sorted(
+        e
+        for e in os.listdir(store.current_path("t"))
+        if os.path.isdir(os.path.join(store.current_path("t"), e))
+    )
+    assert dirs == ["day=2024-01-01", "day=2024-01-02"]
+    # a second day-less batch routes through the pruned merge path
+    inc = spark.createDataFrame(
+        [(3, "2024-01-01 23:00:00", 30.0)], "k long, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    store.merge("t", inc, ["k"], policy="scd1")
+    got = {r["k"]: str(r["day"]) for r in store.read("t").collect()}
+    assert got == {1: "2024-01-01", 2: "2024-01-02", 3: "2024-01-01"}
+
+
+def test_generated_column_contradiction_aborts(spark, tmp_path):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        ConstraintViolationError,
+    )
+
+    store = TableStore(spark, str(tmp_path), keep_versions=10)
+    store.declare_generated("t", "total", "qty * price")
+    base = spark.createDataFrame(
+        [(1, 2, 10.0)], "k long, qty long, price double"
+    )
+    store.write_partitioned("t", base, keys=["k"], n_buckets=2)
+    assert {r["total"] for r in store.read("t").collect()} == {20.0}
+    n0 = len(store.versions("t"))
+    bad = spark.createDataFrame(
+        [(2, 3, 10.0, 999.0)], "k long, qty long, price double, total double"
+    )
+    with pytest.raises(ConstraintViolationError):
+        store.merge("t", bad, ["k"], policy="scd1")
+    assert len(store.versions("t")) == n0  # nothing committed
+    # a consistent carried value passes
+    good = spark.createDataFrame(
+        [(2, 3, 10.0, 30.0)], "k long, qty long, price double, total double"
+    )
+    store.merge("t", good, ["k"], policy="scd1")
+    got = {r["k"]: r["total"] for r in store.read("t").collect()}
+    assert got == {1: 20.0, 2: 30.0}
+    # SET on the generated column is frozen; SET breaking an input is
+    # caught by the implicit CHECK at commit
+    with pytest.raises(ValueError, match="generated"):
+        store.update("t", F.col("k") == 1, {"total": F.lit(0.0)})
+    with pytest.raises(ConstraintViolationError):
+        store.update("t", F.col("k") == 1, {"qty": F.lit(99)})
+    # dropping the rule makes it an ordinary column again
+    store.drop_generated("t", "total")
+    assert store.update("t", F.col("k") == 1, {"total": F.lit(0.0)}) == 1
+
+
+def test_declare_generated_on_existing_table_validates(spark, tmp_path):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        ConstraintViolationError,
+    )
+
+    store = TableStore(spark, str(tmp_path), keep_versions=5)
+    df = spark.createDataFrame(
+        [(1, 2, 10.0, 20.0), (2, 5, 4.0, 20.0)],
+        "k long, qty long, price double, total double",
+    )
+    store.write("t", df)
+    store.declare_generated("t", "total", "qty * price")  # consistent
+    with pytest.raises(ConstraintViolationError):
+        store.declare_generated("t", "price", "total / 2")
+    with pytest.raises(ValueError, match="no column"):
+        store.declare_generated("t", "missing", "qty + 1")
+    # rename/drop of the generated column or its inputs is frozen
+    with pytest.raises(ValueError, match="generat"):
+        store.rename_column("t", "qty", "n")
+    with pytest.raises(ValueError, match="generat"):
+        store.drop_column("t", "total")
+    # clone inherits the rule
+    store.clone("t", "fork")
+    inc = spark.createDataFrame(
+        [(3, 7, 2.0)], "k long, qty long, price double"
+    )
+    store.merge("fork", inc, ["k"], policy="scd1", evolve_schema=False)
+    got = {r["k"]: r["total"] for r in store.read("fork").collect()}
+    assert got[3] == 14.0
