@@ -1124,6 +1124,15 @@ class TableStore:
 
     # --- generated columns (Delta GENERATED ALWAYS AS analog) -------------
 
+    def _write_json_sidecar(self, path: str, obj) -> None:
+        """Atomic JSON sidecar write (tmp + os.replace) — the one
+        persistence primitive behind the constraint, generated-column
+        and colmap sidecars."""
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+        os.replace(tmp, path)
+
     def _generated_path(self, name: str) -> str:
         return os.path.join(self.root, f"{name}._GENERATED")
 
@@ -1153,8 +1162,14 @@ class TableStore:
         declare BEFORE the table exists (alongside
         ``declare_partitioning``) or on a table whose existing data
         already satisfies the expression."""
-        if self.exists(name):
-            with self._commit_lock(name):
+        # ONE commit-flock acquisition for validate + persist (the
+        # same protocol as add_check_constraint — concurrent declares
+        # must not lose each other's rule to a read-modify-write race,
+        # and no data commit may land between the probe and the
+        # persist); flock is not re-entrant across fds, so the lock
+        # wraps the whole operation rather than nesting
+        with self._commit_lock(name):
+            if self.exists(name):
                 cur = self.read(name)
                 if col not in cur.columns:
                     raise ValueError(
@@ -1173,32 +1188,26 @@ class TableStore:
                         f"on {name!r}: existing data contradicts it, "
                         f"e.g. {bad[0].asDict()}"
                     )
-                self._persist_generated(name, col, expr)
-        else:
             self._persist_generated(name, col, expr)
 
     def _persist_generated(self, name: str, col: str, expr: str) -> None:
+        # caller holds the commit flock
         gens = self.generated_columns(name)
         gens[col] = expr
-        tmp = self._generated_path(name) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(gens, f)
-        os.replace(tmp, self._generated_path(name))
+        self._write_json_sidecar(self._generated_path(name), gens)
 
     def drop_generated(self, name: str, col: str) -> None:
         """Remove the generation rule (the column itself stays — it
         becomes an ordinary column); unknown names raise."""
-        gens = self.generated_columns(name)
-        if col not in gens:
-            raise ValueError(
-                f"table {name!r} has no generated column {col!r} "
-                f"(declared: {sorted(gens)})"
-            )
-        del gens[col]
-        tmp = self._generated_path(name) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(gens, f)
-        os.replace(tmp, self._generated_path(name))
+        with self._commit_lock(name):
+            gens = self.generated_columns(name)
+            if col not in gens:
+                raise ValueError(
+                    f"table {name!r} has no generated column {col!r} "
+                    f"(declared: {sorted(gens)})"
+                )
+            del gens[col]
+            self._write_json_sidecar(self._generated_path(name), gens)
 
     def _apply_generated(self, name: str, df: DataFrame) -> DataFrame:
         """Compute declared generated columns the frame is MISSING
@@ -1529,14 +1538,52 @@ class TableStore:
         finally:
             os.close(fd)
 
+    def _check_append_schema(self, name: str, cols, ver: int) -> bool:
+        """Guard a changelog append against a CONCURRENT column-mapping
+        change: a rename/drop landing between a commit's pointer flip
+        and its (post-commit, unlocked) changelog append would put
+        old-logical-schema records AT OR ABOVE the schema break, where
+        the read-side keep-projection surfaces their renamed columns
+        as silent NULLs. When the feed has crossed a break and the
+        frame carries columns unknown to the CURRENT logical schema,
+        the append is suppressed (pre-check) or retro-excluded by
+        advancing the break past ``ver`` (post-check) — consumers land
+        on the documented restart-from-the-break contract instead of
+        silent NULLs. Frames merely MISSING newer columns (a
+        concurrent evolution) pass: mergeSchema NULL-fills those
+        benignly. A sub-millisecond residue remains (an append
+        completing entirely inside the rename's allocate→persist
+        window); renames are admin-cadence events, so quiesce writers
+        around them for a fully clean feed."""
+        if self.schema_break_version(name) <= 0:
+            return True
+        known = {c.lower() for c in self.read(name).columns}
+        extra = [
+            c
+            for c in cols
+            if not c.startswith("__")
+            and c not in ("_change_type", "_commit_version")
+            and c.lower() not in known
+        ]
+        if not extra:
+            return True
+        self._set_schema_break(name, ver + 1)
+        return False
+
     def _append_changelog(
         self, name: str, rows: DataFrame, change_type: str
     ) -> int:
         ver = self._next_commit_version(name)
+        if not self._check_append_schema(name, rows.columns, ver):
+            return ver
         out = rows.withColumn("_change_type", F.lit(change_type)).withColumn(
             "_commit_version", F.lit(ver)
         )
         out.write.mode("append").parquet(self._changelog_dir(name))
+        # post-write re-check: the write job takes real time, so a
+        # break persisted mid-job is visible here and heals by
+        # retro-excluding this commit's records
+        self._check_append_schema(name, rows.columns, ver)
         return ver
 
     def _log_merge_changes(
@@ -1593,10 +1640,13 @@ class TableStore:
             ).select(*post.columns, "__ct")
             changes = changes.unionByName(deletes)
         ver = self._next_commit_version(name)
+        if not self._check_append_schema(name, post.columns, ver):
+            return
         out = changes.withColumnRenamed("__ct", "_change_type").withColumn(
             "_commit_version", F.lit(ver)
         )
         out.write.mode("append").parquet(self._changelog_dir(name))
+        self._check_append_schema(name, post.columns, ver)
 
     def read_changes(
         self,
@@ -2172,7 +2222,7 @@ class TableStore:
                 out[nm] = dt  # internal passthrough (__bucket)
         return out
 
-    def _identity_colmap(self, name: str, current: str) -> dict:
+    def _identity_colmap(self, current: str) -> dict:
         schema = self._stored_schema(current)
         if schema is not None:
             cols = [f.name for f in schema.fields]
@@ -2201,15 +2251,21 @@ class TableStore:
                 "partition routing and dir layout are keyed on it; "
                 "re-create via write_partitioned to change it"
             )
+        # IGNORECASE throughout: Spark resolves identifiers
+        # case-insensitively, so a constraint written as 'VAL >= 0'
+        # binds to column 'val' — missing it here would let the
+        # rename orphan the expression and brick every later commit
         for cname, expr in self.constraints(name).items():
-            if re.search(rf"\b{re.escape(col)}\b", expr):
+            if re.search(rf"\b{re.escape(col)}\b", expr, re.IGNORECASE):
                 raise ValueError(
                     f"cannot {verb} column {col!r}: CHECK constraint "
                     f"{cname!r} references it ({expr}) — drop the "
                     "constraint first"
                 )
         for gcol, gexpr in self.generated_columns(name).items():
-            if col == gcol or re.search(rf"\b{re.escape(col)}\b", gexpr):
+            if col.lower() == gcol.lower() or re.search(
+                rf"\b{re.escape(col)}\b", gexpr, re.IGNORECASE
+            ):
                 raise ValueError(
                     f"cannot {verb} column {col!r}: generated column "
                     f"{gcol!r} ({gexpr}) is or references it — drop "
@@ -2217,18 +2273,49 @@ class TableStore:
                 )
 
     def _commit_colmap_change(
-        self, name: str, current: str, cm: dict, op: str, **details
+        self,
+        name: str,
+        current: str,
+        cm: dict,
+        op: str,
+        renamed: tuple[str, str] | None = None,
+        dropped: str | None = None,
+        **details,
     ) -> None:
         """Metadata-only commit of a new column mapping: every file of
         the current version hard-links into the new version dir (zero
         data movement — at 100 TB a rename costs one sidecar write),
-        only ``_COLMAP.json`` and the commit info are fresh. With the
-        changelog enabled the commit also advances the feed's
+        only ``_COLMAP.json`` and the commit info are fresh.
+
+        Per-column skipping sidecars are keyed by LOGICAL name, so
+        they follow the change: a rename links ``_BLOOM.old.json`` as
+        ``_BLOOM.new.json`` (the bitsets describe the same physical
+        column — pruning survives the rename), a drop leaves the
+        column's sidecars behind. Carrying them verbatim would be
+        actively WRONG, not just stale: re-binding a retired logical
+        name to a different column later would prune with the old
+        column's bitsets and silently lose rows.
+
+        With the changelog enabled the commit also advances the feed's
         schema-break version: change records before it carry the old
         logical schema, so consumers must restart from the break
         (``read_changes``/``stream_changes`` enforce it — the Delta
         'streaming read across a column mapping change' failure,
-        surfaced as a contract instead of silent NULLs)."""
+        surfaced as a contract instead of silent NULLs). The break is
+        allocated BEFORE the pointer CAS (the flocked version counter
+        makes every later record allocation larger) but persisted only
+        AFTER it succeeds — a conflicting rename must not leave a
+        phantom break that silently truncates a feed whose schema
+        never changed."""
+        remap: dict[str, str] = {}
+        skip: set[str] = set()
+        for prefix in (self._BLOOM_PREFIX, self._MINMAX_PREFIX):
+            if renamed is not None:
+                remap[f"{prefix}{renamed[0]}.json"] = (
+                    f"{prefix}{renamed[1]}.json"
+                )
+            if dropped is not None:
+                skip.add(f"{prefix}{dropped}.json")
         version_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
         full = os.path.join(self.root, version_dir)
         os.makedirs(full)
@@ -2237,20 +2324,32 @@ class TableStore:
             dst = full if rel == "." else os.path.join(full, rel)
             os.makedirs(dst, exist_ok=True)
             for fname in files:
-                if fname in (
-                    self._OPFILE,
-                    self._COLMAPFILE,
-                    self._REWRITTENFILE,
+                if (
+                    fname
+                    in (
+                        self._OPFILE,
+                        self._COLMAPFILE,
+                        self._REWRITTENFILE,
+                    )
+                    or fname in skip
                 ):
                     continue
-                os.link(os.path.join(base, fname), os.path.join(dst, fname))
+                os.link(
+                    os.path.join(base, fname),
+                    os.path.join(dst, remap.get(fname, fname)),
+                )
         self._write_colmap(full, cm)
         self._write_op(full, op, **details)
-        if self._changelog_enabled(name):
-            self._set_schema_break(name, self._next_commit_version(name))
+        brk = (
+            self._next_commit_version(name)
+            if self._changelog_enabled(name)
+            else None
+        )
         self._commit_pointer(
             name, version_dir, based_on=os.path.basename(current)
         )
+        if brk is not None:
+            self._set_schema_break(name, brk)
         self._prune(name, keep=version_dir)
 
     def rename_column(self, name: str, old: str, new: str) -> None:
@@ -2264,22 +2363,23 @@ class TableStore:
         their rewritten files stay byte-compatible with the
         hard-linked old ones. Partition-spec key/column and
         constraint-referenced columns are frozen (see
-        ``_colmap_guard``); per-column skipping sidecars built under
-        the old name simply stop matching probes of the new name
-        (conservative full scans) until rebuilt."""
+        ``_colmap_guard``); per-column skipping sidecars FOLLOW the
+        rename (``_BLOOM.old.json`` links forward as
+        ``_BLOOM.new.json`` — same physical column, pruning
+        survives)."""
         current = self.current_path(name)
         if current is None:
             raise FileNotFoundError(f"table {name} does not exist")
         self._colmap_guard(name, old, "rename")
-        cm = self._load_colmap(current) or self._identity_colmap(
-            name, current
-        )
+        cm = self._load_colmap(current) or self._identity_colmap(current)
         if old not in cm["map"]:
             raise ValueError(
                 f"table {name!r} has no column {old!r} "
                 f"(columns: {list(cm['map'])})"
             )
-        if new in cm["map"]:
+        if new.lower() in {c.lower() for c in cm["map"]}:
+            # case-insensitive like Spark's own resolver — 'Amount'
+            # next to 'amount' would make every expression ambiguous
             raise ValueError(
                 f"table {name!r} already has a column {new!r}"
             )
@@ -2292,7 +2392,13 @@ class TableStore:
             for logical, phys in cm["map"].items()
         }
         self._commit_colmap_change(
-            name, current, cm, "rename_column", old=old, new=new
+            name,
+            current,
+            cm,
+            "rename_column",
+            renamed=(old, new),
+            old=old,
+            new=new,
         )
 
     def drop_column(self, name: str, col: str) -> None:
@@ -2308,9 +2414,7 @@ class TableStore:
         if current is None:
             raise FileNotFoundError(f"table {name} does not exist")
         self._colmap_guard(name, col, "drop")
-        cm = self._load_colmap(current) or self._identity_colmap(
-            name, current
-        )
+        cm = self._load_colmap(current) or self._identity_colmap(current)
         if col not in cm["map"]:
             raise ValueError(
                 f"table {name!r} has no column {col!r} "
@@ -2321,7 +2425,7 @@ class TableStore:
         retired_phys = cm["map"].pop(col)
         cm.setdefault("retired", []).append(retired_phys)
         self._commit_colmap_change(
-            name, current, cm, "drop_column", column=col
+            name, current, cm, "drop_column", dropped=col, column=col
         )
 
     # --- changelog schema-break (column mapping x CDF) --------------------
@@ -3370,16 +3474,10 @@ class TableStore:
         # columns inherit like the partition spec and changelog setting
         cons = self.constraints(src)
         if cons:
-            tmp_c = self._constraints_path(dst) + ".tmp"
-            with open(tmp_c, "w") as f:
-                json.dump(cons, f)
-            os.replace(tmp_c, self._constraints_path(dst))
+            self._write_json_sidecar(self._constraints_path(dst), cons)
         gens = self.generated_columns(src)
         if gens:
-            tmp_g = self._generated_path(dst) + ".tmp"
-            with open(tmp_g, "w") as f:
-                json.dump(gens, f)
-            os.replace(tmp_g, self._generated_path(dst))
+            self._write_json_sidecar(self._generated_path(dst), gens)
         self._write_op(full, "clone", source=os.path.basename(src_path))
         self._commit_pointer(dst, version_dir)
 

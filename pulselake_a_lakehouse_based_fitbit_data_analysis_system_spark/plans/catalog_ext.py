@@ -9311,4 +9311,4 @@ def q_generated_column_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(routed).alias("routed_by_generated"),
         F.lit(aborted).alias("contradiction_aborted"),
         F.lit(pruned).alias("pruned_second_batch"),
-    ).drop("o_orderdate")
+    )

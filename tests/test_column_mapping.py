@@ -174,13 +174,13 @@ def test_skipping_sidecars_across_rename(spark, tmp_path):
     rows, files_read, total = skipping.read_where_eq(store, "t", "val", 5000)
     assert rows.count() == df.filter(F.col("val") == 5000).count()
     store.rename_column("t", "val", "v2")
-    # old-name sidecar no longer matches the new logical name:
-    # conservative full scan, CORRECT values
+    # the sidecar FOLLOWS the rename (same physical column): probes
+    # of the new name keep pruning with no rebuild
     rows2, fr2, tot2 = skipping.read_where_eq(store, "t", "v2", 5000)
-    assert fr2 == tot2
+    assert fr2 < tot2
     assert rows2.count() == df.filter(F.col("val") == 5000).count()
-    # rebuild under the new name restores pruning over physical files
-    skipping.build_bloom_sidecar(store, "t", "v2")
+    # an incremental rebuild under the new name scans nothing new
+    assert skipping.build_bloom_sidecar(store, "t", "v2") == 0
     rows3, fr3, tot3 = skipping.read_where_eq(store, "t", "v2", 5000)
     assert fr3 < tot3
     assert sorted(r["k"] for r in rows3.collect()) == sorted(
@@ -448,3 +448,145 @@ def test_declare_generated_on_existing_table_validates(spark, tmp_path):
     store.merge("fork", inc, ["k"], policy="scd1", evolve_schema=False)
     got = {r["k"]: r["total"] for r in store.read("fork").collect()}
     assert got[3] == 14.0
+
+
+# --- review-pass regression pins ------------------------------------------
+
+
+def test_bloom_sidecar_follows_rename_and_rebind_is_safe(spark, tmp_path):
+    """A rename re-keys the column's skipping sidecars (same physical
+    column — pruning survives); re-binding the retired logical name to
+    a DIFFERENT column later must not probe the old column's bitsets."""
+    store = TableStore(spark, str(tmp_path), keep_versions=10)
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1000).alias("val"),
+        (F.col("id") * 7).alias("x"),
+    )
+    store.write_partitioned("t", df, keys=["k"], n_buckets=4)
+    skipping.build_bloom_sidecar(store, "t", "val")
+    store.rename_column("t", "val", "v2")
+    # sidecar followed: probes of the NEW name prune without a rebuild
+    rows, fr, tot = skipping.read_where_eq(store, "t", "v2", 5000)
+    assert fr < tot
+    assert [r["k"] for r in rows.collect()] == [5]
+    # probes of the retired name raise (column gone), and after
+    # re-binding 'val' to a different column the OLD bitsets must not
+    # serve it: the rename chain moved them to v2, so 'val' has no
+    # sidecar -> full scan, correct rows
+    store.rename_column("t", "x", "val")
+    rows2, fr2, tot2 = skipping.read_where_eq(store, "t", "val", 7 * 5)
+    assert fr2 == tot2  # no stale sidecar consulted
+    assert [r["k"] for r in rows2.collect()] == [5]
+    # drop leaves the dropped column's sidecars behind
+    skipping.build_bloom_sidecar(store, "t", "val")
+    store.drop_column("t", "val")
+    assert not os.path.exists(
+        os.path.join(store.current_path("t"), "_BLOOM.val.json")
+    )
+
+
+def test_failed_rename_cas_leaves_no_phantom_break(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), keep_versions=10, changelog=True)
+    store.write_partitioned("t", _base(spark), keys=["k"], n_buckets=2)
+    store.enable_changelog("t")
+    store.merge(
+        "t",
+        spark.createDataFrame([(5, "e", 50)], "k long, name string, val long"),
+        ["k"],
+        policy="scd1",
+    )
+    n_feed = store.read_changes("t").count()
+    assert n_feed > 0
+    # a rename computed against a superseded snapshot: CAS must fail
+    # AND the feed must keep serving its full history (no phantom break)
+    snap = store.current_path("t")
+    store.merge(
+        "t",
+        spark.createDataFrame([(6, "f", 60)], "k long, name string, val long"),
+        ["k"],
+        policy="scd1",
+    )
+    calls = {"n": 0}
+    orig = store.current_path
+
+    def stale_once(name):
+        if name == "t" and calls["n"] < 1:
+            calls["n"] += 1
+            return snap
+        return orig(name)
+
+    store.current_path = stale_once
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            store.rename_column("t", "val", "amount")
+    finally:
+        del store.current_path
+    assert store.schema_break_version("t") == 0
+    assert store.read_changes("t").count() > n_feed  # full history intact
+
+
+def test_append_race_guard_suppresses_old_schema_records(spark, tmp_path):
+    """An old-logical-schema frame reaching the changelog AFTER a
+    mapping change is suppressed and the break advances past its
+    version — never silent NULLs in the feed."""
+    store = TableStore(spark, str(tmp_path), keep_versions=10, changelog=True)
+    store.write_partitioned("t", _base(spark), keys=["k"], n_buckets=2)
+    store.enable_changelog("t")
+    store.rename_column("t", "val", "amount")
+    brk0 = store.schema_break_version("t")
+    # simulate the racing producer: a frame still carrying 'val'
+    stale_frame = spark.createDataFrame(
+        [(9, "z", 90)], "k long, name string, val long"
+    )
+    ver = store._append_changelog("t", stale_frame, "insert")
+    assert store.schema_break_version("t") == ver + 1 > brk0
+    assert store.read_changes("t").count() == 0  # nothing leaked
+    # a current-schema producer flows normally afterwards
+    store.merge(
+        "t",
+        spark.createDataFrame(
+            [(7, "g", 70)], "k long, name string, amount long"
+        ),
+        ["k"],
+        policy="scd1",
+    )
+    feed = store.read_changes("t")
+    assert feed.count() == 1 and "amount" in feed.columns
+
+
+def test_colmap_guard_is_case_insensitive(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), keep_versions=5)
+    store.write("t", _base(spark))
+    # Spark resolves identifiers case-insensitively: a constraint
+    # written as VAL binds to column val and must freeze it
+    store.add_check_constraint("t", "pos", "VAL >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        store.rename_column("t", "val", "amount")
+    store.drop_check_constraint("t", "pos")
+    with pytest.raises(ValueError, match="already has"):
+        store.rename_column("t", "val", "NAME")
+
+
+def test_concurrent_declare_generated_keeps_both_rules(spark, tmp_path):
+    import threading
+
+    store = TableStore(spark, str(tmp_path), keep_versions=5)
+    errs = []
+
+    def declare(col, expr):
+        try:
+            store.declare_generated("t", col, expr)
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=declare, args=(f"g{i}", f"k + {i}"))
+        for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert set(store.generated_columns("t")) == {f"g{i}" for i in range(8)}
