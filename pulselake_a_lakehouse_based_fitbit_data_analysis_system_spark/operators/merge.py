@@ -960,6 +960,7 @@ class TableStore:
         _op: str = "write",
         _based_on: str | None = None,
     ) -> None:
+        df = self._apply_identity(name, df)
         df = self._apply_generated(name, df)
         self._enforce_constraints(name, df)
         version_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
@@ -1217,6 +1218,203 @@ class TableStore:
         for col, expr in self.generated_columns(name).items():
             if col not in df.columns:
                 df = df.withColumn(col, F.expr(expr))
+        return df
+
+    # --- identity columns (Delta GENERATED BY DEFAULT AS IDENTITY) --------
+
+    def _identity_path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}._IDENTITY")
+
+    def identity_columns(self, name: str) -> dict:
+        """Declared identity columns: col -> {"start", "step", "hwm"}
+        (``hwm`` = next unallocated value). Empty when none."""
+        try:
+            with open(self._identity_path(name)) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def declare_identity(
+        self, name: str, col: str, start: int = 1, step: int = 1
+    ) -> None:
+        """Declare ``col`` as ``GENERATED BY DEFAULT AS IDENTITY
+        (START WITH start INCREMENT BY step)`` — the Delta identity
+        column analog. Ingest batches that OMIT the column get unique,
+        increasing values allocated from a flock-guarded high-water
+        mark; batches that carry it pass through (BY DEFAULT
+        semantics — the shape CDC replays and id-preserving upserts
+        need). On merges whose source lacks the column, MATCHED keys
+        inherit their existing id (an update must not re-number the
+        row) and only genuinely new rows draw fresh values.
+
+        Allocation is distributed-safe and JVM-only: one
+        per-Spark-partition count job sizes the batch, the mark
+        advances once under the lock, and each row's value is
+        ``base + step * (partition_offset + row_in_partition)`` —
+        ``monotonically_increasing_id()`` decomposes into (partition,
+        row) so no global window, no shuffle, no RDD. Like Delta,
+        values are unique and increasing but NOT gap-free across
+        concurrent writers. Declare before the table exists, or on an
+        existing table whose column is already populated (the mark
+        resumes past its max)."""
+        if int(step) < 1:
+            raise ValueError("identity step must be a positive integer")
+        with self._commit_lock(name):
+            hwm = int(start)
+            if self.exists(name):
+                cur = self.read(name)
+                if col not in cur.columns:
+                    raise ValueError(
+                        f"table {name!r} has no column {col!r} — an "
+                        "identity column declared on an existing table "
+                        "must already exist"
+                    )
+                mx = cur.agg(
+                    F.max(F.col(col).cast("long"))
+                ).collect()[0][0]
+                if mx is not None:
+                    hwm = max(hwm, int(mx) + int(step))
+            ids = self.identity_columns(name)
+            ids[col] = {
+                "start": int(start),
+                "step": int(step),
+                "hwm": hwm,
+            }
+            self._write_json_sidecar(self._identity_path(name), ids)
+
+    def sync_identity(self, name: str, col: str) -> int:
+        """``ALTER TABLE ... SYNC IDENTITY`` analog: advance the
+        high-water mark past the column's current max (one agg job
+        under the lock) and return the new mark. Needed after batches
+        SUPPLY identity values above the mark (BY DEFAULT semantics
+        pass them through, and — exactly as in Delta — the table does
+        not scan supplied values on every ingest; without a sync a
+        later allocation can collide with a supplied id)."""
+        with self._commit_lock(name):
+            ids = self.identity_columns(name)
+            if col not in ids:
+                raise ValueError(
+                    f"table {name!r} has no identity column {col!r} "
+                    f"(declared: {sorted(ids)})"
+                )
+            mx = self.read(name).agg(
+                F.max(F.col(col).cast("long"))
+            ).collect()[0][0]
+            if mx is not None:
+                step = int(ids[col]["step"])
+                ids[col]["hwm"] = max(
+                    int(ids[col]["hwm"]), int(mx) + step
+                )
+                self._write_json_sidecar(self._identity_path(name), ids)
+            return int(ids[col]["hwm"])
+
+    def _reserve_identity(self, name: str, col: str, n: int) -> int:
+        """Advance the high-water mark by ``n`` steps under the commit
+        flock; returns the reserved base. Concurrent writers get
+        disjoint ranges."""
+        with self._commit_lock(name):
+            ids = self.identity_columns(name)
+            spec = ids[col]
+            base = int(spec["hwm"])
+            spec["hwm"] = base + int(spec["step"]) * int(n)
+            self._write_json_sidecar(self._identity_path(name), ids)
+            return base
+
+    def _assign_identity(
+        self, name: str, df: DataFrame, col: str, spec: dict
+    ) -> DataFrame:
+        """Assign fresh identity values to every row of ``df`` (which
+        lacks ``col``). One count job + pure JVM expressions."""
+        from .cache import pin
+
+        # PIN (DISK_ONLY — ingest batches are data-sized, and disk
+        # persistence never evicts-and-recomputes):
+        # the per-partition counts and the final consuming write must
+        # see the SAME physical row layout, because the assignment
+        # decomposes monotonically_increasing_id() into (partition,
+        # row) — an unpinned re-evaluation could lay rows out
+        # differently and break the count/offset correspondence. The
+        # pin lives inside the returned plan until the caller's
+        # consuming action runs, then falls under the module's
+        # documented release contract (release_pinned() per result in
+        # bench/driver/mirror flows, session teardown otherwise).
+        pinned = pin(
+            df.withColumn("__iid", F.monotonically_increasing_id())
+        )
+        counts = (
+            pinned.groupBy(F.shiftright("__iid", 33).alias("__ipid"))
+            .count()
+            .collect()
+        )
+        total = sum(r["count"] for r in counts)
+        if total == 0:
+            from .cache import unpin
+
+            unpin(pinned)
+            return df.withColumn(col, F.lit(None).cast("long"))
+        base = self._reserve_identity(name, col, total)
+        step = int(spec["step"])
+        off = 0
+        rows = []
+        for r in sorted(counts, key=lambda r: r["__ipid"]):
+            rows.append((int(r["__ipid"]), off))
+            off += int(r["count"])
+        offsets = F.broadcast(
+            self.spark.createDataFrame(rows, "__ipid long, __ioff long")
+        )
+        return (
+            pinned.withColumn("__ipid", F.shiftright("__iid", 33))
+            .join(offsets, "__ipid")
+            .withColumn(
+                col,
+                F.lit(base).cast("long")
+                + F.lit(step).cast("long")
+                * (
+                    F.col("__ioff")
+                    + F.col("__iid").bitwiseAND(F.lit((1 << 33) - 1))
+                ),
+            )
+            .drop("__iid", "__ipid", "__ioff")
+        )
+
+    def _apply_identity(
+        self, name: str, df: DataFrame, keys: Sequence[str] | None = None
+    ) -> DataFrame:
+        """Ingest-boundary identity hook: batches carrying a declared
+        identity column pass through (BY DEFAULT); batches lacking it
+        get values — inherited from the matched target row when
+        ``keys`` are given and the table exists (id-stable upserts),
+        freshly allocated otherwise."""
+        ids = self.identity_columns(name)
+        for col, spec in ids.items():
+            if col in df.columns:
+                continue
+            if keys is not None and col in keys:
+                raise ValueError(
+                    f"identity column {col!r} is a merge key but the "
+                    "source batch does not carry it — matching is "
+                    "impossible; supply the column"
+                )
+            if keys is not None and self.exists(name):
+                from .joins import maybe_broadcast
+
+                # dropDuplicates: history-shaped tables (scd2) hold
+                # several rows per key — inherit ONE id per key, never
+                # multiply the source
+                existing = self.read(name).select(
+                    *keys, F.col(col).alias("__iexist")
+                ).dropDuplicates(list(keys))
+                df = df.join(maybe_broadcast(existing), list(keys), "left")
+                fresh = df.filter(F.col("__iexist").isNull()).drop(
+                    "__iexist"
+                )
+                kept = df.filter(F.col("__iexist").isNotNull()).withColumn(
+                    col, F.col("__iexist")
+                ).drop("__iexist")
+                assigned = self._assign_identity(name, fresh, col, spec)
+                df = kept.unionByName(assigned.select(*kept.columns))
+            else:
+                df = self._assign_identity(name, df, col, spec)
         return df
 
     # --- deletion vectors (Delta merge-on-read DELETE analog) -------------
@@ -2271,6 +2469,11 @@ class TableStore:
                     f"{gcol!r} ({gexpr}) is or references it — drop "
                     "the generation rule first"
                 )
+        if col.lower() in {c.lower() for c in self.identity_columns(name)}:
+            raise ValueError(
+                f"cannot {verb} column {col!r}: it is an identity "
+                "column — its allocation state is keyed on the name"
+            )
 
     def _commit_colmap_change(
         self,
@@ -2679,8 +2882,10 @@ class TableStore:
         merge policy (they are — policies match ON the keys), so a
         row's partition never changes across merges.
         """
-        # a declared GENERATED partition column may be absent from the
-        # creating frame — compute it before the layout derives from it
+        # declared identity / GENERATED columns may be absent from the
+        # creating frame — compute them before the layout derives from
+        # them (identity first: a generated expr may reference the id)
+        df = self._apply_identity(name, df)
         df = self._apply_generated(name, df)
         if partition_column is not None:
             spec = {
@@ -3192,10 +3397,13 @@ class TableStore:
                 f"policy={policy!r} requires seq_col=<monotonic ordering "
                 "column> — order-robust application needs it"
             )
-        # generated columns the batch lacks are computed HERE, before
-        # partition routing derives from them (the generated-partition-
-        # column case); batches that carry them are validated by the
-        # implicit CHECK at commit instead
+        # identity / generated columns the batch lacks are computed
+        # HERE, before partition routing derives from them (identity
+        # first — matched keys inherit their target id, new rows draw
+        # from the high-water mark; then generated expressions, which
+        # may reference the id); batches that carry them pass through
+        # (identity BY DEFAULT) / are validated at commit (generated)
+        source = self._apply_identity(name, source, keys=keys)
         source = self._apply_generated(name, source)
         spec = self.partition_spec(name)
         if spec is not None and self.exists(name):
@@ -3478,6 +3686,12 @@ class TableStore:
         gens = self.generated_columns(src)
         if gens:
             self._write_json_sidecar(self._generated_path(dst), gens)
+        idents = self.identity_columns(src)
+        if idents:
+            # the clone resumes from the source's high-water mark —
+            # the two tables then allocate independently (Delta clone
+            # identity semantics)
+            self._write_json_sidecar(self._identity_path(dst), idents)
         self._write_op(full, "clone", source=os.path.basename(src_path))
         self._commit_pointer(dst, version_dir)
 
@@ -3706,6 +3920,12 @@ class TableStore:
                 "GENERATED ALWAYS AS their expression (update the "
                 "input columns; an update leaving a generated column "
                 "inconsistent is rejected at commit)"
+            )
+        ident = sorted(set(set_exprs) & set(self.identity_columns(name)))
+        if ident:
+            raise ValueError(
+                f"SET may not touch identity columns {ident} — their "
+                "values are allocated by the table"
             )
         table_schema = self.read(name).schema
         unknown = sorted(set(set_exprs) - set(table_schema.names))

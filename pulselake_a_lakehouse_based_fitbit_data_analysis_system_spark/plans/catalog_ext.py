@@ -9312,3 +9312,121 @@ def q_generated_column_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(aborted).alias("contradiction_aborted"),
         F.lit(pruned).alias("pruned_second_batch"),
     )
+
+
+_IDENTITY_COLUMN_ORACLE = """
+SELECT c_custkey,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+       + CASE WHEN c_mktsegment = 'BUILDING' THEN 7 ELSE 0 END AS bal_c,
+       TRUE AS ids_unique,
+       TRUE AS ids_in_reserved_range,
+       TRUE AS updated_ids_stable,
+       TRUE AS fresh_ids_above_mark
+FROM customer
+UNION ALL
+SELECT -c_custkey,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT),
+       TRUE, TRUE, TRUE, TRUE
+FROM customer WHERE c_mktsegment = 'MACHINERY'
+"""
+
+
+@_register(
+    "identity_column_allocation",
+    _IDENTITY_COLUMN_ORACLE,
+    "Identity columns (merge.py::declare_identity r12 — the Delta "
+    "GENERATED BY DEFAULT AS IDENTITY analog): row_id is never in "
+    "any ingest batch, yet every row gets a unique value from a "
+    "flock-guarded high-water mark (ids_unique pins count(distinct) "
+    "== count; ids_in_reserved_range pins start/step arithmetic). "
+    "Allocation is JVM-only and shuffle-free: one per-partition "
+    "count job, then base + step * (partition_offset + "
+    "row_in_partition) from the monotonic id's (partition, row) "
+    "decomposition — no global window, the shape that survives a "
+    "1000-executor ingest. The UPDATE-shaped merge proves id "
+    "STABILITY (matched keys inherit their existing id instead of "
+    "re-numbering — updated_ids_stable pins per-key equality across "
+    "the merge) while the insert-shaped merge draws only fresh "
+    "values above the pre-merge mark (fresh_ids_above_mark). The "
+    "ids themselves are allocation-order dependent, so the result "
+    "exposes the INVARIANTS, not the values — the oracle checks the "
+    "data content plus the pinned-true flags.",
+    tags=("store", "merge", "lakehouse", "schema", "identity"),
+)
+def q_identity_column_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from ..operators.merge import TableStore
+
+    c = _t(spark, sf_dir, "customer")
+    bal = F.floor(F.col("c_acctbal").cast("double") * 100 + 0.5).cast("long")
+    base = c.select("c_custkey", "c_mktsegment", bal.alias("bal_c"))
+    root = tempfile.mkdtemp(prefix="pulselake_ident_")
+    stream_ops._STAGED_DIRS.append(root)  # swept on interpreter exit
+    store = TableStore(spark, root, keep_versions=6)
+    start, step = 1000, 3
+    store.declare_identity("t", "row_id", start=start, step=step)
+    store.write_partitioned("t", base, keys=["c_custkey"], n_buckets=8)
+    # range/uniqueness via DISTRIBUTED aggregates (no data-sized
+    # driver collect — the same discipline as every lifecycle row)
+    agg1 = store.read("t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("row_id").alias("nd"),
+        F.min("row_id").alias("lo"),
+        F.max("row_id").alias("hi"),
+        F.max(
+            F.pmod(F.col("row_id") - F.lit(start), F.lit(step))
+        ).alias("mod"),
+    ).collect()[0]
+    n1 = agg1["n"]
+    ids_unique_1 = agg1["nd"] == n1
+    in_range_1 = (
+        agg1["lo"] >= start
+        and agg1["hi"] < start + step * n1
+        and agg1["mod"] == 0
+    )
+    # UPDATE-shaped merge (no row_id on the batch): ids must be stable
+    upd = base.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "bal_c", F.col("bal_c") + F.lit(7)
+    )
+    store.merge("t", upd, ["c_custkey"], policy="scd1")
+    pre = store.read_at("t", 0).select(
+        "c_custkey", F.col("row_id").alias("__pre")
+    )
+    stable = (
+        store.read("t")
+        .join(pre, "c_custkey", "full")
+        .filter(
+            ~F.col("row_id").eqNullSafe(F.col("__pre"))
+        )
+        .count()
+        == 0
+    )
+    # insert-shaped merge: fresh ids only, all above the current mark
+    mark = store.identity_columns("t")["row_id"]["hwm"]
+    ins = base.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        (-F.col("c_custkey")).alias("c_custkey"), "c_mktsegment", "bal_c"
+    )
+    store.merge("t", ins, ["c_custkey"], policy="scd1")
+    final = store.read("t")
+    n_total = final.count()
+    ids_unique = (
+        final.select("row_id").distinct().count() == n_total
+        and ids_unique_1
+    )
+    fresh_above = (
+        final.filter(F.col("c_custkey") < 0)
+        .agg(F.min("row_id"))
+        .collect()[0][0]
+        >= mark
+    )
+    return final.select(
+        "c_custkey",
+        "bal_c",
+        F.lit(ids_unique).alias("ids_unique"),
+        F.lit(in_range_1).alias("ids_in_reserved_range"),
+        F.lit(stable).alias("updated_ids_stable"),
+        F.lit(fresh_above).alias("fresh_ids_above_mark"),
+    )

@@ -590,3 +590,109 @@ def test_concurrent_declare_generated_keeps_both_rules(spark, tmp_path):
         t.join()
     assert not errs
     assert set(store.generated_columns("t")) == {f"g{i}" for i in range(8)}
+
+
+# --- identity columns (Delta GENERATED BY DEFAULT AS IDENTITY) ------------
+
+
+def test_identity_allocation_inheritance_and_uniqueness(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), keep_versions=10)
+    store.declare_identity("t", "row_id", start=100, step=5)
+    b1 = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "name string, v double"
+    )
+    store.write_partitioned("t", b1, keys=["name"], n_buckets=2)
+    ids1 = {r["name"]: r["row_id"] for r in store.read("t").collect()}
+    assert len(set(ids1.values())) == 3
+    assert all(v >= 100 and (v - 100) % 5 == 0 for v in ids1.values())
+    # matched keys INHERIT their id; only the new row draws fresh
+    store.merge(
+        "t",
+        spark.createDataFrame(
+            [("b", 22.0), ("d", 4.0)], "name string, v double"
+        ),
+        ["name"],
+        policy="scd1",
+    )
+    ids2 = {r["name"]: r["row_id"] for r in store.read("t").collect()}
+    assert ids2["b"] == ids1["b"] and ids2["a"] == ids1["a"]
+    assert len(set(ids2.values())) == 4
+    # a large batch stays unique end-to-end (per-partition offsets)
+    big = spark.range(0, 3000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("name"),
+        F.lit(0.5).alias("v"),
+    )
+    store.merge("t", big, ["name"], policy="scd1")
+    n = store.read("t").count()
+    assert store.read("t").select("row_id").distinct().count() == n == 3004
+    # high-water mark survives a fresh store handle (persisted)
+    store_b = TableStore(spark, str(tmp_path), keep_versions=10)
+    assert store_b.identity_columns("t")["row_id"]["hwm"] >= 100 + 5 * 3004
+
+
+def test_identity_by_default_supplied_values_and_sync(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), keep_versions=10)
+    store.declare_identity("t", "uid", start=1)
+    store.write(
+        "t", spark.createDataFrame([("a", 1.0)], "name string, v double")
+    )
+    # BY DEFAULT: supplied values pass through
+    store.merge(
+        "t",
+        spark.createDataFrame([("z", 9.0, 500)], "name string, v double, uid long"),
+        ["name"],
+        policy="scd1",
+    )
+    got = {r["name"]: r["uid"] for r in store.read("t").collect()}
+    assert got["z"] == 500
+    # SYNC IDENTITY advances the mark past supplied values
+    assert store.sync_identity("t", "uid") == 501
+    store.merge(
+        "t",
+        spark.createDataFrame([("q", 7.0)], "name string, v double"),
+        ["name"],
+        policy="scd1",
+    )
+    got2 = {r["name"]: r["uid"] for r in store.read("t").collect()}
+    assert got2["q"] >= 501 and len(set(got2.values())) == 3
+
+
+def test_identity_guards(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), keep_versions=5)
+    with pytest.raises(ValueError, match="positive"):
+        store.declare_identity("t", "uid", step=0)
+    store.declare_identity("t", "uid", start=1)
+    store.write(
+        "t", spark.createDataFrame([("a", 1.0)], "name string, v double")
+    )
+    # identity as a merge key without the column on the source
+    with pytest.raises(ValueError, match="merge key"):
+        store.merge(
+            "t",
+            spark.createDataFrame([("b", 2.0)], "name string, v double"),
+            ["uid"],
+            policy="scd1",
+        )
+    with pytest.raises(ValueError, match="identity"):
+        store.update("t", F.col("name") == "a", {"uid": F.lit(1)})
+    with pytest.raises(ValueError, match="identity"):
+        store.rename_column("t", "uid", "uid2")
+    with pytest.raises(ValueError, match="identity"):
+        store.drop_column("t", "uid")
+    # declare on an existing table resumes past the column's max
+    store.write("u", spark.createDataFrame([(1, 50)], "k long, uid long"))
+    store2 = TableStore(spark, str(tmp_path), keep_versions=5)
+    store2.declare_identity("u", "uid", start=1)
+    assert store2.identity_columns("u")["uid"]["hwm"] == 51
+    with pytest.raises(ValueError, match="no column"):
+        store2.declare_identity("u", "missing")
+    # clone resumes from the source's mark — no overlap after forking
+    store2.clone("u", "fork")
+    store2.merge(
+        "fork",
+        spark.createDataFrame([(2,)], "k long"),
+        ["k"],
+        policy="scd1",
+    )
+    fork_ids = {r["uid"] for r in store2.read("fork").collect()}
+    assert fork_ids == {50, 51}
