@@ -3968,6 +3968,69 @@ class TableStore:
             ),
         )
 
+    def replace_where(
+        self,
+        name: str,
+        condition: Column,
+        df: DataFrame,
+        keys: Sequence[str] | None = None,
+    ) -> int:
+        """``INSERT OVERWRITE ... REPLACE WHERE <condition>`` — the
+        Delta ``replaceWhere`` analog, the atomic backfill verb: ONE
+        commit deletes every row matching the predicate and inserts
+        ``df`` in its place (re-running a day's pipeline output over a
+        100 TB fact table replaces exactly that day — a separate
+        delete + append would pay two commit cycles and expose a
+        deleted-but-not-yet-reinserted state to readers). Like Delta,
+        every inserted row must itself satisfy the predicate (probed
+        with one limit-1 job) — a batch leaking rows outside the
+        replaced scope aborts before anything mutates.
+
+        Partition-pruned like delete/update: only partitions holding
+        matches OR receiving inserts rewrite; the rest hard-link. On a
+        column-partitioned table a predicate on the partition column
+        makes this the classic 'overwrite these partitions' backfill.
+        Identity/generated columns the batch lacks are computed (pass
+        ``keys`` so backfilled rows INHERIT their identity values
+        instead of re-numbering); declared constraints validate the
+        rewritten content before the scratch write. With the
+        changelog enabled pass ``keys`` — the commit records deletes
+        for replaced-and-gone keys and inserts/post-images for the
+        new rows, all under one commit version. Returns the number of
+        rows replaced (matched)."""
+        spec = self.partition_spec(name)
+        df = self._apply_identity(name, df, keys=keys)
+        df = self._apply_generated(name, df)
+        cond = F.coalesce(condition, F.lit(False))
+        leak = df.filter(~cond).limit(1).collect()
+        if leak:
+            raise ValueError(
+                f"replace_where on {name!r}: inserted data does not "
+                "satisfy the predicate, e.g. "
+                f"{ {k: v for k, v in leak[0].asDict().items()} } — "
+                "rows outside the replaced scope would silently "
+                "coexist with the old ones; widen the predicate or "
+                "fix the batch"
+            )
+        if spec is not None and spec["mode"] == "hash":
+            extra_routed = df.withColumn(
+                "__bucket",
+                self._partition_expr(spec, spec.get("keys") or []),
+            )
+        else:
+            extra_routed = df
+        return self._mutate_where(
+            name,
+            condition,
+            keys,
+            op="replace_where",
+            mutate=lambda sub, c: sub.filter(~c).unionByName(extra_routed),
+            log=lambda matches, ks: self._log_merge_changes(
+                name, matches, df, list(ks), include_deletes=True
+            ),
+            extra=extra_routed,
+        )
+
     def _mutate_where(
         self,
         name: str,
@@ -3976,10 +4039,14 @@ class TableStore:
         op: str,
         mutate: Callable[[DataFrame, Column], DataFrame],
         log: Callable[[DataFrame, Sequence[str]], None],
+        extra: DataFrame | None = None,
     ) -> int:
         """Predicate form of the pruned-rewrite engine behind
         ``delete`` and ``update``: matches are a filter on
-        ``condition``, removal/update closes over it."""
+        ``condition``, removal/update closes over it. ``extra``
+        (replace_where's inserted rows) contributes ADDITIONAL
+        affected partitions — the mutate closure is responsible for
+        unioning the rows themselves."""
         cond = F.coalesce(condition, F.lit(False))
         return self._mutate_rows(
             name,
@@ -3988,6 +4055,7 @@ class TableStore:
             matcher=lambda df: df.filter(cond),
             mutate=lambda df: mutate(df, cond),
             log=log,
+            extra=extra,
         )
 
     def _mutate_rows(
@@ -3998,6 +4066,7 @@ class TableStore:
         matcher: Callable[[DataFrame], DataFrame],
         mutate: Callable[[DataFrame], DataFrame],
         log: Callable[[DataFrame, Sequence[str]], None],
+        extra: DataFrame | None = None,
     ) -> int:
         """Shared pruned-rewrite engine behind ``delete``, ``update``
         and ``delete_keys``: ``matcher`` finds the affected rows (a
@@ -4027,7 +4096,7 @@ class TableStore:
         try:
             return self._mutate_where_inner(
                 name, current, df_all, matches, spec, keys,
-                op, mutate, log, log_changes,
+                op, mutate, log, log_changes, extra,
             )
         finally:
             if log_changes:
@@ -4047,10 +4116,13 @@ class TableStore:
         mutate: Callable[[DataFrame], DataFrame],
         log: Callable[[DataFrame, Sequence[str]], None],
         log_changes: bool,
+        extra: DataFrame | None = None,
     ) -> int:
         if spec is None:
             n_hit = matches.count()
-            if n_hit == 0:
+            if n_hit == 0 and (
+                extra is None or not extra.take(1)
+            ):
                 return 0
             # based_on: the unpartitioned rewrite participates in the
             # same compare-and-set commit as the partitioned path and
@@ -4073,10 +4145,23 @@ class TableStore:
 
         part_col = "__bucket" if spec["mode"] == "hash" else spec["column"]
         per_part = matches.groupBy(part_col).count().collect()
-        if not per_part:
+        # replace_where's inserted rows make their partitions affected
+        # too — a new partition value, or inserts into a partition the
+        # predicate missed, must rewrite (metadata-scale agg, bounded
+        # by partition cardinality)
+        extra_vals: list = []
+        if extra is not None:
+            extra_vals = [
+                r[part_col]
+                for r in extra.select(part_col).distinct().collect()
+            ]
+        if not per_part and not extra_vals:
             return 0
         n_hit = sum(r["count"] for r in per_part)
-        affected = [r[part_col] for r in per_part]
+        affected = sorted(
+            {r[part_col] for r in per_part} | set(extra_vals),
+            key=repr,
+        )
         affected_dirs: set[str] = set()
         simple = True
         for v in affected:

@@ -9430,3 +9430,110 @@ def q_identity_column_allocation(
         F.lit(stable).alias("updated_ids_stable"),
         F.lit(fresh_above).alias("fresh_ids_above_mark"),
     )
+
+
+_REPLACE_WHERE_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 111 AS bal_c,
+       TRUE AS one_commit,
+       TRUE AS untouched_linked,
+       TRUE AS leak_aborted
+FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT -c_custkey, 'BUILDING', CAST(0 AS BIGINT), TRUE, TRUE, TRUE
+FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT c_custkey, c_mktsegment,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT), TRUE, TRUE, TRUE
+FROM customer WHERE c_mktsegment <> 'BUILDING'
+"""
+
+
+@_register(
+    "replace_where_backfill",
+    _REPLACE_WHERE_ORACLE,
+    "Atomic predicate-scoped overwrite (merge.py::replace_where r12 "
+    "— the Delta replaceWhere / INSERT OVERWRITE ... REPLACE WHERE "
+    "analog, THE backfill verb): ONE commit replaces the BUILDING "
+    "partition's rows with the re-run pipeline output (corrected "
+    "balances plus negated-key additions) — one_commit pins exactly "
+    "one new version, so readers never observe the "
+    "deleted-but-not-reinserted state a separate delete+append "
+    "exposes. Partition-pruned like DELETE: every non-BUILDING "
+    "partition rides through by hard link (untouched_linked pins "
+    "per-file inode equality at runtime) — at 100 TB re-running one "
+    "day's output costs that day's rewrite, nothing else. "
+    "leak_aborted pins Delta's own safety contract: a batch carrying "
+    "a row OUTSIDE the predicate aborts with no new version, so a "
+    "mis-scoped backfill cannot silently scatter rows into "
+    "partitions it claimed not to touch. Values prove replaced + "
+    "inserted + untouched content and nothing else.",
+    tags=("store", "merge", "lakehouse", "backfill"),
+)
+def q_replace_where_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile
+
+    from ..operators.merge import TableStore
+
+    c = _t(spark, sf_dir, "customer")
+    bal = F.floor(F.col("c_acctbal").cast("double") * 100 + 0.5).cast("long")
+    base = c.select("c_custkey", "c_mktsegment", bal.alias("bal_c"))
+    root = tempfile.mkdtemp(prefix="pulselake_rw_")
+    stream_ops._STAGED_DIRS.append(root)  # swept on interpreter exit
+    store = TableStore(spark, root, keep_versions=6)
+    store.write_partitioned(
+        "t", base, keys=["c_custkey"], partition_column="c_mktsegment"
+    )
+    v1 = store.current_path("t")
+
+    def file_inos(path):
+        out = {}
+        for r, _d, fs in _os.walk(path):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = _os.path.join(r, f)
+                    out[_os.path.relpath(p, path)] = _os.stat(p).st_ino
+        return out
+
+    pre = file_inos(v1)
+    bld = base.filter(F.col("c_mktsegment") == "BUILDING")
+    replacement = bld.withColumn(
+        "bal_c", F.col("bal_c") + F.lit(111)
+    ).unionByName(
+        bld.select(
+            (-F.col("c_custkey")).alias("c_custkey"),
+            "c_mktsegment",
+            F.lit(0).cast("long").alias("bal_c"),
+        )
+    )
+    n_versions = len(store.versions("t"))
+    store.replace_where(
+        "t", F.col("c_mktsegment") == "BUILDING", replacement
+    )
+    one_commit = len(store.versions("t")) == n_versions + 1
+    v2 = store.current_path("t")
+    post = file_inos(v2)
+    untouched = all(
+        post.get(rel) == ino
+        for rel, ino in pre.items()
+        if not rel.startswith("c_mktsegment=BUILDING/")
+    )
+    # a batch leaking outside the predicate must abort, table untouched
+    n_versions2 = len(store.versions("t"))
+    leak = base.filter(F.col("c_mktsegment") == "MACHINERY").limit(3)
+    leak_aborted = False
+    try:
+        store.replace_where(
+            "t", F.col("c_mktsegment") == "BUILDING", leak
+        )
+    except ValueError:
+        leak_aborted = len(store.versions("t")) == n_versions2
+    return store.read("t").select(
+        "c_custkey",
+        "c_mktsegment",
+        "bal_c",
+        F.lit(one_commit).alias("one_commit"),
+        F.lit(untouched).alias("untouched_linked"),
+        F.lit(leak_aborted).alias("leak_aborted"),
+    )

@@ -696,3 +696,123 @@ def test_identity_guards(spark, tmp_path):
     )
     fork_ids = {r["uid"] for r in store2.read("fork").collect()}
     assert fork_ids == {50, 51}
+
+
+# --- replace_where (Delta replaceWhere / INSERT OVERWRITE ... WHERE) ------
+
+
+def test_replace_where_atomic_backfill(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), keep_versions=10, changelog=True)
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01", 10.0),
+            (2, "2024-01-01", 20.0),
+            (3, "2024-01-02", 30.0),
+            (4, "2024-01-03", 40.0),
+        ],
+        "k long, day string, v double",
+    )
+    store.write_partitioned("t", df, keys=["k"], partition_column="day")
+    store.enable_changelog("t")
+    pre = _inodes(store.current_path("t"))
+    new = spark.createDataFrame(
+        [(1, "2024-01-01", 11.0), (5, "2024-01-01", 50.0)],
+        "k long, day string, v double",
+    )
+    n_versions = len(store.versions("t"))
+    assert store.replace_where(
+        "t", F.col("day") == "2024-01-01", new, keys=["k"]
+    ) == 2
+    assert len(store.versions("t")) == n_versions + 1  # ONE commit
+    got = sorted((r["k"], r["v"]) for r in store.read("t").collect())
+    assert got == [(1, 11.0), (3, 30.0), (4, 40.0), (5, 50.0)]
+    # untouched partitions rode through by hard link
+    post = _inodes(store.current_path("t"))
+    for rel in pre:
+        if "2024-01-01" not in rel:
+            assert post[rel] == pre[rel]
+    # one commit version carries delete + update + insert
+    ch = store.read_changes("t")
+    top = ch.agg(F.max("_commit_version")).collect()[0][0]
+    kinds = sorted(
+        (r["k"], r["_change_type"])
+        for r in ch.filter(F.col("_commit_version") == top).collect()
+    )
+    assert kinds == [
+        (1, "update_postimage"),
+        (2, "delete"),
+        (5, "insert"),
+    ]
+
+
+def test_replace_where_guards_and_edges(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), keep_versions=10)
+    df = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0)], "k long, seg string, v double"
+    )
+    store.write_partitioned("t", df, keys=["k"], partition_column="seg")
+    # inserted rows must satisfy the predicate (Delta's own contract)
+    with pytest.raises(ValueError, match="predicate"):
+        store.replace_where(
+            "t",
+            F.col("seg") == "A",
+            spark.createDataFrame(
+                [(9, "B", 9.0)], "k long, seg string, v double"
+            ),
+        )
+    # replacement into a partition value that does not exist yet
+    store.replace_where(
+        "t",
+        F.col("seg") == "C",
+        spark.createDataFrame([(3, "C", 30.0)], "k long, seg string, v double"),
+    )
+    assert store.read("t").filter(F.col("seg") == "C").count() == 1
+    # emptying replacement removes the partition
+    store.replace_where(
+        "t",
+        F.col("seg") == "C",
+        spark.createDataFrame([], "k long, seg string, v double"),
+    )
+    assert store.read("t").filter(F.col("seg") == "C").count() == 0
+    # hash-partitioned and unpartitioned variants
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("v")
+    )
+    store.write_partitioned("h", base, keys=["k"], n_buckets=4)
+    rep = spark.range(0, 100, 2).select(
+        F.col("id").alias("k"), F.lit(9.0).alias("v")
+    )
+    assert store.replace_where("h", F.col("k") % 2 == 0, rep) == 50
+    assert store.read("h").count() == 100
+    assert store.read("h").filter(F.col("v") == 9.0).count() == 50
+    store.write("u", df)
+    assert store.replace_where(
+        "u",
+        F.col("seg") == "A",
+        spark.createDataFrame([(8, "A", 80.0)], "k long, seg string, v double"),
+    ) == 1
+    assert sorted(r["k"] for r in store.read("u").collect()) == [2, 8]
+
+
+def test_replace_where_inherits_identity_and_generated(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), keep_versions=10)
+    store.declare_identity("t", "row_id", start=1)
+    store.declare_generated("t", "day", "CAST(ts AS DATE)")
+    store.declare_partitioning("t", keys=["k"], partition_column="day")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-02 10:00:00", 2.0)],
+        "k long, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    store.merge("t", df, ["k"], policy="scd1")
+    ids = {r["k"]: r["row_id"] for r in store.read("t").collect()}
+    # backfill day 1 with a corrected value: the generated partition
+    # column is computed and the identity value INHERITED by key
+    fix = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1.5)], "k long, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    store.replace_where(
+        "t", F.col("day") == F.lit("2024-01-01").cast("date"), fix,
+        keys=["k"],
+    )
+    got = {r["k"]: (r["row_id"], r["v"]) for r in store.read("t").collect()}
+    assert got[1] == (ids[1], 1.5) and got[2] == (ids[2], 2.0)
