@@ -960,15 +960,18 @@ class TableStore:
         _op: str = "write",
         _based_on: str | None = None,
     ) -> None:
-        df = self._apply_identity(name, df)
-        df = self._apply_generated(name, df)
-        self._enforce_constraints(name, df)
-        version_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
-        full = os.path.join(self.root, version_dir)
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(full)
+        df, idpins = self._apply_identity(name, df)
+        try:
+            df = self._apply_generated(name, df)
+            self._enforce_constraints(name, df)
+            version_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
+            full = os.path.join(self.root, version_dir)
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(full)
+        finally:
+            self._release_pins(idpins)
         self._write_schema(full, df)
         self._write_op(full, _op)
         self._commit_pointer(name, version_dir, based_on=_based_on)
@@ -1071,6 +1074,14 @@ class TableStore:
         items += [
             (f"generated[{col}]", f"{col} <=> ({expr})")
             for col, expr in self.generated_columns(name).items()
+        ]
+        # identity columns are implicitly NOT NULL (Delta rejects NULL
+        # inserts into them): a BY DEFAULT batch supplying NULLs would
+        # silently break uniqueness and make a later inheriting merge
+        # re-number those keys — same single probe, zero extra jobs
+        items += [
+            (f"identity[{col}]", f"{col} IS NOT NULL")
+            for col in self.identity_columns(name)
         ]
         if not items:
             return
@@ -1322,22 +1333,18 @@ class TableStore:
 
     def _assign_identity(
         self, name: str, df: DataFrame, col: str, spec: dict
-    ) -> DataFrame:
+    ) -> tuple[DataFrame, list[DataFrame]]:
         """Assign fresh identity values to every row of ``df`` (which
-        lacks ``col``). One count job + pure JVM expressions."""
-        from .cache import pin
+        lacks ``col``). One count job + pure JVM expressions. Returns
+        (frame, pins): the caller RELEASES the pins after its
+        consuming write — they must outlive it, because the assignment
+        decomposes monotonically_increasing_id() into (partition, row)
+        and an unpinned re-evaluation could lay rows out differently
+        and break the count/offset correspondence."""
+        from .cache import pin, unpin
 
-        # PIN (DISK_ONLY — ingest batches are data-sized, and disk
-        # persistence never evicts-and-recomputes):
-        # the per-partition counts and the final consuming write must
-        # see the SAME physical row layout, because the assignment
-        # decomposes monotonically_increasing_id() into (partition,
-        # row) — an unpinned re-evaluation could lay rows out
-        # differently and break the count/offset correspondence. The
-        # pin lives inside the returned plan until the caller's
-        # consuming action runs, then falls under the module's
-        # documented release contract (release_pinned() per result in
-        # bench/driver/mirror flows, session teardown otherwise).
+        # DISK_ONLY: ingest batches are data-sized, and disk
+        # persistence never evicts-and-recomputes
         pinned = pin(
             df.withColumn("__iid", F.monotonically_increasing_id())
         )
@@ -1348,10 +1355,8 @@ class TableStore:
         )
         total = sum(r["count"] for r in counts)
         if total == 0:
-            from .cache import unpin
-
             unpin(pinned)
-            return df.withColumn(col, F.lit(None).cast("long"))
+            return df.withColumn(col, F.lit(None).cast("long")), []
         base = self._reserve_identity(name, col, total)
         step = int(spec["step"])
         off = 0
@@ -1362,7 +1367,7 @@ class TableStore:
         offsets = F.broadcast(
             self.spark.createDataFrame(rows, "__ipid long, __ioff long")
         )
-        return (
+        out = (
             pinned.withColumn("__ipid", F.shiftright("__iid", 33))
             .join(offsets, "__ipid")
             .withColumn(
@@ -1376,16 +1381,22 @@ class TableStore:
             )
             .drop("__iid", "__ipid", "__ioff")
         )
+        return out, [pinned]
 
     def _apply_identity(
         self, name: str, df: DataFrame, keys: Sequence[str] | None = None
-    ) -> DataFrame:
+    ) -> tuple[DataFrame, list[DataFrame]]:
         """Ingest-boundary identity hook: batches carrying a declared
-        identity column pass through (BY DEFAULT); batches lacking it
-        get values — inherited from the matched target row when
-        ``keys`` are given and the table exists (id-stable upserts),
-        freshly allocated otherwise."""
+        identity column pass through (BY DEFAULT — NULL values in it
+        are rejected by the implicit NOT NULL check at commit);
+        batches lacking it get values — inherited from the matched
+        target row when ``keys`` are given and the table exists
+        (id-stable upserts), freshly allocated otherwise. Returns
+        (frame, pins); every ingest caller releases the pins in a
+        finally after its consuming write, so identity tables never
+        leak a persisted batch copy per commit."""
         ids = self.identity_columns(name)
+        pins: list[DataFrame] = []
         for col, spec in ids.items():
             if col in df.columns:
                 continue
@@ -1396,26 +1407,44 @@ class TableStore:
                     "impossible; supply the column"
                 )
             if keys is not None and self.exists(name):
+                from .cache import pin
                 from .joins import maybe_broadcast
 
                 # dropDuplicates: history-shaped tables (scd2) hold
                 # several rows per key — inherit ONE id per key, never
-                # multiply the source
+                # multiply the source. PIN the join once: both the
+                # kept and the fresh side derive from it, and without
+                # the pin the kept branch would re-run the target
+                # scan + join during the consuming write.
                 existing = self.read(name).select(
                     *keys, F.col(col).alias("__iexist")
                 ).dropDuplicates(list(keys))
-                df = df.join(maybe_broadcast(existing), list(keys), "left")
-                fresh = df.filter(F.col("__iexist").isNull()).drop(
+                joined = pin(
+                    df.join(maybe_broadcast(existing), list(keys), "left")
+                )
+                pins.append(joined)
+                fresh = joined.filter(F.col("__iexist").isNull()).drop(
                     "__iexist"
                 )
-                kept = df.filter(F.col("__iexist").isNotNull()).withColumn(
-                    col, F.col("__iexist")
-                ).drop("__iexist")
-                assigned = self._assign_identity(name, fresh, col, spec)
+                kept = joined.filter(
+                    F.col("__iexist").isNotNull()
+                ).withColumn(col, F.col("__iexist")).drop("__iexist")
+                assigned, p2 = self._assign_identity(
+                    name, fresh, col, spec
+                )
+                pins.extend(p2)
                 df = kept.unionByName(assigned.select(*kept.columns))
             else:
-                df = self._assign_identity(name, df, col, spec)
-        return df
+                df, p2 = self._assign_identity(name, df, col, spec)
+                pins.extend(p2)
+        return df, pins
+
+    @staticmethod
+    def _release_pins(pins: list[DataFrame]) -> None:
+        from .cache import unpin
+
+        for p in pins:
+            unpin(p)
 
     # --- deletion vectors (Delta merge-on-read DELETE analog) -------------
 
@@ -2885,7 +2914,7 @@ class TableStore:
         # declared identity / GENERATED columns may be absent from the
         # creating frame — compute them before the layout derives from
         # them (identity first: a generated expr may reference the id)
-        df = self._apply_identity(name, df)
+        df, _idpins = self._apply_identity(name, df)
         df = self._apply_generated(name, df)
         if partition_column is not None:
             spec = {
@@ -2907,7 +2936,10 @@ class TableStore:
         # partition get disjoint key ranges, so the min/max sidecar can
         # actually skip files on later merges
         out = out.repartitionByRange(F.col(part_col), F.col(keys[0]))
-        self.write(name, out, partition_by=[part_col], _op="create")
+        try:
+            self.write(name, out, partition_by=[part_col], _op="create")
+        finally:
+            self._release_pins(_idpins)
         self._write_file_stats(self.current_path(name), keys[0])
 
     def _merge_partitioned(
@@ -3402,8 +3434,24 @@ class TableStore:
         # first — matched keys inherit their target id, new rows draw
         # from the high-water mark; then generated expressions, which
         # may reference the id); batches that carry them pass through
-        # (identity BY DEFAULT) / are validated at commit (generated)
-        source = self._apply_identity(name, source, keys=keys)
+        # (identity BY DEFAULT, implicitly NOT NULL at commit) / are
+        # validated at commit (generated). The identity pins live
+        # until the merge's consuming write finishes (released in
+        # _merge_inner's finally).
+        source, idpins = self._apply_identity(name, source, keys=keys)
+        try:
+            self._merge_inner(name, source, keys, policy, **kwargs)
+        finally:
+            self._release_pins(idpins)
+
+    def _merge_inner(
+        self,
+        name: str,
+        source: DataFrame,
+        keys: Sequence[str],
+        policy: str,
+        **kwargs,
+    ) -> None:
         source = self._apply_generated(name, source)
         spec = self.partition_spec(name)
         if spec is not None and self.exists(name):
@@ -3998,38 +4046,54 @@ class TableStore:
         for replaced-and-gone keys and inserts/post-images for the
         new rows, all under one commit version. Returns the number of
         rows replaced (matched)."""
+        from .cache import pin
+
         spec = self.partition_spec(name)
-        df = self._apply_identity(name, df, keys=keys)
-        df = self._apply_generated(name, df)
-        cond = F.coalesce(condition, F.lit(False))
-        leak = df.filter(~cond).limit(1).collect()
-        if leak:
-            raise ValueError(
-                f"replace_where on {name!r}: inserted data does not "
-                "satisfy the predicate, e.g. "
-                f"{ {k: v for k, v in leak[0].asDict().items()} } — "
-                "rows outside the replaced scope would silently "
-                "coexist with the old ones; widen the predicate or "
-                "fix the batch"
+        df, idpins = self._apply_identity(name, df, keys=keys)
+        # PIN the replacement batch: it feeds the leak probe, the
+        # affected-partition agg, the scratch write and the changelog
+        # diff — four evaluations. Beyond the recompute cost, a
+        # NON-DETERMINISTIC source (sample/limit/rand-derived values)
+        # re-evaluated between the partition agg and the write could
+        # land rows in a partition absent from the affected set, whose
+        # pre-existing rows would then be silently dropped. The pin
+        # makes all four consumers see one materialization.
+        df = pin(self._apply_generated(name, df))
+        idpins = [*idpins, df]
+        try:
+            cond = F.coalesce(condition, F.lit(False))
+            leak = df.filter(~cond).limit(1).collect()
+            if leak:
+                raise ValueError(
+                    f"replace_where on {name!r}: inserted data does "
+                    "not satisfy the predicate, e.g. "
+                    f"{ {k: v for k, v in leak[0].asDict().items()} } "
+                    "— rows outside the replaced scope would silently "
+                    "coexist with the old ones; widen the predicate "
+                    "or fix the batch"
+                )
+            if spec is not None and spec["mode"] == "hash":
+                extra_routed = df.withColumn(
+                    "__bucket",
+                    self._partition_expr(spec, spec.get("keys") or []),
+                )
+            else:
+                extra_routed = df
+            return self._mutate_where(
+                name,
+                condition,
+                keys,
+                op="replace_where",
+                mutate=lambda sub, c: sub.filter(~c).unionByName(
+                    extra_routed
+                ),
+                log=lambda matches, ks: self._log_merge_changes(
+                    name, matches, df, list(ks), include_deletes=True
+                ),
+                extra=extra_routed,
             )
-        if spec is not None and spec["mode"] == "hash":
-            extra_routed = df.withColumn(
-                "__bucket",
-                self._partition_expr(spec, spec.get("keys") or []),
-            )
-        else:
-            extra_routed = df
-        return self._mutate_where(
-            name,
-            condition,
-            keys,
-            op="replace_where",
-            mutate=lambda sub, c: sub.filter(~c).unionByName(extra_routed),
-            log=lambda matches, ks: self._log_merge_changes(
-                name, matches, df, list(ks), include_deletes=True
-            ),
-            extra=extra_routed,
-        )
+        finally:
+            self._release_pins(idpins)
 
     def _mutate_where(
         self,

@@ -816,3 +816,51 @@ def test_replace_where_inherits_identity_and_generated(spark, tmp_path):
     )
     got = {r["k"]: (r["row_id"], r["v"]) for r in store.read("t").collect()}
     assert got[1] == (ids[1], 1.5) and got[2] == (ids[2], 2.0)
+
+
+def test_identity_null_rejected_and_pins_released(spark, tmp_path):
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.cache import (
+        _BY_SESSION,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        ConstraintViolationError,
+    )
+
+    store = TableStore(spark, str(tmp_path), keep_versions=5)
+    store.declare_identity("t", "uid", start=1)
+    store.write(
+        "t", spark.createDataFrame([("a", 1.0)], "name string, v double")
+    )
+    # BY DEFAULT does NOT mean nullable: a batch carrying NULL ids is
+    # rejected at commit (implicit NOT NULL, like Delta) — otherwise a
+    # later inheriting merge would silently re-number those keys
+    bad = spark.createDataFrame(
+        [("b", 2.0, None)], "name string, v double, uid long"
+    )
+    n0 = len(store.versions("t"))
+    with pytest.raises(ConstraintViolationError, match="identity"):
+        store.merge("t", bad, ["name"], policy="scd1")
+    assert len(store.versions("t")) == n0
+    # the internal allocation/inheritance pins are released by the
+    # store itself — identity ingest must not leak a persisted batch
+    # copy per commit in long-lived sessions
+    pending = len(_BY_SESSION.get(spark, []))
+    store.merge(
+        "t",
+        spark.createDataFrame([("c", 3.0)], "name string, v double"),
+        ["name"],
+        policy="scd1",
+    )
+    store.replace_where(
+        "t",
+        F.col("name") == "c",
+        spark.createDataFrame([("c", 3.5)], "name string, v double"),
+        keys=["name"],
+    )
+    assert len(_BY_SESSION.get(spark, [])) == pending
+    got = {r["name"]: r["v"] for r in store.read("t").collect()}
+    assert got == {"a": 1.0, "c": 3.5}
+    assert (
+        store.read("t").select("uid").distinct().count()
+        == store.read("t").count()
+    )
