@@ -864,3 +864,37 @@ def test_identity_null_rejected_and_pins_released(spark, tmp_path):
         store.read("t").select("uid").distinct().count()
         == store.read("t").count()
     )
+
+
+def test_replace_where_on_renamed_table(spark, tmp_path):
+    """Cross-feature interaction: the predicate-scoped overwrite runs
+    in LOGICAL space on a mapped table, and its rewritten files keep
+    physical names beside the hard-linked survivors."""
+    store = TableStore(spark, str(tmp_path), keep_versions=10)
+    df = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 30.0)],
+        "k long, seg string, val double",
+    )
+    store.write_partitioned("t", df, keys=["k"], partition_column="seg")
+    store.rename_column("t", "val", "amount")
+    pre = _inodes(store.current_path("t"))
+    new = spark.createDataFrame(
+        [(1, "A", 11.0)], "k long, seg string, amount double"
+    )
+    assert store.replace_where("t", F.col("seg") == "A", new) == 2
+    got = sorted((r["k"], r["amount"]) for r in store.read("t").collect())
+    assert got == [(1, 11.0), (3, 30.0)]
+    post = _inodes(store.current_path("t"))
+    for rel in pre:
+        if rel.startswith("seg=B/"):
+            assert post[rel] == pre[rel]  # untouched partition linked
+    # the rewritten partition's files carry the PHYSICAL (old) name
+    import pyarrow.parquet as pq
+
+    cur = store.current_path("t")
+    for rel in post:
+        if rel.startswith("seg=A/"):
+            names = pq.ParquetFile(
+                os.path.join(cur, rel)
+            ).schema_arrow.names
+            assert "val" in names and "amount" not in names
