@@ -36,6 +36,16 @@ drift uniform across rows whose modules did not change at all
 (pagerank_deep_trade +6-10% on a file untouched for two rounds) —
 i.e. whole-machine state, not any query's plan. Compare rounds with
 that factor in mind before reading a uniform shift as a regression.
+A direct same-hour A/B settled it for the round's most-changed path:
+``star_join_view_maintain`` (merge-heavy) run 4-pass in fresh
+sessions from a worktree of the EXACT r11 snapshot (9d88f15) and
+from HEAD — r11 code best 15.61 s (its driver-recorded number was
+13.82 s: the machine is ~13% slower this round), HEAD best 15.83 s,
+a +1.4% delta inside the pass-to-pass spread (r11's own passes
+spanned 15.6-16.8 s). The round's schema-surface additions (column
+mapping / generated / identity / replace_where) cost the merge path
+nothing measurable; their per-commit overhead is a handful of
+sidecar existence probes.
 
 Streaming rows are single-pass (a drain is stateful; re-running it
 measures a different thing), so they carry the full ambient spread.
