@@ -1918,30 +1918,42 @@ class TableStore:
             self._check_changelog_cursor(name, starting_version)
             if starting_version < brk:
                 raise ValueError(
-                    f"changelog for {name!r} crossed a column-mapping "
-                    f"change at commit version {brk} — records before "
-                    "it use the old logical schema; restart this "
-                    f"consumer with starting_version >= {brk}"
+                    f"changelog for {name!r} crossed a schema change "
+                    f"(rename/drop/widen) at commit version {brk} — "
+                    "records before it use the old logical schema; "
+                    "restart this consumer with starting_version >= "
+                    f"{brk}"
                 )
-        # mergeSchema: the feed legitimately mixes file schemas after
-        # an evolution merge (new columns NULL-fill in old records) —
-        # a single-footer inference would drop them
-        df = self.spark.read.option("mergeSchema", "true").parquet(
-            self._require_changelog(name)
-        )
-        df = df.filter(F.col("_commit_version") >= starting_version)
+        d = self._require_changelog(name)
         if brk:
-            # records at/after the break were all written with the
-            # CURRENT logical schema; columns surviving in the frame
-            # beyond it are pre-break (retired names) — NULL here
-            keep = set(self.read(name).columns) | {
-                "_change_type",
-                "_commit_version",
-            }
-            df = df.select(*[c for c in df.columns if c in keep])
+            # past a schema break every visible record was written
+            # with the CURRENT logical schema — read with it
+            # EXPLICITLY: renamed/dropped pre-break columns simply
+            # don't resolve (those records are filtered anyway), and
+            # widened columns upcast old narrow files at scan, which
+            # mergeSchema cannot (int vs long is a merge conflict)
+            df = self.spark.read.schema(self._feed_schema(name)).parquet(d)
+        else:
+            # mergeSchema: the feed legitimately mixes file schemas
+            # after an evolution merge (new columns NULL-fill in old
+            # records) — a single-footer inference would drop them
+            df = self.spark.read.option("mergeSchema", "true").parquet(d)
+        df = df.filter(F.col("_commit_version") >= starting_version)
         if ignore_deletes:
             df = df.filter(F.col("_change_type") != "delete")
         return df
+
+    def _feed_schema(self, name: str):
+        """The change feed's CURRENT schema: the table's logical
+        columns plus the two change-metadata columns."""
+        from pyspark.sql import types as T
+
+        base = self.read(name).schema
+        return T.StructType(
+            [*base.fields,
+             T.StructField("_change_type", T.StringType()),
+             T.StructField("_commit_version", T.LongType())]
+        )
 
     def stream_changes(
         self,
@@ -1983,25 +1995,25 @@ class TableStore:
             self._check_changelog_cursor(name, starting_version)
             if starting_version < brk:
                 raise ValueError(
-                    f"changelog for {name!r} crossed a column-mapping "
-                    f"change at commit version {brk} — records before "
-                    "it use the old logical schema; restart this "
-                    f"consumer with starting_version >= {brk}"
+                    f"changelog for {name!r} crossed a schema change "
+                    f"(rename/drop/widen) at commit version {brk} — "
+                    "records before it use the old logical schema; "
+                    "restart this consumer with starting_version >= "
+                    f"{brk}"
                 )
         d = self._require_changelog(name)
-        schema = (
-            self.spark.read.option("mergeSchema", "true").parquet(d).schema
-        )
+        if brk:
+            # same explicit-schema contract as read_changes: widened
+            # columns upcast, retired names don't resolve
+            schema = self._feed_schema(name)
+        else:
+            schema = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(d)
+                .schema
+            )
         stream = self.spark.readStream.schema(schema).parquet(d)
         stream = stream.filter(F.col("_commit_version") >= starting_version)
-        if brk:
-            keep = set(self.read(name).columns) | {
-                "_change_type",
-                "_commit_version",
-            }
-            stream = stream.select(
-                *[c for c in stream.columns if c in keep]
-            )
         if ignore_deletes:
             stream = stream.filter(F.col("_change_type") != "delete")
         return stream
@@ -2508,10 +2520,12 @@ class TableStore:
         self,
         name: str,
         current: str,
-        cm: dict,
+        cm: dict | None,
         op: str,
         renamed: tuple[str, str] | None = None,
         dropped: str | None = None,
+        new_schema=None,
+        drop_bloom_for: str | None = None,
         **details,
     ) -> None:
         """Metadata-only commit of a new column mapping: every file of
@@ -2540,7 +2554,18 @@ class TableStore:
         phantom break that silently truncates a feed whose schema
         never changed."""
         remap: dict[str, str] = {}
-        skip: set[str] = set()
+        skip: set[str] = {self._OPFILE, self._REWRITTENFILE}
+        if cm is not None:
+            skip.add(self._COLMAPFILE)  # fresh mapping written below
+        if new_schema is not None:
+            skip.add(self._SCHEMAFILE)  # widened schema written below
+        if drop_bloom_for is not None:
+            # a bloom bitset hashes TYPED values (xxhash64 is
+            # type-sensitive): bitsets built under the old width can
+            # never match probes cast to the new one — false-negative
+            # pruning would DROP rows, so the widen retires them
+            # (min/max sidecars compare numerically and carry fine)
+            skip.add(f"{self._BLOOM_PREFIX}{drop_bloom_for}.json")
         for prefix in (self._BLOOM_PREFIX, self._MINMAX_PREFIX):
             if renamed is not None:
                 remap[f"{prefix}{renamed[0]}.json"] = (
@@ -2556,21 +2581,17 @@ class TableStore:
             dst = full if rel == "." else os.path.join(full, rel)
             os.makedirs(dst, exist_ok=True)
             for fname in files:
-                if (
-                    fname
-                    in (
-                        self._OPFILE,
-                        self._COLMAPFILE,
-                        self._REWRITTENFILE,
-                    )
-                    or fname in skip
-                ):
+                if fname in skip:
                     continue
                 os.link(
                     os.path.join(base, fname),
                     os.path.join(dst, remap.get(fname, fname)),
                 )
         self._write_colmap(full, cm)
+        if new_schema is not None:
+            self._write_json_sidecar(
+                os.path.join(full, self._SCHEMAFILE), new_schema
+            )
         self._write_op(full, op, **details)
         brk = (
             self._next_commit_version(name)
@@ -2658,6 +2679,114 @@ class TableStore:
         cm.setdefault("retired", []).append(retired_phys)
         self._commit_colmap_change(
             name, current, cm, "drop_column", dropped=col, column=col
+        )
+
+    @staticmethod
+    def _widening_ok(old, new) -> bool:
+        """Delta's type-widening whitelist: upcasts the parquet reader
+        performs losslessly at scan time. Everything else — including
+        every narrowing — is rejected (a narrowed read silently
+        truncates or errors per file, both unacceptable)."""
+        from pyspark.sql import types as T
+
+        _int_rank = {
+            T.ByteType: 0,
+            T.ShortType: 1,
+            T.IntegerType: 2,
+            T.LongType: 3,
+        }
+        ro, rn = _int_rank.get(type(old)), _int_rank.get(type(new))
+        if ro is not None and rn is not None:
+            return rn > ro
+        if isinstance(old, T.FloatType) and isinstance(new, T.DoubleType):
+            return True
+        if ro is not None and ro <= 2 and isinstance(new, T.DoubleType):
+            return True  # byte/short/int -> double is exact
+        if isinstance(old, T.DateType) and isinstance(
+            new, T.TimestampNTZType
+        ):
+            return True
+        if isinstance(old, T.DecimalType) and isinstance(
+            new, T.DecimalType
+        ):
+            return (
+                new.scale == old.scale and new.precision > old.precision
+            )
+        if ro is not None and isinstance(new, T.DecimalType):
+            digits = (3, 5, 10, 20)[ro]
+            return new.precision - new.scale >= digits
+        return False
+
+    def widen_column(self, name: str, col: str, new_type: str) -> None:
+        """``ALTER TABLE ... ALTER COLUMN ... TYPE <wider>`` — the
+        Delta TYPE WIDENING analog: a METADATA-ONLY commit (every data
+        file hard-links; only the schema sidecar changes) that widens
+        a column's declared type. Old files keep their narrow physical
+        encoding and the parquet reader upcasts them at scan time;
+        files written by later merges carry the wide type — the same
+        mixed-files-one-schema mechanism schema evolution already
+        uses, applied to width. Allowed pairs are Delta's lossless
+        set (``_widening_ok``); at 100 TB this is how an int key that
+        outgrew 2^31 becomes a bigint without rewriting the table.
+        The column's bloom sidecars retire (typed hashes can't cross
+        the width — a carried bitset would prune rows AWAY); min/max
+        sidecars compare numerically and carry. On a changelog table
+        the commit advances the schema break, and post-break feed
+        reads use the widened schema explicitly."""
+        current = self.current_path(name)
+        if current is None:
+            raise FileNotFoundError(f"table {name} does not exist")
+        from pyspark.sql import types as T
+
+        new_dt = T._parse_datatype_string(new_type)
+        fields = self._logical_fields(current)
+        if fields is None or col not in fields:
+            raise ValueError(
+                f"table {name!r} has no column {col!r} "
+                f"(columns: {sorted(fields or {})})"
+            )
+        old_dt = fields[col]
+        if old_dt == new_dt:
+            return  # already that type — idempotent no-op
+        if not self._widening_ok(old_dt, new_dt):
+            raise ValueError(
+                f"cannot change {col!r} from {old_dt.simpleString()} to "
+                f"{new_dt.simpleString()}: only lossless widenings are "
+                "metadata-only (byte<short<int<long, float->double, "
+                "int->double, date->timestamp_ntz, decimal precision "
+                "growth); anything else rewrites — read, cast, "
+                "write_partitioned"
+            )
+        cm = self._load_colmap(current)
+        phys = cm["map"].get(col, col) if cm is not None else col
+        p = os.path.join(current, self._SCHEMAFILE)
+        try:
+            with open(p) as f:
+                schema_doc = json.load(f)
+        except OSError:
+            raise ValueError(
+                f"table {name!r} has no schema sidecar — widen needs "
+                "one (re-create via write/write_partitioned)"
+            ) from None
+        hit = False
+        for fld in schema_doc.get("fields", []):
+            if fld.get("name") == phys:
+                fld["type"] = json.loads(new_dt.json())
+                hit = True
+        if not hit:
+            raise ValueError(
+                f"physical column {phys!r} not in the stored schema"
+            )
+        self._commit_colmap_change(
+            name,
+            current,
+            None,
+            "widen_column",
+            new_schema=schema_doc,
+            drop_bloom_for=col,
+            column=col,
+            from_type=old_dt.simpleString(),
+            to_type=new_dt.simpleString(),
         )
 
     # --- changelog schema-break (column mapping x CDF) --------------------

@@ -36,6 +36,22 @@ from pyspark.sql import functions as F
 from .merge import TableStore, local_path_from_uri
 
 
+def _version_reader(store: TableStore, version_dir: str):
+    """Reader pinned to the version's STORED schema (plus basePath so
+    partition columns resolve on per-file reads): direct candidate /
+    builder reads must see the same types as ``_read_version`` — after
+    a type widening the physical files mix narrow and wide encodings,
+    and an inferred read would either hash/compare the narrow type
+    (xxhash64 is type-sensitive: a bloom built over raw int values
+    never matches probes cast to the table's bigint — silent
+    zero-candidate pruning) or fail to merge the footers outright."""
+    reader = store.spark.read.option("basePath", version_dir)
+    stored = store._stored_schema(version_dir)
+    if stored is not None:
+        reader = reader.schema(stored)
+    return reader
+
+
 def _sidecar_path(version_dir: str, col: str) -> str:
     return os.path.join(version_dir, f"_BLOOM.{col}.json")
 
@@ -90,7 +106,7 @@ def build_bloom_sidecar(
         # scan ONLY the unindexed files; basePath keeps partition
         # columns resolvable even when ``col`` is one of them
         df = store._apply_colmap(
-            store.spark.read.option("basePath", version_dir)
+            _version_reader(store, version_dir)
             .parquet(*[os.path.join(version_dir, rel) for rel in missing]),
             version_dir,
         )
@@ -213,7 +229,7 @@ def read_where_eq(
             0,
             total,
         )
-    reader = store.spark.read.option("basePath", version_dir)
+    reader = _version_reader(store, version_dir)
     # DV-wrap the direct file read (no-op without a deletion vector),
     # then lift physical names to logical (column mapping; no-op too)
     df = store._apply_colmap(
@@ -259,7 +275,7 @@ def build_minmax_sidecar(store: TableStore, name: str, col: str) -> int:
     missing = [rel for rel in all_rel if rel not in existing]
     if missing:
         df = store._apply_colmap(
-            store.spark.read.option("basePath", version_dir)
+            _version_reader(store, version_dir)
             .parquet(*[os.path.join(version_dir, rel) for rel in missing]),
             version_dir,
         )
@@ -331,7 +347,7 @@ def read_where_between(
         return store.read(name).filter(cond), total, total
     if not cand:
         return store.read(name).filter(F.lit(False)), 0, total
-    reader = store.spark.read.option("basePath", version_dir)
+    reader = _version_reader(store, version_dir)
     return (
         store._apply_colmap(
             store._dv_filter(reader.parquet(*cand), version_dir),
@@ -393,7 +409,7 @@ def read_where(
         return store.read(name).filter(cond), total, total
     if not cand:
         return store.read(name).filter(F.lit(False)), 0, total
-    reader = store.spark.read.option("basePath", version_dir)
+    reader = _version_reader(store, version_dir)
     return (
         store._apply_colmap(
             store._dv_filter(reader.parquet(*sorted(cand)), version_dir),

@@ -9537,3 +9537,90 @@ def q_replace_where_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(untouched).alias("untouched_linked"),
         F.lit(leak_aborted).alias("leak_aborted"),
     )
+
+
+_WIDEN_COLUMN_ORACLE = """
+SELECT o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+       TRUE AS widen_metadata_only,
+       TRUE AS narrowing_rejected,
+       TRUE AS old_type_at_v0
+FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey > 0
+UNION ALL
+SELECT -o_orderkey, CAST(5000000000 AS BIGINT), TRUE, TRUE, TRUE
+FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey > 0
+  AND o_orderkey % 3 = 0
+"""
+
+
+@_register(
+    "widen_column_type",
+    _WIDEN_COLUMN_ORACLE,
+    "Type widening (merge.py::widen_column r12 — the Delta ALTER "
+    "COLUMN TYPE analog): price_c starts INT, the widen to BIGINT is "
+    "a METADATA-ONLY commit (widen_metadata_only pins per-file inode "
+    "equality at runtime — only the schema sidecar changed; at "
+    "100 TB the int key that outgrew 2^31 becomes bigint without a "
+    "rewrite). Old narrow files upcast at SCAN time while the "
+    "post-widen merge writes values beyond int32 range "
+    "(5,000,000,000) into wide files — the same "
+    "mixed-files-one-schema mechanism evolution uses, applied to "
+    "width, and the final values prove both encodings read "
+    "correctly side by side. narrowing_rejected pins the whitelist "
+    "(bigint back to int refuses — the reader would silently "
+    "truncate), old_type_at_v0 pins versioned time travel to the "
+    "narrow type. The column's bloom sidecars retire at the widen "
+    "(typed xxhash64 bitsets cannot cross a width change — carrying "
+    "them would prune rows away silently).",
+    tags=("store", "merge", "lakehouse", "schema"),
+)
+def q_widen_column_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile
+
+    from ..operators.merge import TableStore
+
+    # key 0 would negate to itself and collide with the insert set
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 4 == 0) & (F.col("o_orderkey") > 0)
+    )
+    price_int = F.floor(
+        F.col("o_totalprice").cast("double") * 100 + 0.5
+    ).cast("int")
+    base = o.select("o_orderkey", price_int.alias("price_c"))
+    root = tempfile.mkdtemp(prefix="pulselake_widen_")
+    stream_ops._STAGED_DIRS.append(root)  # swept on interpreter exit
+    store = TableStore(spark, root, keep_versions=6)
+    store.write_partitioned("t", base, keys=["o_orderkey"], n_buckets=8)
+    v1 = store.current_path("t")
+    store.widen_column("t", "price_c", "bigint")
+    v2 = store.current_path("t")
+    meta_only = True
+    for r, _d, fs in _os.walk(v2):
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            p2 = _os.path.join(r, f)
+            rel = _os.path.relpath(p2, v2)
+            if not _os.path.samefile(p2, _os.path.join(v1, rel)):
+                meta_only = False
+    narrowing_rejected = False
+    try:
+        store.widen_column("t", "price_c", "int")
+    except ValueError:
+        narrowing_rejected = True
+    old_type = dict(store.read_at("t", 0).dtypes)["price_c"] == "int"
+    # post-widen merge: values beyond int32 range land in wide files
+    # next to the hard-linked narrow ones
+    big = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        F.lit(5000000000).cast("long").alias("price_c"),
+    )
+    store.merge("t", big, ["o_orderkey"], policy="scd1")
+    return store.read("t").select(
+        "o_orderkey",
+        "price_c",
+        F.lit(meta_only).alias("widen_metadata_only"),
+        F.lit(narrowing_rejected).alias("narrowing_rejected"),
+        F.lit(old_type).alias("old_type_at_v0"),
+    )
