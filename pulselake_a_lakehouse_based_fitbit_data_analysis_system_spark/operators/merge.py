@@ -1397,6 +1397,23 @@ class TableStore:
         leak a persisted batch copy per commit."""
         ids = self.identity_columns(name)
         pins: list[DataFrame] = []
+        try:
+            return self._apply_identity_inner(name, df, keys, ids, pins)
+        except BaseException:
+            # a failure mid-assignment (reserve I/O, count job, a
+            # second column's pass) must not strand already-acquired
+            # pins — the caller never receives the list to release
+            self._release_pins(pins)
+            raise
+
+    def _apply_identity_inner(
+        self,
+        name: str,
+        df: DataFrame,
+        keys: Sequence[str] | None,
+        ids: dict,
+        pins: list[DataFrame],
+    ) -> tuple[DataFrame, list[DataFrame]]:
         for col, spec in ids.items():
             if col in df.columns:
                 continue
@@ -1579,10 +1596,7 @@ class TableStore:
                 f"{name} has an active changelog: pass keys=<merge keys> "
                 "so the delete can commit its row-level records"
             )
-        reader = self.spark.read
-        stored = self._stored_schema(current)
-        if stored is not None:
-            reader = reader.schema(stored)
+        reader = self._schema_reader(current)
         raw = self._apply_colmap(
             reader.parquet(current)
             .withColumn("__dv_rel", self._dv_rel_expr(current))
@@ -2341,13 +2355,27 @@ class TableStore:
         with open(p) as f:
             return T.StructType.fromJson(json.load(f))
 
-    def _read_version(self, path: str) -> DataFrame:
-        schema = self._stored_schema(path)
+    def _schema_reader(self, version_full: str, base_path: bool = False):
+        """Reader pinned to the version's STORED schema — every read
+        of raw version files (whole-dir or per-file candidates) must
+        see the same declared types: post-evolution versions mix
+        files with and without new columns, post-widening versions mix
+        narrow and wide encodings, and an inferred read would NULL-
+        fill, truncate-compare or fail to merge. ``base_path`` adds
+        the basePath option so partition columns resolve on per-file
+        reads."""
         reader = self.spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
+        if base_path:
+            reader = reader.option("basePath", version_full)
+        stored = self._stored_schema(version_full)
+        if stored is not None:
+            reader = reader.schema(stored)
+        return reader
+
+    def _read_version(self, path: str) -> DataFrame:
         return self._apply_colmap(
-            self._dv_filter(reader.parquet(path), path), path
+            self._dv_filter(self._schema_reader(path).parquet(path), path),
+            path,
         )
 
     # --- column mapping (Delta RENAME / DROP COLUMN analog) ---------------
@@ -2727,23 +2755,49 @@ class TableStore:
         mixed-files-one-schema mechanism schema evolution already
         uses, applied to width. Allowed pairs are Delta's lossless
         set (``_widening_ok``); at 100 TB this is how an int key that
-        outgrew 2^31 becomes a bigint without rewriting the table.
-        The column's bloom sidecars retire (typed hashes can't cross
-        the width — a carried bitset would prune rows AWAY); min/max
-        sidecars compare numerically and carry. On a changelog table
-        the commit advances the schema break, and post-break feed
-        reads use the widened schema explicitly."""
+        outgrew 2^31 becomes a bigint without rewriting the table —
+        on COLUMN-partitioned and unpartitioned tables. HASH-bucketed
+        merge keys are frozen: the bucket layout is
+        ``xxhash64(typed key) % n``, xxhash64 is type-sensitive, so a
+        widened key would route new merges to different buckets than
+        the rows already placed (silent duplicates / lost updates) —
+        re-bucketing IS a rewrite, by construction. The column's
+        bloom sidecars retire (typed hashes can't cross the width — a
+        carried bitset would prune rows AWAY); min/max sidecars
+        compare numerically and carry. On a changelog table the
+        commit advances the schema break, and post-break feed reads
+        use the widened schema explicitly."""
         current = self.current_path(name)
         if current is None:
             raise FileNotFoundError(f"table {name} does not exist")
         from pyspark.sql import types as T
 
+        spec = self.partition_spec(name)
+        if (
+            spec is not None
+            and spec.get("mode") == "hash"
+            and col in (spec.get("keys") or [])
+        ):
+            raise ValueError(
+                f"cannot widen {col!r}: it is a hash-bucket merge key "
+                "and the bucket layout is xxhash64 of the TYPED key — "
+                "existing rows were placed under the narrow type, so "
+                "post-widen merges would route the same keys to "
+                "different buckets (duplicate upserts, missed "
+                "deletes); re-bucket via write_partitioned to change "
+                "a hash key's type"
+            )
         new_dt = T._parse_datatype_string(new_type)
         fields = self._logical_fields(current)
-        if fields is None or col not in fields:
+        if fields is None:
+            raise ValueError(
+                f"table {name!r} has no schema sidecar — widen needs "
+                "one (re-create via write/write_partitioned)"
+            )
+        if col not in fields:
             raise ValueError(
                 f"table {name!r} has no column {col!r} "
-                f"(columns: {sorted(fields or {})})"
+                f"(columns: {sorted(fields)})"
             )
         old_dt = fields[col]
         if old_dt == new_dt:
@@ -2759,15 +2813,9 @@ class TableStore:
             )
         cm = self._load_colmap(current)
         phys = cm["map"].get(col, col) if cm is not None else col
-        p = os.path.join(current, self._SCHEMAFILE)
-        try:
-            with open(p) as f:
-                schema_doc = json.load(f)
-        except OSError:
-            raise ValueError(
-                f"table {name!r} has no schema sidecar — widen needs "
-                "one (re-create via write/write_partitioned)"
-            ) from None
+        # the sidecar exists: _logical_fields above read it
+        with open(os.path.join(current, self._SCHEMAFILE)) as f:
+            schema_doc = json.load(f)
         hit = False
         for fld in schema_doc.get("fields", []):
             if fld.get("name") == phys:
@@ -3044,7 +3092,11 @@ class TableStore:
         # creating frame — compute them before the layout derives from
         # them (identity first: a generated expr may reference the id)
         df, _idpins = self._apply_identity(name, df)
-        df = self._apply_generated(name, df)
+        try:
+            df = self._apply_generated(name, df)
+        except BaseException:
+            self._release_pins(_idpins)
+            raise
         if partition_column is not None:
             spec = {
                 "mode": "column",
@@ -3266,10 +3318,7 @@ class TableStore:
                 # reading individual files; the stored schema keeps
                 # mixed-schema versions (post-evolution) reading with
                 # NULL-filled new columns
-                reader = self.spark.read.option("basePath", current)
-                stored = self._stored_schema(current)
-                if stored is not None:
-                    reader = reader.schema(stored)
+                reader = self._schema_reader(current, base_path=True)
                 # DV-wrap the direct file read too, or deleted rows
                 # would resurrect into the rewritten files; the column
                 # mapping then lifts physical names to logical ones
@@ -4179,6 +4228,11 @@ class TableStore:
 
         spec = self.partition_spec(name)
         df, idpins = self._apply_identity(name, df, keys=keys)
+        try:
+            gen = self._apply_generated(name, df)
+        except BaseException:
+            self._release_pins(idpins)
+            raise
         # PIN the replacement batch: it feeds the leak probe, the
         # affected-partition agg, the scratch write and the changelog
         # diff — four evaluations. Beyond the recompute cost, a
@@ -4187,7 +4241,7 @@ class TableStore:
         # land rows in a partition absent from the affected set, whose
         # pre-existing rows would then be silently dropped. The pin
         # makes all four consumers see one materialization.
-        df = pin(self._apply_generated(name, df))
+        df = pin(gen)
         idpins = [*idpins, df]
         try:
             cond = F.coalesce(condition, F.lit(False))

@@ -45,11 +45,7 @@ def _version_reader(store: TableStore, version_dir: str):
     (xxhash64 is type-sensitive: a bloom built over raw int values
     never matches probes cast to the table's bigint — silent
     zero-candidate pruning) or fail to merge the footers outright."""
-    reader = store.spark.read.option("basePath", version_dir)
-    stored = store._stored_schema(version_dir)
-    if stored is not None:
-        reader = reader.schema(stored)
-    return reader
+    return store._schema_reader(version_dir, base_path=True)
 
 
 def _sidecar_path(version_dir: str, col: str) -> str:
@@ -289,7 +285,17 @@ def build_minmax_sidecar(store: TableStore, name: str, col: str) -> int:
             rel = os.path.relpath(
                 local_path_from_uri(r["__f"]), version_dir
             )
-            sidecar[rel] = [r["__lo"], r["__hi"]]
+            lo, hi = r["__lo"], r["__hi"]
+            # JSON-native bounds only: Decimal/date/timestamp bounds
+            # (reachable after a widen to decimal / timestamp_ntz)
+            # neither serialize nor compare consistently once round-
+            # tripped — store None = 'no stats, always a candidate'
+            # (the documented one-sided fallback), never a lossy cast
+            ok = all(
+                isinstance(v, (int, float, str, bool, type(None)))
+                for v in (lo, hi)
+            )
+            sidecar[rel] = [lo, hi] if ok else None
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"col": col, "files": sidecar}, f)

@@ -1000,3 +1000,51 @@ def test_widen_changelog_schema_break(spark, tmp_path):
     assert feed.collect()[0]["qty"] == 2**40
     s = store.stream_changes("t")
     assert dict(s.dtypes)["qty"] == "bigint"
+
+
+def test_widen_hash_merge_key_refused(spark, tmp_path):
+    """The hash-bucket layout is xxhash64 of the TYPED key: widening a
+    bucketed merge key would route post-widen merges to different
+    buckets than the placed rows (duplicate upserts) — refused."""
+    store = TableStore(spark, str(tmp_path), keep_versions=5)
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    store.write_partitioned("t", df, keys=["k"], n_buckets=4)
+    with pytest.raises(ValueError, match="hash-bucket"):
+        store.widen_column("t", "k", "bigint")
+    # non-key payload columns still widen; column-mode partition keys
+    # are value-routed, so the key CAN widen there
+    store.write_partitioned(
+        "u",
+        spark.createDataFrame([(1, "A", 10)], "k int, seg string, val int"),
+        keys=["k"],
+        partition_column="seg",
+    )
+    store.widen_column("u", "k", "bigint")
+    store.widen_column("u", "val", "bigint")
+    store.merge(
+        "u",
+        spark.createDataFrame(
+            [(2**40, "A", 2**40)], "k long, seg string, val long"
+        ),
+        ["k"],
+        policy="scd1",
+    )
+    got = {r["k"]: r["val"] for r in store.read("u").collect()}
+    assert got == {1: 10, 2**40: 2**40}
+
+
+def test_minmax_builder_decimal_bounds_conservative(spark, tmp_path):
+    """After a widen to decimal, the minmax builder stores None for
+    the non-JSON-native bounds (always-candidate) instead of crashing
+    or lossy-casting."""
+    store = TableStore(spark, str(tmp_path), keep_versions=5)
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).cast("int").alias("val")
+    )
+    store.write_partitioned("t", df, keys=["k"], n_buckets=2)
+    store.widen_column("t", "val", "decimal(12,0)")
+    n = skipping.build_minmax_sidecar(store, "t", "val")
+    assert n > 0  # scanned without raising
+    rows, fr, tot = skipping.read_where_between(store, "t", "val", 100, 200)
+    assert fr == tot  # conservative: no pruning on decimal bounds
+    assert rows.count() == 11
