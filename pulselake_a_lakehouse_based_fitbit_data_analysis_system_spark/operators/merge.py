@@ -1134,6 +1134,41 @@ class TableStore:
                 "aborted, table untouched"
             )
 
+    # --- table properties (TBLPROPERTIES analog) --------------------------
+
+    def _properties_path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}._PROPERTIES")
+
+    def properties(self, name: str) -> dict:
+        """Free-form table properties — the ``TBLPROPERTIES`` /
+        ``delta.*`` table-config analog: string key-values an operator
+        layer keys policy off (owner, SLA tier, compaction cadence,
+        retention intent). Purely metadata; nothing in the engine
+        interprets them."""
+        try:
+            with open(self._properties_path(name)) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def set_properties(self, name: str, **props: str) -> None:
+        """``ALTER TABLE ... SET TBLPROPERTIES`` analog — upserts the
+        given keys (values stringified). Flock-serialized like every
+        sidecar mutation so concurrent setters never lose entries."""
+        with self._commit_lock(name):
+            cur = self.properties(name)
+            cur.update({k: str(v) for k, v in props.items()})
+            self._write_json_sidecar(self._properties_path(name), cur)
+
+    def unset_properties(self, name: str, *keys: str) -> None:
+        """``ALTER TABLE ... UNSET TBLPROPERTIES`` analog; unknown
+        keys are ignored (IF EXISTS semantics)."""
+        with self._commit_lock(name):
+            cur = self.properties(name)
+            for k in keys:
+                cur.pop(k, None)
+            self._write_json_sidecar(self._properties_path(name), cur)
+
     # --- generated columns (Delta GENERATED ALWAYS AS analog) -------------
 
     def _write_json_sidecar(self, path: str, obj) -> None:
@@ -2069,6 +2104,7 @@ class TableStore:
             "name": name,
             "format": "parquet",
             "location": current,
+            "properties": self.properties(name),
             "num_files": n_files,
             "size_bytes": int(n_bytes),
             "partition_spec": self.partition_spec(name),
@@ -3912,6 +3948,9 @@ class TableStore:
         gens = self.generated_columns(src)
         if gens:
             self._write_json_sidecar(self._generated_path(dst), gens)
+        props = self.properties(src)
+        if props:
+            self._write_json_sidecar(self._properties_path(dst), props)
         idents = self.identity_columns(src)
         if idents:
             # the clone resumes from the source's high-water mark —

@@ -1048,3 +1048,26 @@ def test_minmax_builder_decimal_bounds_conservative(spark, tmp_path):
     rows, fr, tot = skipping.read_where_between(store, "t", "val", 100, 200)
     assert fr == tot  # conservative: no pruning on decimal bounds
     assert rows.count() == 11
+
+
+def test_table_properties(spark, tmp_path):
+    import threading
+
+    store = TableStore(spark, str(tmp_path), keep_versions=5)
+    store.write("t", _base(spark))
+    threads = [
+        threading.Thread(
+            target=store.set_properties, args=("t",), kwargs={f"p{i}": i}
+        )
+        for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert store.properties("t") == {f"p{i}": str(i) for i in range(8)}
+    store.unset_properties("t", "p0", "nope")
+    assert "p0" not in store.properties("t")
+    assert store.detail("t")["properties"]["p1"] == "1"
+    store.clone("t", "fork")
+    assert store.properties("fork")["p1"] == "1"
