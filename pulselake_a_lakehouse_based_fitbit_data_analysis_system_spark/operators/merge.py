@@ -2590,6 +2590,7 @@ class TableStore:
         dropped: str | None = None,
         new_schema=None,
         drop_bloom_for: str | None = None,
+        schema_break: bool = True,
         **details,
     ) -> None:
         """Metadata-only commit of a new column mapping: every file of
@@ -2659,7 +2660,7 @@ class TableStore:
         self._write_op(full, op, **details)
         brk = (
             self._next_commit_version(name)
-            if self._changelog_enabled(name)
+            if schema_break and self._changelog_enabled(name)
             else None
         )
         self._commit_pointer(
@@ -2743,6 +2744,70 @@ class TableStore:
         cm.setdefault("retired", []).append(retired_phys)
         self._commit_colmap_change(
             name, current, cm, "drop_column", dropped=col, column=col
+        )
+
+    def add_column(self, name: str, col: str, data_type: str) -> None:
+        """``ALTER TABLE ... ADD COLUMN`` — a METADATA-ONLY commit:
+        the stored schema gains the field, no file is touched, and
+        every read NULL-fills it for existing rows (the same
+        mixed-files-one-schema mechanism evolution merges use — this
+        is the explicit DDL form that doesn't need a merge to ride
+        on). If the logical name was used and DROPPED before, the new
+        column gets a fresh physical name through the column mapping,
+        so retained bytes can never resurrect. Later merges populate
+        it via ordinary evolution-free writes (their sources now
+        carry a known column)."""
+        current = self.current_path(name)
+        if current is None:
+            raise FileNotFoundError(f"table {name} does not exist")
+        from pyspark.sql import types as T
+
+        new_dt = T._parse_datatype_string(data_type)
+        fields = self._logical_fields(current)
+        if fields is None:
+            raise ValueError(
+                f"table {name!r} has no schema sidecar — add_column "
+                "needs one (re-create via write/write_partitioned)"
+            )
+        if col.lower() in {c.lower() for c in fields}:
+            raise ValueError(
+                f"table {name!r} already has a column {col!r}"
+            )
+        if col.startswith("__"):
+            raise ValueError(
+                f"column name {col!r} is reserved (internal prefix)"
+            )
+        cm = self._load_colmap(current)
+        phys = col
+        if cm is not None:
+            used = set(cm["map"].values()) | set(cm.get("retired") or [])
+            if col in used:
+                phys = f"{col}__{uuid.uuid4().hex[:8]}"
+            cm = {
+                "map": {**cm["map"], col: phys},
+                "retired": list(cm.get("retired") or []),
+            }
+        with open(os.path.join(current, self._SCHEMAFILE)) as f:
+            schema_doc = json.load(f)
+        schema_doc.setdefault("fields", []).append(
+            {
+                "name": phys,
+                "type": json.loads(new_dt.json()),
+                "nullable": True,
+                "metadata": {},
+            }
+        )
+        # additive-only: old feed records simply NULL-fill the new
+        # column (same as evolution merges) — no schema break needed
+        self._commit_colmap_change(
+            name,
+            current,
+            cm,
+            "add_column",
+            new_schema=schema_doc,
+            schema_break=False,
+            column=col,
+            type=new_dt.simpleString(),
         )
 
     @staticmethod

@@ -1071,3 +1071,54 @@ def test_table_properties(spark, tmp_path):
     assert store.detail("t")["properties"]["p1"] == "1"
     store.clone("t", "fork")
     assert store.properties("fork")["p1"] == "1"
+
+
+def test_add_column_metadata_only(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), keep_versions=10)
+    store.write_partitioned("t", _base(spark), keys=["k"], n_buckets=2)
+    pre = _inodes(store.current_path("t"))
+    store.add_column("t", "score", "double")
+    assert pre == _inodes(store.current_path("t"))  # zero data movement
+    got = {r["k"]: r["score"] for r in store.read("t").collect()}
+    assert got == {1: None, 2: None, 3: None, 4: None}
+    # later merges populate it with NO evolution flag needed
+    store.merge(
+        "t",
+        spark.createDataFrame(
+            [(1, "a", 10, 0.9)], "k long, name string, val long, score double"
+        ),
+        ["k"],
+        policy="scd1",
+    )
+    got2 = {r["k"]: r["score"] for r in store.read("t").collect()}
+    assert got2[1] == 0.9 and got2[2] is None
+    with pytest.raises(ValueError, match="already has"):
+        store.add_column("t", "VAL", "long")
+    with pytest.raises(ValueError, match="reserved"):
+        store.add_column("t", "__x", "long")
+    # drop then re-ADD the same logical name: fresh physical, no
+    # resurrection of the retained bytes
+    store.drop_column("t", "score")
+    store.add_column("t", "score", "double")
+    got3 = {r["k"]: r["score"] for r in store.read("t").collect()}
+    assert got3 == {1: None, 2: None, 3: None, 4: None}
+    # time travel: version before the add lacks the column
+    assert "score" not in store.read_at("t", 0).columns
+
+
+def test_add_column_does_not_break_changelog(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path), keep_versions=10, changelog=True)
+    store.write_partitioned("t", _base(spark), keys=["k"], n_buckets=2)
+    store.enable_changelog("t")
+    store.merge(
+        "t",
+        spark.createDataFrame([(5, "e", 50)], "k long, name string, val long"),
+        ["k"],
+        policy="scd1",
+    )
+    n = store.read_changes("t").count()
+    store.add_column("t", "score", "double")
+    # additive change: the feed keeps serving its history (old
+    # records NULL-fill), unlike rename/drop/widen
+    assert store.schema_break_version("t") == 0
+    assert store.read_changes("t").count() == n
