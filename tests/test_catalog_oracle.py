@@ -136,6 +136,7 @@ def test_driver_priority_orders_never_green_then_changed_then_stalest():
     )
 
     from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import (
+        _AGE_BACKSTOP,
         _CANONICAL_ORDER,
         _DRIVER_BUDGET,
         _STALE_QUOTA,
@@ -144,6 +145,7 @@ def test_driver_priority_orders_never_green_then_changed_then_stalest():
     green = last_green_rounds()
     changed = changed_since_green(green)
     churn = module_churn_since_green(green, changed)
+    next_round = max(green.values(), default=0) + 1
     order = driver_priority()
     assert order == list(QUERIES), "QUERIES dict order must match priority"
     # idempotence: the priority keys on the canonical registration
@@ -157,16 +159,19 @@ def test_driver_priority_orders_never_green_then_changed_then_stalest():
             return 0
         if changed.get(n) == "def":
             return 1
-        return 2 if n in changed else 3
+        if next_round - g >= _AGE_BACKSTOP:
+            return 2
+        return 3 if n in changed else 4
 
     insertion = {n: i for i, n in enumerate(_CANONICAL_ORDER)}
 
     def key(n):
-        c = -churn.get(n, 0) if cls(n) == 2 else 0
+        c = -churn.get(n, 0) if cls(n) == 3 else 0
         return (cls(n), c, green.get(n, 0), insertion[n])
 
     plain = sorted(_CANONICAL_ORDER, key=key)
-    stalest = [n for n in plain if cls(n) == 3][:_STALE_QUOTA]
+    pool = [n for n in plain if cls(n) in (2, 4)]
+    stalest = pool[:_STALE_QUOTA]
     if stalest:
         reserved = set(stalest)
         non_res = [n for n in plain if n not in reserved]
@@ -177,6 +182,18 @@ def test_driver_priority_orders_never_green_then_changed_then_stalest():
     assert order == plain, (
         "not (class, churn, last-green)-sorted modulo the stale quota"
     )
+    # the round-12 ask #1 done-bar: every row whose green evidence
+    # would be >= _AGE_BACKSTOP rounds old next round sits INSIDE the
+    # driver window (guaranteed whenever the aged set fits the quota —
+    # true at HEAD and by construction in steady state, since each
+    # round retires every seated aged row)
+    aged = [n for n in _CANONICAL_ORDER if cls(n) == 2]
+    if len(aged) <= _STALE_QUOTA:
+        window50 = set(order[:_DRIVER_BUDGET])
+        missing = [n for n in aged if n not in window50]
+        assert not missing, (
+            f"aged rows stranded outside the driver window: {missing}"
+        )
 
 
 def test_driver_priority_bumps_changed_module_query():
@@ -257,9 +274,13 @@ def test_driver_priority_reserves_slots_for_stalest_untouched_rows():
     # stalest rows, displacing class-1 overflow, never other stalest
     # class-2 rows (the r7 tail-insertion bug net-gained zero seats).
     n_c1 = _DRIVER_BUDGET - _STALE_QUOTA + 6  # leaves quota-6 natural
+    # greens span 3..6 so no row crosses the _AGE_BACKSTOP (5 rounds
+    # behind next_round=7) — this test pins the quota mechanics alone;
+    # the aged-class interplay is pinned in
+    # test_driver_priority_age_backstop_*
     green2 = {n: 6 for n in names[:n_c1]}
     for i, n in enumerate(names[n_c1:]):
-        green2[n] = 2 + (i % 4)
+        green2[n] = 3 + (i % 4)
     order2 = driver_priority(
         green=green2, changed=set(names[:n_c1])
     )
@@ -274,6 +295,58 @@ def test_driver_priority_reserves_slots_for_stalest_untouched_rows():
     assert sum(1 for n in window2 if green2[n] == 6) == (
         _DRIVER_BUDGET - _STALE_QUOTA
     ), "displacement must come from class-1 overflow only"
+
+
+def test_driver_priority_age_backstop_promotes_stale_mods_rows():
+    """Round-12 verdict ask #1: the churn ranking stranded 18 r7-green
+    ANN + core-streaming rows at window positions 50-66 for a second
+    consecutive round. Any green row >= _AGE_BACKSTOP rounds behind
+    the upcoming round must outrank the whole churn-ranked mods class,
+    AND survive a class-0 flood via the reservation pool."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import (
+        _AGE_BACKSTOP,
+        _DRIVER_BUDGET,
+        driver_priority,
+    )
+
+    names = list(QUERIES)
+    aged_mods, fresh_mods = names[0], names[1]
+    green = {n: 11 for n in names}
+    green[aged_mods] = 12 - _AGE_BACKSTOP  # next_round=13 -> age 6
+    green[fresh_mods] = 11
+    # enormous churn on the fresh row, none on the aged one: without
+    # the backstop, churn ranks the fresh row first (the r12 failure)
+    order = driver_priority(
+        green=green,
+        changed={aged_mods: "mods", fresh_mods: "mods"},
+        churn={fresh_mods: 100_000},
+    )
+    assert order.index(aged_mods) < order.index(fresh_mods), (
+        "aged row must outrank the mods class regardless of churn"
+    )
+    # class-0 flood: 60 never-green rows would fill the budget, but
+    # the reservation pool leads with aged rows — the aged row keeps
+    # a seat inside the window
+    green2 = dict(green)
+    for n in names[2:62]:
+        green2[n] = 0
+    order2 = driver_priority(
+        green=green2,
+        changed={aged_mods: "mods", fresh_mods: "mods"},
+        churn={fresh_mods: 100_000},
+    )
+    assert order2.index(aged_mods) < _DRIVER_BUDGET, (
+        "aged row squeezed out of the window by a class-0 flood"
+    )
+    # an aged UNTOUCHED row is equally protected (class is assigned
+    # before the changed-set check)
+    green3 = dict(green2)
+    aged_untouched = names[62]
+    green3[aged_untouched] = 12 - _AGE_BACKSTOP
+    order3 = driver_priority(
+        green=green3, changed={fresh_mods: "mods"}, churn={}
+    )
+    assert order3.index(aged_untouched) < _DRIVER_BUDGET
 
 
 def test_rows_only_queries_are_documented_exceptions():
