@@ -668,9 +668,9 @@ class TableStore:
         by ``_commit_lock`` (kernel flock — see its docstring for why
         not an O_EXCL file)."""
         with self._commit_lock(name):
+            cur = self.current_path(name)
+            cur_base = os.path.basename(cur) if cur else None
             if based_on is not None:
-                cur = self.current_path(name)
-                cur_base = os.path.basename(cur) if cur else None
                 if cur_base != based_on:
                     if cleanup_on_conflict:
                         # the loser's fully-written version dir was
@@ -685,10 +685,17 @@ class TableStore:
                         f"no longer current ({cur_base!r} is) — another "
                         "writer committed; re-run against the new version"
                     )
+            # ledger the OUTGOING current before the flip (it was
+            # current, hence committed — heals a predecessor's crash
+            # between ITS flip and ITS ledger append), then the new
+            # dir after (see the staged-CDF protocol note)
+            if cur_base is not None:
+                self._ledger_record(name, cur_base)
             tmp_ptr = self._pointer(name) + ".tmp"
             with open(tmp_ptr, "w") as f:
                 f.write(version_dir)
             os.replace(tmp_ptr, self._pointer(name))
+            self._ledger_record(name, version_dir)
 
     # --- partition-level conflict detection (the Delta logical-
     # conflict analog: disjoint writers both commit) -----------------------
@@ -765,10 +772,13 @@ class TableStore:
             cur = self.current_path(name)
             cur_base = os.path.basename(cur) if cur else None
             if cur_base == based_on:
+                if cur_base is not None:
+                    self._ledger_record(name, cur_base)
                 tmp_ptr = self._pointer(name) + ".tmp"
                 with open(tmp_ptr, "w") as f:
                     f.write(version_dir)
                 os.replace(tmp_ptr, self._pointer(name))
+                self._ledger_record(name, version_dir)
                 return version_dir
             ours_full = os.path.join(self.root, version_dir)
             inter = (
@@ -840,7 +850,15 @@ class TableStore:
             os.makedirs(rebase_full)
             for entry in os.listdir(cur):
                 src_path = os.path.join(cur, entry)
-                if not os.path.isdir(src_path) or entry in rewritten:
+                if (
+                    not os.path.isdir(src_path)
+                    or entry in rewritten
+                    # cur's staged change records (if any survive a
+                    # crash unpublished) belong to CUR's commit — the
+                    # publish pass finds them there; carrying them
+                    # here would double-feed them under a new owner
+                    or entry == self._STAGED_DIR
+                ):
                     continue
                 os.makedirs(os.path.join(rebase_full, entry))
                 for fname in os.listdir(src_path):
@@ -852,6 +870,28 @@ class TableStore:
                 src_path = os.path.join(ours_full, entry)
                 if os.path.isdir(src_path):
                     os.rename(src_path, os.path.join(rebase_full, entry))
+            # OUR staged change records ride the commit wherever it
+            # lands: move them into the rebase dir and re-own the
+            # manifest (ours_full is about to be rmtree'd)
+            ours_staged = os.path.join(ours_full, self._STAGED_DIR)
+            ours_man = os.path.join(ours_full, self._STAGED_MANIFEST)
+            if os.path.exists(ours_man):
+                if os.path.isdir(ours_staged):
+                    os.rename(
+                        ours_staged,
+                        os.path.join(rebase_full, self._STAGED_DIR),
+                    )
+                with open(ours_man) as f:
+                    man = json.load(f)
+                man["owner"] = rebase_dir
+                tmp = os.path.join(
+                    rebase_full, self._STAGED_MANIFEST + ".tmp"
+                )
+                with open(tmp, "w") as f:
+                    json.dump(man, f)
+                os.replace(
+                    tmp, os.path.join(rebase_full, self._STAGED_MANIFEST)
+                )
             # merge-key stats: union both carries (rel paths are
             # uuid-unique per file; _write_file_stats walks the REAL
             # dir listing, so stale entries are simply never consulted)
@@ -925,10 +965,13 @@ class TableStore:
             )
             self._write_rewritten(rebase_full, rewritten, cur_base)
             shutil.rmtree(ours_full, ignore_errors=True)
+            if cur_base is not None:
+                self._ledger_record(name, cur_base)
             tmp_ptr = self._pointer(name) + ".tmp"
             with open(tmp_ptr, "w") as f:
                 f.write(rebase_dir)
             os.replace(tmp_ptr, self._pointer(name))
+            self._ledger_record(name, rebase_dir)
             return rebase_dir
 
     def current_path(self, name: str) -> str | None:
@@ -959,6 +1002,7 @@ class TableStore:
         _log_changes: bool = True,
         _op: str = "write",
         _based_on: str | None = None,
+        _stage: "Callable[[str], None] | None" = None,
     ) -> None:
         df, idpins = self._apply_identity(name, df)
         try:
@@ -974,12 +1018,25 @@ class TableStore:
             self._release_pins(idpins)
         self._write_schema(full, df)
         self._write_op(full, _op)
-        self._commit_pointer(name, version_dir, based_on=_based_on)
+        # change rows STAGE into the version dir before the flip so
+        # the commit publishes state and changes atomically (the
+        # crash-atomic CDF protocol — see the staged-records note)
         if self._changelog_enabled(name) and _log_changes:
             # full refresh/create: the whole table is the change set
             self._append_changelog(
-                name, self._read_version(full).drop("__bucket"), "insert"
+                name,
+                self._read_version(full).drop("__bucket"),
+                "insert",
+                stage_to=full,
             )
+        elif _stage is not None:
+            # caller-supplied staging (merge paths that diff the new
+            # dir against the pre-image): runs in the same pre-flip
+            # window
+            _stage(full)
+        self._commit_pointer(name, version_dir, based_on=_based_on)
+        if self._changelog_enabled(name):
+            self._publish_staged(name)
         self._prune(name, keep=version_dir)
 
     # --- CHECK constraints (Delta ADD CONSTRAINT analog) ------------------
@@ -1693,16 +1750,35 @@ class TableStore:
         version_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
         full = os.path.join(self.root, version_dir)
         os.makedirs(full)
-        for base, _dirs, files in os.walk(current):
+        for base, dirs, files in os.walk(current):
+            # never carry another commit's staged change records
+            dirs[:] = [d for d in dirs if d != self._STAGED_DIR]
             rel = os.path.relpath(base, current)
             dst = full if rel == "." else os.path.join(full, rel)
             os.makedirs(dst, exist_ok=True)
             for fname in files:
-                if fname in (self._OPFILE, self._DVFILE, self._REWRITTENFILE):
+                if fname in (
+                    self._OPFILE,
+                    self._DVFILE,
+                    self._REWRITTENFILE,
+                    self._STAGED_MANIFEST,
+                ):
                     continue  # fresh commit metadata below
                 os.link(os.path.join(base, fname), os.path.join(dst, fname))
         self._write_dv(full, new_dv)
         self._write_op(full, "delete_vectored", n_rows=len(pairs))
+        if log_changes:
+            # drop the internal bucket column like every other
+            # changelog writer (the stored schema carries it on
+            # hash-partitioned tables; leaking it would give the
+            # feed's files inconsistent schemas). Staged pre-flip:
+            # the commit publishes state + changes atomically
+            self._append_delete_records(
+                name,
+                matches.drop("__dv_rel", "__dv_ri", "__bucket"),
+                list(keys),
+                stage_to=full,
+            )
         affected = sorted(
             {r["__dv_rel"].split("/", 1)[0] for r in pairs
              if "/" in r["__dv_rel"]}
@@ -1719,15 +1795,7 @@ class TableStore:
             self._commit_pointer(name, version_dir, based_on=cur_base)
             final = version_dir
         if log_changes:
-            # drop the internal bucket column like every other
-            # changelog writer (the stored schema carries it on
-            # hash-partitioned tables; leaking it would give the
-            # feed's files inconsistent schemas)
-            self._append_delete_records(
-                name,
-                matches.drop("__dv_rel", "__dv_ri", "__bucket"),
-                list(keys),
-            )
+            self._publish_staged(name)
         self._prune(name, keep=final)
         return len(pairs)
 
@@ -1752,6 +1820,166 @@ class TableStore:
 
     def _changelog_dir(self, name: str) -> str:
         return os.path.join(self.root, f"{name}.changelog")
+
+    # --- staged change records (crash-atomic CDF commits) ------------------
+    #
+    # Change rows used to append to the changelog AFTER the pointer
+    # flip (a multi-second Spark write job): a crash in between left a
+    # committed, fully visible version whose change rows never landed,
+    # so a read_changes/IVM consumer saw the version advance with an
+    # EMPTY delta and silently under-built (round-12 verdict "What's
+    # wrong" #1 — the commit-side mirror of the vacuum-side
+    # cursor-before-unlink fix). Now every CDF-writing commit STAGES
+    # its change rows as parquet inside the version dir itself
+    # (``_CDF_STAGED/`` + a ``_CDF_STAGED.json`` manifest) BEFORE the
+    # pointer flip, so the flip publishes table state and change rows
+    # atomically; the records are then hard-linked into the long-lived
+    # changelog dir ("published") right after the flip. A crash
+    # between flip and publish leaves the manifest in a COMMITTED
+    # version dir, and the next publish pass — run by every subsequent
+    # commit, read_changes, stream_changes, vacuum and changelog
+    # vacuum — completes the move idempotently (EEXIST-safe links,
+    # manifest removed last). Spark never sees the staged subdir in
+    # table reads (underscore-prefixed, no '=').
+    #
+    # Committed-ness of a non-current version dir is decided by the
+    # per-table ``_COMMITS`` ledger: every flip, under the commit
+    # lock, first ensures the OUTGOING current dir is ledgered (it was
+    # current, hence committed — this heals a crash between a
+    # predecessor's flip and its own ledger append), then flips, then
+    # ledgers the new dir. A staged dir that is neither current nor
+    # ledgered is a pre-flip crash's scratch: its records describe a
+    # version that never became visible, publishing them would feed
+    # consumers phantom changes, so it is left to die with retention.
+    # Readers must resolve the pointer BEFORE the ledger (a committed
+    # dir superseded between the two reads is ledgered by its
+    # successor's flip, so the later ledger read sees it).
+
+    _STAGED_DIR = "_CDF_STAGED"
+    _STAGED_MANIFEST = "_CDF_STAGED.json"
+    _LEDGER_KEEP = 200
+
+    def _ledger_path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}._COMMITS")
+
+    def _committed_versions(self, name: str) -> set[str]:
+        try:
+            with open(self._ledger_path(name)) as f:
+                return {ln.strip() for ln in f if ln.strip()}
+        except OSError:
+            return set()
+
+    def _ledger_record(self, name: str, version_dir: str) -> None:
+        """Append a committed version dir to the ledger (call under
+        the commit lock). Trims to the newest ``_LEDGER_KEEP`` entries
+        — entries only matter while their dir survives retention."""
+        p = self._ledger_path(name)
+        lines: list[str] = []
+        try:
+            with open(p) as f:
+                lines = [ln.strip() for ln in f if ln.strip()]
+        except OSError:
+            pass
+        if version_dir in lines:
+            return
+        lines.append(version_dir)
+        if len(lines) > 2 * self._LEDGER_KEEP:
+            lines = lines[-self._LEDGER_KEEP:]
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, p)
+
+    def _stage_changelog(
+        self, version_full: str, out: DataFrame, ver: int, columns
+    ) -> None:
+        """Write stamped change rows into the version dir's staged
+        subdir + manifest — the pre-flip half of a CDF commit. The
+        manifest records the OWNER dir name so a staged dir carried
+        into another dir by a wholesale link walk (restore/clone) is
+        recognizable as foreign and discarded, never re-published."""
+        staged = os.path.join(version_full, self._STAGED_DIR)
+        out.write.mode("overwrite").parquet(staged)
+        man = {
+            "owner": os.path.basename(version_full),
+            "version": int(ver),
+            "columns": list(columns),
+        }
+        tmp = os.path.join(version_full, self._STAGED_MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, os.path.join(version_full, self._STAGED_MANIFEST))
+
+    def _publish_staged(self, name: str) -> int:
+        """Move staged change records of every COMMITTED version dir
+        into the changelog dir — idempotent, crash-resumable. Returns
+        the number of version dirs published. Pointer first, ledger
+        second (see the protocol note above)."""
+        cur = self.current_path(name)
+        cur_base = os.path.basename(cur) if cur else None
+        committed: set[str] | None = None  # lazy: ledger read only on a hit
+        n = 0
+        for d in os.listdir(self.root):
+            if not (
+                d.startswith(f"{name}.v")
+                and os.path.exists(
+                    os.path.join(self.root, d, self._STAGED_MANIFEST)
+                )
+            ):
+                continue
+            full = os.path.join(self.root, d)
+            if d != cur_base:
+                if committed is None:
+                    committed = self._committed_versions(name)
+                if d not in committed:
+                    continue  # pre-flip crash scratch: dies with retention
+            try:
+                with open(os.path.join(full, self._STAGED_MANIFEST)) as f:
+                    man = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            staged = os.path.join(full, self._STAGED_DIR)
+            if man.get("owner") != d:
+                # foreign copy (linked in by a wholesale dir walk):
+                # its records were staged for a DIFFERENT commit —
+                # drop, never publish twice
+                shutil.rmtree(staged, ignore_errors=True)
+                try:
+                    os.unlink(os.path.join(full, self._STAGED_MANIFEST))
+                except OSError:
+                    pass
+                continue
+            dst = self._changelog_dir(name)
+            os.makedirs(dst, exist_ok=True)
+            if os.path.isdir(staged):
+                for fname in os.listdir(staged):
+                    if fname == "_SUCCESS" or not (
+                        fname.endswith(".parquet")
+                        or fname.endswith(".parquet.crc")
+                    ):
+                        continue
+                    try:
+                        os.link(
+                            os.path.join(staged, fname),
+                            os.path.join(dst, fname),
+                        )
+                    except FileExistsError:
+                        pass  # resumed publish: already linked
+                shutil.rmtree(staged, ignore_errors=True)
+            # manifest removed LAST: its presence is what makes a
+            # crashed publish resumable
+            try:
+                os.unlink(os.path.join(full, self._STAGED_MANIFEST))
+            except OSError:
+                pass
+            # post-publish schema re-check (the pre-flip check ran at
+            # stage time; a column-mapping change landing in between
+            # heals here exactly like the old post-write re-check)
+            self._check_append_schema(
+                name, man.get("columns", []), int(man.get("version", 0))
+            )
+            n += 1
+        return n
 
     def _require_changelog(self, name: str) -> str:
         """The changelog dir, or a CLEAR error: a consumer attaching
@@ -1847,14 +2075,26 @@ class TableStore:
         return False
 
     def _append_changelog(
-        self, name: str, rows: DataFrame, change_type: str
+        self,
+        name: str,
+        rows: DataFrame,
+        change_type: str,
+        stage_to: str | None = None,
     ) -> int:
+        """``stage_to=<version dir>``: write the records into that
+        dir's staged subdir instead of the live changelog — the
+        pre-flip half of the crash-atomic CDF commit (publish follows
+        the pointer flip). ``None`` keeps the direct append (no
+        commit to ride: enable-time backfills, tests)."""
         ver = self._next_commit_version(name)
         if not self._check_append_schema(name, rows.columns, ver):
             return ver
         out = rows.withColumn("_change_type", F.lit(change_type)).withColumn(
             "_commit_version", F.lit(ver)
         )
+        if stage_to is not None:
+            self._stage_changelog(stage_to, out, ver, rows.columns)
+            return ver
         out.write.mode("append").parquet(self._changelog_dir(name))
         # post-write re-check: the write job takes real time, so a
         # break persisted mid-job is visible here and heals by
@@ -1869,6 +2109,7 @@ class TableStore:
         post: DataFrame,
         keys: Sequence[str],
         include_deletes: bool = False,
+        stage_to: str | None = None,
     ) -> None:
         """Diff post-merge vs pre-merge state into change rows —
         policy-agnostic (works for every merge shape): a key absent
@@ -1921,6 +2162,9 @@ class TableStore:
         out = changes.withColumnRenamed("__ct", "_change_type").withColumn(
             "_commit_version", F.lit(ver)
         )
+        if stage_to is not None:
+            self._stage_changelog(stage_to, out, ver, post.columns)
+            return
         out.write.mode("append").parquet(self._changelog_dir(name))
         self._check_append_schema(name, post.columns, ver)
 
@@ -1960,6 +2204,11 @@ class TableStore:
         history); an explicit ``starting_version`` below it raises —
         the Delta 'CDF read across a column mapping change' failure,
         surfaced as a contract."""
+        # resume any crashed commit's publish first: a committed
+        # version's staged change rows must be visible to this read
+        # (the crash-atomic CDF protocol)
+        if self._changelog_enabled(name):
+            self._publish_staged(name)
         brk = self.schema_break_version(name)
         if starting_version is None:
             starting_version = max(self.changelog_cursor(name), brk)
@@ -2037,6 +2286,8 @@ class TableStore:
         schema-break contract as ``read_changes``: defaults resolve
         to the break, an explicit pre-break ``starting_version``
         raises, and pre-break columns are projected away."""
+        if self._changelog_enabled(name):
+            self._publish_staged(name)
         brk = self.schema_break_version(name)
         if starting_version is None:
             starting_version = max(self.changelog_cursor(name), brk)
@@ -2082,7 +2333,9 @@ class TableStore:
             raise FileNotFoundError(f"table {name} does not exist")
         n_files = 0
         n_bytes = 0
-        for root, _dirs, fs in os.walk(current):
+        for root, dirs, fs in os.walk(current):
+            # staged change rows are feed data, not table data
+            dirs[:] = [d for d in dirs if d != self._STAGED_DIR]
             for f in fs:
                 if f.endswith(".parquet"):
                     n_files += 1
@@ -2141,6 +2394,9 @@ class TableStore:
         #2). Returns ``{"files", "bytes", "max_version_reclaimed",
         "min_retained_version"}``; ``dry_run`` reports without
         deleting or moving the cursor."""
+        # publish any crashed commit's staged rows first so the
+        # file -> max-version map covers the full feed
+        self._publish_staged(name)
         d = self._require_changelog(name)
         per_file = (
             self.spark.read.parquet(d)
@@ -2272,6 +2528,10 @@ class TableStore:
         nothing to delete here, so it is not counted — at 100 TB a
         vacuum after trickle merges reclaims only each rewrite's
         superseded files, a tiny fraction of table size."""
+        # a doomed version dir may carry a crashed commit's
+        # still-staged change rows — publish before reclaiming
+        if not dry_run and self._changelog_enabled(name):
+            self._publish_staged(name)
         keep = self.keep_versions if keep_versions is None else keep_versions
         if keep < 1:
             raise ValueError("keep_versions must be >= 1")
@@ -2641,12 +2901,14 @@ class TableStore:
         version_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
         full = os.path.join(self.root, version_dir)
         os.makedirs(full)
-        for base, _dirs, files in os.walk(current):
+        for base, dirs, files in os.walk(current):
+            # never carry another commit's staged change records
+            dirs[:] = [d for d in dirs if d != self._STAGED_DIR]
             rel = os.path.relpath(base, current)
             dst = full if rel == "." else os.path.join(full, rel)
             os.makedirs(dst, exist_ok=True)
             for fname in files:
-                if fname in skip:
+                if fname in skip or fname == self._STAGED_MANIFEST:
                     continue
                 os.link(
                     os.path.join(base, fname),
@@ -3008,7 +3270,10 @@ class TableStore:
         files: dict[str, list | None] = {}
         for entry in os.listdir(version_full):
             pdir = os.path.join(version_full, entry)
-            if not os.path.isdir(pdir):
+            # staged change rows are feed data, not skippable table
+            # files — indexing them would pay footer reads for
+            # entries no table read ever consults
+            if not os.path.isdir(pdir) or entry == self._STAGED_DIR:
                 continue
             for fname in os.listdir(pdir):
                 if not fname.endswith(".parquet"):
@@ -3545,7 +3810,7 @@ class TableStore:
         shutil.rmtree(scratch, ignore_errors=True)
         for entry in os.listdir(current):
             src_path = os.path.join(current, entry)
-            if not os.path.isdir(src_path):
+            if not os.path.isdir(src_path) or entry == self._STAGED_DIR:
                 continue
             if entry in rewritten:
                 if not use_stats:
@@ -3617,22 +3882,20 @@ class TableStore:
             # them as rewritten
             touched |= set(affected_dirs)
         self._write_rewritten(full, touched, os.path.basename(current))
-        final = self._commit_pointer_or_rebase(
-            name,
-            version_dir,
-            based_on=os.path.basename(current),
-            rewritten=touched,
-        )
-        final_full = os.path.join(self.root, final)
         if self._changelog_enabled(name):
             # diff only the affected partitions — untouched ones are
-            # hard-linked and by construction unchanged (under a
-            # rebase the intervening commits were proven disjoint
-            # from them, so the snapshot is still their pre-image)
+            # hard-linked and by construction unchanged. Staged into
+            # the version dir BEFORE the flip (crash-atomic CDF): the
+            # post-image reads the NEW dir directly — identical to
+            # the committed result for the affected partitions even
+            # under a rebase, which takes exactly these partitions
+            # from this dir (intervening commits were proven disjoint,
+            # so the snapshot is still their pre-image); a rebase also
+            # carries the staged records into the dir it commits
             pre = self._read_version(current).filter(
                 F.col(part_col).isin(affected)
             )
-            post = self._read_version(final_full).filter(
+            post = self._read_version(full).filter(
                 F.col(part_col).isin(affected)
             )
             if spec["mode"] == "hash":
@@ -3643,7 +3906,16 @@ class TableStore:
                 post,
                 keys,
                 include_deletes=(policy == "upsert_delete"),
+                stage_to=full,
             )
+        final = self._commit_pointer_or_rebase(
+            name,
+            version_dir,
+            based_on=os.path.basename(current),
+            rewritten=touched,
+        )
+        if self._changelog_enabled(name):
+            self._publish_staged(name)
         self._prune(name, keep=final)
 
     def merge(
@@ -3816,7 +4088,20 @@ class TableStore:
         else:
             raise ValueError(f"unknown policy {policy!r}")
         # materialize before the pointer flip; the new version dir is
-        # written from the merged plan which still reads the old version
+        # written from the merged plan which still reads the old
+        # version. Change rows stage inside write()'s pre-flip window
+        # (crash-atomic CDF): the diff reads the new dir directly —
+        # the same frame the old post-commit read produced
+        stage = None
+        if self._changelog_enabled(name):
+            stage = lambda full: self._log_merge_changes(  # noqa: E731
+                name,
+                self._read_version(old_path),
+                self._read_version(full).drop("__bucket"),
+                keys,
+                include_deletes=(policy == "upsert_delete"),
+                stage_to=full,
+            )
         self.write(
             name,
             merged,
@@ -3824,15 +4109,8 @@ class TableStore:
             _op=f"merge:{policy}",
             # the commit is conditional on the snapshot this merge read
             _based_on=os.path.basename(old_path) if old_path else None,
+            _stage=stage,
         )
-        if self._changelog_enabled(name):
-            self._log_merge_changes(
-                name,
-                self._read_version(old_path),
-                self.read(name),
-                keys,
-                include_deletes=(policy == "upsert_delete"),
-            )
 
 
     def versions(self, name: str) -> list[str]:
@@ -3979,12 +4257,15 @@ class TableStore:
             full = os.path.join(self.root, version_dir)
             os.makedirs(full)
             try:
-                for base, _dirs, files in os.walk(src_path):
+                for base, dirs, files in os.walk(src_path):
+                    # a fork never inherits its source commit's
+                    # staged change records (foreign owner)
+                    dirs[:] = [d for d in dirs if d != self._STAGED_DIR]
                     rel = os.path.relpath(base, src_path)
                     d = full if rel == "." else os.path.join(full, rel)
                     os.makedirs(d, exist_ok=True)
                     for fname in files:
-                        if fname == self._OPFILE:
+                        if fname in (self._OPFILE, self._STAGED_MANIFEST):
                             continue  # the clone writes its own commit info
                         os.link(
                             os.path.join(base, fname), os.path.join(d, fname)
@@ -4092,25 +4373,39 @@ class TableStore:
         version_dir = f"{name}.v{uuid.uuid4().hex[:12]}"
         full = os.path.join(self.root, version_dir)
         os.makedirs(full)
-        for base, _dirs, files in os.walk(src):
+        for base, dirs, files in os.walk(src):
+            # never carry the source commit's staged change records —
+            # they were staged for a different commit (foreign owner)
+            dirs[:] = [d for d in dirs if d != self._STAGED_DIR]
             rel = os.path.relpath(base, src)
             dst = full if rel == "." else os.path.join(full, rel)
             os.makedirs(dst, exist_ok=True)
             for fname in files:
+                if fname == self._STAGED_MANIFEST:
+                    continue
                 os.link(os.path.join(base, fname), os.path.join(dst, fname))
         self._write_op(full, "restore", source=version)
+        if log_changes:
+            # staged pre-flip (crash-atomic CDF): the rollback diff
+            # reads the new dir directly
+            post = self._read_version(full).drop("__bucket")
+            self._log_merge_changes(
+                name, pre, post, list(keys), include_deletes=True,
+                stage_to=full,
+            )
         # explicit rollback intent: last-writer-wins (based_on=None),
         # like Delta RESTORE itself
         self._commit_pointer(name, version_dir)
         if log_changes:
-            post = self._read_version(full).drop("__bucket")
-            self._log_merge_changes(
-                name, pre, post, list(keys), include_deletes=True
-            )
+            self._publish_staged(name)
         self._prune(name, keep=version_dir)
 
     def _append_delete_records(
-        self, name: str, matches: DataFrame, keys: Sequence[str]
+        self,
+        name: str,
+        matches: DataFrame,
+        keys: Sequence[str],
+        stage_to: str | None = None,
     ) -> None:
         """Commit matched rows as 'delete' change records — keys +
         NULL non-key columns (the post-image of a deleted row is no
@@ -4123,7 +4418,7 @@ class TableStore:
                 for c in nonkeys
             ],
         ).select(*matches.columns)
-        self._append_changelog(name, rows, "delete")
+        self._append_changelog(name, rows, "delete", stage_to=stage_to)
 
     def delete(
         self,
@@ -4158,8 +4453,8 @@ class TableStore:
             keys,
             op="delete",
             mutate=lambda df, cond: df.filter(~cond),
-            log=lambda matches, ks: self._append_delete_records(
-                name, matches, ks
+            log=lambda matches, ks, stage_to: self._append_delete_records(
+                name, matches, ks, stage_to=stage_to
             ),
         )
 
@@ -4202,8 +4497,8 @@ class TableStore:
                 "delete",
                 matcher=matcher,
                 mutate=remover,
-                log=lambda matches, ks: self._append_delete_records(
-                    name, matches, ks
+                log=lambda matches, ks, stage_to: self._append_delete_records(
+                    name, matches, ks, stage_to=stage_to
                 ),
             )
         finally:
@@ -4291,10 +4586,11 @@ class TableStore:
             keys,
             op="update",
             mutate=_apply,
-            log=lambda matches, ks: self._append_changelog(
+            log=lambda matches, ks, stage_to: self._append_changelog(
                 name,
                 _apply(matches, F.lit(True)),
                 "update_postimage",
+                stage_to=stage_to,
             ),
         )
 
@@ -4374,8 +4670,9 @@ class TableStore:
                 mutate=lambda sub, c: sub.filter(~c).unionByName(
                     extra_routed
                 ),
-                log=lambda matches, ks: self._log_merge_changes(
-                    name, matches, df, list(ks), include_deletes=True
+                log=lambda matches, ks, stage_to: self._log_merge_changes(
+                    name, matches, df, list(ks), include_deletes=True,
+                    stage_to=stage_to,
                 ),
                 extra=extra_routed,
             )
@@ -4389,7 +4686,7 @@ class TableStore:
         keys: Sequence[str] | None,
         op: str,
         mutate: Callable[[DataFrame, Column], DataFrame],
-        log: Callable[[DataFrame, Sequence[str]], None],
+        log: Callable[[DataFrame, Sequence[str], str], None],
         extra: DataFrame | None = None,
     ) -> int:
         """Predicate form of the pruned-rewrite engine behind
@@ -4416,7 +4713,7 @@ class TableStore:
         op: str,
         matcher: Callable[[DataFrame], DataFrame],
         mutate: Callable[[DataFrame], DataFrame],
-        log: Callable[[DataFrame, Sequence[str]], None],
+        log: Callable[[DataFrame, Sequence[str], str], None],
         extra: DataFrame | None = None,
     ) -> int:
         """Shared pruned-rewrite engine behind ``delete``, ``update``
@@ -4465,7 +4762,7 @@ class TableStore:
         keys: Sequence[str] | None,
         op: str,
         mutate: Callable[[DataFrame], DataFrame],
-        log: Callable[[DataFrame, Sequence[str]], None],
+        log: Callable[[DataFrame, Sequence[str], str], None],
         log_changes: bool,
         extra: DataFrame | None = None,
     ) -> int:
@@ -4480,18 +4777,21 @@ class TableStore:
             # merge() — without it a concurrent commit landing between
             # this operation's snapshot read and the pointer flip would
             # be silently dropped (last-writer-wins; round-9 ADVICE #2)
+            # change rows stage inside write()'s pre-flip window
+            # (crash-atomic CDF); matches reads the pre-mutation
+            # version dir, which exists throughout
             self.write(
                 name,
                 mutate(df_all),
                 _log_changes=False,
                 _op=op,
                 _based_on=os.path.basename(current),
+                _stage=(
+                    (lambda full: log(matches, list(keys), full))
+                    if log_changes
+                    else None
+                ),
             )
-            if log_changes:
-                # matches still reads the pre-mutation version dir: the
-                # pointer moved but retention (keep_versions >= 2)
-                # keeps the newest replaced version on disk
-                log(matches, list(keys))
             return int(n_hit)
 
         part_col = "__bucket" if spec["mode"] == "hash" else spec["column"]
@@ -4556,6 +4856,7 @@ class TableStore:
                     not os.path.isdir(src_path)
                     or entry in rewritten
                     or entry in affected_dirs  # fully-emptied partition
+                    or entry == self._STAGED_DIR
                 ):
                     continue
                 os.makedirs(os.path.join(full, entry))
@@ -4578,6 +4879,12 @@ class TableStore:
         self._write_schema(full, self._to_physical(df_all, cm_cur)[0])
         self._carry_colmap(current, full)
         self._write_op(full, op)
+        if log_changes:
+            # staged pre-flip (crash-atomic CDF); matches reads the
+            # pre-mutation version dir. A rebase carries the staged
+            # records into the dir it actually commits
+            plain = matches.drop(part_col) if spec["mode"] == "hash" else matches
+            log(plain, list(keys), full)
         if simple:
             # touched = rewritten dirs PLUS fully-emptied ones (a
             # delete that drains a partition leaves no scratch dir);
@@ -4597,8 +4904,7 @@ class TableStore:
             )
             final = version_dir
         if log_changes:
-            plain = matches.drop(part_col) if spec["mode"] == "hash" else matches
-            log(plain, list(keys))
+            self._publish_staged(name)
         self._prune(name, keep=final)
         return int(n_hit)
 
@@ -4869,7 +5175,11 @@ class TableStore:
         shutil.rmtree(scratch, ignore_errors=True)
         for entry in os.listdir(current):
             src_path = os.path.join(current, entry)
-            if not os.path.isdir(src_path) or entry in rewritten:
+            if (
+                not os.path.isdir(src_path)
+                or entry in rewritten
+                or entry == self._STAGED_DIR
+            ):
                 continue
             os.makedirs(os.path.join(full, entry))
             for fname in os.listdir(src_path):

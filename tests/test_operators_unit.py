@@ -3838,7 +3838,7 @@ def test_unpartitioned_dml_compare_and_set(spark, tmp_path):
 
     def write_with_interloper(
         self, name, df, partition_by=(), _log_changes=True,
-        _op="write", _based_on=None,
+        _op="write", _based_on=None, _stage=None,
     ):
         # inject a concurrent commit between the DELETE's snapshot
         # read (already taken) and its own commit — exactly once
@@ -3852,7 +3852,8 @@ def test_unpartitioned_dml_compare_and_set(spark, tmp_path):
                 _op="interloper",
             )
         return orig_write(
-            self, name, df, partition_by, _log_changes, _op, _based_on
+            self, name, df, partition_by, _log_changes, _op, _based_on,
+            _stage,
         )
 
     merge.TableStore.write = write_with_interloper
