@@ -2051,11 +2051,15 @@ class TableStore:
         as silent NULLs. When the feed has crossed a break and the
         frame carries columns unknown to the CURRENT logical schema,
         the append is suppressed (pre-check) or retro-excluded by
-        advancing the break past ``ver`` (post-check) — consumers land
-        on the documented restart-from-the-break contract instead of
-        silent NULLs. Frames merely MISSING newer columns (a
-        concurrent evolution) pass: mergeSchema NULL-fills those
-        benignly. A sub-millisecond residue remains (an append
+        TOMBSTONING exactly ``ver`` in the feed-exclusion list
+        (post-check) — readers filter that one commit out, and every
+        OTHER record keeps flowing (a previous formulation advanced
+        the global break past ``ver``, which collaterally excluded
+        every record at or below it — including correctly-schema'd
+        commits from other writers — and forced their consumers to
+        restart; round-12 ADVICE #3). Frames merely MISSING newer
+        columns (a concurrent evolution) pass: mergeSchema NULL-fills
+        those benignly. A sub-millisecond residue remains (an append
         completing entirely inside the rename's allocate→persist
         window); renames are admin-cadence events, so quiesce writers
         around them for a fully clean feed."""
@@ -2071,8 +2075,32 @@ class TableStore:
         ]
         if not extra:
             return True
-        self._set_schema_break(name, ver + 1)
+        self._add_feed_exclusion(name, ver)
         return False
+
+    def _exclusions_path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}._FEED_EXCLUDE")
+
+    def feed_exclusions(self, name: str) -> list[int]:
+        """Commit versions tombstoned out of the change feed (records
+        written with a pre-rename logical schema after the break —
+        surfacing them would show silent NULLs in renamed columns).
+        Exclusions only ever arise PAST a schema break, where feed
+        reads use the explicit current schema, so the bad files'
+        extra columns never leak into the feed schema either."""
+        try:
+            with open(self._exclusions_path(name)) as f:
+                return sorted(int(v) for v in json.load(f))
+        except (OSError, json.JSONDecodeError, ValueError):
+            return []
+
+    def _add_feed_exclusion(self, name: str, ver: int) -> None:
+        vs = set(self.feed_exclusions(name))
+        vs.add(int(ver))
+        tmp = self._exclusions_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(vs), f)
+        os.replace(tmp, self._exclusions_path(name))
 
     def _append_changelog(
         self,
@@ -2237,6 +2265,12 @@ class TableStore:
             # records) — a single-footer inference would drop them
             df = self.spark.read.option("mergeSchema", "true").parquet(d)
         df = df.filter(F.col("_commit_version") >= starting_version)
+        excl = self.feed_exclusions(name)
+        if excl:
+            # tombstoned commits (old-logical-schema records that
+            # raced a rename) — filtered per version, everything else
+            # keeps flowing
+            df = df.filter(~F.col("_commit_version").isin(excl))
         if ignore_deletes:
             df = df.filter(F.col("_change_type") != "delete")
         return df
@@ -2314,6 +2348,12 @@ class TableStore:
             )
         stream = self.spark.readStream.schema(schema).parquet(d)
         stream = stream.filter(F.col("_commit_version") >= starting_version)
+        excl = self.feed_exclusions(name)
+        if excl:
+            # exclusion set pinned at stream construction, like the
+            # break/cursor: a tombstone landing mid-stream applies on
+            # the next (re)start, same contract as the schema break
+            stream = stream.filter(~F.col("_commit_version").isin(excl))
         if ignore_deletes:
             stream = stream.filter(F.col("_change_type") != "delete")
         return stream
@@ -2796,6 +2836,40 @@ class TableStore:
             "retired": [],
         }
 
+    def _expr_references(self, name: str, expr: str, col: str) -> bool:
+        """Does SQL expression ``expr`` reference column ``col`` of
+        table ``name``? Decided by Spark's own analyzer — resolve the
+        expression against the table's schema, then against the schema
+        MINUS ``col``: it references the column iff the second
+        resolution fails. Case-insensitive exactly as queries are, and
+        immune to the name appearing inside a string literal or a
+        quoted identifier (both regex failure modes). Driver-side
+        analysis on a limit-0 frame — no job. Falls back to a
+        word-boundary regex (fails closed) when the expression doesn't
+        resolve against the FULL schema either (already orphaned)."""
+        probe = self.read(name).limit(0)
+        try:
+            probe.select(F.expr(expr))
+        except Exception:
+            return bool(
+                re.search(rf"\b{re.escape(col)}\b", expr, re.IGNORECASE)
+            )
+        try:
+            probe.drop(col).select(F.expr(expr))
+            return False
+        except Exception:
+            return True
+
+    @staticmethod
+    def _resolve_stored_case(cm_map: dict, col: str) -> str | None:
+        """The mapping's stored spelling of ``col`` (Spark resolves
+        identifiers case-insensitively; the map, the sidecars and the
+        physical rename all key on the stored casing), or None."""
+        if col in cm_map:
+            return col
+        hits = [c for c in cm_map if c.lower() == col.lower()]
+        return hits[0] if hits else None
+
     def _colmap_guard(self, name: str, col: str, verb: str) -> None:
         """Shared rename/drop preconditions: partitioning/merge-key
         columns and constraint-referenced columns are frozen (rename
@@ -2814,20 +2888,23 @@ class TableStore:
                 "partition routing and dir layout are keyed on it; "
                 "re-create via write_partitioned to change it"
             )
-        # IGNORECASE throughout: Spark resolves identifiers
-        # case-insensitively, so a constraint written as 'VAL >= 0'
-        # binds to column 'val' — missing it here would let the
-        # rename orphan the expression and brick every later commit
+        # resolved by Spark's OWN analyzer (case-insensitive like
+        # every query, and immune to the column name appearing inside
+        # a string literal — a regex scan false-froze unrelated
+        # columns on CHECK `status != 'price_c'`): a constraint
+        # written as 'VAL >= 0' binds to column 'val' — missing it
+        # here would let the rename orphan the expression and brick
+        # every later commit
         for cname, expr in self.constraints(name).items():
-            if re.search(rf"\b{re.escape(col)}\b", expr, re.IGNORECASE):
+            if self._expr_references(name, expr, col):
                 raise ValueError(
                     f"cannot {verb} column {col!r}: CHECK constraint "
                     f"{cname!r} references it ({expr}) — drop the "
                     "constraint first"
                 )
         for gcol, gexpr in self.generated_columns(name).items():
-            if col.lower() == gcol.lower() or re.search(
-                rf"\b{re.escape(col)}\b", gexpr, re.IGNORECASE
+            if col.lower() == gcol.lower() or self._expr_references(
+                name, gexpr, col
             ):
                 raise ValueError(
                     f"cannot {verb} column {col!r}: generated column "
@@ -2952,11 +3029,16 @@ class TableStore:
             raise FileNotFoundError(f"table {name} does not exist")
         self._colmap_guard(name, old, "rename")
         cm = self._load_colmap(current) or self._identity_colmap(current)
-        if old not in cm["map"]:
+        # resolve case-insensitively like Spark's analyzer — a query
+        # can reference 'BAL_C' while the map stores 'bal_c'; the
+        # stored casing is what the mapping and sidecars key on
+        resolved = self._resolve_stored_case(cm["map"], old)
+        if resolved is None:
             raise ValueError(
                 f"table {name!r} has no column {old!r} "
                 f"(columns: {list(cm['map'])})"
             )
+        old = resolved
         if new.lower() in {c.lower() for c in cm["map"]}:
             # case-insensitive like Spark's own resolver — 'Amount'
             # next to 'amount' would make every expression ambiguous
@@ -2995,11 +3077,13 @@ class TableStore:
             raise FileNotFoundError(f"table {name} does not exist")
         self._colmap_guard(name, col, "drop")
         cm = self._load_colmap(current) or self._identity_colmap(current)
-        if col not in cm["map"]:
+        resolved = self._resolve_stored_case(cm["map"], col)
+        if resolved is None:
             raise ValueError(
                 f"table {name!r} has no column {col!r} "
                 f"(columns: {list(cm['map'])})"
             )
+        col = resolved
         if len(cm["map"]) == 1:
             raise ValueError(f"cannot drop the only column of {name!r}")
         retired_phys = cm["map"].pop(col)
@@ -3100,8 +3184,15 @@ class TableStore:
         if isinstance(old, T.DecimalType) and isinstance(
             new, T.DecimalType
         ):
+            # Delta's rule: integer digits AND scale may each grow
+            # (decimal(10,2) -> decimal(12,4) is legal — the scan
+            # upcast pads zeros, probe-verified lossless on this
+            # Spark); shrinking either side truncates
             return (
-                new.scale == old.scale and new.precision > old.precision
+                new.scale >= old.scale
+                and new.precision - new.scale >= old.precision - old.scale
+                and (new.precision, new.scale)
+                != (old.precision, old.scale)
             )
         if ro is not None and isinstance(new, T.DecimalType):
             digits = (3, 5, 10, 20)[ro]
@@ -3170,8 +3261,9 @@ class TableStore:
                 f"cannot change {col!r} from {old_dt.simpleString()} to "
                 f"{new_dt.simpleString()}: only lossless widenings are "
                 "metadata-only (byte<short<int<long, float->double, "
-                "int->double, date->timestamp_ntz, decimal precision "
-                "growth); anything else rewrites — read, cast, "
+                "int->double, date->timestamp_ntz, int-family->decimal "
+                "with enough integer digits, decimal integer-digit/"
+                "scale growth); anything else rewrites — read, cast, "
                 "write_partitioned"
             )
         cm = self._load_colmap(current)

@@ -528,20 +528,38 @@ def test_failed_rename_cas_leaves_no_phantom_break(spark, tmp_path):
 
 def test_append_race_guard_suppresses_old_schema_records(spark, tmp_path):
     """An old-logical-schema frame reaching the changelog AFTER a
-    mapping change is suppressed and the break advances past its
-    version — never silent NULLs in the feed."""
+    mapping change is suppressed and its version TOMBSTONED in the
+    feed-exclusion list — never silent NULLs in the feed, and (round-12
+    ADVICE #3) never collateral exclusion: records from OTHER commits,
+    before or after the bad one, keep flowing."""
     store = TableStore(spark, str(tmp_path), keep_versions=10, changelog=True)
     store.write_partitioned("t", _base(spark), keys=["k"], n_buckets=2)
     store.enable_changelog("t")
     store.rename_column("t", "val", "amount")
     brk0 = store.schema_break_version("t")
-    # simulate the racing producer: a frame still carrying 'val'
+    # a correctly-schema'd commit lands AFTER the rename ...
+    store.merge(
+        "t",
+        spark.createDataFrame(
+            [(8, "h", 80)], "k long, name string, amount long"
+        ),
+        ["k"],
+        policy="scd1",
+    )
+    n_good = store.read_changes("t").count()
+    assert n_good >= 1
+    # ... then the racing producer's frame, still carrying 'val'
     stale_frame = spark.createDataFrame(
         [(9, "z", 90)], "k long, name string, val long"
     )
     ver = store._append_changelog("t", stale_frame, "insert")
-    assert store.schema_break_version("t") == ver + 1 > brk0
-    assert store.read_changes("t").count() == 0  # nothing leaked
+    # the break does NOT move (that retro-excluded every record <= ver,
+    # including the good commit above); the bad version is tombstoned
+    assert store.schema_break_version("t") == brk0
+    assert ver in store.feed_exclusions("t")
+    feed = store.read_changes("t")
+    assert feed.filter("k = 9").count() == 0  # nothing leaked
+    assert feed.count() == n_good  # the good commit still flows
     # a current-schema producer flows normally afterwards
     store.merge(
         "t",
@@ -552,7 +570,8 @@ def test_append_race_guard_suppresses_old_schema_records(spark, tmp_path):
         policy="scd1",
     )
     feed = store.read_changes("t")
-    assert feed.count() == 1 and "amount" in feed.columns
+    assert feed.count() == n_good + 1 and "amount" in feed.columns
+    assert feed.filter("k = 7").count() == 1
 
 
 def test_colmap_guard_is_case_insensitive(spark, tmp_path):
@@ -1122,3 +1141,71 @@ def test_add_column_does_not_break_changelog(spark, tmp_path):
     # records NULL-fill), unlike rename/drop/widen
     assert store.schema_break_version("t") == 0
     assert store.read_changes("t").count() == n
+
+
+def test_rename_drop_resolve_case_insensitively(spark, tmp_path):
+    """Round-12 ADVICE #1: Spark resolution is case-insensitive, so
+    rename/drop must resolve the existing column that way too —
+    renaming 'VAL' when the map stores 'val' works and keys the
+    mapping/sidecars on the stored casing."""
+    store = TableStore(spark, str(tmp_path), keep_versions=5)
+    store.write("t", _base(spark))
+    store.rename_column("t", "VAL", "amount")
+    assert "amount" in store.read("t").columns
+    assert {r["amount"] for r in store.read("t").collect()} == {
+        r["val"] for r in _base(spark).collect()
+    }
+    store.drop_column("t", "AMOUNT")
+    assert "amount" not in store.read("t").columns
+    with pytest.raises(ValueError, match="no column"):
+        store.rename_column("t", "ghost", "x")
+
+
+def test_colmap_guard_ignores_column_name_in_string_literal(
+    spark, tmp_path
+):
+    """Round-12 ADVICE #2: the guard resolves expression references
+    through Spark's analyzer, so a column name appearing only inside
+    a STRING LITERAL of a CHECK constraint no longer false-freezes
+    the column — while real references (any casing) still do."""
+    store = TableStore(spark, str(tmp_path), keep_versions=5)
+    store.write("t", _base(spark))
+    store.add_check_constraint("t", "lit", "name != 'val'")
+    # 'val' appears only as a literal: renaming the val COLUMN is fine
+    store.rename_column("t", "val", "amount")
+    assert "amount" in store.read("t").columns
+    # but the genuinely referenced column stays frozen
+    with pytest.raises(ValueError, match="constraint"):
+        store.rename_column("t", "name", "label")
+
+
+def test_widen_decimal_scale_and_integer_digits(spark, tmp_path):
+    """Round-12 ADVICE #4: Delta-legal decimal widenings that grow
+    scale and precision together (decimal(10,2) -> decimal(12,4)) are
+    metadata-only; shrinking either side still rejects. Scan-time
+    upcast probe ran on this Spark (values pad zeros losslessly)."""
+    import decimal
+
+    store = TableStore(spark, str(tmp_path), keep_versions=5)
+    store.write(
+        "t",
+        spark.createDataFrame(
+            [(1, decimal.Decimal("12345678.91"))], "k long, d decimal(10,2)"
+        ),
+    )
+    store.widen_column("t", "d", "decimal(12,4)")
+    [r] = store.read("t").collect()
+    assert str(r["d"]) == "12345678.9100"
+    assert dict(store.read("t").dtypes)["d"] == "decimal(12,4)"
+    # integer digits may not shrink even when precision grows
+    with pytest.raises(ValueError, match="lossless"):
+        store.widen_column("t", "d", "decimal(13,6)")
+    # nor may scale shrink
+    with pytest.raises(ValueError, match="lossless"):
+        store.widen_column("t", "d", "decimal(20,2)")
+    # long -> decimal needs >= 20 integer digits and then works
+    with pytest.raises(ValueError, match="lossless"):
+        store.widen_column("t", "k", "decimal(18,0)")
+    store.widen_column("t", "k", "decimal(25,5)")
+    [r] = store.read("t").collect()
+    assert str(r["k"]) == "1.00000"
