@@ -9624,3 +9624,211 @@ def q_widen_column_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(narrowing_rejected).alias("narrowing_rejected"),
         F.lit(old_type).alias("old_type_at_v0"),
     )
+
+
+_ALTER_SURFACE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         o_orderpriority AS segment,
+         CAST(floor(o_totalprice) AS BIGINT) AS bal,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 3 = 0
+), merged AS (
+  SELECT o_orderkey, o_year,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'updated' ELSE segment END
+           AS segment,
+         CASE WHEN o_orderkey % 7 = 0 THEN bal + 3000000000 ELSE bal END
+           AS bal,
+         price_c
+  FROM base
+), dv AS (
+  SELECT * FROM merged WHERE o_orderkey % 97 <> 0
+), final AS (
+  SELECT * FROM dv WHERE o_year <> 1995
+  UNION ALL
+  SELECT o_orderkey, o_year, 'backfilled' AS segment, bal, price_c
+  FROM merged WHERE o_year = 1995 AND o_orderkey % 2 = 0
+)
+SELECT o_orderkey, o_year, segment, bal, price_c,
+       TRUE AS rename_metadata_only,
+       TRUE AS widen_metadata_only,
+       TRUE AS dv_metadata_only,
+       TRUE AS constraint_blocked,
+       TRUE AS optimize_preserved,
+       TRUE AS cdf_reconstructs,
+       CAST(7 AS BIGINT) AS n_versions
+FROM final
+"""
+
+
+@_register(
+    "alter_surface_lifecycle",
+    _ALTER_SURFACE_ORACLE,
+    "End-to-end ALTER-surface COMPOSITION on one table (r13 — the "
+    "round-12 rows each verify one verb; a real 100 TB table "
+    "experiences them composed): create column-partitioned + CDF + "
+    "CHECK constraint, then rename seg->segment, widen bal "
+    "int->bigint, a pruned SCD-1 merge writing post-widen long "
+    "values through the renamed schema, a constraint-violating batch "
+    "that aborts with NO new version (constraint_blocked — the gate "
+    "holds mid-lifecycle), a deletion-vector point delete, a "
+    "replace_where backfill of the 1995 partition, and OPTIMIZE "
+    "compaction that materializes the DV without resurrecting rows "
+    "(optimize_preserved diffs table content across it). "
+    "rename/widen/dv_metadata_only pin per-file inode equality at "
+    "runtime — each of those commits hard-links every data file even "
+    "with the others interleaved (the sidecar-retire and "
+    "sidecar-follow rules composing). cdf_reconstructs is the "
+    "interplay pin no single-verb row can give: folding the change "
+    "feed (which crosses the merge, the DV delete and the backfill, "
+    "all staged crash-atomically) onto the table state AS OF the "
+    "widen's schema break reproduces the final table exactly — "
+    "latest-per-key, deletes applied. n_versions pins the commit "
+    "chain (create/rename/widen/merge/dv/replace/optimize).",
+    tags=("store", "merge", "lakehouse", "schema", "dv", "backfill"),
+)
+def q_alter_surface_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile
+
+    from ..operators.dedup import latest_by_key
+    from ..operators.merge import ConstraintViolationError, TableStore
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    base = o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.col("o_orderpriority").alias("seg"),
+        F.floor(F.col("o_totalprice").cast("double")).cast("int").alias("bal"),
+        F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("price_c"),
+    )
+    root = tempfile.mkdtemp(prefix="pulselake_alter_")
+    stream_ops._STAGED_DIRS.append(root)  # swept on interpreter exit
+    store = TableStore(spark, root, keep_versions=8, changelog=True)
+    store.write_partitioned(
+        "t", base, keys=["o_orderkey"], partition_column="o_year"
+    )
+    store.add_check_constraint("t", "pos_price", "price_c >= 0")
+
+    def _inode_equal(v_old: str, v_new: str) -> bool:
+        for r, _d, fs in _os.walk(v_new):
+            if _os.path.basename(r) == TableStore._STAGED_DIR:
+                continue
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                p2 = _os.path.join(r, f)
+                rel = _os.path.relpath(p2, v_new)
+                if not _os.path.samefile(p2, _os.path.join(v_old, rel)):
+                    return False
+        return True
+
+    v0 = store.current_path("t")
+    store.rename_column("t", "seg", "segment")
+    rename_meta = _inode_equal(v0, store.current_path("t"))
+    v1 = store.current_path("t")
+    store.widen_column("t", "bal", "bigint")
+    widen_meta = _inode_equal(v1, store.current_path("t"))
+    # the reconstruction baseline: table state AS OF the widen commit
+    # (= the feed's schema break; versions() index 2 of the chain)
+    brk_state = store.read_at("t", 2)
+
+    # pruned merge through the renamed + widened schema: long values
+    # beyond int32 land next to hard-linked narrow files
+    inc = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_year",
+        F.lit("updated").alias("segment"),
+        (F.col("bal").cast("long") + F.lit(3000000000)).alias("bal"),
+        "price_c",
+    )
+    store.merge("t", inc, ["o_orderkey"], policy="scd1")
+
+    # the CHECK gate holds mid-lifecycle: a violating batch aborts
+    # with no new version
+    n_before = len(store.versions("t"))
+    constraint_blocked = False
+    try:
+        store.merge(
+            "t",
+            base.limit(1).select(
+                "o_orderkey",
+                "o_year",
+                F.lit("bad").alias("segment"),
+                F.lit(0).cast("long").alias("bal"),
+                F.lit(-1).cast("long").alias("price_c"),
+            ),
+            ["o_orderkey"],
+            policy="scd1",
+        )
+    except ConstraintViolationError:
+        constraint_blocked = len(store.versions("t")) == n_before
+
+    # deletion-vector point delete: zero data files rewritten
+    v_pre_dv = store.current_path("t")
+    store.delete_vectored(
+        "t", F.col("o_orderkey") % 97 == 0, keys=["o_orderkey"]
+    )
+    dv_meta = _inode_equal(v_pre_dv, store.current_path("t"))
+
+    # predicate-scoped backfill of the 1995 partition: the re-run
+    # pipeline output recomputes from source (even keys only)
+    replacement = base.filter(
+        (F.col("o_year") == 1995) & (F.col("o_orderkey") % 2 == 0)
+    ).select(
+        "o_orderkey",
+        "o_year",
+        F.lit("backfilled").alias("segment"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.col("bal").cast("long") + F.lit(3000000000),
+        ).otherwise(F.col("bal").cast("long")).alias("bal"),
+        "price_c",
+    )
+    store.replace_where(
+        "t", F.col("o_year") == 1995, replacement, keys=["o_orderkey"]
+    )
+
+    # OPTIMIZE materializes the DV and compacts — content-neutral
+    pre_opt = store.read("t")
+    store.optimize("t", key="o_orderkey")
+    final = store.read("t")
+    optimize_preserved = (
+        pre_opt.exceptAll(final).count() == 0
+        and final.exceptAll(pre_opt).count() == 0
+    )
+
+    # fold the change feed (merge + DV delete + backfill, read from
+    # the widen's schema break) onto the break state: latest record
+    # per key, deletes applied — must reproduce the final table
+    feed = store.read_changes("t")
+    base0 = brk_state.withColumn(
+        "_change_type", F.lit("insert")
+    ).withColumn("_commit_version", F.lit(0).cast("long"))
+    recon = latest_by_key(
+        base0.unionByName(feed), ["o_orderkey"], "_commit_version"
+    ).filter(F.col("_change_type") != "delete").drop(
+        "_change_type", "_commit_version"
+    )
+    cdf_reconstructs = (
+        recon.exceptAll(final).count() == 0
+        and final.exceptAll(recon).count() == 0
+    )
+    n_versions = len(store.versions("t"))
+    return final.select(
+        "o_orderkey",
+        "o_year",
+        "segment",
+        "bal",
+        "price_c",
+        F.lit(rename_meta).alias("rename_metadata_only"),
+        F.lit(widen_meta).alias("widen_metadata_only"),
+        F.lit(dv_meta).alias("dv_metadata_only"),
+        F.lit(constraint_blocked).alias("constraint_blocked"),
+        F.lit(optimize_preserved).alias("optimize_preserved"),
+        F.lit(cdf_reconstructs).alias("cdf_reconstructs"),
+        F.lit(n_versions).cast("long").alias("n_versions"),
+    )
