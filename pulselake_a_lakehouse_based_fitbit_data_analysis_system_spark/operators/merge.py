@@ -703,15 +703,25 @@ class TableStore:
     _REWRITTENFILE = "_REWRITTEN.json"
 
     def _write_rewritten(
-        self, version_full: str, rewritten, based_on: str | None
+        self, version_full: str, rewritten, based_on: str | None,
+        neutral: bool = False,
     ) -> None:
         """Record WHICH partition dirs this version rewrote (vs
         hard-linked) and which version it derived from — the metadata
         partition-level conflict detection walks. Ops that rewrite
-        unbounded/unknown sets (create, OVERWRITE, RESTORE, OPTIMIZE,
-        clone) simply don't write it; a missing sidecar reads as
-        'touched everything', the conservative answer."""
+        unbounded/unknown sets (create, OVERWRITE, RESTORE, clone)
+        simply don't write it; a missing sidecar reads as 'touched
+        everything', the conservative answer. ``neutral=True`` marks a
+        commit that rewrote files but NOT logical content (OPTIMIZE /
+        ZORDER compaction): the chain walk still proves the hop but
+        contributes nothing to the conflict set, so compaction never
+        logically conflicts with disjoint-or-overlapping writers —
+        exactly Delta's compaction-vs-writer semantics (a writer
+        rebasing over a neutral hop takes its own partitions back,
+        reverting only the LAYOUT of those partitions, never values)."""
         rec = {"rewritten": sorted(rewritten), "based_on": based_on}
+        if neutral:
+            rec["neutral"] = True
         tmp = os.path.join(version_full, self._REWRITTENFILE + ".tmp")
         with open(tmp, "w") as f:
             json.dump(rec, f)
@@ -741,7 +751,10 @@ class TableStore:
             based = rec.get("based_on")
             if rewritten is None or based is None:
                 return None
-            union |= set(rewritten)
+            if not rec.get("neutral"):
+                # neutral hops (OPTIMIZE) rewrote layout, not content:
+                # they prove the chain but never conflict
+                union |= set(rewritten)
             cur = based
         return None
 
@@ -963,7 +976,20 @@ class TableStore:
             self._write_op(
                 rebase_full, ours_op, rebased_onto=cur_base, **extras
             )
-            self._write_rewritten(rebase_full, rewritten, cur_base)
+            # a rebased commit keeps its content-neutrality: the
+            # compacted partitions' content equals cur's for them (the
+            # intervening commits were proven disjoint), so a rebased
+            # OPTIMIZE is still layout-only relative to cur
+            try:
+                with open(
+                    os.path.join(ours_full, self._REWRITTENFILE)
+                ) as f:
+                    ours_neutral = bool(json.load(f).get("neutral"))
+            except (OSError, json.JSONDecodeError):
+                ours_neutral = False
+            self._write_rewritten(
+                rebase_full, rewritten, cur_base, neutral=ours_neutral
+            )
             shutil.rmtree(ours_full, ignore_errors=True)
             if cur_base is not None:
                 self._ledger_record(name, cur_base)
@@ -5290,10 +5316,23 @@ class TableStore:
         self._write_schema(full, self._to_physical(df_all, cm_cur)[0])
         self._carry_colmap(current, full)
         self._write_op(full, "optimize")
-        self._commit_pointer(
-            name, version_dir, based_on=os.path.basename(current)
+        # compaction participates in partition-level OCC as a NEUTRAL
+        # commit: it records which partitions it rewrote (so later
+        # writers' chain walks stay provable THROUGH a compaction —
+        # previously the missing sidecar read as 'touched everything'
+        # and every in-flight writer conflict-retried after each
+        # optimize), flagged layout-only (content is row-identical by
+        # the validation count above, so it never logically conflicts),
+        # and itself REBASES over intervening disjoint commits instead
+        # of discarding the whole compaction job on a CAS miss — at
+        # 1000 trickle writers, compaction racing merges is the steady
+        # state, exactly Delta's compaction-vs-writer semantics
+        cur_base = os.path.basename(current)
+        self._write_rewritten(full, rewritten, cur_base, neutral=True)
+        final = self._commit_pointer_or_rebase(
+            name, version_dir, based_on=cur_base, rewritten=rewritten
         )
-        self._prune(name, keep=version_dir)
+        self._prune(name, keep=final)
 
 
 def delta_merge_available() -> bool:

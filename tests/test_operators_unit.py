@@ -5963,3 +5963,166 @@ def test_check_constraint_concurrent_adds_all_survive(spark, tmp_path):
     with pytest.raises(merge.ConstraintViolationError, match="'c0'"):
         store.merge("t", spark.createDataFrame([Row(k=9, v=-5)]), ["k"],
                     policy="scd1")
+
+
+def test_optimize_rebases_over_disjoint_concurrent_merge(spark, tmp_path):
+    """OPTIMIZE participates in partition-level OCC as a NEUTRAL
+    commit (r13): a compaction whose snapshot was superseded by a
+    DISJOINT-partition merge REBASES instead of discarding the whole
+    compaction job on the CAS miss — at 1000 trickle writers,
+    compaction racing merges is the steady state."""
+    import json as _json
+    import os as _os
+
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=8)
+    base = spark.createDataFrame(
+        [Row(k=i, seg="A" if i % 2 == 0 else "B", v=0) for i in range(40)]
+    )
+    store.write_partitioned("t", base, keys=["k"], partition_column="seg")
+    # trickle merges: small-file pressure in seg=A
+    for i in (0, 2, 4):
+        store.merge(
+            "t",
+            spark.createDataFrame([Row(k=i, seg="A", v=i + 100)]),
+            ["k"],
+            policy="scd1",
+        )
+    snap = store.current_path("t")
+    # a writer lands on seg=B AFTER the snapshot optimize will read
+    store.merge(
+        "t",
+        spark.createDataFrame([Row(k=1, seg="B", v=-1)]),
+        ["k"],
+        policy="scd1",
+    )
+    calls = {"n": 0}
+    orig = store.current_path
+
+    def stale_once(name):
+        # optimize resolves current exactly once at its start
+        if name == "t" and calls["n"] < 1:
+            calls["n"] += 1
+            return snap
+        return orig(name)
+
+    store.current_path = stale_once
+    try:
+        store.optimize("t", partitions=["A"], key="k")
+    finally:
+        del store.current_path
+    got = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert got[1] == -1, "the interloper merge was dropped by the rebase"
+    assert got[0] == 100 and got[2] == 102 and got[4] == 104
+    assert len(got) == 40
+    cur = store.current_path("t")
+    # the compaction really landed (seg=A rewritten: fresh inodes) ...
+    assert (
+        _partition_file_map(cur)["seg=A"]
+        != _partition_file_map(snap)["seg=A"]
+    )
+    # ... as a rebase, and the rebased commit KEPT its neutral flag
+    with open(_os.path.join(cur, merge.TableStore._OPFILE)) as f:
+        rec = _json.load(f)
+    assert rec["op"] == "optimize" and rec.get("rebased_onto")
+    with open(_os.path.join(cur, merge.TableStore._REWRITTENFILE)) as f:
+        rw = _json.load(f)
+    assert rw.get("neutral") is True and rw["rewritten"] == ["seg=A"]
+
+
+def test_merge_rebases_over_neutral_optimize_same_partition(spark, tmp_path):
+    """The other direction (r13): a merge whose snapshot was
+    superseded by an OPTIMIZE — even of the SAME partition — rebases
+    instead of conflicting, because compaction is content-neutral
+    (Delta's compaction-vs-writer semantics). The rebase takes the
+    merge's partition back (layout of that partition reverts; values
+    never do), and deletion vectors materialized by the compaction do
+    not resurrect: the merge's own files were written DV-applied and
+    its sidecar carry keeps the entries for hard-linked survivors."""
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=8)
+    base = spark.createDataFrame(
+        [Row(k=i, seg="A" if i % 2 == 0 else "B", v=0) for i in range(40)]
+    )
+    store.write_partitioned("t", base, keys=["k"], partition_column="seg")
+    # a DV point delete in seg=A, then the snapshot the merge will read
+    assert store.delete_vectored("t", F.col("k") == 6) == 1
+    snap = store.current_path("t")
+    # the compaction commits first (materializes the DV everywhere)
+    store.optimize("t", key="k")
+    assert {r["k"] for r in store.read("t").collect()} == (
+        set(range(40)) - {6}
+    )
+    # the merge computed against the superseded snapshot, touching the
+    # SAME partition the optimize compacted
+    calls = {"n": 0}
+    orig = store.current_path
+
+    def stale_once(name):
+        # merge reads current twice before committing
+        if name == "t" and calls["n"] < 2:
+            calls["n"] += 1
+            return snap
+        return orig(name)
+
+    store.current_path = stale_once
+    try:
+        store.merge(
+            "t",
+            spark.createDataFrame([Row(k=2, seg="A", v=222)]),
+            ["k"],
+            policy="scd1",
+        )
+    finally:
+        del store.current_path
+    got = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert got[2] == 222, "the merge was dropped"
+    assert 6 not in got, "DV-deleted row resurrected through the rebase"
+    assert len(got) == 39 and got[3] == 0 and got[0] == 0
+    # a second optimize after the dust settles stays content-neutral
+    store.optimize("t", key="k")
+    got2 = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert got2 == got
+
+
+def test_chain_walk_proves_through_optimize_hop(spark, tmp_path):
+    """A writer whose snapshot predates BOTH a disjoint merge and an
+    optimize must still land: the chain walk crosses the neutral
+    optimize hop (previously the missing sidecar read as 'touched
+    everything' and every in-flight writer conflict-retried after
+    each compaction)."""
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=8)
+    base = spark.createDataFrame(
+        [Row(k=i, seg="A" if i % 2 == 0 else "B", v=0) for i in range(40)]
+    )
+    store.write_partitioned("t", base, keys=["k"], partition_column="seg")
+    snap = store.current_path("t")
+    # intervening: a merge on seg=A, then a full-table compaction
+    store.merge(
+        "t",
+        spark.createDataFrame([Row(k=0, seg="A", v=100)]),
+        ["k"],
+        policy="scd1",
+    )
+    store.optimize("t", key="k")
+    # the stale writer touches only seg=B -> provably disjoint from
+    # the merge; the optimize hop contributes nothing
+    calls = {"n": 0}
+    orig = store.current_path
+
+    def stale_once(name):
+        if name == "t" and calls["n"] < 2:
+            calls["n"] += 1
+            return snap
+        return orig(name)
+
+    store.current_path = stale_once
+    try:
+        store.merge(
+            "t",
+            spark.createDataFrame([Row(k=1, seg="B", v=-1)]),
+            ["k"],
+            policy="scd1",
+        )
+    finally:
+        del store.current_path
+    got = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert got[0] == 100 and got[1] == -1 and len(got) == 40
