@@ -9832,3 +9832,161 @@ def q_alter_surface_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(cdf_reconstructs).alias("cdf_reconstructs"),
         F.lit(n_versions).cast("long").alias("n_versions"),
     )
+
+
+_OPTIMIZE_NEUTRAL_OCC_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+       + CASE WHEN c_mktsegment = 'BUILDING' THEN 999
+              WHEN c_mktsegment = 'MACHINERY' THEN -222
+              ELSE 0 END AS bal_c,
+       TRUE AS optimize_rebased,
+       TRUE AS merge_survived_compaction,
+       TRUE AS chain_through_compaction,
+       TRUE AS same_partition_rebase,
+       CAST(6 AS BIGINT) AS n_versions
+FROM customer
+"""
+
+
+@_register(
+    "optimize_neutral_occ",
+    _OPTIMIZE_NEUTRAL_OCC_ORACLE,
+    "OPTIMIZE as a content-NEUTRAL OCC participant (merge.py r13 — "
+    "Delta's compaction-vs-writer semantics; previously a compaction "
+    "wrote no _REWRITTEN sidecar, so it discarded its whole job on "
+    "any CAS miss AND turned every later writer's conflict-chain walk "
+    "unprovable): (1) a compaction whose snapshot was superseded by a "
+    "disjoint-partition merge REBASES instead of raising "
+    "(optimize_rebased pins the commit landing with rebased_onto + "
+    "the neutral flag), and the merge's values survive it "
+    "(merge_survived_compaction); (2) a stale writer whose chain "
+    "crosses the compaction hop still lands — the neutral hop proves "
+    "the chain but contributes nothing to the conflict set "
+    "(chain_through_compaction); (3) a writer superseded by a "
+    "compaction of the SAME partition rebases rather than conflicts, "
+    "taking its own partition back — layout reverts, values never do "
+    "(same_partition_rebase). At 1000 trickle writers compaction "
+    "racing merges is the steady state; n_versions pins the chain "
+    "(create/merge/opt-rebase/merge-rebase/optimize/merge-rebase). "
+    "Values prove base + both surviving merges and nothing else.",
+    tags=("merge", "store", "concurrency", "lakehouse", "optimize"),
+)
+def q_optimize_neutral_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    import tempfile as _tf
+
+    from ..operators.merge import TableStore
+
+    root = _tf.mkdtemp(prefix="pulselake_optocc_")
+    stream_ops._STAGED_DIRS.append(root)  # swept on interpreter exit
+    store = TableStore(spark, root, keep_versions=8)
+    c = _t(spark, sf_dir, "customer")
+    bal = F.floor(F.col("c_acctbal").cast("double") * 100 + 0.5).cast("long")
+    base = c.select("c_custkey", "c_mktsegment", bal.alias("bal_c"))
+    store.write_partitioned(
+        "t", base, keys=["c_custkey"], partition_column="c_mktsegment"
+    )
+    snap = store.current_path("t")
+
+    def seg_delta(seg: str, bump: int):
+        return base.filter(F.col("c_mktsegment") == seg).withColumn(
+            "bal_c", F.col("bal_c") + F.lit(bump)
+        )
+
+    def stale_for(n_calls: int, at: str):
+        orig = type(store).current_path
+        calls = {"n": 0}
+
+        def patched(name):
+            # merge resolves current twice before its commit,
+            # optimize once — the commit-time check must see the REAL
+            # current for the interleaving to be genuine
+            if name == "t" and calls["n"] < n_calls:
+                calls["n"] += 1
+                return at
+            return orig(store, name)
+
+        return patched
+
+    # (1) a merge lands on BUILDING, then a compaction of the OTHER
+    # four segments — computed against the superseded snapshot —
+    # rebases over it instead of discarding the compaction job
+    store.merge("t", seg_delta("BUILDING", 111), ["c_custkey"], policy="scd1")
+    others = [
+        r["c_mktsegment"]
+        for r in base.select("c_mktsegment").distinct().collect()
+        if r["c_mktsegment"] != "BUILDING"
+    ]
+    store.current_path = stale_for(1, snap)
+    try:
+        store.optimize("t", partitions=others, key="c_custkey")
+    finally:
+        del store.current_path
+    v3 = store.current_path("t")
+    with open(_os.path.join(v3, TableStore._OPFILE)) as f:
+        rec = _json.load(f)
+    with open(_os.path.join(v3, TableStore._REWRITTENFILE)) as f:
+        rw = _json.load(f)
+    optimize_rebased = (
+        rec.get("op") == "optimize"
+        and bool(rec.get("rebased_onto"))
+        and rw.get("neutral") is True
+    )
+    cols = ["c_custkey", "c_mktsegment", "bal_c"]
+    merge_survived = (
+        base.filter(F.col("c_mktsegment") == "BUILDING")
+        .withColumn("bal_c", F.col("bal_c") + F.lit(111))
+        .select(*cols)
+        .exceptAll(
+            store.read("t")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select(*cols)
+        )
+        .count()
+        == 0
+    )
+
+    # (2) a stale writer whose chain crosses BOTH the merge and the
+    # neutral compaction hop: disjoint from the merge, the hop
+    # contributes nothing -> lands as a rebase
+    store.current_path = stale_for(2, snap)
+    try:
+        store.merge(
+            "t", seg_delta("MACHINERY", -222), ["c_custkey"], policy="scd1"
+        )
+        chain_through = True
+    except Exception:
+        chain_through = False
+    finally:
+        del store.current_path
+
+    # (3) a full-table compaction commits, then a writer computed
+    # against the PRE-compaction snapshot touches a partition the
+    # compaction rewrote: neutral -> rebases, values win, layout of
+    # that partition reverts to the writer's
+    s2 = store.current_path("t")
+    store.optimize("t", key="c_custkey")
+    store.current_path = stale_for(2, s2)
+    try:
+        store.merge(
+            "t", seg_delta("BUILDING", 999), ["c_custkey"], policy="scd1"
+        )
+        same_part = True
+    except Exception:
+        same_part = False
+    finally:
+        del store.current_path
+
+    n_versions = len(store.versions("t"))
+    return store.read("t").select(
+        "c_custkey",
+        "c_mktsegment",
+        "bal_c",
+        F.lit(optimize_rebased).alias("optimize_rebased"),
+        F.lit(merge_survived).alias("merge_survived_compaction"),
+        F.lit(chain_through).alias("chain_through_compaction"),
+        F.lit(same_part).alias("same_partition_rebase"),
+        F.lit(n_versions).cast("long").alias("n_versions"),
+    )
