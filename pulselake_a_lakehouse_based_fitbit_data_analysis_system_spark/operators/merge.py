@@ -1977,21 +1977,28 @@ class TableStore:
                 continue
             dst = self._changelog_dir(name)
             os.makedirs(dst, exist_ok=True)
-            if os.path.isdir(staged):
-                for fname in os.listdir(staged):
-                    if fname == "_SUCCESS" or not (
-                        fname.endswith(".parquet")
-                        or fname.endswith(".parquet.crc")
-                    ):
-                        continue
-                    try:
-                        os.link(
-                            os.path.join(staged, fname),
-                            os.path.join(dst, fname),
-                        )
-                    except FileExistsError:
-                        pass  # resumed publish: already linked
-                shutil.rmtree(staged, ignore_errors=True)
+            try:
+                staged_files = os.listdir(staged)
+            except OSError:
+                staged_files = []  # concurrent publisher already moved it
+            for fname in staged_files:
+                if fname == "_SUCCESS" or not (
+                    fname.endswith(".parquet")
+                    or fname.endswith(".parquet.crc")
+                ):
+                    continue
+                try:
+                    os.link(
+                        os.path.join(staged, fname),
+                        os.path.join(dst, fname),
+                    )
+                except FileExistsError:
+                    pass  # resumed publish: already linked
+                except FileNotFoundError:
+                    pass  # a CONCURRENT publisher linked it and swept
+                    # the staged dir under us — the record is (or is
+                    # about to be) in the feed either way
+            shutil.rmtree(staged, ignore_errors=True)
             # manifest removed LAST: its presence is what makes a
             # crashed publish resumable
             try:

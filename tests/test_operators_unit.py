@@ -6126,3 +6126,121 @@ def test_chain_walk_proves_through_optimize_hop(spark, tmp_path):
         del store.current_path
     got = {r["k"]: r["v"] for r in store.read("t").collect()}
     assert got[0] == 100 and got[1] == -1 and len(got) == 40
+
+
+def test_cross_process_writers_change_feed_complete(spark, tmp_path):
+    """The staged-CDF protocol across real PROCESSES (r13): two
+    separate Spark drivers merge changelog-enabled SCD-1 batches into
+    the same table, genuinely interleaving (rebases occur, both
+    publish concurrently — the EEXIST/ENOENT-safe link race). The
+    change feed must be COMPLETE: folding it from version 0
+    reconstructs the final table exactly, one distinct commit version
+    per commit, and no staged manifest is left anywhere."""
+    from multiprocessing import get_context
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.dedup import (
+        latest_by_key,
+    )
+
+    store = merge.TableStore(
+        spark, str(tmp_path), keep_versions=150, changelog=True
+    )
+    base = spark.createDataFrame(
+        [Row(k=i, seg="A" if i % 2 == 0 else "B", v=0) for i in range(40)]
+    )
+    store.write_partitioned("t", base, keys=["k"], partition_column="seg")
+    # the marker makes the CHILD stores (plain ctor) changelog-enabled
+    store.enable_changelog("t")
+
+    n_iters = 8
+    ctx = get_context("spawn")
+    with ctx.Pool(2) as pool:
+        results = pool.map(
+            _rebase_contender,
+            [(str(tmp_path), "A", n_iters), (str(tmp_path), "B", n_iters)],
+        )
+    for st in results:
+        assert st["conflict"] == 0, results
+        assert st["ok"] == n_iters, results
+    assert sum(st["rebase"] for st in results) >= 1, results
+
+    feed = store.read_changes("t", starting_version=0)
+    # one allocated commit version per commit: create + 2*n_iters
+    vers = {r["_commit_version"] for r in feed.select(
+        "_commit_version").distinct().collect()}
+    assert len(vers) == 1 + 2 * n_iters, sorted(vers)
+    # the fold reconstructs the table exactly -> no commit lost its
+    # change rows across the concurrent staged publishes and rebases
+    recon = latest_by_key(feed, ["k"], "_commit_version").filter(
+        F.col("_change_type") != "delete"
+    ).drop("_change_type", "_commit_version")
+    final = store.read("t")
+    cols = final.columns
+    assert recon.select(*cols).exceptAll(final.select(*cols)).count() == 0
+    assert final.select(*cols).exceptAll(recon.select(*cols)).count() == 0
+    # nothing left staged
+    stray = [
+        d
+        for d in os.listdir(str(tmp_path))
+        if d.startswith("t.v")
+        and os.path.exists(
+            os.path.join(str(tmp_path), d,
+                         merge.TableStore._STAGED_MANIFEST)
+        )
+    ]
+    assert stray == []
+
+
+def test_cdf_publish_resumes_after_partial_link_crash(
+    spark, tmp_path, monkeypatch
+):
+    """A crash MID-publish (some staged files hard-linked, manifest
+    still present) must resume idempotently: the next reader completes
+    the move, the feed shows each record exactly once."""
+    store = merge.TableStore(
+        spark, str(tmp_path), keep_versions=5, changelog=True
+    )
+    store.write("t", spark.createDataFrame(
+        [Row(k=i, v=0) for i in range(10)]
+    ))
+    n0 = store.read_changes("t").count()
+
+    real_link = os.link
+    state = {"links": 0}
+
+    def crash_after_first_link(src, dst, *a, **kw):
+        if "/t.changelog/" in str(dst) or str(dst).endswith(".parquet"):
+            if state["links"] >= 1 and "_commit" not in str(src):
+                raise RuntimeError("injected crash mid-publish")
+            state["links"] += 1
+        return real_link(src, dst, *a, **kw)
+
+    # repartition the change set so staging yields MULTIPLE files
+    src = spark.createDataFrame(
+        [Row(k=i, v=100 + i) for i in range(4)]
+    ).repartition(4)
+    monkeypatch.setattr(merge.os, "link", crash_after_first_link)
+    try:
+        store.merge("t", src, ["k"], policy="scd1")
+        crashed = False
+    except RuntimeError:
+        crashed = True
+    monkeypatch.undo()
+    assert crashed, "publish did not attempt multiple links"
+    # the commit itself landed (flip precedes publish)
+    assert {r["k"]: r["v"] for r in store.read("t").collect()}[0] == 100
+    cur = store.current_path("t")
+    assert os.path.exists(
+        os.path.join(cur, merge.TableStore._STAGED_MANIFEST)
+    )
+    # the next read completes the publish: every record exactly once
+    feed = store.read_changes("t")
+    got = {(r["k"], r["v"]) for r in feed.filter(
+        "_change_type = 'update_postimage'").collect()}
+    assert got == {(i, 100 + i) for i in range(4)}
+    assert feed.count() == n0 + 4
+    assert not os.path.exists(
+        os.path.join(cur, merge.TableStore._STAGED_MANIFEST)
+    )
+    # idempotent on re-read
+    assert store.read_changes("t").count() == n0 + 4
