@@ -757,3 +757,164 @@ def test_scd2_merge_batch_split_invariant(spark, changes, cut, order_seed):
 
     norm = lambda df: sorted(tuple(r) for r in df.collect())
     assert norm(target) == norm(full)
+
+
+def _fuzz_store_lifecycle(spark, root, seed, executed):
+    """One seed of the model-checked DML lifecycle fuzz: a
+    deterministic random verb sequence runs against BOTH the
+    TableStore (column-partitioned, changelog on) and a plain dict
+    model; the table must equal the model after every step, and the
+    change-feed fold from version 0 must reproduce the final table."""
+    import random
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.dedup import (
+        latest_by_key,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        TableStore,
+    )
+
+    SEGS = ["A", "B", "C"]
+
+    def seg_of(k: int) -> str:
+        return SEGS[k % 3]
+
+    rng = random.Random(seed)
+    store = TableStore(spark, root, keep_versions=40, changelog=True)
+    model = {k: 0 for k in range(60)}
+    snapshots = []  # model state per committed version, create first
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [Row(k=k, seg=seg_of(k), v=v) for k, v in rows]
+        )
+
+    store.write_partitioned(
+        "t",
+        df_of(sorted(model.items())),
+        keys=["k"],
+        partition_column="seg",
+    )
+    snapshots.append(dict(model))
+
+    def check(step):
+        got = {r["k"]: r["v"] for r in store.read("t").collect()}
+        assert got == model, (
+            f"seed {seed} step {step}: table diverged from model "
+            f"(only-table={set(got) - set(model)}, "
+            f"only-model={set(model) - set(got)})"
+        )
+
+    next_key = 60
+    for step in range(18):
+        verb = rng.choice(
+            ["merge", "merge", "delete", "update", "dv", "replace",
+             "optimize", "restore"]
+        )
+        if verb == "merge":
+            ks = rng.sample(sorted(model), min(5, len(model))) + [
+                next_key, next_key + 1
+            ]
+            next_key += 2
+            rows = [(k, rng.randrange(1000)) for k in ks]
+            store.merge("t", df_of(rows), ["k"], policy="scd1")
+            for k, v in rows:
+                model[k] = v
+        elif verb == "delete" and len(model) > 10:
+            lo = rng.randrange(0, next_key)
+            cond = (F.col("k") >= lo) & (F.col("k") < lo + 7)
+            n = store.delete("t", cond, keys=["k"])
+            doomed = [k for k in model if lo <= k < lo + 7]
+            assert n == len(doomed), (seed, step, n, doomed)
+            if not doomed:
+                continue  # zero matches: no commit happened
+            for k in doomed:
+                del model[k]
+        elif verb == "update":
+            seg = rng.choice(SEGS)
+            bump = rng.randrange(1, 50)
+            store.update(
+                "t",
+                F.col("seg") == seg,
+                {"v": F.col("v") + F.lit(bump)},
+                keys=["k"],
+            )
+            for k in model:
+                if seg_of(k) == seg:
+                    model[k] += bump
+        elif verb == "dv" and len(model) > 10:
+            victims = rng.sample(sorted(model), 2)
+            n = store.delete_vectored(
+                "t", F.col("k").isin(victims), keys=["k"]
+            )
+            assert n == 2, (seed, step, n, victims)
+            for k in victims:
+                del model[k]
+        elif verb == "replace":
+            seg = rng.choice(SEGS)
+            keep = [
+                (k, rng.randrange(1000))
+                for k in sorted(model)
+                if seg_of(k) == seg and rng.random() < 0.6
+            ]
+            fresh = [
+                (next_key + i * 3 + SEGS.index(seg), rng.randrange(1000))
+                for i in range(2)
+            ]
+            fresh = [(k, v) for k, v in fresh if seg_of(k) == seg]
+            next_key += 6
+            repl = keep + fresh
+            if not repl:
+                continue
+            store.replace_where(
+                "t", F.col("seg") == seg, df_of(repl), keys=["k"]
+            )
+            for k in [k for k in model if seg_of(k) == seg]:
+                del model[k]
+            for k, v in repl:
+                model[k] = v
+        elif verb == "optimize":
+            store.optimize("t", key="k")
+        elif verb == "restore" and len(snapshots) >= 3:
+            idx = rng.randrange(len(snapshots))
+            # version index in versions() == snapshot index (all
+            # retained: keep_versions=40 > total commits)
+            store.restore("t", idx, keys=["k"])
+            model = dict(snapshots[idx])
+        else:
+            continue
+        executed.add(verb)
+        snapshots.append(dict(model))
+        check(step)
+
+    # the feed fold from version 0 reproduces the final table exactly
+    feed = store.read_changes("t", starting_version=0)
+    recon = latest_by_key(feed, ["k"], "_commit_version").filter(
+        F.col("_change_type") != "delete"
+    )
+    got = {r["k"]: r["v"] for r in recon.collect()}
+    assert got == model, (
+        f"seed {seed} feed fold diverged: extra={set(got) - set(model)}, "
+        f"missing={set(model) - set(got)}"
+    )
+
+
+def test_store_dml_lifecycle_fuzz_model_check(spark, tmp_path):
+    """Model-checked DML lifecycle fuzz (r13): deterministic random
+    sequences of SCD-1 merge / DELETE / UPDATE / delete_vectored /
+    replace_where / OPTIMIZE / RESTORE against both the store and a
+    dict model — equality after EVERY commit, and the change-feed fold
+    reproducing the final table at the end. Three seeds; together they
+    must exercise the whole verb surface (the composed-interplay net
+    single-verb tests can't throw)."""
+    executed: set[str] = set()
+    for seed in (13, 29, 47):
+        _fuzz_store_lifecycle(spark, str(tmp_path / f"s{seed}"), seed,
+                              executed)
+    assert executed >= {
+        "merge", "delete", "update", "dv", "replace", "optimize",
+        "restore",
+    }, f"verb coverage hole across seeds: {executed}"
