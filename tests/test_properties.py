@@ -918,3 +918,189 @@ def test_store_dml_lifecycle_fuzz_model_check(spark, tmp_path):
         "merge", "delete", "update", "dv", "replace", "optimize",
         "restore",
     }, f"verb coverage hole across seeds: {executed}"
+
+
+def _fuzz_schema_lifecycle(spark, root, seed, executed):
+    """One seed of the model-checked SCHEMA lifecycle fuzz: random
+    interleavings of RENAME / WIDEN / ADD COLUMN / DROP COLUMN /
+    CHECK-constraint add+drop / evolution merge with ordinary DML,
+    against both the store and a dict-of-dicts model. Frozen-column
+    guards must raise exactly when a constraint references the column,
+    and the table must equal the model after every step."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        TableStore,
+    )
+
+    SEGS = ["A", "B"]
+
+    def seg_of(k: int) -> str:
+        return SEGS[k % 2]
+
+    rng = random.Random(seed)
+    store = TableStore(spark, root, keep_versions=60)
+    # logical value columns -> spark type string ("int" / "bigint")
+    cols: dict = {"a": "int", "b": "bigint"}
+    model = {
+        k: {"a": k, "b": 10 * k} for k in range(30)
+    }
+    constrained: str | None = None
+
+    def schema_str():
+        parts = ["k bigint", "seg string"] + [
+            f"{c} {t}" for c, t in cols.items()
+        ]
+        return ", ".join(parts)
+
+    def df_of(rows):
+        # rows: list of dicts with k + all current value cols
+        data = [
+            tuple([r["k"], seg_of(r["k"])] + [r.get(c) for c in cols])
+            for r in rows
+        ]
+        return spark.createDataFrame(data, schema_str())
+
+    store.write_partitioned(
+        "t",
+        df_of([{"k": k, **v} for k, v in model.items()]),
+        keys=["k"],
+        partition_column="seg",
+    )
+
+    def check(step):
+        got = {
+            r["k"]: {c: r[c] for c in cols}
+            for r in store.read("t").collect()
+        }
+        want = {
+            k: {c: v.get(c) for c in cols} for k, v in model.items()
+        }
+        assert got == want, (
+            f"seed {seed} step {step}: diverged\n"
+            f"cols={list(cols)}\n"
+            f"bad={ {k: (got.get(k), want.get(k)) for k in set(got) | set(want) if got.get(k) != want.get(k)} }"
+        )
+
+    counter = 0
+    next_key = 30
+    for step in range(16):
+        verb = rng.choice(
+            ["merge", "merge", "rename", "widen", "add", "drop",
+             "constraint", "update", "evolve"]
+        )
+        if verb == "merge":
+            ks = rng.sample(sorted(model), 4) + [next_key]
+            next_key += 1
+            rows = []
+            for k in ks:
+                r = {"k": k}
+                for c, t in cols.items():
+                    hi = 3_000_000_000 if t == "bigint" else 1_000_000
+                    r[c] = rng.randrange(hi)
+                rows.append(r)
+            store.merge("t", df_of(rows), ["k"], policy="scd1")
+            for r in rows:
+                model[r["k"]] = {c: r[c] for c in cols}
+        elif verb == "rename":
+            old = rng.choice(list(cols))
+            new = f"c{counter}"
+            counter += 1
+            if old == constrained:
+                import pytest as _pytest
+
+                with _pytest.raises(ValueError, match="constraint"):
+                    store.rename_column("t", old, new)
+                executed.add("rename_frozen")
+                check(step)
+                continue
+            store.rename_column("t", old, new)
+            cols[new] = cols.pop(old)
+            for v in model.values():
+                if old in v:
+                    v[new] = v.pop(old)
+        elif verb == "widen":
+            narrow = [c for c, t in cols.items() if t == "int"]
+            if not narrow:
+                continue
+            c = rng.choice(narrow)
+            store.widen_column("t", c, "bigint")
+            cols[c] = "bigint"
+        elif verb == "add":
+            new = f"n{counter}"
+            counter += 1
+            store.add_column("t", new, "bigint")
+            cols[new] = "bigint"
+            # existing rows NULL-fill; model rows simply lack the key
+        elif verb == "drop":
+            droppable = [
+                c for c in cols if c != constrained and len(cols) > 1
+            ]
+            if not droppable or len(cols) < 2:
+                continue
+            c = rng.choice(droppable)
+            store.drop_column("t", c)
+            del cols[c]
+            for v in model.values():
+                v.pop(c, None)
+        elif verb == "constraint":
+            if constrained is None:
+                c = rng.choice(list(cols))
+                store.add_check_constraint(
+                    "t", "fuzz_gate", f"{c} IS NULL OR {c} > -1"
+                )
+                constrained = c
+            else:
+                store.drop_check_constraint("t", "fuzz_gate")
+                constrained = None
+        elif verb == "update":
+            c = rng.choice(list(cols))
+            seg = rng.choice(SEGS)
+            bump = rng.randrange(1, 9)
+            store.update(
+                "t",
+                F.col("seg") == seg,
+                {c: F.coalesce(F.col(c), F.lit(0)) + F.lit(bump)},
+            )
+            for k, v in model.items():
+                if seg_of(k) == seg:
+                    v[c] = (v.get(c) or 0) + bump
+        elif verb == "evolve":
+            new = f"e{counter}"
+            counter += 1
+            ks = rng.sample(sorted(model), 3)
+            rows = []
+            for k in ks:
+                r = {"k": k}
+                for c, t in cols.items():
+                    r[c] = rng.randrange(1000)
+                r[new] = rng.randrange(1000)
+                rows.append(r)
+            cols[new] = "bigint"
+            store.merge(
+                "t", df_of(rows), ["k"], policy="scd1",
+                evolve_schema=True,
+            )
+            for r in rows:
+                model[r["k"]] = {c: r[c] for c in cols}
+        else:
+            continue
+        executed.add(verb)
+        check(step)
+
+
+def test_store_schema_lifecycle_fuzz_model_check(spark, tmp_path):
+    """Model-checked SCHEMA lifecycle fuzz (r13): rename / widen /
+    ADD COLUMN / DROP COLUMN / CHECK constraints / evolution merges
+    interleaved with DML, two seeds, table == model after every step,
+    constraint-frozen columns raising exactly when they should."""
+    executed: set[str] = set()
+    for seed in (7, 31):
+        _fuzz_schema_lifecycle(spark, str(tmp_path / f"s{seed}"), seed,
+                               executed)
+    assert executed >= {
+        "merge", "rename", "widen", "add", "drop", "constraint",
+        "update", "evolve",
+    }, f"verb coverage hole across seeds: {executed}"
