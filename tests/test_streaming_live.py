@@ -257,3 +257,92 @@ def test_interval_join_tight_watermark_evicts_state(spark, tmp_path):
     assert max(series) < total_input // 2, series
     assert series[-1] < max(series), series
     assert any(b < a for a, b in zip(series, series[1:])), series
+
+
+def test_stream_changes_delivers_crash_recovered_publish(spark, tmp_path):
+    """A LIVE stream_changes consumer and a commit whose publish
+    crashed (r13 staged-CDF): the stream must not see phantom rows
+    while the records sit staged, and must deliver them in a LATER
+    micro-batch once any recovery pass completes the publish — the
+    'delayed, never lost' contract for live feed consumers (new files
+    hard-linked into the changelog dir are fresh paths, so the file
+    source's incremental listing discovers them)."""
+    import os
+    import time
+    import uuid
+
+    from pyspark.sql import Row
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        TableStore,
+    )
+
+    store = TableStore(
+        spark, str(tmp_path), keep_versions=5, changelog=True
+    )
+    store.write("t", spark.createDataFrame(
+        [Row(k=i, v=0) for i in range(8)]
+    ))
+    sink = f"feed_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        store.stream_changes("t")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option(
+            "checkpointLocation", os.path.join(str(tmp_path), "_ckpt")
+        )
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql(f"SELECT count(*) c FROM {sink}").first()["c"] >= 8:
+                break
+            time.sleep(0.5)
+        assert (
+            spark.sql(f"SELECT count(*) c FROM {sink}").first()["c"] == 8
+        ), "create records never arrived"
+
+        # a commit whose publish crashed: staged rows, feed untouched
+        orig = TableStore._publish_staged
+        TableStore._publish_staged = lambda self, name: 0
+        try:
+            store.merge(
+                "t",
+                spark.createDataFrame([Row(k=3, v=33), Row(k=9, v=99)]),
+                ["k"],
+                policy="scd1",
+            )
+        finally:
+            TableStore._publish_staged = orig
+        time.sleep(3)  # several live batches pass
+        assert (
+            spark.sql(
+                f"SELECT count(*) c FROM {sink} WHERE k IN (3, 9) AND v > 0"
+            ).first()["c"]
+            == 0
+        ), "staged (unpublished) change rows leaked into a live stream"
+
+        # ANY recovery pass completes the publish (here: a batch read)
+        store.read_changes("t").count()
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.sql(
+                f"SELECT count(*) c FROM {sink} WHERE k IN (3, 9) AND v > 0"
+            ).first()["c"]
+            if n == 2:
+                break
+            time.sleep(0.5)
+        got = {
+            (r["k"], r["v"], r["_change_type"])
+            for r in spark.sql(
+                f"SELECT * FROM {sink} WHERE k IN (3, 9) AND v > 0"
+            ).collect()
+        }
+        assert got == {
+            (3, 33, "update_postimage"),
+            (9, 99, "insert"),
+        }, got
+    finally:
+        q.stop()
