@@ -3,10 +3,13 @@
 Images/audio/video ride through the lakehouse as ``binary`` columns
 with a typed metadata struct alongside (modality, byte length, content
 hash). The Spark-side machinery — schema, partition-sized Arrow
-batches, ``mapInPandas`` signatures — is real and tested; the actual
-codec step is stubbed (``NotImplementedError``) or replaced by a
-deterministic fake, because no image/audio libraries exist in this
-container.
+batches, ``mapInPandas`` signatures — is real and tested. The IMAGE
+and VIDEO codec steps are stubbed (``NotImplementedError``) or
+replaced by a deterministic fake, because no image libraries exist in
+this container; the AUDIO path (``encode_wav``/``decode_wav``) is a
+REAL codec — stdlib ``wave``/``struct`` PCM WAV, r13 — so its header
+fields and signal stats come from actual bytes, driver-checked against
+a relational oracle.
 
 Batch shape: ``mapInPandas`` receives an iterator of Arrow-backed
 pandas DataFrames (one stream per partition). Decoders must stream —
@@ -203,3 +206,122 @@ def extract_features(media: DataFrame, n_dims: int = 8) -> DataFrame:
             yield pd.DataFrame({"id": ids, "dim": dims, "value": vals})
 
     return media.select("id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+# --- audio: a REAL codec (stdlib wave/struct — no external libs) ----------
+
+WAV_DECODED_SCHEMA = (
+    "id long, sample_rate int, n_channels int, n_frames long, "
+    "duration_ms double, rms double, peak int"
+)
+
+
+def wav_bytes(samples, rate: int) -> bytes:
+    """Encode a 1-D int16 sample array as a canonical 44-byte-header
+    PCM WAV — pure stdlib ``struct``. This is a REAL codec, not a
+    stub: the payload round-trips through any WAV reader."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    n = len(data)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", n)
+        + data
+    )
+
+
+def encode_wav(df: DataFrame, pcm_col: str, id_col: str,
+               rate: int = 16000) -> DataFrame:
+    """array<int> PCM -> (id, modality, payload binary, ...) media rows
+    via a streaming ``mapInPandas`` encoder (bounded Arrow batches,
+    the same executor-memory contract as the image path)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                None if s is None else wav_bytes(s, rate)
+                for s in pdf[pcm_col]
+            ]
+            yield pd.DataFrame(
+                {"id": pdf[id_col].values, "payload": payloads}
+            )
+
+    out = df.select(F.col(id_col).alias(id_col), pcm_col).mapInPandas(
+        run, "id long, payload binary"
+    )
+    return out.select(
+        "id",
+        F.lit("audio/wav").alias("modality"),
+        "payload",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+    )
+
+
+def decode_wav_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """REAL decode — stdlib ``wave`` over the binary payload: header
+    fields (rate, channels, frames) come from the RIFF header, the
+    signal stats (rms, peak) from the PCM frames themselves. NULL or
+    malformed payloads yield a NULL-ish row instead of failing the
+    batch (poison blobs must never kill a 100 TB scan)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    rows = {
+        "id": pdf["id"].values,
+        "sample_rate": [],
+        "n_channels": [],
+        "n_frames": [],
+        "duration_ms": [],
+        "rms": [],
+        "peak": [],
+    }
+    for p in pdf["payload"]:
+        try:
+            with wave.open(io.BytesIO(bytes(p))) as w:
+                rate = w.getframerate()
+                nch = w.getnchannels()
+                nfr = w.getnframes()
+                raw = w.readframes(nfr)
+            x = np.frombuffer(raw, dtype="<i2").astype("float64")
+            rows["sample_rate"].append(rate)
+            rows["n_channels"].append(nch)
+            rows["n_frames"].append(nfr)
+            rows["duration_ms"].append(1000.0 * nfr / rate)
+            rows["rms"].append(
+                float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+            )
+            rows["peak"].append(int(np.max(np.abs(x))) if len(x) else 0)
+        except Exception:
+            rows["sample_rate"].append(None)
+            rows["n_channels"].append(None)
+            rows["n_frames"].append(None)
+            rows["duration_ms"].append(None)
+            rows["rms"].append(None)
+            rows["peak"].append(None)
+    return pd.DataFrame(rows)
+
+
+def decode_wav(media: DataFrame) -> DataFrame:
+    """Distributed WAV decode via ``mapInPandas`` — same streaming
+    batch-iterator shape as ``decode_images``, but with a REAL codec
+    (stdlib ``wave``): no external dependency, so nothing here is
+    faked."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield decode_wav_batch(pdf)
+
+    return media.select("id", "payload").mapInPandas(
+        run, WAV_DECODED_SCHEMA
+    )

@@ -9990,3 +9990,62 @@ def q_optimize_neutral_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(same_part).alias("same_partition_rebase"),
         F.lit(n_versions).cast("long").alias("n_versions"),
     )
+
+
+_AUDIO_WAV_ORACLE = """
+SELECT c_custkey,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(256 AS BIGINT) AS n_frames,
+       CAST(16.0 AS DOUBLE) AS duration_ms,
+       sqrt(avg(pow(CAST((c_custkey * 31 + i * 7) % 2003 - 1001
+                         AS DOUBLE), 2))) AS rms,
+       CAST(max(abs((c_custkey * 31 + i * 7) % 2003 - 1001))
+            AS INTEGER) AS peak
+FROM customer, generate_series(0, 255) AS s(i)
+GROUP BY c_custkey
+"""
+
+
+@_register(
+    "audio_wav_decode_features",
+    _AUDIO_WAV_ORACLE,
+    "REAL audio codec over the multimodal plumbing (multimodal.py::"
+    "encode_wav/decode_wav r13 — stdlib wave/struct PCM, no external "
+    "dependency, so this modality is NOT a stub): per customer a "
+    "deterministic 256-sample int16 signal synthesizes JVM-side "
+    "(F.transform over F.sequence — no Python in the signal "
+    "formula), round-trips through a streaming mapInPandas WAV "
+    "ENCODER into real RIFF bytes, then through the streaming "
+    "DECODER (stdlib wave): header fields (rate/channels/frames) "
+    "come from the actual 44-byte header, duration from the frame "
+    "count, rms/peak from the PCM samples themselves. The oracle "
+    "recomputes rms/peak relationally from the same closed-form "
+    "signal — exact to the bit: the 256-sample mean divides by 2^8 "
+    "and every partial sum fits a double, so sqrt is correctly "
+    "rounded on both engines. Bounded Arrow batches keep executor "
+    "memory independent of partition size — the property that "
+    "survives 100 TB of blobs.",
+    tags=("multimodal", "audio", "codec", "mapinpandas"),
+)
+def q_audio_wav_decode_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    pcm = F.transform(
+        F.sequence(F.lit(0), F.lit(255)),
+        lambda i: (
+            (F.col("c_custkey") * 31 + i * 7) % 2003 - 1001
+        ).cast("int"),
+    )
+    sig = c.select(F.col("c_custkey").cast("long"), pcm.alias("pcm"))
+    media = multimodal.encode_wav(sig, "pcm", "c_custkey", rate=16000)
+    return multimodal.decode_wav(media).select(
+        F.col("id").alias("c_custkey"),
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        "duration_ms",
+        "rms",
+        "peak",
+    )

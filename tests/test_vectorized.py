@@ -53,3 +53,44 @@ def test_knn_paths_agree(spark, embeddings):
     assert [(r["vec_id"], r["cosine"]) for r in a] == [
         (r["vec_id"], r["cosine"]) for r in b
     ]
+
+
+def test_wav_codec_round_trip_and_poison(spark):
+    """The REAL audio codec (r13): stdlib WAV encode -> decode
+    round-trips header fields and signal stats exactly; NULL and
+    malformed payloads yield NULL rows instead of failing the batch
+    (poison blobs must never kill a 100 TB scan)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        multimodal,
+    )
+
+    samples = [0, 1000, -1000, 32767, -32768, 5, -5, 0]
+    raw = multimodal.wav_bytes(samples, 8000)
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+    df = spark.createDataFrame(
+        [Row(id=1, pcm=samples), Row(id=2, pcm=[100] * 16)]
+    )
+    media = multimodal.encode_wav(df, "pcm", "id", rate=8000)
+    metas = {r["id"]: r for r in media.collect()}
+    assert metas[1]["n_bytes"] == 44 + 2 * len(samples)
+    assert metas[1]["modality"] == "audio/wav"
+    got = {r["id"]: r for r in multimodal.decode_wav(media).collect()}
+    assert got[1]["sample_rate"] == 8000
+    assert got[1]["n_channels"] == 1
+    assert got[1]["n_frames"] == len(samples)
+    assert got[1]["peak"] == 32768
+    want_rms = math.sqrt(sum(s * s for s in samples) / len(samples))
+    assert abs(got[1]["rms"] - want_rms) < 1e-9
+    assert got[2]["rms"] == 100.0 and got[2]["peak"] == 100
+    assert got[2]["duration_ms"] == 2.0
+    # poison: truncated/garbage payloads decode to NULLs, not errors
+    poison = spark.createDataFrame(
+        [Row(id=3, payload=bytearray(b"not a wav")),
+         Row(id=4, payload=None)]
+    )
+    bad = {r["id"]: r for r in multimodal.decode_wav(poison).collect()}
+    assert bad[3]["sample_rate"] is None and bad[4]["rms"] is None
