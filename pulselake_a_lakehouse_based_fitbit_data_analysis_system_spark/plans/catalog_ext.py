@@ -10049,3 +10049,72 @@ def q_audio_wav_decode_features(
         "rms",
         "peak",
     )
+
+
+_IMAGE_PPM_ORACLE = """
+SELECT p_partkey,
+       CAST((p_partkey % 13) + 4 AS INTEGER) AS width,
+       CAST((p_partkey % 7) + 3 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST(9 + length(CAST((p_partkey % 13) + 4 AS VARCHAR))
+              + length(CAST((p_partkey % 7) + 3 AS VARCHAR))
+              + 3 * ((p_partkey % 13) + 4) * ((p_partkey % 7) + 3)
+            AS BIGINT) AS n_bytes,
+       CAST(8 AS INTEGER) AS resized_w,
+       CAST(5 AS INTEGER) AS resized_h,
+       CAST(131 AS BIGINT) AS resized_bytes
+FROM part
+"""
+
+
+@_register(
+    "image_ppm_decode_resize",
+    _IMAGE_PPM_ORACLE,
+    "REAL lib-free image codec over the multimodal plumbing "
+    "(multimodal.py::encode_ppm/decode_images_real/resize_images_nn "
+    "r13 — netpbm parses with struct+numpy, no image library, so this "
+    "branch is NOT a stub): per part a (p_partkey%13+4) x "
+    "(p_partkey%7+3) RGB image synthesizes JVM-side (F.transform over "
+    "F.sequence), encodes into real binary P6 bytes through a "
+    "streaming mapInPandas encoder, decodes back — width/height/"
+    "channels come from the ACTUAL header, n_bytes pins the encoder's "
+    "exact byte layout (header digits + 3wh body) — and re-encodes "
+    "through a REAL nearest-neighbor resize to 8x5 whose output is "
+    "itself a valid P6 (resized_bytes pins the 11-byte header + 120 "
+    "pixel bytes). The oracle recomputes every number relationally. "
+    "Compressed formats (JPEG/PNG) still take the documented fake "
+    "branch — a PIL drop-in replaces exactly that. Bounded Arrow "
+    "batches keep executor memory independent of partition size.",
+    tags=("multimodal", "image", "codec", "mapinpandas"),
+)
+def q_image_ppm_decode_resize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    w = (F.col("p_partkey") % 13 + 4).cast("int")
+    h = (F.col("p_partkey") % 7 + 3).cast("int")
+    rgb = F.transform(
+        F.sequence(F.lit(0), (w * h * 3 - 1).cast("int")),
+        lambda j: ((F.col("p_partkey") * 7 + j * 11) % 256).cast("int"),
+    )
+    sig = p.select(
+        F.col("p_partkey").cast("long"),
+        rgb.alias("rgb"),
+        w.alias("w"),
+        h.alias("h"),
+    )
+    media = multimodal.encode_ppm(sig, "rgb", "w", "h", "p_partkey")
+    decoded = multimodal.decode_images_real(media).select(
+        F.col("id").alias("p_partkey"),
+        "width",
+        "height",
+        "n_channels",
+        "n_bytes",
+    )
+    resized = multimodal.resize_images_nn(media, 8, 5).select(
+        F.col("id").alias("p_partkey"),
+        F.col("width").alias("resized_w"),
+        F.col("height").alias("resized_h"),
+        F.col("n_bytes").alias("resized_bytes"),
+    )
+    return decoded.join(resized, "p_partkey")

@@ -94,3 +94,76 @@ def test_wav_codec_round_trip_and_poison(spark):
     )
     bad = {r["id"]: r for r in multimodal.decode_wav(poison).collect()}
     assert bad[3]["sample_rate"] is None and bad[4]["rms"] is None
+
+
+def test_image_real_codec_netpbm_bmp_and_nn_resize(spark):
+    """The REAL lib-free image branch (r13): netpbm and uncompressed
+    BMP decode to their ACTUAL header dims; nearest-neighbor resize
+    re-encodes actual pixels (value-checked against the index-map
+    formula); compressed/garbage payloads fall back to the
+    deterministic fake; resize of non-netpbm yields NULL rows."""
+    import hashlib
+    import struct
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        multimodal,
+    )
+
+    # 4x2 P6 with known pixels
+    px = np.arange(4 * 2 * 3, dtype=np.uint8)
+    ppm = multimodal.ppm_bytes(4, 2, px)
+    parsed = multimodal.parse_netpbm(ppm)
+    assert parsed[:3] == (4, 2, 3)
+    assert np.array_equal(parsed[3].ravel(), px)
+    # comment + PGM variant
+    pgm = b"P5\n# a comment\n3 2\n255\n" + bytes(range(6))
+    assert multimodal.parse_netpbm(pgm)[:3] == (3, 2, 1)
+    # minimal uncompressed 24-bit BMP header
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + 12, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, 12, 0, 0, 0, 0)
+        + bytes(12)
+    )
+    assert multimodal.parse_bmp_header(bmp) == (2, 2, 3)
+
+    media = spark.createDataFrame(
+        [
+            Row(id=1, payload=bytearray(ppm)),
+            Row(id=2, payload=bytearray(bmp)),
+            Row(id=3, payload=bytearray(b"\x89PNG garbage")),
+            Row(id=4, payload=None),
+        ]
+    )
+    got = {r["id"]: r for r in multimodal.decode_images_real(media).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_channels"]) == (
+        4, 2, 3,
+    )
+    assert (got[2]["width"], got[2]["height"], got[2]["n_channels"]) == (
+        2, 2, 3,
+    )
+    # non-parseable payloads take the deterministic fake's dims
+    h = hashlib.md5(b"\x89PNG garbage").digest()
+    assert got[3]["width"] == 64 + h[0] % 192
+    assert got[4]["width"] == 0 and got[4]["content_md5"] is None
+
+    # NN resize: 4x2 -> 2x1 picks rows [0], cols [0, 2] exactly
+    rz = {r["id"]: r for r in
+          multimodal.resize_images_nn(media, 2, 1).collect()}
+    want_px = px.reshape(2, 4, 3)[[0]][:, [0, 2]]
+    want_payload = b"P6\n2 1\n255\n" + want_px.tobytes()
+    assert rz[1]["n_bytes"] == len(want_payload)
+    assert rz[1]["resized_md5"] == hashlib.md5(want_payload).hexdigest()
+    # non-netpbm payloads are poison for the REAL resize: NULL row
+    assert rz[2]["n_bytes"] is None and rz[3]["resized_md5"] is None
+
+    # encoder round-trip through the distributed path
+    df = spark.createDataFrame(
+        [Row(id=7, rgb=[int(v) for v in px], w=4, h=2)]
+    )
+    enc = multimodal.encode_ppm(df, "rgb", "w", "h", "id")
+    [m] = enc.collect()
+    assert bytes(m["payload"]) == ppm and m["n_bytes"] == len(ppm)
