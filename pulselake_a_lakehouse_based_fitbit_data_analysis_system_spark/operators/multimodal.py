@@ -543,3 +543,146 @@ def encode_ppm(
         F.octet_length("payload").alias("n_bytes"),
         F.md5("payload").alias("content_md5"),
     )
+
+
+# --- video: REAL frame extraction for y4m (lib-free, r13) -------------------
+
+Y4M_FRAME_SCHEMA = (
+    "id long, frame_idx int, width int, height int, y_mean double, "
+    "frame_md5 string"
+)
+
+
+def y4m_bytes(w: int, h: int, y_planes) -> bytes:
+    """Encode frames as YUV4MPEG2 (C444): a plain-text header plus raw
+    per-frame planes — REAL, stdlib-only. ``y_planes`` is a flat
+    uint8 sequence of n_frames * w * h luma values; chroma planes are
+    constant 128 (grey)."""
+    import numpy as np
+
+    y = np.asarray(y_planes, dtype=np.uint8)
+    if len(y) % (w * h):
+        raise ValueError(f"luma length {len(y)} not a multiple of {w * h}")
+    uv = bytes([128]) * (w * h)
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+    for f in range(len(y) // (w * h)):
+        out.append(b"FRAME\n")
+        out.append(y[f * w * h : (f + 1) * w * h].tobytes())
+        out.append(uv)
+        out.append(uv)
+    return b"".join(out)
+
+
+def parse_y4m(payload: bytes):
+    """(width, height, [per-frame Y-plane ndarray]) for a C444
+    YUV4MPEG2 payload, or None when the payload isn't one. Raises on
+    truncation or an unsupported colourspace."""
+    import numpy as np
+
+    if not payload.startswith(b"YUV4MPEG2"):
+        return None
+    nl = payload.index(b"\n")
+    w = h = None
+    c = "C420"
+    for tok in payload[:nl].split()[1:]:
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "C":
+            c = t
+    if w is None or h is None:
+        raise ValueError("y4m header missing W/H")
+    if c != "C444":
+        raise ValueError(f"unsupported y4m colourspace {c}")
+    frame_bytes = 3 * w * h
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad y4m FRAME marker")
+        body = payload[fnl + 1 : fnl + 1 + frame_bytes]
+        if len(body) != frame_bytes:
+            raise ValueError("truncated y4m frame")
+        frames.append(
+            np.frombuffer(body[: w * h], dtype=np.uint8).reshape(h, w)
+        )
+        pos = fnl + 1 + frame_bytes
+    return w, h, frames
+
+
+def encode_y4m(
+    df: DataFrame, y_col: str, w: int, h: int, id_col: str
+) -> DataFrame:
+    """flat array<int> luma (n_frames * w * h values) -> media rows
+    with a real y4m payload — streaming ``mapInPandas`` encoder."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                None if y is None else y4m_bytes(w, h, y)
+                for y in pdf[y_col]
+            ]
+            yield pd.DataFrame(
+                {"id": pdf[id_col].values, "payload": payloads}
+            )
+
+    out = df.select(F.col(id_col).alias(id_col), y_col).mapInPandas(
+        run, "id long, payload binary"
+    )
+    return out.select(
+        "id",
+        F.lit("video/x-yuv4mpeg").alias("modality"),
+        "payload",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+    )
+
+
+def sample_frames_y4m(media: DataFrame, every_n: int) -> DataFrame:
+    """REAL video frame sampling for y4m payloads: every ``every_n``-th
+    ACTUAL frame yields (frame_idx, dims, luma mean, frame md5) — the
+    1→N row-expansion shape of ``sample_frames`` with a real codec
+    behind it. Non-y4m or malformed payloads contribute no rows
+    (poison tolerance); compressed containers still need ffmpeg and
+    keep the documented fake path."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, ws, hs, means, md5s = [], [], [], [], [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    parsed = parse_y4m(bytes(payload))
+                except Exception:
+                    continue
+                if parsed is None:
+                    continue
+                w, h, frames = parsed
+                for fi in range(0, len(frames), every_n):
+                    ids.append(i)
+                    idxs.append(fi)
+                    ws.append(w)
+                    hs.append(h)
+                    means.append(float(np.mean(frames[fi].astype("float64"))))
+                    md5s.append(hashlib.md5(frames[fi].tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "frame_idx": idxs,
+                    "width": ws,
+                    "height": hs,
+                    "y_mean": means,
+                    "frame_md5": md5s,
+                }
+            )
+
+    return media.select("id", "payload").mapInPandas(
+        run, Y4M_FRAME_SCHEMA
+    )

@@ -10118,3 +10118,66 @@ def q_image_ppm_decode_resize(
         F.col("n_bytes").alias("resized_bytes"),
     )
     return decoded.join(resized, "p_partkey")
+
+
+_VIDEO_Y4M_ORACLE = """
+SELECT s_suppkey,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(4 AS INTEGER) AS width,
+       CAST(3 AS INTEGER) AS height,
+       avg(CAST((s_suppkey * 13 + f * 17 + j) % 256 AS DOUBLE)) AS y_mean
+FROM supplier,
+     generate_series(0, 5) sf(f),
+     generate_series(0, 11) sj(j)
+WHERE f % 2 = 0 AND f < (s_suppkey % 4) + 2
+GROUP BY s_suppkey, f
+"""
+
+
+@_register(
+    "video_y4m_frame_sample",
+    _VIDEO_Y4M_ORACLE,
+    "REAL lib-free video codec over the multimodal plumbing "
+    "(multimodal.py::encode_y4m/sample_frames_y4m r13 — YUV4MPEG2 is "
+    "a plain-text header + raw planes, parseable with stdlib bytes + "
+    "numpy, so frame extraction on it is NOT a stub): per supplier a "
+    "(s_suppkey%4+2)-frame 4x3 C444 clip synthesizes JVM-side "
+    "(F.transform over F.sequence — the luma formula never runs in "
+    "Python), encodes into real y4m bytes through a streaming "
+    "mapInPandas encoder, and every 2nd ACTUAL frame is sampled out "
+    "in the 1-to-N row-expansion shape: frame_idx/dims from the real "
+    "container structure, y_mean from the real luma plane. The "
+    "oracle recomputes every sampled frame's mean relationally — "
+    "exact: each mean is a 12-integer sum divided once, correctly "
+    "rounded identically on both engines. Compressed containers "
+    "(mp4 etc.) still take the documented fake path — an ffmpeg "
+    "drop-in replaces exactly that. With this row all THREE "
+    "modalities (audio/image/video) have a driver-checked REAL "
+    "codec branch.",
+    tags=("multimodal", "video", "codec", "mapinpandas"),
+)
+def q_video_y4m_frame_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n_frames = (F.col("s_suppkey") % 4 + 2).cast("int")
+    luma = F.transform(
+        F.sequence(F.lit(0), (n_frames * 12 - 1).cast("int")),
+        lambda idx: (
+            (
+                F.col("s_suppkey") * 13
+                + F.floor(idx / 12) * 17
+                + idx % 12
+            )
+            % 256
+        ).cast("int"),
+    )
+    sig = s.select(F.col("s_suppkey").cast("long"), luma.alias("y"))
+    media = multimodal.encode_y4m(sig, "y", 4, 3, "s_suppkey")
+    return multimodal.sample_frames_y4m(media, 2).select(
+        F.col("id").alias("s_suppkey"),
+        "frame_idx",
+        "width",
+        "height",
+        "y_mean",
+    )

@@ -167,3 +167,55 @@ def test_image_real_codec_netpbm_bmp_and_nn_resize(spark):
     enc = multimodal.encode_ppm(df, "rgb", "w", "h", "id")
     [m] = enc.collect()
     assert bytes(m["payload"]) == ppm and m["n_bytes"] == len(ppm)
+
+
+def test_y4m_video_codec_round_trip_and_sampling(spark):
+    """The REAL lib-free video branch (r13): y4m encode -> parse
+    round-trips actual frames; sample_frames_y4m extracts every Nth
+    REAL frame with exact luma means; poison payloads contribute no
+    rows."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        multimodal,
+    )
+
+    w, h, n = 4, 3, 5
+    luma = np.arange(n * w * h, dtype=np.uint8)
+    raw = multimodal.y4m_bytes(w, h, luma)
+    assert raw.startswith(b"YUV4MPEG2 W4 H3 ")
+    pw, ph, frames = multimodal.parse_y4m(raw)
+    assert (pw, ph, len(frames)) == (w, h, n)
+    assert np.array_equal(frames[2].ravel(), luma[2 * 12 : 3 * 12])
+
+    df = spark.createDataFrame(
+        [Row(id=1, y=[int(v) for v in luma]),
+         Row(id=2, y=[255] * 12)]
+    )
+    media = multimodal.encode_y4m(df, "y", w, h, "id")
+    metas = {r["id"]: r for r in media.collect()}
+    header = len(b"YUV4MPEG2 W4 H3 F25:1 Ip A1:1 C444\n")
+    assert metas[1]["n_bytes"] == header + n * (6 + 3 * 12)
+    got = [
+        (r["id"], r["frame_idx"], r["width"], r["height"], r["y_mean"],
+         r["frame_md5"])
+        for r in multimodal.sample_frames_y4m(media, 2)
+        .orderBy("id", "frame_idx").collect()
+    ]
+    # id=1: frames 0,2,4 of 5; id=2: frame 0 of 1
+    assert [(g[0], g[1]) for g in got] == [
+        (1, 0), (1, 2), (1, 4), (2, 0),
+    ]
+    assert got[1][4] == float(np.mean(luma[24:36]))
+    assert got[1][5] == hashlib.md5(luma[24:36].tobytes()).hexdigest()
+    assert got[3][4] == 255.0
+    # poison: garbage and NULL payloads yield zero rows, no failure
+    poison = spark.createDataFrame(
+        [Row(id=3, payload=bytearray(b"YUV4MPEG2 W4 H3 C444\nFRAME\nxx")),
+         Row(id=4, payload=bytearray(b"mp4 garbage")),
+         Row(id=5, payload=None)]
+    )
+    assert multimodal.sample_frames_y4m(poison, 1).count() == 0
