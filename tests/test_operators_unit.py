@@ -6244,3 +6244,95 @@ def test_cdf_publish_resumes_after_partial_link_crash(
     )
     # idempotent on re-read
     assert store.read_changes("t").count() == n0 + 4
+
+
+def _optimize_contender(args):
+    """Child-process body for the cross-process compaction test: a
+    REAL second Spark driver running repeated partition-scoped
+    OPTIMIZEs while the parent-side writer merges a disjoint
+    partition. Counts compactions that landed as rebases."""
+    root, seg, n_iters = args
+    from pyspark.sql import SparkSession
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        ConcurrentWriteError,
+        TableStore,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName(f"optimize-{seg}")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "2")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    stats = {"ok": 0, "conflict": 0, "rebase": 0}
+    orig = TableStore._commit_pointer_or_rebase
+
+    def counting(self, name, version_dir, based_on, rewritten):
+        out = orig(self, name, version_dir, based_on, rewritten)
+        if out != version_dir:
+            stats["rebase"] += 1
+        return out
+
+    TableStore._commit_pointer_or_rebase = counting
+    try:
+        store = TableStore(spark, root, keep_versions=150)
+        for _ in range(n_iters):
+            try:
+                store.optimize("t", partitions=[seg], key="k")
+                stats["ok"] += 1
+            except ConcurrentWriteError:
+                stats["conflict"] += 1
+    finally:
+        TableStore._commit_pointer_or_rebase = orig
+        spark.stop()
+    return stats
+
+
+def test_cross_process_optimize_never_conflicts_with_disjoint_merges(
+    spark, tmp_path
+):
+    """Neutral-OCC compaction across real PROCESSES (r13): one driver
+    trickle-merges seg=A while another repeatedly compacts seg=B.
+    Every commit on BOTH sides must land (compactions rebasing over
+    the merges that interleave them — zero discarded compaction jobs),
+    values stay exact, and the conflict chain stays provable across
+    the whole mixed history."""
+    from multiprocessing import get_context
+
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=150)
+    base = spark.createDataFrame(
+        [Row(k=i, seg="A" if i % 2 == 0 else "B", v=0) for i in range(40)]
+    )
+    store.write_partitioned("t", base, keys=["k"], partition_column="seg")
+    v0 = os.path.basename(store.current_path("t"))
+
+    n_merge, n_opt = 12, 8
+    ctx = get_context("spawn")
+    with ctx.Pool(1) as pool:
+        fut = pool.apply_async(
+            _optimize_contender, ((str(tmp_path), "B", n_opt),)
+        )
+        merge_stats = {"ok": 0}
+        for j in range(1, n_merge + 1):
+            batch = spark.createDataFrame(
+                [Row(k=k, seg="A", v=j) for k in (0, 2, 4)]
+            )
+            store.merge("t", batch, ["k"], policy="scd1")
+            merge_stats["ok"] += 1
+        opt_stats = fut.get(timeout=300)
+    assert opt_stats["conflict"] == 0, opt_stats
+    assert opt_stats["ok"] == n_opt, opt_stats
+    assert merge_stats["ok"] == n_merge
+    got = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert got[0] == n_merge and got[2] == n_merge and got[4] == n_merge
+    assert all(v == 0 for k, v in got.items() if k not in (0, 2, 4))
+    assert len(got) == 40
+    # the mixed merge/compaction history stays chain-provable, and the
+    # neutral hops contribute nothing to the conflict set
+    cur = os.path.basename(store.current_path("t"))
+    chain = store._chain_rewritten(v0, cur)
+    assert chain is not None and "seg=B" not in chain
+    assert len(store.versions("t")) == 1 + n_merge + n_opt
