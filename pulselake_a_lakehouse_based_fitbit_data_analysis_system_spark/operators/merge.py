@@ -2436,6 +2436,20 @@ class TableStore:
             "partition_spec": self.partition_spec(name),
             "num_versions": len(self.versions(name)),
             "changelog_enabled": self._changelog_enabled(name),
+            # CDF health: tombstoned commit versions (schema-race
+            # heals) and commits whose staged change rows haven't
+            # published yet (normally zero; non-zero means a crashed
+            # publish awaiting the next recovery pass) — the two
+            # numbers an operator dashboard watches on a feed table
+            "feed_exclusions": self.feed_exclusions(name),
+            "staged_pending": sum(
+                1
+                for d in os.listdir(self.root)
+                if d.startswith(f"{name}.v")
+                and os.path.exists(
+                    os.path.join(self.root, d, self._STAGED_MANIFEST)
+                )
+            ),
             "stats_key": (stats or {}).get("key"),
             "bloom_columns": sidecars,
             "minmax_columns": minmax,

@@ -4944,6 +4944,19 @@ def test_table_store_detail(spark, tmp_path):
     # the sidecars were built on the PRE-build current version; after
     # the merge above they were built fresh on the new current
     assert d["bloom_columns"] == ["v"] and d["minmax_columns"] == ["v"]
+    # CDF health (r13): healthy feed = no tombstones, nothing staged
+    assert d["feed_exclusions"] == [] and d["staged_pending"] == 0
+    # a crashed publish shows up as staged_pending until recovery
+    orig = merge.TableStore._publish_staged
+    merge.TableStore._publish_staged = lambda self, name: 0
+    try:
+        store.merge("t", spark.createDataFrame([Row(k=2, v=-2)]), ["k"],
+                    policy="scd1")
+    finally:
+        merge.TableStore._publish_staged = orig
+    assert store.detail("t")["staged_pending"] == 1
+    store.read_changes("t").count()  # recovery publishes
+    assert store.detail("t")["staged_pending"] == 0
     with pytest.raises(FileNotFoundError):
         store.detail("nope")
 
