@@ -1898,7 +1898,14 @@ class TableStore:
     def _ledger_record(self, name: str, version_dir: str) -> None:
         """Append a committed version dir to the ledger (call under
         the commit lock). Trims to the newest ``_LEDGER_KEEP`` entries
-        — entries only matter while their dir survives retention."""
+        — entries only matter while their dir survives retention.
+        No-op for tables without a change feed: the ledger exists
+        solely to decide staged-record publish eligibility, and only
+        changelog commits stage records (a later ``enable_changelog``
+        starts ledgering from its first post-enable flip, which is
+        also the first flip that can leave anything staged)."""
+        if not self._changelog_enabled(name):
+            return
         p = self._ledger_path(name)
         lines: list[str] = []
         try:
