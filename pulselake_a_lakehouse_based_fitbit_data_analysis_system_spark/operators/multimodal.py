@@ -646,7 +646,11 @@ def sample_frames_y4m(media: DataFrame, every_n: int) -> DataFrame:
     1→N row-expansion shape of ``sample_frames`` with a real codec
     behind it. Non-y4m or malformed payloads contribute no rows
     (poison tolerance); compressed containers still need ffmpeg and
-    keep the documented fake path."""
+    keep the documented fake path. Per-ROW memory is O(payload) — an
+    Arrow binary cell arrives whole, like every blob column; feature
+    clips are fine, feature FILMS belong behind a chunked container
+    reader, which is part of the ffmpeg integration this function's
+    fallback documents."""
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1, got {every_n}")
 
