@@ -1104,3 +1104,300 @@ def test_store_schema_lifecycle_fuzz_model_check(spark, tmp_path):
         "merge", "rename", "widen", "add", "drop", "constraint",
         "update", "evolve",
     }, f"verb coverage hole across seeds: {executed}"
+
+
+# --- round-14: crash-point injection in the model-checked DML fuzzer ------
+#
+# The three hand-written CDF crash tests each pin ONE window
+# (post-flip/pre-publish; pre-flip scratch; pre-ledger). This fuzzer
+# composes them: at random steps of a random DML sequence, the commit
+# protocol is suppressed at a randomly chosen point — post-stage/
+# pre-flip, post-flip/pre-publish, post-publish/pre-ledger, the
+# narrowest post-flip/pre-publish-AND-pre-ledger, or mid-publish with
+# partial hard links — then the sequence simply CONTINUES, exercising
+# recovery paths no hand-written test reaches (a crash-recovered
+# publish followed by a rebase followed by OPTIMIZE, a second crash
+# before the first one's recovery ran, ...). After every step the
+# table must equal the Python model, and at the end the change-feed
+# fold from version 0 must reproduce the final table exactly-once.
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def _crash_at(point):
+    """Suppress the staged-CDF commit protocol at ``point`` for the
+    duration of one verb. Points that model a crash DURING a step
+    (``preflip``, ``midpublish``) raise _InjectedCrash out of the verb;
+    the rest let the verb return with the tail of the protocol skipped
+    (the process 'died' right after the flip)."""
+    import pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge as _merge
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        TableStore as _TS,
+    )
+
+    saved = {}
+
+    def patch(attr, val):
+        saved[attr] = getattr(_TS, attr)
+        setattr(_TS, attr, val)
+
+    if point == "preflip":
+        def boom(self, *a, **kw):
+            raise _InjectedCrash(point)
+
+        patch("_commit_pointer", boom)
+        patch("_commit_pointer_or_rebase", boom)
+    elif point == "prepublish":
+        patch("_publish_staged", lambda self, name: 0)
+    elif point == "preledger":
+        patch("_publish_staged", lambda self, name: 0)
+        patch("_ledger_record", lambda self, name, d: None)
+    elif point == "postpublish":
+        patch("_ledger_record", lambda self, name, d: None)
+    elif point == "midpublish":
+        real_pub = _TS._publish_staged
+
+        def pub(self, name):
+            real_link = _merge.os.link
+            n = [0]
+
+            def crash_link(src, dst, *aa, **kk):
+                if n[0] >= 1:
+                    raise _InjectedCrash(point)
+                r = real_link(src, dst, *aa, **kk)
+                n[0] += 1
+                return r
+
+            _merge.os.link = crash_link
+            try:
+                return real_pub(self, name)
+            finally:
+                _merge.os.link = real_link
+
+        patch("_publish_staged", pub)
+    else:  # pragma: no cover
+        raise ValueError(point)
+    try:
+        yield
+    finally:
+        for attr, orig in saved.items():
+            setattr(_TS, attr, orig)
+
+
+_CRASH_POINTS = (
+    "preflip", "prepublish", "preledger", "postpublish", "midpublish",
+)
+
+
+def _fuzz_store_crash_lifecycle(spark, root, seed, executed):
+    """One seed: a deterministic random verb sequence with random
+    crash-point injection, model-checked after every step, feed fold
+    checked at the end (see the section comment above)."""
+    import random
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.dedup import (
+        latest_by_key,
+    )
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        TableStore,
+    )
+
+    SEGS = ["A", "B", "C"]
+
+    def seg_of(k: int) -> str:
+        return SEGS[k % 3]
+
+    rng = random.Random(seed)
+    store = TableStore(spark, root, keep_versions=40, changelog=True)
+    model = {k: 0 for k in range(36)}
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [Row(k=k, seg=seg_of(k), v=v) for k, v in rows]
+        )
+
+    store.write_partitioned(
+        "t",
+        df_of(sorted(model.items())),
+        keys=["k"],
+        partition_column="seg",
+    )
+
+    def check(step, tag):
+        got = {r["k"]: r["v"] for r in store.read("t").collect()}
+        assert got == model, (
+            f"seed {seed} step {step} ({tag}): table diverged from model "
+            f"(only-table={set(got) - set(model)}, "
+            f"only-model={set(model) - set(got)}, "
+            f"diff={ {k: (got.get(k), model.get(k)) for k in set(got) | set(model) if got.get(k) != model.get(k)} })"
+        )
+
+    next_key = 36
+    for step in range(14):
+        verb = rng.choice(
+            ["merge", "merge", "delete", "update", "dv", "replace",
+             "optimize"]
+        )
+        point = (
+            rng.choice(_CRASH_POINTS) if rng.random() < 0.45 else None
+        )
+
+        # build the verb's inputs and its model mutation FIRST, so a
+        # pre-flip crash can skip the mutation cleanly
+        action = None  # () -> None, runs the store verb
+        mutate = None  # () -> None, applies the model change
+        if verb == "merge":
+            ks = rng.sample(sorted(model), min(4, len(model))) + [
+                next_key, next_key + 1
+            ]
+            next_key += 2
+            rows = [(k, rng.randrange(1000)) for k in ks]
+            action = lambda: store.merge(
+                "t", df_of(rows), ["k"], policy="scd1"
+            )
+
+            def mutate(rows=rows):
+                for k, v in rows:
+                    model[k] = v
+        elif verb == "delete":
+            if len(model) <= 10:
+                continue
+            lo = rng.randrange(0, next_key)
+            doomed = [k for k in model if lo <= k < lo + 7]
+            if not doomed:
+                continue  # zero matches: no commit to crash
+            cond = (F.col("k") >= lo) & (F.col("k") < lo + 7)
+            action = lambda: store.delete("t", cond, keys=["k"])
+
+            def mutate(doomed=doomed):
+                for k in doomed:
+                    del model[k]
+        elif verb == "update":
+            seg = rng.choice(SEGS)
+            if not any(seg_of(k) == seg for k in model):
+                continue
+            bump = rng.randrange(1, 50)
+            action = lambda: store.update(
+                "t",
+                F.col("seg") == seg,
+                {"v": F.col("v") + F.lit(bump)},
+                keys=["k"],
+            )
+
+            def mutate(seg=seg, bump=bump):
+                for k in model:
+                    if seg_of(k) == seg:
+                        model[k] += bump
+        elif verb == "dv":
+            if len(model) <= 10:
+                continue
+            victims = rng.sample(sorted(model), 2)
+            action = lambda: store.delete_vectored(
+                "t", F.col("k").isin(victims), keys=["k"]
+            )
+
+            def mutate(victims=victims):
+                for k in victims:
+                    del model[k]
+        elif verb == "replace":
+            seg = rng.choice(SEGS)
+            keep = [
+                (k, rng.randrange(1000))
+                for k in sorted(model)
+                if seg_of(k) == seg and rng.random() < 0.6
+            ]
+            fresh = [
+                (next_key + i * 3 + SEGS.index(seg), rng.randrange(1000))
+                for i in range(2)
+            ]
+            fresh = [(k, v) for k, v in fresh if seg_of(k) == seg]
+            next_key += 6
+            repl = keep + fresh
+            if not repl:
+                continue
+            action = lambda: store.replace_where(
+                "t", F.col("seg") == seg, df_of(repl), keys=["k"]
+            )
+
+            def mutate(seg=seg, repl=repl):
+                for k in [k for k in model if seg_of(k) == seg]:
+                    del model[k]
+                for k, v in repl:
+                    model[k] = v
+        elif verb == "optimize":
+            action = lambda: store.optimize("t", key="k")
+            mutate = lambda: None
+
+        if point is None:
+            action()
+            mutate()
+            executed.add(verb)
+            check(step, verb)
+            continue
+
+        crashed = False
+        try:
+            with _crash_at(point):
+                action()
+        except _InjectedCrash:
+            crashed = True
+        if point == "preflip":
+            # the commit never flipped: scratch dies with retention,
+            # the table and the feed must be untouched
+            assert crashed, (seed, step, verb, point)
+        else:
+            # the flip landed (for midpublish, whether or not the
+            # injected link crash actually fired: a <=1-file publish
+            # completes) — the commit is durable, recovery owes the
+            # feed its change rows
+            mutate()
+            executed.add(verb)
+        executed.add(f"crash:{point}")
+        check(step, f"{verb}+crash:{point}")
+
+    # every crash window above must heal to an exactly-once feed: the
+    # fold from version 0 reproduces the final table, no phantom rows
+    # (a published pre-flip scratch), no lost delta (an unpublished
+    # committed commit)
+    feed = store.read_changes("t", starting_version=0)
+    recon = latest_by_key(feed, ["k"], "_commit_version").filter(
+        F.col("_change_type") != "delete"
+    )
+    got = {r["k"]: r["v"] for r in recon.collect()}
+    assert got == model, (
+        f"seed {seed} feed fold diverged after crash recovery: "
+        f"extra={set(got) - set(model)}, missing={set(model) - set(got)}"
+    )
+
+
+def test_store_crash_injection_fuzz_model_check(spark, tmp_path):
+    """Model-checked DML fuzz WITH crash-point injection (round-13
+    verdict ask #1): random verb sequences where the staged-CDF commit
+    protocol is randomly suppressed at preflip / prepublish /
+    preledger / postpublish / midpublish points, table == model after
+    every step, and the feed fold exactly-once at the end. Four seeds
+    here; the extended campaign (200 seeds) runs via
+    PULSELAKE_CRASH_FUZZ_SEEDS (see VERDICT_RESPONSE.md for the
+    recorded run)."""
+    import os
+
+    executed: set[str] = set()
+    n = int(os.environ.get("PULSELAKE_CRASH_FUZZ_SEEDS", "4"))
+    base = int(os.environ.get("PULSELAKE_CRASH_FUZZ_BASE", "0"))
+    for seed in range(base, base + n):
+        _fuzz_store_crash_lifecycle(
+            spark, str(tmp_path / f"c{seed}"), seed, executed
+        )
+    if n >= 4:
+        assert {f"crash:{p}" for p in _CRASH_POINTS} <= executed, (
+            f"crash-point coverage hole: {sorted(executed)}"
+        )
