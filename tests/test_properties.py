@@ -1155,11 +1155,27 @@ def _crash_at(point):
         patch("_commit_pointer_or_rebase", boom)
     elif point == "prepublish":
         patch("_publish_staged", lambda self, name: 0)
-    elif point == "preledger":
-        patch("_publish_staged", lambda self, name: 0)
-        patch("_ledger_record", lambda self, name, d: None)
-    elif point == "postpublish":
-        patch("_ledger_record", lambda self, name, d: None)
+    elif point in ("preledger", "postpublish"):
+        # a real crash in this window suppresses only the SECOND
+        # ledger append of the flip (the new dir): the outgoing-
+        # current heal runs BEFORE the pointer moves, so a timeline
+        # that skipped it also never flipped. (A first draft of this
+        # fuzzer suppressed BOTH appends and promptly "found" a lost
+        # delta — an interleaving no single crashed process can
+        # produce, since a successor that dies before ledgering the
+        # outgoing current never unseats it as current either.)
+        real_ledger = _TS._ledger_record
+        calls = [0]
+
+        def led(self, name, d):
+            calls[0] += 1
+            if calls[0] >= 2:
+                return None
+            return real_ledger(self, name, d)
+
+        patch("_ledger_record", led)
+        if point == "preledger":
+            patch("_publish_staged", lambda self, name: 0)
     elif point == "midpublish":
         real_pub = _TS._publish_staged
 
