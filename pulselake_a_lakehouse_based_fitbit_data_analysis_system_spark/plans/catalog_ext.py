@@ -10181,3 +10181,74 @@ def q_video_y4m_frame_sample(
         "height",
         "y_mean",
     )
+
+
+_IMAGE_PNG_ORACLE = """
+SELECT p_partkey,
+       CAST((p_partkey % 11) + 3 AS INTEGER) AS width,
+       CAST((p_partkey % 5) + 2 AS INTEGER) AS height,
+       CAST(CASE p_partkey % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+            AS INTEGER) AS n_channels,
+       CAST(sum((p_partkey * 7 + j * 11) % 256) AS BIGINT) AS px_sum,
+       CAST(min((p_partkey * 7 + j * 11) % 256) AS INTEGER) AS px_min,
+       CAST(max((p_partkey * 7 + j * 11) % 256) AS INTEGER) AS px_max
+FROM part, generate_series(0, 311) s(j)
+WHERE j < ((p_partkey % 11) + 3) * ((p_partkey % 5) + 2)
+        * (CASE p_partkey % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)
+GROUP BY p_partkey
+"""
+
+
+@_register(
+    "image_png_decode",
+    _IMAGE_PNG_ORACLE,
+    "REAL lib-free PNG codec over the multimodal plumbing "
+    "(multimodal.py::png_bytes/parse_png/image_pixel_stats r14 — "
+    "stdlib zlib inflate + per-scanline unfiltering, no image "
+    "library, so this branch is NOT a stub; only JPEG/mp4 remain "
+    "documented fakes): per part a (p_partkey%11+3) x (p_partkey%5+2) "
+    "image with channels cycling grey/RGB/RGBA by p_partkey%3 "
+    "synthesizes JVM-side (F.transform over F.sequence), encodes into "
+    "real PNG bytes with the scanline FILTER CYCLING 0-4 by "
+    "p_partkey%5 (None/Sub/Up/Average/Paeth — every filter the spec "
+    "defines is exercised and must invert), and decodes back through "
+    "an actual inflate + unfilter: width/height/channels from the "
+    "real IHDR, px_sum/px_min/px_max over the reconstructed raster. "
+    "The oracle recomputes every number relationally from the pixel "
+    "formula — producing px_sum from compressed bytes is impossible "
+    "without the real decode, which is what pins the codec bit-exact. "
+    "Bounded Arrow batches; per-row memory O(payload).",
+    tags=("multimodal", "image", "codec", "mapinpandas"),
+)
+def q_image_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    w = (F.col("p_partkey") % 11 + 3).cast("int")
+    h = (F.col("p_partkey") % 5 + 2).cast("int")
+    ch = (
+        F.when(F.col("p_partkey") % 3 == 0, 1)
+        .when(F.col("p_partkey") % 3 == 1, 3)
+        .otherwise(4)
+    ).cast("int")
+    px = F.transform(
+        F.sequence(F.lit(0), (w * h * ch - 1).cast("int")),
+        lambda j: ((F.col("p_partkey") * 7 + j * 11) % 256).cast("int"),
+    )
+    sig = p.select(
+        F.col("p_partkey").cast("long"),
+        px.alias("px"),
+        w.alias("w"),
+        h.alias("h"),
+        ch.alias("ch"),
+        (F.col("p_partkey") % 5).cast("int").alias("ft"),
+    )
+    media = multimodal.encode_png(sig, "px", "w", "h", "ch", "p_partkey",
+                                  filter_col="ft")
+    return multimodal.image_pixel_stats(media).select(
+        F.col("id").alias("p_partkey"),
+        "width",
+        "height",
+        "n_channels",
+        "px_sum",
+        "px_min",
+        "px_max",
+    )

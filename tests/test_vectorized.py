@@ -219,3 +219,135 @@ def test_y4m_video_codec_round_trip_and_sampling(spark):
          Row(id=5, payload=None)]
     )
     assert multimodal.sample_frames_y4m(poison, 1).count() == 0
+
+
+def test_png_codec_round_trip_all_filters_and_poison(spark):
+    """The REAL lib-free PNG branch (r14): stdlib zlib inflate +
+    per-scanline unfiltering. Round-trips all five filter types and
+    all three supported color types; the encoder's filtered scanlines
+    are cross-checked against an INDEPENDENT per-pixel reference
+    implementation straight from RFC 2083 §6 (so a symmetric
+    encoder/decoder bug can't hide behind the round-trip); poison
+    payloads (truncated, CRC-corrupted, 16-bit, interlaced) raise or
+    fall back per the decoder contract."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        multimodal,
+    )
+
+    def ref_filter(px, h, w, ch, ft):
+        # independent scalar reference: RFC 2083 §6.2-6.6 verbatim
+        stride = w * ch
+        prev = [0] * stride
+        out = []
+        for y in range(h):
+            cur = [int(v) for v in px[y * stride : (y + 1) * stride]]
+            out.append(ft)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if ft == 0:
+                    f = cur[x]
+                elif ft == 1:
+                    f = (cur[x] - a) % 256
+                elif ft == 2:
+                    f = (cur[x] - b) % 256
+                elif ft == 3:
+                    f = (cur[x] - (a + b) // 2) % 256
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                    f = (cur[x] - pr) % 256
+                out.append(f)
+            prev = cur
+        return bytes(out)
+
+    def idat_raw(payload):
+        pos, idat = 8, []
+        while pos + 12 <= len(payload):
+            (ln,) = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4 : pos + 8]
+            if tag == b"IDAT":
+                idat.append(payload[pos + 8 : pos + 8 + ln])
+            pos += 12 + ln
+        return zlib.decompress(b"".join(idat))
+
+    rng = np.random.RandomState(41)
+    for ch in (1, 3, 4):
+        for ft in range(5):
+            w, h = 5, 4
+            px = rng.randint(0, 256, size=h * w * ch).astype(np.uint8)
+            b = multimodal.png_bytes(w, h, px, channels=ch, filter_type=ft)
+            # encoder scanlines == the independent reference
+            assert idat_raw(b) == ref_filter(px, h, w, ch, ft), (ch, ft)
+            # decode round-trip
+            W, H, C, arr = multimodal.parse_png(b)
+            assert (W, H, C) == (w, h, ch)
+            assert np.array_equal(arr.ravel(), px), (ch, ft)
+
+    # not-a-PNG -> None (falls to the other branches / the fake)
+    assert multimodal.parse_png(b"P6\n1 1\n255\nabc") is None
+    good = multimodal.png_bytes(5, 4, np.arange(60) % 256, channels=3,
+                                filter_type=4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.parse_png(good[:25])  # truncated chunk
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        multimodal.parse_png(bytes(bad))
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    for depth, color, inter in ((16, 0, 0), (8, 3, 0), (8, 0, 1)):
+        hdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, inter)
+        p = (multimodal._PNG_MAGIC + chunk(b"IHDR", hdr)
+             + chunk(b"IDAT", zlib.compress(b"\0" * 10))
+             + chunk(b"IEND", b""))
+        with _pytest.raises(ValueError, match="unsupported PNG"):
+            multimodal.parse_png(p)
+
+    # distributed path: encode_png -> image_pixel_stats, filter varies
+    # per row; poison rows yield NULL stats; real dims via
+    # decode_images_real's PNG branch
+    rows = []
+    want = {}
+    for i, (ch, ft) in enumerate([(1, 0), (3, 1), (4, 2), (3, 3), (1, 4)]):
+        w, h = 4 + i, 3
+        px = rng.randint(0, 256, size=h * w * ch)
+        rows.append(Row(id=i, px=[int(v) for v in px], w=w, h=h,
+                        ch=ch, ft=ft))
+        want[i] = (w, h, ch, int(px.sum()), int(px.min()), int(px.max()))
+    df = spark.createDataFrame(rows)
+    media = multimodal.encode_png(df, "px", "w", "h", "ch", "id",
+                                  filter_col="ft")
+    got = {r["id"]: r for r in
+           multimodal.image_pixel_stats(media).collect()}
+    for i, (w, h, ch, s, lo, hi) in want.items():
+        g = got[i]
+        assert (g["width"], g["height"], g["n_channels"]) == (w, h, ch)
+        assert (g["px_sum"], g["px_min"], g["px_max"]) == (s, lo, hi), i
+    poison = spark.createDataFrame(
+        [Row(id=10, payload=bytearray(b"\x89PNG garbage")),
+         Row(id=11, payload=None)]
+    )
+    pg = {r["id"]: r for r in
+          multimodal.image_pixel_stats(poison).collect()}
+    assert pg[10]["px_sum"] is None and pg[11]["width"] is None
+    dec = {r["id"]: r for r in
+           multimodal.decode_images_real(media).collect()}
+    assert (dec[3]["width"], dec[3]["height"], dec[3]["n_channels"]) == (
+        7, 3, 3,
+    )
