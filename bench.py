@@ -47,8 +47,14 @@ mapping / generated / identity / replace_where) cost the merge path
 nothing measurable; their per-commit overhead is a handful of
 sidecar existence probes.
 
-Streaming rows are single-pass (a drain is stateful; re-running it
-measures a different thing), so they carry the full ambient spread.
+Streaming rows were single-pass through round 13 and carried the full
+ambient spread; since r14 each row is MIN-OF-2 independent drains
+(fresh staging/checkpoint/sink/store per drain — the builders below
+reconstruct everything, so each drain measures the same workload),
+and the output carries a ``calibration`` scalar: a fixed JVM-side
+range-sum job whose wall time measures the machine's speed that hour
+(divide cross-round deltas by the calibration ratio before reading
+them as regressions — round-13 verdict ask #6).
 Round-10 A/B of the r9 ``stateful_running_totals`` +15 % (10.73 →
 12.36 s, code unchanged): three idle-machine passes gave 18.2 s cold,
 then 10.4 / 10.7 s warm — the r8 number reproduces exactly, so the r9
@@ -135,20 +141,35 @@ def _stream_bench(spark) -> dict[str, dict]:
             "state_ms": stats.get("state_ms"),
         }
 
-    def run(label: str, stream_df, output_mode: str = "append") -> None:
-        stats: dict = {}
-        t0 = time.perf_counter()
-        sink = stream_ops.run_stream_to_memory(
-            stream_df, output_mode=output_mode, stats_out=stats
-        )
-        n_out = sink.count()
-        record(label, time.perf_counter() - t0, n_out, stats)
+    # r14 (round-13 verdict ask #6): streaming rows are MIN-OF-2
+    # independent drains — a drain is stateful, so each pass rebuilds
+    # the stream from scratch (fresh /tmp staging, fresh checkpoint,
+    # fresh memory sink, fresh store), which is why ``run`` takes a
+    # BUILDER, not a DataFrame. Single-pass streaming numbers carried
+    # the full ±15-20 % ambient band; min-of-2 removes most of it, and
+    # the ``calibration`` scalar in the output removes the rest.
+    _DRAINS = max(1, int(os.environ.get("SPARK_GRAFT_STREAM_DRAINS", "2")))
 
-    src = stream_ops.stream_table(spark, SF_DIR, "events", n_files=8)
+    def run(label: str, build, output_mode: str = "append") -> None:
+        best = None
+        for _ in range(_DRAINS):
+            stats: dict = {}
+            t0 = time.perf_counter()
+            sink = stream_ops.run_stream_to_memory(
+                build(), output_mode=output_mode, stats_out=stats
+            )
+            n_out = sink.count()
+            wall = time.perf_counter() - t0
+            if best is None or wall < best[0]:
+                best = (wall, n_out, stats)
+        record(label, *best)
+        out[label]["passes"] = _DRAINS
+
     run(
         "streaming_dedup",
-        stream_ops.streaming_dedup(
-            src.select("user_id", "event_type", "ts"),
+        lambda: stream_ops.streaming_dedup(
+            stream_ops.stream_table(spark, SF_DIR, "events", n_files=8)
+            .select("user_id", "event_type", "ts"),
             keys=["user_id", "event_type"],
             event_time="ts",
         ).select("user_id", "event_type"),
@@ -156,48 +177,50 @@ def _stream_bench(spark) -> dict[str, dict]:
 
     # J3 through the SHIPPED operator (r6 ADVICE: a hand-rolled copy
     # here could silently drift from what the engine actually runs).
-    starts = (
-        stream_ops.stream_table(spark, SF_DIR, "events", n_files=8)
-        .filter(F.col("event_type") == "signup")
-        .select(
-            "user_id",
-            F.col("event_id").alias("start_id"),
-            F.col("ts").alias("start_ts"),
+    def build_interval_join():
+        starts = (
+            stream_ops.stream_table(spark, SF_DIR, "events", n_files=8)
+            .filter(F.col("event_type") == "signup")
+            .select(
+                "user_id",
+                F.col("event_id").alias("start_id"),
+                F.col("ts").alias("start_ts"),
+            )
         )
-    )
-    stops = (
-        stream_ops.stream_table(spark, SF_DIR, "events", n_files=8)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.col("event_id").alias("end_id"),
-            F.col("ts").alias("end_ts"),
+        stops = (
+            stream_ops.stream_table(spark, SF_DIR, "events", n_files=8)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "user_id",
+                F.col("event_id").alias("end_id"),
+                F.col("ts").alias("end_ts"),
+            )
         )
-    )
-    joined = stream_ops.streaming_interval_join(
-        starts,
-        stops,
-        ["user_id"],
-        start_time="start_ts",
-        end_time="end_ts",
-        max_interval="interval 3 hours",
-        watermark="365 days",
-        closed="open",
-    ).select(
-        F.col("s.user_id").alias("user_id"),
-        "start_id",
-        "end_id",
-        "start_ts",
-        "end_ts",
-    )
-    run("streaming_interval_join", joined)
+        return stream_ops.streaming_interval_join(
+            starts,
+            stops,
+            ["user_id"],
+            start_time="start_ts",
+            end_time="end_ts",
+            max_interval="interval 3 hours",
+            watermark="365 days",
+            closed="open",
+        ).select(
+            F.col("s.user_id").alias("user_id"),
+            "start_id",
+            "end_id",
+            "start_ts",
+            "end_ts",
+        )
+
+    run("streaming_interval_join", build_interval_join)
 
     # gap session windows (complete mode — windows merge across
     # batches): one open-session state row per key until the
     # watermark passes session end
     run(
         "streaming_session_agg",
-        stream_ops.session_window_agg(
+        lambda: stream_ops.session_window_agg(
             stream_ops.stream_table(spark, SF_DIR, "events", n_files=8),
             keys=["user_id"],
             event_time="ts",
@@ -214,7 +237,7 @@ def _stream_bench(spark) -> dict[str, dict]:
     # per key, Arrow batches through Python workers every batch
     run(
         "stateful_running_totals",
-        stream_ops.stateful_running_totals(
+        lambda: stream_ops.stateful_running_totals(
             stream_ops.stream_table(spark, SF_DIR, "events", n_files=8),
             key="user_id",
             value="value",
@@ -234,53 +257,81 @@ def _stream_bench(spark) -> dict[str, dict]:
         start_foreach_batch_sink,
     )
 
-    store = TableStore(spark, _tf.mkdtemp(prefix="pulselake_bench_scd2_"))
-    store.declare_partitioning("h", keys=["user_id"], n_buckets=8)
-    cents = F.floor(F.col("value").cast("double") * 100 + 0.5).cast("long")
-    changes = (
-        stream_ops.stream_table(spark, SF_DIR, "events", n_files=8)
-        .filter(F.col("event_type").isin("view", "error"))
-        .select(
-            "user_id",
-            "ts",
-            "event_id",
-            cents.alias("state_c"),
-            F.when(F.col("event_type") == "error", "D")
-            .otherwise("U")
-            .alias("op"),
+    def drain_scd2():
+        # fresh store + checkpoint per drain: the applier is stateful
+        # in the TABLE, so reusing either would measure an incremental
+        # replay, not the row's workload
+        store = TableStore(
+            spark, _tf.mkdtemp(prefix="pulselake_bench_scd2_")
         )
-    )
-    t0 = time.perf_counter()
-    q = start_foreach_batch_sink(
-        changes,
-        lambda batch_df, _id: store.merge(
-            "h",
-            batch_df,
-            ["user_id"],
-            policy="scd2",
-            seq_col="ts",
-            tiebreak_col="event_id",
-        ),
-        checkpoint=_tf.mkdtemp(prefix="pulselake_bench_scd2_ckpt_"),
-        cache_batch=True,  # merge multi-passes the batch (4x scan otherwise)
-    )
-    q.awaitTermination(600)
-    n_out = store.read("h").count()
-    progressed = [p for p in q.recentProgress if p["numInputRows"] > 0]
-    record(
-        "streaming_scd2_apply",
-        time.perf_counter() - t0,
-        n_out,
-        {
+        store.declare_partitioning("h", keys=["user_id"], n_buckets=8)
+        cents = F.floor(
+            F.col("value").cast("double") * 100 + 0.5
+        ).cast("long")
+        changes = (
+            stream_ops.stream_table(spark, SF_DIR, "events", n_files=8)
+            .filter(F.col("event_type").isin("view", "error"))
+            .select(
+                "user_id",
+                "ts",
+                "event_id",
+                cents.alias("state_c"),
+                F.when(F.col("event_type") == "error", "D")
+                .otherwise("U")
+                .alias("op"),
+            )
+        )
+        t0 = time.perf_counter()
+        q = start_foreach_batch_sink(
+            changes,
+            lambda batch_df, _id: store.merge(
+                "h",
+                batch_df,
+                ["user_id"],
+                policy="scd2",
+                seq_col="ts",
+                tiebreak_col="event_id",
+            ),
+            checkpoint=_tf.mkdtemp(prefix="pulselake_bench_scd2_ckpt_"),
+            cache_batch=True,  # merge multi-passes the batch (4x otherwise)
+        )
+        q.awaitTermination(600)
+        n_out = store.read("h").count()
+        wall = time.perf_counter() - t0
+        progressed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        return wall, n_out, {
             "num_batches": len(progressed),
             "input_rows": sum(p["numInputRows"] for p in progressed),
             "batch_ms": [
                 p["durationMs"].get("triggerExecution", 0)
                 for p in progressed
             ],
-        },
-    )
+        }
+
+    best = None
+    for _ in range(_DRAINS):
+        res = drain_scd2()
+        if best is None or res[0] < best[0]:
+            best = res
+    record("streaming_scd2_apply", *best)
+    out["streaming_scd2_apply"]["passes"] = _DRAINS
     return out
+
+
+def _calibration(spark) -> dict:
+    """Machine-speed probe (round-13 verdict ask #6): a fixed,
+    deterministic, JVM-side job — sum over a 50M range — timed min-of-3.
+    The workload never changes across rounds, so the scalar IS the
+    machine's speed that hour; divide any cross-round wall-clock delta
+    by the calibration ratio before reading it as a code regression
+    (the recorded r12→r13 +15 % headline drift was exactly this)."""
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr("sum(id * 2 + 1) AS s").collect()
+        wall = time.perf_counter() - t0
+        best = wall if best is None else min(best, wall)
+    return {"range_sum_50m_sec": round(best, 3)}
 
 
 def main() -> None:
@@ -325,6 +376,7 @@ def main() -> None:
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 3)
+    calibration = _calibration(spark)
     streaming = (
         _stream_bench(spark)
         if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0"
@@ -339,6 +391,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
                 "passes": passes,
+                "calibration": calibration,
                 "streaming": streaming,
             }
         )
@@ -361,6 +414,7 @@ def main() -> None:
                 "passes": passes,
                 "n_queries": len(timings),
                 "top5": top5,
+                "calibration": calibration,
                 "streaming_total": round(
                     sum(
                         row["wall_sec"]
