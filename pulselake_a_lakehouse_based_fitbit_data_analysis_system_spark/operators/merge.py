@@ -2174,15 +2174,15 @@ class TableStore:
         except (OSError, json.JSONDecodeError, ValueError):
             return []
 
-    def _add_feed_exclusion(self, name: str, ver: int) -> None:
-        # flock-guarded read-modify-write: the callers (the changelog
-        # pre-check and the post-publish re-check) run OUTSIDE the
-        # commit lock, so two writers tombstoning concurrently could
-        # each read the old set and the second os.replace would drop
-        # the first writer's exclusion — leaking one bad-schema commit
-        # back into the feed as silent NULLs (round-13 ADVICE #3; the
-        # same hazard _next_commit_version already flocks against).
-        lock = os.path.join(self.root, f"{name}._EXCLLOCK")
+    @contextmanager
+    def _table_flock(self, name: str, suffix: str):
+        """Serialize a per-table sidecar read-modify-write with a
+        kernel flock on a dedicated persistent lock file (the
+        ``_next_commit_version`` protocol, factored): for sidecars
+        mutated OUTSIDE the commit lock, an unguarded RMW lets two
+        writers each read the old state and the second ``os.replace``
+        silently drop the first writer's change."""
+        lock = os.path.join(self.root, f"{name}.{suffix}")
         fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
         try:
             deadline = time.time() + self._LOCK_TIMEOUT_SECONDS
@@ -2193,18 +2193,29 @@ class TableStore:
                 except OSError:
                     if time.time() > deadline:
                         raise TimeoutError(
-                            f"exclusion lock for table {name!r} held > "
+                            f"{suffix} lock for table {name!r} held > "
                             f"{self._LOCK_TIMEOUT_SECONDS:g}s"
                         ) from None
                     time.sleep(0.005)
+            yield
+        finally:
+            os.close(fd)
+
+    def _add_feed_exclusion(self, name: str, ver: int) -> None:
+        # flock-guarded read-modify-write: the callers (the changelog
+        # pre-check and the post-publish re-check) run OUTSIDE the
+        # commit lock, so two writers tombstoning concurrently could
+        # each read the old set and the second os.replace would drop
+        # the first writer's exclusion — leaking one bad-schema commit
+        # back into the feed as silent NULLs (round-13 ADVICE #3; the
+        # same hazard _next_commit_version already flocks against).
+        with self._table_flock(name, "_EXCLLOCK"):
             vs = set(self.feed_exclusions(name))
             vs.add(int(ver))
             tmp = self._exclusions_path(name) + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(sorted(vs), f)
             os.replace(tmp, self._exclusions_path(name))
-        finally:
-            os.close(fd)
 
     def _append_changelog(
         self,
@@ -3438,11 +3449,19 @@ class TableStore:
             return 0
 
     def _set_schema_break(self, name: str, version: int) -> None:
-        version = max(version, self.schema_break_version(name))
-        tmp = self._schema_break_path(name) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, self._schema_break_path(name))
+        # flocked: this runs AFTER the DDL's pointer flip, outside the
+        # commit lock, so without the guard a stalled rename's write
+        # could regress a faster successor's HIGHER break (both read
+        # old, max() each against stale state, last os.replace wins) —
+        # claiming intermediate-schema records already carry the
+        # current schema, the silent-NULL class (r14; the ADVICE-#3
+        # hazard one sidecar over)
+        with self._table_flock(name, "_BREAKLOCK"):
+            version = max(version, self.schema_break_version(name))
+            tmp = self._schema_break_path(name) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(version))
+            os.replace(tmp, self._schema_break_path(name))
 
     # --- file-level min/max pruning (Delta data-skipping analog) ----------
 

@@ -489,3 +489,24 @@ def test_feed_exclusion_concurrent_adds_all_survive(spark, tmp_path):
     for t in threads:
         t.join()
     assert store.feed_exclusions("t") == vers
+
+
+def test_schema_break_concurrent_sets_are_monotone(spark, tmp_path):
+    """Lost-update pin (r14, the ADVICE-#3 hazard one sidecar over):
+    _set_schema_break runs after the DDL flip outside the commit lock;
+    concurrent setters must never regress the break — final value is
+    the max ever written, under any interleaving."""
+    import threading
+
+    store = _store(spark, tmp_path)
+    vers = list(range(1, 33))
+
+    def setv(v):
+        store._set_schema_break("t", v)
+
+    threads = [threading.Thread(target=setv, args=(v,)) for v in vers]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert store.schema_break_version("t") == max(vers)
