@@ -2000,6 +2000,19 @@ class TableStore:
                 os.path.join(full, self._STAGED_MANIFEST)
             ):
                 continue
+            # ``versions()`` orders history by DIR mtime, and the heal
+            # mutates an old committed dir (staged rmtree + manifest
+            # unlink both touch it): without restoring the timestamps
+            # a healed dir would jump to mtime-newest, reordering
+            # restore/read_at indexes and making _prune reclaim a
+            # NEWER dir in its place (r14 — latent since r13, made
+            # reachable by the prune-path drain). A crash between the
+            # mutation and the utime leaves one perturbed mtime —
+            # ordering shifts only for that already-healed dir.
+            try:
+                dir_st = os.stat(full)
+            except OSError:
+                dir_st = None
             try:
                 with open(os.path.join(full, self._STAGED_MANIFEST)) as f:
                     man = json.load(f)
@@ -2015,6 +2028,11 @@ class TableStore:
                     os.unlink(os.path.join(full, self._STAGED_MANIFEST))
                 except OSError:
                     pass
+                if dir_st is not None:
+                    try:
+                        os.utime(full, (dir_st.st_atime, dir_st.st_mtime))
+                    except OSError:
+                        pass
                 continue
             dst = self._changelog_dir(name)
             os.makedirs(dst, exist_ok=True)
@@ -2058,6 +2076,11 @@ class TableStore:
                 os.unlink(os.path.join(full, self._STAGED_MANIFEST))
             except OSError:
                 pass
+            if dir_st is not None:
+                try:
+                    os.utime(full, (dir_st.st_atime, dir_st.st_mtime))
+                except OSError:
+                    pass
             n += 1
         return n
 

@@ -510,3 +510,37 @@ def test_schema_break_concurrent_sets_are_monotone(spark, tmp_path):
     for t in threads:
         t.join()
     assert store.schema_break_version("t") == max(vers)
+
+
+def test_publish_heal_preserves_version_history_order(spark, tmp_path,
+                                                      monkeypatch):
+    """versions() orders history by dir mtime, and restore/read_at
+    indexes plus _prune's dooming ride that order (r14): the publish
+    heal mutates an OLD committed dir (staged rmtree + manifest
+    unlink), so without restoring its timestamps a healed dir jumps to
+    mtime-newest — read_at(-2) would return the wrong version and
+    prune would reclaim a newer dir in its place."""
+    import time as _time
+
+    store = TableStore(spark, str(tmp_path), keep_versions=10,
+                       changelog=True)
+    store.write("t", spark.createDataFrame([Row(k=1, v=1)]))
+    _time.sleep(0.05)
+    # v2 commits but its publish "crashes"
+    monkeypatch.setattr(TableStore, "_publish_staged",
+                        lambda self, name: 0)
+    store.merge("t", spark.createDataFrame([Row(k=1, v=2)]), ["k"],
+                policy="scd1")
+    monkeypatch.undo()
+    v2 = TableStore.current_path(store, "t").rsplit("/", 1)[-1]
+    _time.sleep(0.05)
+    # v3 commits normally; its publish pass heals v2's staged rows
+    store.merge("t", spark.createDataFrame([Row(k=1, v=3)]), ["k"],
+                policy="scd1")
+    vs = store.versions("t")
+    assert vs.index(v2) == len(vs) - 2, (
+        f"healed dir reordered history: {vs} (v2={v2})"
+    )
+    # the feed healed (v=2 published) AND read_at(-2) is really v2
+    assert store.read_changes("t").filter("v = 2").count() == 1
+    assert [r["v"] for r in store.read_at("t", -2).collect()] == [2]
