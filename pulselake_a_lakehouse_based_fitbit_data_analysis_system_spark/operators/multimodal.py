@@ -11,9 +11,11 @@ WAV) and lib-free IMAGE formats (``decode_images_real`` /
 ``struct`` + numpy, actual header dims and an actual nearest-neighbor
 re-encode), both driver-checked against relational oracles — plus PNG (r14:
 stdlib ``zlib`` inflate + per-scanline unfiltering, all five filters,
-via ``png_bytes``/``parse_png``/``image_pixel_stats``). Only JPEG
-(needs PIL/libvips) and compressed video containers (need ffmpeg)
-remain deterministic fakes; a library drop-in replaces exactly those
+via ``png_bytes``/``parse_png``/``image_pixel_stats``) and GIF (r14:
+full variable-width LZW + palette + four-pass interlace from byte
+arithmetic, via ``gif_bytes``/``parse_gif``). Only JPEG (needs
+PIL/libvips) and compressed video containers (need ffmpeg) remain
+deterministic fakes; a library drop-in replaces exactly those
 branches.
 
 Batch shape: ``mapInPandas`` receives an iterator of Arrow-backed
@@ -420,6 +422,8 @@ def decode_image_real_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                 parsed = parse_netpbm(bytes(p))
                 if parsed is None:
                     parsed = parse_png(bytes(p))
+                if parsed is None:
+                    parsed = parse_gif(bytes(p))
                 if parsed is not None:
                     dims = parsed[:3]
                 else:
@@ -931,10 +935,10 @@ PIXEL_STATS_SCHEMA = (
 
 def image_pixel_stats(media: DataFrame) -> DataFrame:
     """Pixel-level stats (sum/min/max over every channel byte) for
-    payloads with a REAL lib-free decode — netpbm and PNG. The only
-    way to produce ``px_sum`` from compressed PNG bytes is an actual
-    inflate + unfilter, which is what makes this operator's relational
-    oracle pin the codec bit-exactly. Undecodable payloads (BMP
+    payloads with a REAL lib-free decode — netpbm, PNG, and GIF. The
+    only way to produce ``px_sum`` from compressed bytes is an actual
+    inflate/LZW-decode + reconstruction, which is what makes this
+    operator's relational oracle pin the codecs bit-exactly. Undecodable payloads (BMP
     header-only support, compressed formats, garbage, NULL) yield NULL
     stats rows — poison tolerance, same contract as the other
     decoders. Streaming ``mapInPandas``: memory bounded per Arrow
@@ -951,6 +955,8 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
                         parsed = parse_netpbm(b)
                         if parsed is None:
                             parsed = parse_png(b)
+                        if parsed is None:
+                            parsed = parse_gif(b)
                     except Exception:
                         parsed = None
                 if parsed is None:
@@ -975,4 +981,304 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
 
     return media.select("id", "payload").mapInPandas(
         run, PIXEL_STATS_SCHEMA
+    )
+
+
+# --- GIF (r14): REAL lib-free codec — full LZW + palette + interlace ----
+#
+# GIF87a/89a parses with nothing but byte arithmetic: the raster is
+# LZW-compressed palette indexes (variable-width codes, LSB-first bit
+# packing, dictionary capped at 4096 with CLEAR resets) mapped through
+# a color table, with the optional four-pass interlace being a plain
+# row reorder. All of that is implementable exactly from the spec, so
+# GIF joins netpbm/BMP/PNG as a REAL image branch. Animated GIFs: the
+# FIRST image block decodes (frame semantics belong to the video
+# path); later blocks are ignored. The encoder emits literal-only LZW
+# (each pixel as its own code, CLEAR before the width would outgrow
+# the table) — valid LZW any conformant decoder accepts, chosen so the
+# encoder shares no dictionary logic with the decoder (tests also pin
+# the decoder against hand-packed streams that exercise the KwKwK
+# case literal-only output can never produce).
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def gif_bytes(w: int, h: int, indexes, palette, interlace: bool = False
+              ) -> bytes:
+    """Encode palette indexes (h*w values, row-major) + an RGB palette
+    (list of (r, g, b), power-of-two length 2..256) as a real GIF87a.
+    ``interlace=True`` stores rows in the four-pass interlaced order."""
+    import struct
+
+    import numpy as np
+
+    n_colors = len(palette)
+    depth = max(1, (n_colors - 1).bit_length())
+    if 1 << depth != n_colors or not 2 <= n_colors <= 256:
+        raise ValueError(f"palette length must be a power of two in "
+                         f"[2, 256]; got {n_colors}")
+    idx = np.asarray(indexes, dtype=np.uint8)
+    if idx.size != w * h:
+        raise ValueError(f"need {w * h} indexes, got {idx.size}")
+    if idx.size and int(idx.max()) >= n_colors:
+        raise ValueError("index out of palette range")
+    rows = idx.reshape(h, w)
+    if interlace:
+        order = _gif_interlace_order(h)
+        stored = rows[order]
+    else:
+        stored = rows
+    # literal-only LZW (see section comment)
+    min_code = max(2, depth)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out_bits: list[int] = []
+    width = min_code + 1
+    next_idx = end + 1
+
+    def emit(code: int, width: int) -> None:
+        for i in range(width):
+            out_bits.append((code >> i) & 1)
+
+    emit(clear, width)
+    first = True  # the decoder adds NO dict entry for the first
+    # code after a clear (it has no previous string) — the encoder's
+    # width schedule must mirror that exactly or the streams desync
+    for v in stored.ravel():
+        emit(int(v), width)
+        if first:
+            first = False
+        else:
+            next_idx += 1  # decoder allocates one entry per later code
+        if next_idx == (1 << width) and width < 12:
+            width += 1
+        elif next_idx >= 4094:  # stay clear of the 4096 cap
+            emit(clear, width)
+            width = min_code + 1
+            next_idx = end + 1
+            first = True
+    emit(end, width)
+    data = bytearray()
+    for i in range(0, len(out_bits), 8):
+        byte = 0
+        for j, b in enumerate(out_bits[i : i + 8]):
+            byte |= b << j
+        data.append(byte)
+    packed_gct = 0x80 | (depth - 1)  # GCT present, size 2^(n+1)
+    buf = bytearray()
+    buf += b"GIF87a"
+    buf += struct.pack("<HHBBB", w, h, packed_gct, 0, 0)
+    for r, g, b in palette:
+        buf += bytes((r, g, b))
+    flags = 0x40 if interlace else 0
+    buf += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, flags)
+    buf.append(min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        buf.append(len(chunk))
+        buf += chunk
+    buf += b"\x00\x3b"
+    return bytes(buf)
+
+
+def _gif_interlace_order(h: int):
+    """Row storage order of the four GIF interlace passes."""
+    import numpy as np
+
+    return np.concatenate([
+        np.arange(0, h, 8), np.arange(4, h, 8),
+        np.arange(2, h, 4), np.arange(1, h, 2),
+    ]).astype(np.int64)
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, n_pixels: int):
+    """Variable-width LSB-first LZW (the GIF flavor) -> list of
+    palette indexes. Raises on a corrupt stream (bad code, missing
+    data before END)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended before END code")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"bad first LZW code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond table "
+                             f"{len(table)}")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if len(out) >= n_pixels:
+            break
+    if len(out) < n_pixels:
+        raise ValueError(
+            f"LZW raster short: {len(out)} of {n_pixels} pixels"
+        )
+    return bytes(out[:n_pixels])
+
+
+def parse_gif(payload: bytes):
+    """(width, height, 3, (h, w, 3) uint8 RGB ndarray) for the FIRST
+    image of a GIF87a/89a, or None when the payload isn't a GIF.
+    Raises on truncation, a missing color table, or a corrupt LZW
+    stream — callers decide poison policy (same contract as
+    ``parse_png``/``parse_netpbm``). Local color tables and interlace
+    are honored; extensions are skipped."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in _GIF_MAGICS:
+        return None
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated global color table")
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
+                            offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension")
+                ln = payload[pos]
+                pos += 1 + ln
+                if ln == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated image descriptor")
+        _left, _top, w, h, flags = struct.unpack_from("<HHHHB",
+                                                      payload, pos)
+        pos += 9
+        table = gct
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("truncated local color table")
+            table = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
+                                  offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image has no color table")
+        if pos >= len(payload):
+            raise ValueError("truncated LZW header")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"bad LZW min code size {min_code}")
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF data sub-blocks")
+            ln = payload[pos]
+            pos += 1
+            if ln == 0:
+                break
+            data += payload[pos : pos + ln]
+            if len(data) != len(bytes(data)):  # pragma: no cover
+                raise ValueError("truncated GIF sub-block")
+            pos += ln
+        idx = np.frombuffer(
+            _gif_lzw_decode(bytes(data), min_code, w * h),
+            dtype=np.uint8,
+        )
+        if idx.size and int(idx.max()) >= len(table):
+            raise ValueError("palette index out of range")
+        rows = idx.reshape(h, w)
+        if flags & 0x40:  # interlaced: invert the four-pass order
+            out = np.empty_like(rows)
+            out[_gif_interlace_order(h)] = rows
+            rows = out
+        return w, h, 3, table[rows]
+    raise ValueError("GIF has no image block")
+
+
+def encode_gif(
+    df: DataFrame,
+    idx_col: str,
+    w_col: str,
+    h_col: str,
+    palette_col: str,
+    id_col: str,
+    interlace_col: str | None = None,
+) -> DataFrame:
+    """array<int> palette indexes + array<int> flat RGB palette ->
+    (id, payload binary) media rows — the GIF twin of ``encode_png``.
+    ``interlace_col`` optionally stores rows interlaced per row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            inter = (
+                pdf[interlace_col] if interlace_col is not None
+                else [False] * len(pdf)
+            )
+            payloads = []
+            for idx, w, h, pal, il in zip(
+                pdf[idx_col], pdf[w_col], pdf[h_col],
+                pdf[palette_col], inter,
+            ):
+                if idx is None:
+                    payloads.append(None)
+                    continue
+                pal3 = [
+                    (int(pal[i]), int(pal[i + 1]), int(pal[i + 2]))
+                    for i in range(0, len(pal), 3)
+                ]
+                payloads.append(
+                    gif_bytes(int(w), int(h), idx, pal3,
+                              interlace=bool(il))
+                )
+            yield pd.DataFrame(
+                {"id": pdf[id_col].values, "payload": payloads}
+            )
+
+    cols = [F.col(id_col).alias(id_col), idx_col, w_col, h_col,
+            palette_col]
+    if interlace_col is not None:
+        cols.append(interlace_col)
+    return (
+        df.select(*cols)
+        .mapInPandas(run, "id long, payload binary")
+        .withColumn("modality", F.lit("image"))
     )

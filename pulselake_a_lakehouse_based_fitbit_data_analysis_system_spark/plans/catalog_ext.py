@@ -10252,3 +10252,88 @@ def q_image_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "px_min",
         "px_max",
     )
+
+
+_IMAGE_GIF_ORACLE = """
+SELECT c_custkey,
+       CAST((c_custkey % 7) + 2 AS INTEGER) AS width,
+       CAST((c_custkey % 4) + 2 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST(sum((37 * q) % 256 + (59 * q) % 256 + (83 * q) % 256)
+            AS BIGINT) AS px_sum,
+       CAST(min(least((37 * q) % 256, (59 * q) % 256, (83 * q) % 256))
+            AS INTEGER) AS px_min,
+       CAST(max(greatest((37 * q) % 256, (59 * q) % 256, (83 * q) % 256))
+            AS INTEGER) AS px_max
+FROM (
+    SELECT c_custkey, j, (c_custkey * 3 + j) % 16 AS q,
+           (c_custkey % 7) + 2 AS w, (c_custkey % 4) + 2 AS h
+    FROM customer, generate_series(0, 39) s(j)
+) t
+WHERE j < w * h
+GROUP BY c_custkey
+"""
+
+
+@_register(
+    "image_gif_decode",
+    _IMAGE_GIF_ORACLE,
+    "REAL lib-free GIF codec over the multimodal plumbing "
+    "(multimodal.py::gif_bytes/parse_gif/image_pixel_stats r14 — full "
+    "variable-width LZW with LSB-first bit packing, dictionary growth "
+    "and clear resets, palette mapping, and the four-pass interlace, "
+    "all from byte arithmetic, no image library): per customer a "
+    "(c_custkey%7+2) x (c_custkey%4+2) image over a 16-color palette "
+    "pal[i]=(37i,59i,83i)%256 with index j = (c*3+j)%16 synthesizes "
+    "JVM-side, encodes into real GIF87a bytes (INTERLACE CYCLING by "
+    "c%2 — the deinterlace row reorder must invert; ordering itself "
+    "is pinned bit-exactly by the unit tests, the relational sum "
+    "being order-invariant), and decodes back through the actual LZW "
+    "inflate + palette map: px_sum/px_min/px_max over the "
+    "reconstructed RGB raster, impossible to produce from compressed "
+    "bytes without the real decode. The oracle recomputes every "
+    "number relationally. The decoder is additionally pinned against "
+    "a hand-packed KwKwK stream the literal-only encoder can never "
+    "emit, so the codec halves share no logic. Bounded Arrow batches; "
+    "per-row memory O(payload).",
+    tags=("multimodal", "image", "codec", "mapinpandas"),
+)
+def q_image_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = (F.col("c_custkey") % 7 + 2).cast("int")
+    h = (F.col("c_custkey") % 4 + 2).cast("int")
+    idx = F.transform(
+        F.sequence(F.lit(0), (w * h - 1).cast("int")),
+        lambda j: ((F.col("c_custkey") * 3 + j) % 16).cast("int"),
+    )
+    pal = F.transform(
+        F.sequence(F.lit(0), F.lit(47)),
+        lambda i: (
+            (
+                F.when(i % 3 == 0, 37)
+                .when(i % 3 == 1, 59)
+                .otherwise(83)
+                * F.floor(i / 3)
+            )
+            % 256
+        ).cast("int"),
+    )
+    sig = c.select(
+        F.col("c_custkey").cast("long"),
+        idx.alias("idx"),
+        w.alias("w"),
+        h.alias("h"),
+        pal.alias("pal"),
+        (F.col("c_custkey") % 2 == 1).alias("il"),
+    )
+    media = multimodal.encode_gif(sig, "idx", "w", "h", "pal",
+                                  "c_custkey", interlace_col="il")
+    return multimodal.image_pixel_stats(media).select(
+        F.col("id").alias("c_custkey"),
+        "width",
+        "height",
+        "n_channels",
+        "px_sum",
+        "px_min",
+        "px_max",
+    )

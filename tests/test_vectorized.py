@@ -351,3 +351,97 @@ def test_png_codec_round_trip_all_filters_and_poison(spark):
     assert (dec[3]["width"], dec[3]["height"], dec[3]["n_channels"]) == (
         7, 3, 3,
     )
+
+
+def test_gif_codec_lzw_palette_interlace_and_poison(spark):
+    """The REAL lib-free GIF branch (r14): full variable-width LZW
+    (LSB-first bit packing, dict growth, clear resets), palette
+    mapping, four-pass interlace. The decoder is pinned against a
+    HAND-PACKED stream exercising the KwKwK case the literal-only
+    encoder can never emit (so the codec halves share no logic);
+    round-trips cover width growth + clear resets + interlace;
+    poison payloads raise or fall back per the decoder contract."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        multimodal,
+    )
+
+    # -- hand-packed KwKwK stream: min_code=2, codes [CLEAR=4, 1, 6,
+    # END=5] at width 3, LSB-first -> bytes 0x8C 0x0B; code 6 == next
+    # table index forces entry = prev + prev[0] = "11", total raster
+    # [1, 1, 1]
+    pal = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+    payload = (
+        b"GIF87a"
+        + struct.pack("<HHBBB", 3, 1, 0x80 | 1, 0, 0)
+        + b"".join(bytes(c) for c in pal)
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 3, 1, 0)
+        + bytes([2])            # LZW min code size
+        + bytes([2, 0x8C, 0x0B])  # one 2-byte sub-block
+        + b"\x00\x3b"
+    )
+    w, h, c, arr = multimodal.parse_gif(payload)
+    assert (w, h, c) == (3, 1, 3)
+    assert np.array_equal(arr, np.array([[pal[1]] * 3], dtype=np.uint8))
+
+    # -- round-trips: interlace x sizes x palette widths; width
+    # growth + clear resets on the big one
+    rng = np.random.RandomState(11)
+    pal16 = [((i * 37) % 256, (i * 59) % 256, (i * 83) % 256)
+             for i in range(16)]
+    for il in (False, True):
+        for (w, h) in [(1, 1), (3, 5), (13, 9), (40, 17)]:
+            idx = rng.randint(0, 16, size=w * h)
+            b = multimodal.gif_bytes(w, h, idx, pal16, interlace=il)
+            W, H, C, arr = multimodal.parse_gif(b)
+            assert (W, H, C) == (w, h, 3)
+            want = np.array(pal16, dtype=np.uint8)[idx.reshape(h, w)]
+            assert np.array_equal(arr, want), (w, h, il)
+    big = rng.randint(0, 256, size=120 * 90)
+    pal256 = [(i, 255 - i, (i * 7) % 256) for i in range(256)]
+    b = multimodal.gif_bytes(120, 90, big, pal256)
+    assert np.array_equal(
+        multimodal.parse_gif(b)[3],
+        np.array(pal256, dtype=np.uint8)[big.reshape(90, 120)],
+    )
+
+    # -- poison: not-gif -> None; truncation/corruption raise
+    assert multimodal.parse_gif(b"\x89PNG\r\n\x1a\n junk") is None
+    with _pytest.raises(ValueError):
+        multimodal.parse_gif(b[:40])
+    corrupt = bytearray(multimodal.gif_bytes(4, 4, rng.randint(0, 16, 16),
+                                             pal16))
+    corrupt[-8] ^= 0xFF  # flip a byte inside the LZW stream
+    with _pytest.raises(ValueError):
+        multimodal.parse_gif(bytes(corrupt))
+
+    # -- distributed path: encode_gif -> image_pixel_stats, interlace
+    # varying per row; decode_images_real picks up the GIF branch
+    rows, want = [], {}
+    for i in range(4):
+        w, h = 3 + i, 2 + (i % 3)
+        idx = rng.randint(0, 16, size=w * h)
+        rgb = np.array(pal16, dtype=np.uint8)[idx].astype(np.int64)
+        rows.append(Row(id=i, idx=[int(v) for v in idx], w=w, h=h,
+                        pal=[int(v) for t in pal16 for v in t],
+                        il=bool(i % 2)))
+        want[i] = (w, h, int(rgb.sum()), int(rgb.min()), int(rgb.max()))
+    df = spark.createDataFrame(rows)
+    media = multimodal.encode_gif(df, "idx", "w", "h", "pal", "id",
+                                  interlace_col="il")
+    got = {r["id"]: r for r in
+           multimodal.image_pixel_stats(media).collect()}
+    for i, (w, h, s, lo, hi) in want.items():
+        g = got[i]
+        assert (g["width"], g["height"], g["n_channels"]) == (w, h, 3)
+        assert (g["px_sum"], g["px_min"], g["px_max"]) == (s, lo, hi), i
+    dec = {r["id"]: r for r in
+           multimodal.decode_images_real(media).collect()}
+    assert (dec[2]["width"], dec[2]["height"], dec[2]["n_channels"]) == (
+        5, 4, 3,
+    )
