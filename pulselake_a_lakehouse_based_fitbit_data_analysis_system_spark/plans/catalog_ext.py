@@ -10337,3 +10337,136 @@ def q_image_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "px_min",
         "px_max",
     )
+
+
+_IMAGE_MIXED_ORACLE = """
+WITH dims AS (
+    SELECT p_partkey,
+           p_partkey % 4 AS fmt,
+           (p_partkey % 5) + 2 AS w,
+           (p_partkey % 3) + 2 AS h
+    FROM part
+),
+px AS (
+    SELECT d.p_partkey, d.fmt, d.w, d.h, s.j,
+           CASE WHEN d.fmt IN (0, 1)
+                THEN (d.p_partkey * 7 + s.j * 11) % 256
+                ELSE NULL END AS direct_v,
+           CASE WHEN d.fmt = 2
+                THEN (d.p_partkey * 3 + s.j) % 16
+                ELSE NULL END AS q
+    FROM dims d, generate_series(0, 146) s(j)
+    WHERE s.j < d.w * d.h * (CASE WHEN d.fmt = 2 THEN 1 ELSE 3 END)
+),
+vals AS (
+    SELECT p_partkey, fmt, w, h, direct_v AS v
+    FROM px WHERE fmt IN (0, 1)
+    UNION ALL
+    SELECT p_partkey, fmt, w, h, (37 * q) % 256 FROM px WHERE fmt = 2
+    UNION ALL
+    SELECT p_partkey, fmt, w, h, (59 * q) % 256 FROM px WHERE fmt = 2
+    UNION ALL
+    SELECT p_partkey, fmt, w, h, (83 * q) % 256 FROM px WHERE fmt = 2
+)
+SELECT p_partkey,
+       CAST(fmt AS INTEGER) AS fmt,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS INTEGER) AS px_min,
+       CAST(max(v) AS INTEGER) AS px_max
+FROM vals
+GROUP BY p_partkey, fmt, w, h
+UNION ALL
+SELECT p_partkey,
+       CAST(3 AS INTEGER) AS fmt,
+       NULL AS width, NULL AS height, NULL AS n_channels,
+       NULL AS px_sum, NULL AS px_min, NULL AS px_max
+FROM part WHERE p_partkey % 4 = 3
+"""
+
+
+@_register(
+    "image_mixed_corpus_stats",
+    _IMAGE_MIXED_ORACLE,
+    "Heterogeneous image corpus through ONE decode plan (r14): per "
+    "part the FORMAT cycles by p_partkey%4 — binary PPM, real PNG "
+    "(filter cycling 0-4), real GIF (16-color palette, interlace by "
+    "p%2), and a POISON payload (md5-hex bytes, no valid magic) — "
+    "all unioned into a single media frame and decoded by "
+    "image_pixel_stats' dispatch chain (netpbm -> PNG -> GIF), the "
+    "realistic mixed-corpus shape where a scan cannot know a blob's "
+    "format ahead of the bytes. PPM and PNG share one pixel formula "
+    "(same sum from two different containers = container-independence "
+    "pin); GIF goes through palette indirection; the poison quarter "
+    "yields NULL stats rows, never a failed batch. The oracle "
+    "recomputes every branch relationally and NULL-fills the poison "
+    "keys. One union of three mapInPandas encoders + one decoder "
+    "pass; bounded Arrow batches.",
+    tags=("multimodal", "image", "codec", "mapinpandas"),
+)
+def q_image_mixed_corpus_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long")
+    )
+    fmt = (F.col("p_partkey") % 4).cast("int")
+    w = (F.col("p_partkey") % 5 + 2).cast("int")
+    h = (F.col("p_partkey") % 3 + 2).cast("int")
+    rgb = F.transform(
+        F.sequence(F.lit(0), (w * h * 3 - 1).cast("int")),
+        lambda j: ((F.col("p_partkey") * 7 + j * 11) % 256).cast("int"),
+    )
+    gif_idx = F.transform(
+        F.sequence(F.lit(0), (w * h - 1).cast("int")),
+        lambda j: ((F.col("p_partkey") * 3 + j) % 16).cast("int"),
+    )
+    pal = F.transform(
+        F.sequence(F.lit(0), F.lit(47)),
+        lambda i: (
+            (
+                F.when(i % 3 == 0, 37)
+                .when(i % 3 == 1, 59)
+                .otherwise(83)
+                * F.floor(i / 3)
+            )
+            % 256
+        ).cast("int"),
+    )
+    base = p.select(
+        "p_partkey", fmt.alias("fmt"), w.alias("w"), h.alias("h"),
+        rgb.alias("rgb"), gif_idx.alias("idx"), pal.alias("pal"),
+        (F.col("p_partkey") % 5).cast("int").alias("ft"),
+        (F.col("p_partkey") % 2 == 1).alias("il"),
+        F.lit(3).cast("int").alias("ch"),
+    )
+    ppm = multimodal.encode_ppm(
+        base.filter(F.col("fmt") == 0), "rgb", "w", "h", "p_partkey"
+    ).select("id", "payload")
+    png = multimodal.encode_png(
+        base.filter(F.col("fmt") == 1), "rgb", "w", "h", "ch",
+        "p_partkey", filter_col="ft",
+    ).select("id", "payload")
+    gif = multimodal.encode_gif(
+        base.filter(F.col("fmt") == 2), "idx", "w", "h", "pal",
+        "p_partkey", interlace_col="il",
+    ).select("id", "payload")
+    poison = base.filter(F.col("fmt") == 3).select(
+        F.col("p_partkey").alias("id"),
+        F.md5(F.col("p_partkey").cast("string")).cast("binary")
+        .alias("payload"),
+    )
+    media = ppm.unionByName(png).unionByName(gif).unionByName(poison)
+    stats = multimodal.image_pixel_stats(media)
+    return stats.select(
+        F.col("id").alias("p_partkey"),
+        (F.col("id") % 4).cast("int").alias("fmt"),
+        "width",
+        "height",
+        "n_channels",
+        "px_sum",
+        "px_min",
+        "px_max",
+    )
