@@ -3166,11 +3166,21 @@ class TableStore:
             if schema_break and self._changelog_enabled(name)
             else None
         )
+        # two-phase break (r14, see the schema-break section note):
+        # STAGE {break, dir} before the flip, PROMOTE after — a crash
+        # on either side reads correctly (committed pending == the
+        # break; uncommitted pending == nothing), where each
+        # single-phase order had a wrong residue (post-flip set:
+        # committed rename with no break = the feed silently SPLITS
+        # the renamed column; pre-flip set: a crashed or CAS-beaten
+        # flip spuriously restarted the feed)
+        if brk is not None:
+            self._stage_schema_break(name, version_dir, brk)
         self._commit_pointer(
             name, version_dir, based_on=os.path.basename(current)
         )
         if brk is not None:
-            self._set_schema_break(name, brk)
+            self._settle_pending_break(name)
         self._prune(name, keep=version_dir)
 
     def rename_column(self, name: str, old: str, new: str) -> None:
@@ -3457,34 +3467,112 @@ class TableStore:
         )
 
     # --- changelog schema-break (column mapping x CDF) --------------------
+    #
+    # The break commits in TWO phases, mirroring the staged-CDF
+    # protocol (r14): the DDL STAGES a pending break (break version +
+    # its version dir) before the pointer flip and PROMOTES it after;
+    # committed-ness of the pending dir is decided by the pointer +
+    # the _COMMITS ledger, exactly like staged change rows. Either
+    # single-phase order has a wrong crash residue: break-after-flip
+    # left a committed rename with NO break (feed reads fall back to
+    # mergeSchema across the rename and SPLIT the logical column —
+    # old records show the old name with the new one NULL, new
+    # records the reverse: silent NULLs), while break-before-flip
+    # restarted the feed spuriously whenever the flip crashed or lost
+    # its CAS (consumers re-bootstrap over a rename that never
+    # happened). The pending file makes both residues correct: a
+    # committed-but-unpromoted pending reads as the break (and
+    # promotes at the next touch), an uncommitted one reads as
+    # nothing (and is overwritten by the next DDL's stage).
 
     def _schema_break_path(self, name: str) -> str:
         return os.path.join(self.root, f"{name}._SCHEMA_BREAK")
 
-    def schema_break_version(self, name: str) -> int:
-        """First changelog commit version whose records carry the
-        CURRENT logical schema — advanced by every rename/drop on a
-        changelog table; 0 when the feed never crossed one."""
+    def _pending_break_path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}._SCHEMA_BREAK_PENDING")
+
+    def _raw_schema_break(self, name: str) -> int:
         try:
             with open(self._schema_break_path(name)) as f:
                 return int(f.read().strip() or 0)
         except (OSError, ValueError):
             return 0
 
-    def _set_schema_break(self, name: str, version: int) -> None:
-        # flocked: this runs AFTER the DDL's pointer flip, outside the
-        # commit lock, so without the guard a stalled rename's write
-        # could regress a faster successor's HIGHER break (both read
-        # old, max() each against stale state, last os.replace wins) —
-        # claiming intermediate-schema records already carry the
-        # current schema, the silent-NULL class (r14; the ADVICE-#3
-        # hazard one sidecar over)
+    def schema_break_version(self, name: str) -> int:
+        """First changelog commit version whose records carry the
+        CURRENT logical schema — advanced by every rename/drop on a
+        changelog table; 0 when the feed never crossed one. Settles a
+        pending break first (promote if its dir committed, ignore
+        scratch), so readers see the break the moment the DDL's flip
+        lands even if the promoting process died in between."""
+        if os.path.exists(self._pending_break_path(name)):
+            self._settle_pending_break(name)
+        return self._raw_schema_break(name)
+
+    def _write_raw_break_locked(self, name: str, version: int) -> None:
+        # caller holds the _BREAKLOCK flock
+        version = max(version, self._raw_schema_break(name))
+        tmp = self._schema_break_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._schema_break_path(name))
+
+    def _settle_pending_break(self, name: str) -> None:
+        """Promote a pending break whose version dir COMMITTED (it is
+        current or ledgered), discard one the raw break already
+        covers, leave pre-flip scratch (the next DDL's stage
+        overwrites it). Flocked: promotion is a read-modify-write
+        racing the DDL's own post-flip promotion and concurrent
+        readers."""
         with self._table_flock(name, "_BREAKLOCK"):
-            version = max(version, self.schema_break_version(name))
-            tmp = self._schema_break_path(name) + ".tmp"
+            p = self._pending_break_path(name)
+            try:
+                with open(p) as f:
+                    pend = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                return
+            ver = int(pend.get("version", 0))
+            d = pend.get("dir")
+            if ver <= self._raw_schema_break(name):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+                return
+            cur = self.current_path(name)
+            committed = (
+                cur is not None and d == os.path.basename(cur)
+            ) or d in self._committed_versions(name)
+            if not committed:
+                return  # pre-flip scratch: reads as no break at all
+            self._write_raw_break_locked(name, ver)
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+
+    def _stage_schema_break(
+        self, name: str, version_dir: str, version: int
+    ) -> None:
+        """Pre-flip half: persist {version, dir} as the pending break.
+        Settles any previous pending first (a committed one must
+        promote, never be clobbered by this stage)."""
+        self._settle_pending_break(name)
+        with self._table_flock(name, "_BREAKLOCK"):
+            tmp = self._pending_break_path(name) + ".tmp"
             with open(tmp, "w") as f:
-                f.write(str(version))
-            os.replace(tmp, self._schema_break_path(name))
+                json.dump({"version": int(version), "dir": version_dir}, f)
+            os.replace(tmp, self._pending_break_path(name))
+
+    def _set_schema_break(self, name: str, version: int) -> None:
+        # flocked: runs outside the commit lock, so without the guard
+        # a stalled writer could regress a faster successor's HIGHER
+        # break (both read old, max() each against stale state, last
+        # os.replace wins) — claiming intermediate-schema records
+        # already carry the current schema, the silent-NULL class
+        # (r14; the ADVICE-#3 hazard one sidecar over)
+        with self._table_flock(name, "_BREAKLOCK"):
+            self._write_raw_break_locked(name, version)
 
     # --- file-level min/max pruning (Delta data-skipping analog) ----------
 

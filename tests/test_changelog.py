@@ -544,3 +544,65 @@ def test_publish_heal_preserves_version_history_order(spark, tmp_path,
     # the feed healed (v=2 published) AND read_at(-2) is really v2
     assert store.read_changes("t").filter("v = 2").count() == 1
     assert [r["v"] for r in store.read_at("t", -2).collect()] == [2]
+
+
+def test_rename_crash_never_splits_feed_column(spark, tmp_path,
+                                               monkeypatch):
+    """The rename-vs-break crash windows (r14): the break commits in
+    TWO phases (stage pending before the flip, promote after), because
+    each single-phase order has a wrong crash residue — break-after-
+    flip left a committed rename with NO break, so feed reads fell
+    back to mergeSchema across the rename and SPLIT the logical column
+    (silent NULLs); break-before-flip spuriously restarted the feed
+    whenever the flip crashed or lost its CAS. Both crash sides must
+    read correctly."""
+    import pytest as _pytest
+
+    store = _store(spark, tmp_path)
+    store.write("t", spark.createDataFrame(
+        [Row(k=1, val=10), Row(k=2, val=20)]
+    ))
+    store.merge("t", spark.createDataFrame([Row(k=3, val=30)]), ["k"],
+                policy="scd1")
+
+    # -- crash side 1: pending staged, flip never happened --
+    def boom(self, *a, **kw):
+        raise RuntimeError("injected crash mid-DDL")
+
+    monkeypatch.setattr(TableStore, "_commit_pointer", boom)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        store.rename_column("t", "val", "metric")
+    monkeypatch.undo()
+
+    # uncommitted pending reads as NO break: the feed is untouched —
+    # no spurious restart, no column split
+    assert store.schema_break_version("t") == 0
+    assert store.read("t").columns == ["k", "val"]
+    feed = store.read_changes("t")
+    assert set(feed.columns) == {"k", "val", "_change_type",
+                                 "_commit_version"}
+    assert feed.count() == 3 and feed.filter("val IS NULL").count() == 0
+
+    # -- crash side 2: flip landed, promotion never ran --
+    monkeypatch.setattr(TableStore, "_settle_pending_break",
+                        lambda self, name: None)
+    store.rename_column("t", "val", "metric")
+    monkeypatch.undo()
+    import json as _json
+    import os as _os
+
+    pend_path = store._pending_break_path("t")
+    assert _os.path.exists(pend_path), "pending break did not stage"
+    pend = _json.loads(open(pend_path).read())
+
+    # committed pending READS as the break (and promotes on touch):
+    # the feed restarts at the rename exactly like the crash-free
+    # path — never a split column
+    assert store.schema_break_version("t") == pend["version"]
+    assert not _os.path.exists(pend_path), "touch did not promote"
+    store.merge("t", spark.createDataFrame([Row(k=4, metric=40)]),
+                ["k"], policy="scd1")
+    feed2 = store.read_changes("t")
+    assert "val" not in feed2.columns
+    assert feed2.filter("metric IS NULL").count() == 0
+    assert {r["k"]: r["metric"] for r in feed2.collect()} == {4: 40}
