@@ -6349,3 +6349,103 @@ def test_cross_process_optimize_never_conflicts_with_disjoint_merges(
     chain = store._chain_rewritten(v0, cur)
     assert chain is not None and "seg=B" not in chain
     assert len(store.versions("t")) == 1 + n_merge + n_opt
+
+
+def _kill_writer(args):
+    """Child-process body for the REAL-death CDF crash test: a second
+    Spark driver whose commit protocol hard-exits (os._exit — no
+    cleanup, no atexit, kernel drops the flocks) at the requested
+    point. 'postflip' dies between the pointer flip and the publish;
+    'preflip' dies after staging, before any flip."""
+    root, point = args
+    import os as _os
+
+    from pyspark.sql import Row as _Row
+    from pyspark.sql import SparkSession
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        TableStore,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName(f"kill-{point}")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "2")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if point == "postflip":
+        TableStore._publish_staged = lambda self, name: _os._exit(137)
+    else:
+        TableStore._commit_pointer = (
+            lambda self, *a, **kw: _os._exit(137)
+        )
+        TableStore._commit_pointer_or_rebase = (
+            lambda self, *a, **kw: _os._exit(137)
+        )
+    store = TableStore(spark, root, keep_versions=8)
+    store.merge(
+        "t",
+        spark.createDataFrame([_Row(k=3, v=33), _Row(k=100, v=100)]),
+        ["k"],
+        policy="scd1",
+    )
+    _os._exit(0)  # unreachable: the patched protocol exits first
+
+
+def test_cross_process_real_death_mid_commit_heals(spark, tmp_path):
+    """The strongest CDF crash evidence (r14): a REAL second Spark
+    driver is hard-killed (os._exit inside the protocol — the process
+    genuinely dies mid-commit; kernel releases its flocks, nothing
+    unwinds). Post-flip death: the commit is visible, its staged
+    change rows heal into the feed exactly once at the parent's next
+    read. Pre-flip death: the table, the feed, and the pointer are
+    untouched — the scratch never publishes."""
+    from multiprocessing import get_context
+
+    store = merge.TableStore(spark, str(tmp_path), keep_versions=8)
+    store.write("t", spark.createDataFrame(
+        [Row(k=i, v=0) for i in range(10)]
+    ))
+    store.enable_changelog("t")
+    # post-enable baseline commit so the feed exists
+    store.merge("t", spark.createDataFrame([Row(k=0, v=1)]), ["k"],
+                policy="scd1")
+    n0 = store.read_changes("t").count()
+    ctx = get_context("spawn")
+
+    # --- death AFTER the flip, BEFORE the publish ---
+    p = ctx.Process(target=_kill_writer, args=((str(tmp_path),
+                                                "postflip"),))
+    p.start()
+    p.join(300)
+    assert p.exitcode == 137, p.exitcode
+    got = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert got[3] == 33 and got[100] == 100, "commit not visible"
+    cur = store.current_path("t")
+    assert os.path.exists(
+        os.path.join(cur, merge.TableStore._STAGED_MANIFEST)
+    ), "nothing staged — the crash window did not exist"
+    healed = store.read_changes("t")
+    rows = {(r["k"], r["v"]) for r in healed.collect()
+            if r["_commit_version"] > 0}
+    assert (3, 33) in rows and (100, 100) in rows, "delta lost"
+    assert healed.count() == n0 + 2, "heal was not exactly-once"
+    assert not os.path.exists(
+        os.path.join(cur, merge.TableStore._STAGED_MANIFEST)
+    )
+
+    # --- death AFTER staging, BEFORE any flip ---
+    before = {(r["k"], r["v"]) for r in store.read("t").collect()}
+    n1 = store.read_changes("t").count()
+    cur_before = store.current_path("t")
+    p = ctx.Process(target=_kill_writer, args=((str(tmp_path),
+                                                "preflip"),))
+    p.start()
+    p.join(300)
+    assert p.exitcode == 137, p.exitcode
+    assert store.current_path("t") == cur_before, "pointer moved"
+    assert {(r["k"], r["v"])
+            for r in store.read("t").collect()} == before
+    assert store.read_changes("t").count() == n1, "phantom published"
