@@ -1417,3 +1417,173 @@ def test_store_crash_injection_fuzz_model_check(spark, tmp_path):
         assert {f"crash:{p}" for p in _CRASH_POINTS} <= executed, (
             f"crash-point coverage hole: {sorted(executed)}"
         )
+
+
+def _fuzz_schema_crash_lifecycle(spark, root, seed, executed):
+    """One seed of the changelog-enabled SCHEMA crash fuzz (r14):
+    renames/widens/adds/drops interleave with SCD-1 merges while DDL
+    crash points are randomly injected — 'ddl_preflip' (the commit
+    pointer raises after the pending break staged) and 'ddl_presettle'
+    (the flip lands, promotion never runs). After every step the table
+    must equal the model AND the change feed must never show a SPLIT
+    column: its columns are exactly the current logical schema + the
+    two meta columns, regardless of which crash residue is live."""
+    import random
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        TableStore,
+    )
+
+    rng = random.Random(seed)
+    store = TableStore(spark, root, keep_versions=60, changelog=True)
+    cols = ["a", "b"]
+    model = {k: {"a": k, "b": 10 * k} for k in range(16)}
+
+    def df_of(rows):
+        data = [tuple([r["k"]] + [r.get(c) for c in cols]) for r in rows]
+        schema = ", ".join(["k bigint"] + [f"{c} bigint" for c in cols])
+        return spark.createDataFrame(data, schema)
+
+    store.write("t", df_of([{"k": k, **v} for k, v in model.items()]))
+
+    retired: set[str] = set()  # renamed-away / dropped names
+
+    def check(step, tag):
+        got = {
+            r["k"]: {c: r[c] for c in cols}
+            for r in store.read("t").collect()
+        }
+        want = {k: {c: v.get(c) for c in cols} for k, v in model.items()}
+        assert got == want, f"seed {seed} step {step} ({tag}) diverged"
+        feed = store.read_changes("t")
+        # the split-column failure = a RETIRED name surfacing next to
+        # its successor; a just-added column legitimately lags until a
+        # data commit carries it, so subset (not equality) is the law
+        allowed = set(cols) | {"k", "_change_type", "_commit_version"}
+        assert set(feed.columns) <= allowed, (
+            f"seed {seed} step {step} ({tag}): feed leaked columns "
+            f"{set(feed.columns) - allowed} (split-column residue)"
+        )
+        assert not (set(feed.columns) & retired), (
+            f"seed {seed} step {step} ({tag}): retired names "
+            f"{set(feed.columns) & retired} back in the feed"
+        )
+
+    counter = 0
+    next_key = 16
+    for step in range(12):
+        verb = rng.choice(["merge", "merge", "rename", "widen_add",
+                           "drop", "rename", "merge"])
+        point = (
+            rng.choice(["ddl_preflip", "ddl_presettle"])
+            if verb in ("rename", "drop") and rng.random() < 0.5
+            else None
+        )
+        if verb == "merge":
+            ks = rng.sample(sorted(model), 3) + [next_key]
+            next_key += 1
+            rows = []
+            for k in ks:
+                r = {"k": k}
+                for c in cols:
+                    r[c] = rng.randrange(1000)
+                rows.append(r)
+            store.merge("t", df_of(rows), ["k"], policy="scd1")
+            for r in rows:
+                model[r["k"]] = {c: r[c] for c in cols}
+            executed.add("merge")
+        elif verb == "rename":
+            old = rng.choice(cols)
+            new = f"c{counter}"
+            counter += 1
+            if point == "ddl_preflip":
+                real = TableStore._commit_pointer
+
+                def boom(self, *a, **kw):
+                    raise _InjectedCrash("ddl_preflip")
+
+                TableStore._commit_pointer = boom
+                try:
+                    import pytest as _pytest
+
+                    with _pytest.raises(_InjectedCrash):
+                        store.rename_column("t", old, new)
+                finally:
+                    TableStore._commit_pointer = real
+                executed.add("crash:ddl_preflip")
+                # rename never landed: model unchanged
+            elif point == "ddl_presettle":
+                real = TableStore._settle_pending_break
+                TableStore._settle_pending_break = (
+                    lambda self, name: None
+                )
+                try:
+                    store.rename_column("t", old, new)
+                finally:
+                    TableStore._settle_pending_break = real
+                retired.add(old)
+                cols[cols.index(old)] = new
+                for v in model.values():
+                    if old in v:
+                        v[new] = v.pop(old)
+                executed.add("crash:ddl_presettle")
+            else:
+                store.rename_column("t", old, new)
+                retired.add(old)
+                cols[cols.index(old)] = new
+                for v in model.values():
+                    if old in v:
+                        v[new] = v.pop(old)
+                executed.add("rename")
+        elif verb == "widen_add":
+            new = f"n{counter}"
+            counter += 1
+            store.add_column("t", new, "bigint")
+            cols.append(new)
+            executed.add("add")
+        elif verb == "drop":
+            if len(cols) < 2:
+                continue
+            c = rng.choice(cols)
+            if point == "ddl_preflip":
+                real = TableStore._commit_pointer
+
+                def boom(self, *a, **kw):
+                    raise _InjectedCrash("ddl_preflip")
+
+                TableStore._commit_pointer = boom
+                try:
+                    import pytest as _pytest
+
+                    with _pytest.raises(_InjectedCrash):
+                        store.drop_column("t", c)
+                finally:
+                    TableStore._commit_pointer = real
+                executed.add("crash:ddl_preflip")
+            else:
+                store.drop_column("t", c)
+                retired.add(c)
+                cols.remove(c)
+                for v in model.values():
+                    v.pop(c, None)
+                executed.add("drop")
+        check(step, f"{verb}+{point or 'clean'}")
+
+
+def test_store_schema_crash_fuzz_model_check(spark, tmp_path):
+    """Changelog-enabled SCHEMA lifecycle fuzz with DDL crash-point
+    injection (r14): rename/add/drop interleaved with merges while the
+    two-phase break protocol is crashed at both sides — the table must
+    equal the model and the feed must never split a renamed column,
+    under any interleaving of crash residues with further DDL and
+    DML."""
+    executed: set[str] = set()
+    for seed in (3, 17, 59):
+        _fuzz_schema_crash_lifecycle(
+            spark, str(tmp_path / f"sc{seed}"), seed, executed
+        )
+    assert {"merge", "rename", "crash:ddl_preflip",
+            "crash:ddl_presettle"} <= executed, executed
