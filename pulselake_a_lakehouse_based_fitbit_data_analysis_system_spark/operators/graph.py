@@ -330,3 +330,118 @@ def pagerank_converged(
     return ranks.select(
         "node", "rank_fp", F.lit(n_iters).cast("long").alias("n_iters")
     )
+
+
+# --- triangle counting ------------------------------------------------------
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Distinct undirected co-occurrence edges: (a < b) for every pair
+    of items appearing in the same group (market-basket / co-order
+    graph). ONE shuffle to the group key, then the pair explosion is
+    map-side higher-order array math over the grouped set — bounded by
+    per-group cardinality squared (TPC-H orders carry ≤7 parts, so the
+    fan-out is ≤21 rows/group at any scale) — then one distinct. The
+    self-join formulation shuffles the fact table twice and re-reads
+    it twice; this reads it once."""
+    grouped = df.groupBy(group_col).agg(
+        F.array_sort(F.collect_set(item_col)).alias("__xs")
+    )
+    xs = F.col("__xs")
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    xs,
+                    lambda x, i: F.transform(
+                        F.slice(xs, i + F.lit(2), F.size(xs)),
+                        lambda y: F.struct(
+                            x.alias(a_col), y.alias(b_col)
+                        ),
+                    ),
+                )
+            )
+        ).alias("__e")
+    ).select(f"__e.{a_col}", f"__e.{b_col}")
+    return pairs.distinct()
+
+
+def triangle_counts(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    node_col: str = "node",
+    count_col: str = "triangles",
+) -> DataFrame:
+    """Per-node triangle counts via degree-ordered orientation — the
+    skew-bounded distributed formulation (Cohen, "Graph Twiddling in a
+    MapReduce World"; Suri & Vassilvitskii, WWW'11).
+
+    Input: distinct undirected edges with ``a < b``. Each edge is
+    directed from its lower endpoint to the higher in the total order
+    (degree, id); every triangle then has exactly ONE pivot node with
+    two out-edges, so triangles = self-join of the oriented list on
+    the pivot (wedges) closed by an equi-join back against the
+    oriented list. After orientation a node's out-degree is O(√m)
+    regardless of skew — a hub's edges point INTO it — which bounds
+    the wedge explosion that kills the textbook adjacency self-join on
+    power-law graphs: Σ outdeg² ≤ m·√m instead of Σ deg². That bound
+    is what survives 100 TB. Cost: one degree hash-agg, two
+    orientation joins (degree table is |nodes| — broadcast-eligible),
+    the wedge self-join on pivot, the close join on the (v, w) pair,
+    and one final hash-agg over exploded corners. The wedge and close
+    joins carry (node, node) pairs only — no payload columns ride
+    through the shuffles.
+    """
+    ea, eb = F.col(a_col), F.col(b_col)
+    deg = (
+        edges.select(ea.alias("__n"))
+        .unionAll(edges.select(eb.alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    e = (
+        edges.join(
+            deg.select(
+                F.col("__n").alias(a_col), F.col("__deg").alias("__da")
+            ),
+            a_col,
+        ).join(
+            deg.select(
+                F.col("__n").alias(b_col), F.col("__deg").alias("__db")
+            ),
+            b_col,
+        )
+    )
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (ea < eb)
+    )
+    o = e.select(
+        F.when(a_first, ea).otherwise(eb).alias("u"),
+        F.when(a_first, eb).otherwise(ea).alias("v"),
+        F.when(a_first, F.col("__db")).otherwise(F.col("__da")).alias(
+            "degv"
+        ),
+    )
+    o1 = o.select("u", F.col("v").alias("v1"), F.col("degv").alias("d1"))
+    o2 = o.select("u", F.col("v").alias("v2"), F.col("degv").alias("d2"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closed = wedges.join(
+        o.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+    )
+    corners = closed.select(
+        F.explode(F.array("u", "v1", "v2")).alias(node_col)
+    )
+    return corners.groupBy(node_col).agg(
+        F.count(F.lit(1)).alias(count_col)
+    )

@@ -375,3 +375,60 @@ def mixture_allocation(
         .cast("long")
         .alias("epochs_bp"),
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 50,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM'07): a weighted
+    without-replacement sample of size k whose subset-sum estimator is
+    unbiased — the right primitive for "sample 1M docs proportional to
+    token count and still estimate corpus totals".
+
+    priority = w / u with u a deterministic hash-uniform in (0, 1]
+    derived from the row's id (same portable md5 the split/sample
+    family uses — reproducible under retry/repartition, identical in
+    any ANSI engine). Keep the k highest priorities; the threshold
+    τ = (k+1)-th priority turns the sample into the estimator
+    ŵ = max(w, τ) per kept row, Σŵ unbiased for Σw. Everything is
+    IEEE add/divide on hash-derived inputs — bit-identical in Spark
+    and the SQL oracle, so even the estimator column is value-checked.
+
+    Scale shape: the top-(k+1) is ``TakeOrderedAndProject``
+    (per-partition heaps, k·P rows to the driver-side merge — the
+    distributed reservoir); the τ window then runs over ≤ k+1 rows.
+    No full sort, no shuffle of the data."""
+    from pyspark.sql.window import Window
+
+    h = portable_hash64(F.col(id_col), seed=seed)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**60))
+    w = F.col(weight_col).cast("double")
+    top = (
+        df.select(
+            id_col,
+            F.col(weight_col).alias("weight"),
+            (w / u).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), F.col(id_col).asc())
+        .limit(k + 1)
+    )
+    wnd = Window.orderBy(F.col("priority").desc(), F.col(id_col).asc())
+    ranked = top.withColumn("__rn", F.row_number().over(wnd))
+    tau = F.max(
+        F.when(F.col("__rn") == k + 1, F.col("priority"))
+    ).over(Window.partitionBy())
+    return (
+        ranked.withColumn(
+            "est_weight",
+            F.greatest(
+                F.col("weight").cast("double"),
+                F.coalesce(tau, F.lit(0.0)),
+            ),
+        )
+        .filter(F.col("__rn") <= k)
+        .select(id_col, "weight", "priority", "est_weight")
+    )

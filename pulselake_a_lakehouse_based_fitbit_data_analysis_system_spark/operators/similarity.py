@@ -1017,3 +1017,145 @@ def knn_join_srp(
             F.col("__ia").alias(id_col), "neighbor_id", "cosine", "rank"
         )
     )
+
+
+# --- product quantization (PQ) ---------------------------------------------
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    num_subspaces: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: ``codebooks[m][c]`` is subvector
+    ``m`` of the ``c``-th lowest-id vector — a rank-picked stand-in
+    for per-subspace k-means (``kmeans_refine`` can refine the picks;
+    the encode/ADC machinery below is identical either way, and the
+    deterministic rule is what makes the whole operator
+    oracle-checkable). Driver-side collect of ``ksub`` rows —
+    codebooks are metadata scale (M·ksub·dsub floats ≈ KB) at any
+    data size; they ship to executors as literal arrays, exactly like
+    the IVF centroids.
+    """
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(ksub).collect()
+    dim = len(rows[0][1])
+    dsub = dim // num_subspaces
+    return [
+        [
+            [float(r[1][m * dsub + d]) for d in range(dsub)]
+            for r in rows
+        ]
+        for m in range(num_subspaces)
+    ]
+
+
+def _subspace_l2(sub: Column, cent: Sequence[float]) -> Column:
+    """Left-fold sum of squared differences — the same accumulation
+    order as the SQL oracle's explicit ``+`` chain, so doubles match
+    bit for bit."""
+    return F.aggregate(
+        F.zip_with(
+            sub,
+            F.array(*[F.lit(float(c)) for c in cent]),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """PQ encode: ``codes[m] = argmin_c ||subvec_m − codebooks[m][c]||²``
+    (ties → lowest code). The argmin is ``array_min`` over an
+    ``array<struct<d,code>>`` — struct ordering is lexicographic, so
+    the tie rule lives in the type, not in a fragile sort. Pure
+    map-side codegen'd column math, no UDF, no shuffle: at 100 TB the
+    encode rides the ingest scan and the table thereafter carries
+    M bytes per vector instead of 4·dim — a 64× storage/shuffle shrink
+    at (M=4, dim=64, float32)."""
+    v = F.col(vec_col)
+    dsub = len(codebooks[0][0])
+    m_codes = []
+    for m, book in enumerate(codebooks):
+        sub = F.slice(v, m * dsub + 1, dsub)
+        cands = F.array(
+            *[
+                F.struct(
+                    _subspace_l2(sub, cent).alias("d"),
+                    F.lit(code).alias("code"),
+                )
+                for code, cent in enumerate(book)
+            ]
+        )
+        m_codes.append(F.array_min(cands).getField("code"))
+    return df.withColumn(codes_col, F.array(*m_codes))
+
+
+def pq_adc_lut(
+    query_vec: Sequence[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """Asymmetric-distance lookup table:
+    ``lut[m][c] = ||q_m − codebooks[m][c]||²`` computed driver-side
+    with the same left-assoc fold the encode uses (0.0 + t1 + t2 + …),
+    so the literals broadcast to executors are bit-identical to what
+    the oracle recomputes. M·ksub doubles — metadata scale."""
+    dsub = len(codebooks[0][0])
+    lut: list[list[float]] = []
+    for m, book in enumerate(codebooks):
+        row = []
+        for cent in book:
+            acc = 0.0
+            for d in range(dsub):
+                diff = float(query_vec[m * dsub + d]) - cent[d]
+                acc = acc + diff * diff
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def ann_pq(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str | None = None,
+) -> DataFrame:
+    """PQ-ADC approximate top-k: per row the distance is M table
+    lookups plus an (M−1)-add chain — no per-row vector math at all,
+    which is the whole point of PQ (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search"). Pass ``codes_col`` to
+    search a table that was encoded at ingest (the 100 TB path: the
+    scan reads M bytes/row and never touches the float column);
+    otherwise the codes are computed inline from ``vec_col``. Top-k is
+    ``TakeOrderedAndProject`` — per-partition heaps, no global sort.
+    Ordering is (rounded ADC asc, id asc) so ties are deterministic.
+    """
+    if codes_col is None:
+        enc = pq_encode(df, codebooks, vec_col=vec_col)
+        codes_col = "pq_codes"
+    else:
+        enc = df
+    lut = pq_adc_lut(query_vec, codebooks)
+    codes = F.col(codes_col)
+    adc: Column | None = None
+    for m, row in enumerate(lut):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in row]),
+            F.element_at(codes, m + 1) + 1,
+        )
+        adc = term if adc is None else adc + term
+    scored = enc.withColumn("adc_dist", F.round(adc, 6))
+    return (
+        scored.select(id_col, "adc_dist")
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

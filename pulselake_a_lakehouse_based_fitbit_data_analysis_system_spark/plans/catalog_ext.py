@@ -10470,3 +10470,282 @@ def q_image_mixed_corpus_stats(
         "px_min",
         "px_max",
     )
+
+
+# --- product quantization (PQ-ADC), triangles, priority sampling (r14) ----
+
+_PQ_M = 4
+_PQ_K = 16
+_PQ_DSUB = _DIM // _PQ_M
+
+
+def _pq_dist_sql(a: str, b: str, m: int) -> str:
+    """Left-assoc 16-term squared-L2 chain for subspace m — the same
+    accumulation order as similarity._subspace_l2's fold."""
+    return " + ".join(
+        f"(CAST({a}[{m * _PQ_DSUB + i}] AS DOUBLE) - "
+        f"CAST({b}[{m * _PQ_DSUB + i}] AS DOUBLE)) * "
+        f"(CAST({a}[{m * _PQ_DSUB + i}] AS DOUBLE) - "
+        f"CAST({b}[{m * _PQ_DSUB + i}] AS DOUBLE))"
+        for i in range(1, _PQ_DSUB + 1)
+    )
+
+
+def _pq_cte() -> str:
+    """Shared PQ pipeline CTE: rank-picked codebooks -> per-subspace
+    argmin encode (ties -> lowest code, mirroring array_min's struct
+    order) -> query LUT -> ADC as an explicit 4-term left-assoc add,
+    exactly the Spark fold."""
+    enc = "\n  UNION ALL\n".join(
+        f"  SELECT e.vec_id, {m} AS m, cb.code,\n"
+        f"         {_pq_dist_sql('e.embedding', 'cb.cv', m)} AS d\n"
+        f"  FROM embeddings e, cb"
+        for m in range(_PQ_M)
+    )
+    lut = "\n  UNION ALL\n".join(
+        f"  SELECT cb.code, {m} AS m,\n"
+        f"         {_pq_dist_sql('q.qv', 'cb.cv', m)} AS d\n"
+        f"  FROM cb, q"
+        for m in range(_PQ_M)
+    )
+    return f"""
+WITH cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+enc AS (
+{enc}
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d ASC, code ASC) AS rn
+    FROM enc) t
+  WHERE rn = 1
+),
+lut AS (
+{lut}
+),
+adc AS (
+  SELECT c0.vec_id, l0.d + l1.d + l2.d + l3.d AS dist
+  FROM codes c0
+  JOIN codes c1 ON c1.vec_id = c0.vec_id AND c1.m = 1
+  JOIN codes c2 ON c2.vec_id = c0.vec_id AND c2.m = 2
+  JOIN codes c3 ON c3.vec_id = c0.vec_id AND c3.m = 3
+  JOIN lut l0 ON l0.m = 0 AND l0.code = c0.code
+  JOIN lut l1 ON l1.m = 1 AND l1.code = c1.code
+  JOIN lut l2 ON l2.m = 2 AND l2.code = c2.code
+  JOIN lut l3 ON l3.m = 3 AND l3.code = c3.code
+  WHERE c0.m = 0
+)"""
+
+
+_PQ_ADC_ORACLE = (
+    _pq_cte()
+    + """
+SELECT vec_id, round(dist, 6) AS adc_dist
+FROM adc
+ORDER BY round(dist, 6) ASC, vec_id ASC
+LIMIT 10
+"""
+)
+
+
+@_register(
+    "ann_pq_adc",
+    _PQ_ADC_ORACLE,
+    "Product-quantization ANN with asymmetric distance (Jegou et al., "
+    "PQ for nearest neighbor search) — the memory-bound scale path "
+    "past IVF/SRP: vectors are encoded ONCE at ingest to M=4 "
+    "codebook ids (argmin per 16-dim subspace against 16 rank-picked "
+    "centroids; array_min over struct<d,code> puts the tie rule in "
+    "the type), and a query scans CODES ONLY — per row the distance "
+    "is 4 LUT lookups + 3 adds, no vector math, 64x fewer bytes read "
+    "than the float column. Top-k is TakeOrderedAndProject. The "
+    "deterministic codebooks make even this fully value-checked: the "
+    "oracle rebuilds codebooks, encode, LUT, and the ADC add-chain "
+    "in the same left-assoc fold order, so doubles match bit for bit.",
+    tags=("similarity", "ann", "pq"),
+)
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_train_codebooks(
+        emb, num_subspaces=_PQ_M, ksub=_PQ_K
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.ann_pq(emb, list(qvec), books, k=10)
+
+
+_PQ_RECALL_ORACLE = (
+    _pq_cte()
+    + f"""
+, pq AS (
+  SELECT vec_id FROM adc
+  ORDER BY round(dist, 6) ASC, vec_id ASC LIMIT 10
+),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           ({_pq_dist_sql('e.embedding', 'q.qv', 0)})
+         + ({_pq_dist_sql('e.embedding', 'q.qv', 1)})
+         + ({_pq_dist_sql('e.embedding', 'q.qv', 2)})
+         + ({_pq_dist_sql('e.embedding', 'q.qv', 3)}) AS dist
+    FROM embeddings e, q) t
+  ORDER BY dist ASC, vec_id ASC LIMIT 10
+)
+SELECT 10 AS k, count(*) AS hits, count(*) / 10.0 AS recall_at_k
+FROM pq JOIN exact USING (vec_id)
+"""
+)
+
+
+@_register(
+    "ann_pq_recall",
+    _PQ_RECALL_ORACLE,
+    "Recall@10 of PQ-ADC against the exact-L2 top-10 (same metric, "
+    "same fold order) — the honesty row for the PQ family, like "
+    "ann_recall_report is for SRP: quantization error is a MEASURED "
+    "quantity, not a claim. Both rankings recompute relationally in "
+    "the oracle, so the recall value itself is value-checked.",
+    tags=("similarity", "ann", "pq", "recall"),
+)
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _subspace_l2
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_train_codebooks(
+        emb, num_subspaces=_PQ_M, ksub=_PQ_K
+    )
+    qvec = list(
+        emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+    pq10 = similarity.ann_pq(emb, qvec, books, k=10).select("vec_id")
+    v = F.col("embedding")
+    dist = None
+    for m in range(_PQ_M):
+        sub = F.slice(v, m * _PQ_DSUB + 1, _PQ_DSUB)
+        term = _subspace_l2(
+            sub, qvec[m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+        )
+        dist = term if dist is None else dist + term
+    exact10 = (
+        emb.select("vec_id", dist.alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    return pq10.join(exact10, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.count(F.lit(1)).alias("hits"),
+        (F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_k"),
+    )
+
+
+_TRIANGLE_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM e e1
+  JOIN e e2 ON e2.x = e1.y
+  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node AS partkey, count(*) AS triangles
+FROM corners GROUP BY node
+ORDER BY triangles DESC, partkey ASC
+LIMIT 20
+"""
+
+
+@_register(
+    "triangle_counts_coorder",
+    _TRIANGLE_ORACLE,
+    "Per-node triangle counts on the co-order part graph (parts "
+    "bought together), top-20 — degree-ordered orientation (Suri & "
+    "Vassilvitskii): each edge directs low->high in the (degree, id) "
+    "total order, every triangle has exactly one 2-out-edge pivot, "
+    "wedges self-join on the pivot and close against the oriented "
+    "list. Orientation caps out-degree at O(sqrt m) no matter the "
+    "skew — the reason this survives hub nodes at 100 TB while the "
+    "adjacency self-join explodes. Edge build is ONE shuffle "
+    "(groupBy order + map-side pair explosion, fan-out bounded by "
+    "<=7 parts/order). The oracle counts canonically (a<b<c) — a "
+    "different single-count scheme, same exact result, which "
+    "cross-proves the orientation logic.",
+    tags=("graph", "triangles"),
+)
+def q_triangle_counts_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = graph.cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", a_col="x", b_col="y"
+    )
+    tc = graph.triangle_counts(
+        edges, a_col="x", b_col="y",
+        node_col="partkey", count_col="triangles",
+    )
+    return tc.orderBy(
+        F.col("triangles").desc(), F.col("partkey").asc()
+    ).limit(20)
+
+
+def _priority_sample_oracle(k: int = 50) -> str:
+    h = _sql_hash64("doc_id", 7)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, n_chars AS weight,
+         CAST(n_chars AS DOUBLE) /
+           (CAST({h} + 1 AS DOUBLE) / 1152921504606846976.0) AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, weight, priority,
+         row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rn
+  FROM scored
+),
+top AS (SELECT * FROM ranked WHERE rn <= {k + 1}),
+tau AS (
+  SELECT coalesce(max(CASE WHEN rn = {k + 1} THEN priority END), 0.0)
+           AS tau
+  FROM top
+)
+SELECT doc_id, weight, priority,
+       greatest(CAST(weight AS DOUBLE), tau) AS est_weight
+FROM top, tau
+WHERE rn <= {k}
+"""
+
+
+@_register(
+    "priority_sample_docs",
+    _priority_sample_oracle(50),
+    "Priority sampling (Duffield-Lund-Thorup): weighted "
+    "without-replacement top-50 by priority = weight/u with a "
+    "deterministic hash-uniform u, plus the unbiased subset-sum "
+    "estimator max(w, tau) where tau is the 51st priority — 'sample "
+    "docs proportional to size and still estimate corpus totals'. "
+    "All IEEE add/divide on hash-derived inputs, so priorities AND "
+    "the estimator are bit-identical in the oracle. Distributed "
+    "shape: TakeOrderedAndProject top-(k+1) (per-partition heaps, no "
+    "full sort, no data shuffle), then the tau window runs over 51 "
+    "rows.",
+    tags=("sampling", "estimator"),
+)
+def q_priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.priority_sample(
+        d, "n_chars", k=50, id_col="doc_id", seed=7
+    )

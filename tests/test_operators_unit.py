@@ -6449,3 +6449,177 @@ def test_cross_process_real_death_mid_commit_heals(spark, tmp_path):
     assert {(r["k"], r["v"])
             for r in store.read("t").collect()} == before
     assert store.read_changes("t").count() == n1, "phantom published"
+
+
+# --- product quantization (r14) --------------------------------------------
+
+
+def test_pq_encode_picks_true_argmin_and_adc_matches_reconstruction(spark):
+    """pq_encode's array_min argmin must equal a brute-force Python
+    argmin (ties -> lowest code), and ann_pq's ADC distance must equal
+    the exact distance to the RECONSTRUCTED vector (sum over subspaces
+    of ||q_m - codebook[m][code_m]||^2) — PQ's defining identity."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        similarity,
+    )
+
+    import random
+
+    rng = random.Random(42)
+    dim, m, ksub = 8, 4, 4  # dsub=2
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(dim)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows)
+    books = similarity.pq_train_codebooks(df, num_subspaces=m, ksub=ksub)
+    enc = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in similarity.pq_encode(df, books).collect()
+    }
+    dsub = dim // m
+    vecs = {r.vec_id: r.embedding for r in rows}
+    for vid, vec in vecs.items():
+        for mm in range(m):
+            sub = vec[mm * dsub : (mm + 1) * dsub]
+            dists = [
+                sum((sub[d] - c[d]) ** 2 for d in range(dsub))
+                for c in books[mm]
+            ]
+            best = min(range(ksub), key=lambda c: (dists[c], c))
+            assert enc[vid][mm] == best, (vid, mm)
+    qvec = vecs[0]
+    got = {
+        r["vec_id"]: r["adc_dist"]
+        for r in similarity.ann_pq(df, qvec, books, k=30).collect()
+    }
+    lut = similarity.pq_adc_lut(qvec, books)
+    for vid, codes in enc.items():
+        expect = sum(lut[mm][codes[mm]] for mm in range(m))
+        assert abs(got[vid] - expect) < 1e-6, vid
+
+
+def test_ann_pq_accepts_pregenerated_codes_column(spark):
+    """The 100 TB path: searching a table that only carries pq_codes
+    (no float column) returns the identical ranking."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        similarity,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    books = similarity.pq_train_codebooks(df, num_subspaces=4, ksub=4)
+    qvec = rows[3].embedding
+    inline = similarity.ann_pq(df, qvec, books, k=5).collect()
+    pre = similarity.pq_encode(df, books).drop("embedding")
+    stored = similarity.ann_pq(
+        pre, qvec, books, k=5, codes_col="pq_codes"
+    ).collect()
+    assert [tuple(r) for r in inline] == [tuple(r) for r in stored]
+
+
+# --- triangle counting (r14) ------------------------------------------------
+
+
+def test_triangle_counts_match_bruteforce_on_random_graph(spark):
+    """Degree-ordered orientation vs brute-force triple enumeration on
+    a random graph — every node's count, not just the total."""
+    from itertools import combinations
+    import random
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        graph,
+    )
+
+    rng = random.Random(11)
+    n = 24
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in combinations(range(n), 2)
+            if rng.random() < 0.25
+        }
+    )
+    df = spark.createDataFrame(
+        [Row(a=a, b=b) for a, b in edges]
+    )
+    got = {
+        r["node"]: r["triangles"]
+        for r in graph.triangle_counts(df).collect()
+    }
+    eset = set(edges)
+    expect: dict[int, int] = {}
+    for x, y, z in combinations(range(n), 3):
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset:
+            for v in (x, y, z):
+                expect[v] = expect.get(v, 0) + 1
+    assert got == expect
+
+
+def test_cooccurrence_edges_bounded_pairs(spark):
+    """Pair explosion from grouped sets: distinct a<b pairs within a
+    group, deduped across groups."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        graph,
+    )
+
+    rows = [
+        Row(g=1, item=3), Row(g=1, item=1), Row(g=1, item=2),
+        Row(g=1, item=3),  # dup within group
+        Row(g=2, item=2), Row(g=2, item=1),  # repeats (1,2) pair
+        Row(g=3, item=9),  # singleton -> no pair
+    ]
+    got = {
+        (r["a"], r["b"])
+        for r in graph.cooccurrence_edges(
+            spark.createDataFrame(rows), "g", "item"
+        ).collect()
+    }
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+# --- priority sampling (r14) -----------------------------------------------
+
+
+def test_priority_sample_matches_bruteforce_and_estimator(spark):
+    """Top-k by w/u with the hash-uniform u recomputed in Python, and
+    the DLT estimator max(w, tau) with tau = (k+1)-th priority."""
+    import hashlib
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        sampling,
+    )
+
+    rows = [Row(doc_id=i, n_chars=(i * 37) % 101 + 1) for i in range(80)]
+    df = spark.createDataFrame(rows)
+    k = 10
+    got = [
+        tuple(r)
+        for r in sampling.priority_sample(
+            df, "n_chars", k=k, id_col="doc_id", seed=7
+        ).collect()
+    ]
+
+    def pri(doc_id: int, w: int) -> float:
+        h = int(hashlib.md5(f"7:{doc_id}".encode()).hexdigest()[:15], 16)
+        return float(w) / (float(h + 1) / float(2**60))
+
+    scored = sorted(
+        ((pri(r.doc_id, r.n_chars), r.doc_id, r.n_chars) for r in rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    tau = scored[k][0]
+    expect = [
+        (d, w, p, max(float(w), tau)) for p, d, w in scored[:k]
+    ]
+    assert [t[0] for t in got] == [t[0] for t in expect]
+    for g, e in zip(got, expect):
+        assert g[1] == e[1]
+        assert abs(g[2] - e[2]) < 1e-9 * max(1.0, abs(e[2]))
+        assert abs(g[3] - e[3]) < 1e-9 * max(1.0, abs(e[3]))
