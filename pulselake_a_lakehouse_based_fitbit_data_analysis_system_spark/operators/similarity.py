@@ -1159,3 +1159,49 @@ def ann_pq(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ann_ivfpq(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str | None = None,
+) -> DataFrame:
+    """IVF-PQ, the FAISS-default composite: the coarse quantizer
+    (IVF cells) prunes the search to ``nprobe`` partitions, then
+    PQ-ADC ranks the survivors with table lookups — candidates shrink
+    ~nlist/nprobe× AND each survivor costs 4 lookups instead of a
+    64-dim dot product. At 100 TB the table is partitioned by cell at
+    ingest and carries ``pq_codes`` next to the id (pass ``codes_col``
+    and drop the float column from the scan entirely): a query reads
+    nprobe partitions × M bytes/row — partition pruning and 64×
+    byte shrink compose multiplicatively."""
+    import math
+
+    def _cos(a: Sequence[float], b: Sequence[float]) -> float:
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(x) * float(x) for x in b))
+        return dot / (na * nb)
+
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda c: (-_cos(query_vec, centroids[c]), c),
+    )
+    probes = ranked[:nprobe]
+    assigned = ivf_assign(df, centroids, vec_col=vec_col)
+    cand = assigned.filter(F.col("cell").isin(probes))
+    return ann_pq(
+        cand,
+        query_vec,
+        codebooks,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        codes_col=codes_col,
+    )

@@ -10749,3 +10749,38 @@ def q_priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.priority_sample(
         d, "n_chars", k=50, id_col="doc_id", seed=7
     )
+
+
+_IVFPQ_ORACLE = (
+    _ivf_scored_cte()
+    + _pq_cte().replace("\nWITH cb", ",\ncb", 1)
+    + """
+SELECT a.vec_id, round(a.dist, 6) AS adc_dist
+FROM adc a JOIN celled ce ON ce.vec_id = a.vec_id
+WHERE ce.cell = 0
+ORDER BY round(a.dist, 6) ASC, a.vec_id ASC
+LIMIT 10
+"""
+)
+
+
+@_register(
+    "ann_ivfpq",
+    _IVFPQ_ORACLE,
+    "IVF-PQ composite (the FAISS default): coarse IVF cells prune to "
+    "nprobe=1 partition, PQ-ADC ranks the survivors with 4 LUT "
+    "lookups each — pruning and the 64x code shrink compose "
+    "multiplicatively (a query reads nprobe partitions x M bytes/"
+    "row). The oracle welds the IVF cell CTE to the PQ encode/LUT/"
+    "ADC CTEs and re-derives the whole composite relationally.",
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    books = similarity.pq_train_codebooks(
+        emb, num_subspaces=_PQ_M, ksub=_PQ_K
+    )
+    return similarity.ann_ivfpq(
+        emb, cents[0], cents, books, k=10, nprobe=1
+    )

@@ -6623,3 +6623,46 @@ def test_priority_sample_matches_bruteforce_and_estimator(spark):
         assert g[1] == e[1]
         assert abs(g[2] - e[2]) < 1e-9 * max(1.0, abs(e[2]))
         assert abs(g[3] - e[3]) < 1e-9 * max(1.0, abs(e[3]))
+
+
+def test_ann_ivfpq_equals_pq_restricted_to_probed_cells(spark):
+    """IVF-PQ must equal plain PQ-ADC run over only the rows assigned
+    to the probed cells — the composite adds pruning, never changes
+    ranking."""
+    import random
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        similarity,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    cents = [rows[i].embedding for i in range(4)]
+    books = similarity.pq_train_codebooks(df, num_subspaces=4, ksub=4)
+    qvec = rows[0].embedding
+    got = similarity.ann_ivfpq(
+        df, qvec, cents, books, k=10, nprobe=2
+    ).collect()
+    assigned = similarity.ivf_assign(df, cents)
+    cells = {
+        r["vec_id"]: r["cell"] for r in assigned.collect()
+    }
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a))
+            * math.sqrt(sum(x * x for x in b))
+        )
+
+    probe = sorted(range(4), key=lambda c: (-cos(qvec, cents[c]), c))[:2]
+    keep = [r for r in rows if cells[r.vec_id] in probe]
+    expect = similarity.ann_pq(
+        spark.createDataFrame(keep), qvec, books, k=10
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
