@@ -341,6 +341,7 @@ def cooccurrence_edges(
     item_col: str,
     a_col: str = "a",
     b_col: str = "b",
+    min_count: int = 1,
 ) -> DataFrame:
     """Distinct undirected co-occurrence edges: (a < b) for every pair
     of items appearing in the same group (market-basket / co-order
@@ -349,7 +350,15 @@ def cooccurrence_edges(
     per-group cardinality squared (TPC-H orders carry ≤7 parts, so the
     fan-out is ≤21 rows/group at any scale) — then one distinct. The
     self-join formulation shuffles the fact table twice and re-reads
-    it twice; this reads it once."""
+    it twice; this reads it once.
+
+    ``min_count`` > 1 keeps only pairs co-occurring in at least that
+    many groups (edge-strength threshold — the standard way to knock
+    incidental noise out of a basket graph before community / core
+    analysis). Same plan shape: the distinct becomes a count agg on
+    the pair key, still one shuffle."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
     grouped = df.groupBy(group_col).agg(
         F.array_sort(F.collect_set(item_col)).alias("__xs")
     )
@@ -369,7 +378,14 @@ def cooccurrence_edges(
             )
         ).alias("__e")
     ).select(f"__e.{a_col}", f"__e.{b_col}")
-    return pairs.distinct()
+    if min_count == 1:
+        return pairs.distinct()
+    return (
+        pairs.groupBy(a_col, b_col)
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") >= min_count)
+        .select(a_col, b_col)
+    )
 
 
 def triangle_counts(
@@ -444,4 +460,82 @@ def triangle_counts(
     )
     return corners.groupBy(node_col).agg(
         F.count(F.lit(1)).alias(count_col)
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    node_col: str = "node",
+    degree_col: str = "core_degree",
+    max_iters: int = 50,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983; the
+    Matula–Beck peel, one k): repeatedly drop every node whose degree
+    within the SURVIVING subgraph is < ``k`` until a fixed point, then
+    return the core's members with their in-core degree.
+
+    Peeling is monotone — the survivor set only shrinks, and once it
+    stops shrinking it is exactly the maximal induced subgraph with
+    min-degree >= k — so a fixed round budget that reaches the fixed
+    point replays bit-for-bit in any ANSI engine (the oracle unrolls
+    the rounds as CTEs; extra rounds past convergence are no-ops).
+
+    Input: distinct undirected edges with ``a < b`` (the
+    ``cooccurrence_edges`` contract). Internally the list is
+    symmetrized once and pinned; each round is one join of the edge
+    list against the survivor set on BOTH endpoints plus one hash-agg
+    — |edges| shuffle per round, |nodes| survivor table, the classic
+    distributed peel. The stop test is a driver-side count (inherent:
+    the loop decision is driver-side, same as ``pagerank_converged``);
+    survivors are ``localCheckpoint``-ed every round to keep plan
+    depth bounded. At 100 TB partition the symmetric edges by ``u``
+    so the per-round survivor join co-locates; rounds to converge is
+    small in practice (degeneracy peel depth, typically < 20 even on
+    web graphs).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    sym = pin(
+        edges.select(
+            F.col(a_col).alias("u"), F.col(b_col).alias("v")
+        ).unionAll(
+            edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+        ),
+        level=_LOOP_LEVEL,
+    )
+
+    def _survivors(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= k)
+            .select("u")
+        )
+
+    alive = _survivors(sym).localCheckpoint(eager=True)
+    n_alive = alive.count()
+    for _ in range(max_iters):
+        if n_alive == 0:
+            break
+        induced = sym.join(alive, "u").join(
+            alive.select(F.col("u").alias("v")), "v"
+        )
+        nxt = _survivors(induced).localCheckpoint(eager=True)
+        n_next = nxt.count()
+        alive = nxt
+        if n_next == n_alive:
+            break
+        n_alive = n_next
+    final = sym.join(alive, "u").join(
+        alive.select(F.col("u").alias("v")), "v"
+    )
+    return (
+        final.groupBy("u")
+        .agg(F.count(F.lit(1)).alias(degree_col))
+        .select(F.col("u").alias(node_col), degree_col)
     )

@@ -6584,6 +6584,101 @@ def test_cooccurrence_edges_bounded_pairs(spark):
     assert got == {(1, 2), (1, 3), (2, 3)}
 
 
+def test_cooccurrence_edges_min_count_thresholds_pairs(spark):
+    """min_count keeps only pairs co-occurring in >= that many groups."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        graph,
+    )
+
+    rows = [
+        Row(g=1, item=1), Row(g=1, item=2), Row(g=1, item=3),
+        Row(g=2, item=1), Row(g=2, item=2),
+        Row(g=3, item=1), Row(g=3, item=2),
+        Row(g=4, item=2), Row(g=4, item=3),
+    ]
+    df = spark.createDataFrame(rows)
+    got2 = {
+        (r["a"], r["b"])
+        for r in graph.cooccurrence_edges(df, "g", "item", min_count=2)
+        .collect()
+    }
+    assert got2 == {(1, 2), (2, 3)}
+    got3 = {
+        (r["a"], r["b"])
+        for r in graph.cooccurrence_edges(df, "g", "item", min_count=3)
+        .collect()
+    }
+    assert got3 == {(1, 2)}
+    with pytest.raises(ValueError):
+        graph.cooccurrence_edges(df, "g", "item", min_count=0)
+
+
+# --- k-core (r14) ------------------------------------------------------------
+
+
+def test_kcore_matches_bruteforce_peel_on_random_graph(spark):
+    """Distributed peel vs a Python reference peel on a random graph:
+    membership AND in-core degree, for several k."""
+    from itertools import combinations
+    import random
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        graph,
+    )
+
+    rng = random.Random(23)
+    n = 30
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in combinations(range(n), 2)
+            if rng.random() < 0.18
+        }
+    )
+    df = spark.createDataFrame([Row(a=a, b=b) for a, b in edges])
+
+    def ref_core(k):
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        alive = set(adj)
+        while True:
+            drop = {v for v in alive if len(adj[v] & alive) < k}
+            if not drop:
+                break
+            alive -= drop
+        return {v: len(adj[v] & alive) for v in alive}
+
+    for k in (1, 2, 3, 4):
+        got = {
+            r["node"]: r["core_degree"]
+            for r in graph.kcore(df, k).collect()
+        }
+        assert got == ref_core(k), f"k={k}"
+
+
+def test_kcore_pendant_and_chain_peel_cascades(spark):
+    """A triangle with a pendant and a detached chain: the 2-core is
+    exactly the triangle — the pendant's removal must NOT cascade into
+    it, and the chain must peel away entirely (the cascade case)."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        graph,
+    )
+
+    df = spark.createDataFrame(
+        [Row(a=a, b=b)
+         for a, b in [(1, 2), (1, 3), (2, 3), (3, 4), (5, 6), (6, 7)]]
+    )
+    got = {
+        r["node"]: r["core_degree"]
+        for r in graph.kcore(df, 2).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+    with pytest.raises(ValueError):
+        graph.kcore(df, 0)
+
+
 # --- priority sampling (r14) -----------------------------------------------
 
 
