@@ -245,6 +245,72 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    threshold: float = 0.9,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs (Broder 1997): for each
+    unordered pair, C(a in b) = inter/|a| and C(b in a) = inter/|b|;
+    a pair qualifies when its LARGER containment >= threshold — i.e.
+    the smaller shingle set is (nearly) a subset of the other.
+
+    This is the subset-duplicate detector symmetric Jaccard is blind
+    to: a paragraph quoted inside a 100x longer page has J ~ 1% but
+    containment ~ 100% — the dominant partial-dup shape in web-scale
+    training corpora (quoted posts, syndicated fragments, boilerplate
+    wrappers around a shared body). Output: (id_a < id_b,
+    containment = the larger direction, contained = which id is the
+    subset side — the one a dedup pass would drop).
+
+    Same distributed shape as ``jaccard_pairs`` (one shingle-bucket
+    self-join + two size joins), same ``df_cap`` skew guard with the
+    same exact-or-under guarantee: capped shingles leave the
+    intersection only, sizes keep them, so containment never
+    inflates.
+    """
+    sh = exploded_shingles(df, id_col, text_col, shingle_size)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    joinable = sh
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        joinable = sh.join(hot, "shingle", "left_anti")
+    a = joinable.select(F.col(id_col).alias("id_a"), "shingle")
+    b = joinable.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    c_small = F.round(
+        F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")), 6
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("containment", c_small)
+        .filter(F.col("containment") >= threshold)
+        .withColumn(
+            "contained",
+            F.when(F.col("sz_a") <= F.col("sz_b"), F.col("id_a")).otherwise(
+                F.col("id_b")
+            ),
+        )
+        .select("id_a", "id_b", "containment", "contained")
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32, seed: int = 997
 ) -> DataFrame:

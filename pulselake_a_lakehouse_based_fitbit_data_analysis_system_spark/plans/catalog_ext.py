@@ -10852,3 +10852,45 @@ def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, k=3, a_col="x", b_col="y",
         node_col="partkey", degree_col="core_degree",
     )
+
+
+_CONTAINMENT_ORACLE = (
+    _SHINGLE_CTE.rstrip()
+    + """, sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter / least(sa.sz, sb.sz), 6) AS containment,
+       CASE WHEN sa.sz <= sb.sz THEN id_a ELSE id_b END AS contained
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(inter / least(sa.sz, sb.sz), 6) >= 0.8
+"""
+)
+
+
+@_register(
+    "containment_pairs_docs",
+    _CONTAINMENT_ORACLE,
+    "Asymmetric containment near-dup pairs (Broder): C = inter/|small| "
+    "over 3-word shingle sets, threshold 0.8, plus WHICH doc is the "
+    "contained (droppable) side. The subset-duplicate detector "
+    "symmetric Jaccard is blind to — a fragment quoted inside a much "
+    "longer page has J ~ |frag|/|page| but containment ~ 1, the "
+    "dominant partial-dup shape in web corpora (syndication, quoted "
+    "posts, boilerplate wrappers). Same distributed shape as "
+    "jaccard_token_pairs: one shingle-bucket self-join + two size "
+    "joins, df_cap-guardable; containment = inter/least(sz) and the "
+    "contained side = the smaller set, both exact integer-ratio math.",
+    tags=("neardup", "containment", "jaccard"),
+)
+def q_containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return neardup.containment_pairs(
+        d, "doc_id", "text", shingle_size=3, threshold=0.8
+    )

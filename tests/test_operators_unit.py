@@ -362,6 +362,66 @@ def test_jaccard_df_cap_guards_boilerplate_shingle(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs2} == {(1, 2)}
 
 
+def test_containment_catches_fragment_jaccard_misses(spark):
+    """A fragment embedded in a 10x longer page: containment ~ 1.0
+    while Jaccard is far below any useful threshold — and the
+    CONTAINED side is the fragment (the droppable doc)."""
+    frag_words = [f"w{i}" for i in range(12)]
+    page_words = frag_words + [f"filler{i}" for i in range(120)]
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(page_words)),
+            Row(doc_id=2, text=" ".join(frag_words)),
+            Row(doc_id=3, text=" ".join(f"other{i}" for i in range(30))),
+        ]
+    )
+    got = neardup.containment_pairs(
+        docs, "doc_id", "text", shingle_size=3, threshold=0.9
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["contained"]) for r in got] == [
+        (1, 2, 2)
+    ]
+    assert got[0]["containment"] == 1.0
+    jac = neardup.jaccard_pairs(
+        docs, "doc_id", "text", shingle_size=3, threshold=0.5
+    )
+    assert jac.count() == 0  # symmetric Jaccard is blind to the pair
+
+
+def test_containment_matches_bruteforce_sets(spark):
+    """Containment + contained-side vs a Python set reference,
+    including the equal-size tie (contained = lower id)."""
+    texts = {
+        1: "a b c d e f",
+        2: "a b c d e f",        # exact dup of 1 (tie -> contained=1)
+        3: "a b c d e f g h i",  # superset-ish of 1
+        4: "x y z q r s",
+    }
+    docs = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in texts.items()]
+    )
+
+    def sh3(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)} or {t}
+
+    expect = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sh3(texts[a]), sh3(texts[b])
+            c = round(len(sa & sb) / min(len(sa), len(sb)), 6)
+            if c >= 0.5:
+                expect[(a, b)] = (c, a if len(sa) <= len(sb) else b)
+    got = {
+        (r["id_a"], r["id_b"]): (r["containment"], r["contained"])
+        for r in neardup.containment_pairs(
+            docs, "doc_id", "text", shingle_size=3, threshold=0.5
+        ).collect()
+    }
+    assert got == expect
+
+
 def test_compact_table_refuses_streaming_sink_dir(spark, tmp_path):
     from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.sources.sinks import (
         compact_table,
