@@ -757,3 +757,43 @@ def bpe_encode_stats(
         .cast("long")
         .alias("tokens_per_char_bp"),
     )
+
+
+def char_entropy_mb(text: Column | str) -> Column:
+    """Shannon entropy of the character distribution, in floor
+    MILLIBITS — the gibberish/binary-blob gate corpus filters run
+    alongside gopher rules (natural language sits ~3.5-4.5 bits/char;
+    base64 blobs ~6, repeated-char spam ~0).
+
+    Zero-shuffle, whole-stage-codegen map work: the char histogram is
+    higher-order array math per row (O(len x alphabet), alphabet
+    bounded), never an explode+groupBy (which would shuffle
+    |corpus chars| rows to compute a per-doc scalar). Exactness: the
+    only float sum folds c*log2(c) over counts in SORTED char order —
+    a defined order any engine replays bit-for-bit — and the result
+    is H = log2(n) - fold/n floored at millibit scale.
+    ``H = log2(n) - (sum c*log2(c))/n`` is the count form of
+    ``-sum p*log2(p)`` (p = c/n), avoiding per-term divisions.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    cs = F.when(F.length(t) <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t)),
+            lambda i: t.substr(i, F.lit(1)),
+        )
+    )
+    ds = F.array_sort(F.array_distinct(cs))
+    counts = F.transform(
+        ds, lambda c: F.size(F.filter(cs, lambda x: x == c))
+    )
+    fold = F.aggregate(
+        counts,
+        F.lit(0.0).cast("double"),
+        lambda acc, c: acc + c.cast("double") * F.log2(c.cast("double")),
+    )
+    n = F.size(cs).cast("double")
+    h = F.log2(n) - fold / n
+    return (
+        F.when(F.length(t) <= 0, F.lit(None).cast("long"))
+        .otherwise(F.floor(F.lit(1000.0) * h).cast("long"))
+    )

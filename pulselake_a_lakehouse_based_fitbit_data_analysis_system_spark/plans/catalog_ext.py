@@ -10894,3 +10894,67 @@ def q_containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.containment_pairs(
         d, "doc_id", "text", shingle_size=3, threshold=0.8
     )
+
+
+_CHAR_ENTROPY_ORACLE = """
+WITH ch AS (
+  SELECT doc_id, substr(text, i, 1) AS ch
+  FROM documents, UNNEST(generate_series(1, length(text))) AS g(i)
+), cnt AS (
+  SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2
+), folded AS (
+  SELECT doc_id,
+         list(CAST(c AS DOUBLE) ORDER BY ch) AS cs,
+         CAST(sum(c) AS DOUBLE) AS n,
+         count(*) AS k
+  FROM cnt GROUP BY doc_id
+)
+SELECT f.doc_id,
+       CAST(f.n AS BIGINT) AS n_chars,
+       CAST(f.k AS BIGINT) AS n_distinct,
+       CAST(floor(1000.0 * (log2(f.n)
+            - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                            list_transform(f.cs, c -> c * log2(c))),
+                          (a, b) -> a + b) / f.n)) AS BIGINT) AS entropy_mb,
+       (floor(1000.0 * (log2(f.n)
+            - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                            list_transform(f.cs, c -> c * log2(c))),
+                          (a, b) -> a + b) / f.n)) BETWEEN 2500 AND 5500)
+         AS looks_natural
+FROM folded f
+"""
+
+
+@_register(
+    "char_entropy_docs",
+    _CHAR_ENTROPY_ORACLE,
+    "Shannon character entropy per document in floor millibits + the "
+    "2.5-5.5 bits/char naturalness band — the gibberish/binary-blob "
+    "gate corpus filters run alongside gopher rules (base64 ~6 "
+    "bits/char, repeated-char spam ~0, natural text ~3.5-4.5). "
+    "Zero-shuffle map work: the char histogram is higher-order array "
+    "math per row (O(len x alphabet), alphabet bounded) inside "
+    "whole-stage codegen — never an explode+groupBy shuffling "
+    "|corpus chars| rows for a per-doc scalar. Exact cross-engine: "
+    "the only float sum folds c*log2(c) in SORTED char order (both "
+    "engines replay the identical IEEE sequence), H = log2(n) - "
+    "fold/n, floored at millibit scale.",
+    tags=("text", "quality", "entropy"),
+)
+def q_char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    e = text_ops.char_entropy_mb("text")
+    t = F.col("text")
+    cs = F.when(
+        F.length(t) <= 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(F.sequence(F.lit(1), F.length(t)),
+                    lambda i: t.substr(i, F.lit(1)))
+    )
+    return d.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        F.size(F.array_distinct(cs)).cast("long").alias("n_distinct"),
+        e.alias("entropy_mb"),
+        e.between(2500, 5500).alias("looks_natural"),
+    ).filter(F.length(t) > 0)

@@ -659,6 +659,51 @@ def test_stratified_sample_per_stratum(spark):
     assert 0.06 <= counts["click"] / 3000 <= 0.14
 
 
+def test_char_entropy_matches_python_reference(spark):
+    """floor-millibit entropy vs an independent Counter-based
+    reference, spanning degenerate (one char), uniform, natural-ish,
+    and base64-ish strings; empty/NULL -> NULL."""
+    import math
+    from collections import Counter
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        text as T,
+    )
+
+    cases = [
+        "aaaaaaaa",
+        "ababab",
+        "abcdefghijklmnop",
+        "the quick brown fox jumps over the lazy dog",
+        "QmFzZTY0IGJsb2JzIGxvb2sgbGlrZSB0aGlzIQ==",
+        "x",
+    ]
+
+    def ref(s):
+        c = Counter(s)
+        n = float(len(s))
+        fold = 0.0
+        for ch in sorted(c):
+            v = float(c[ch])
+            fold += v * math.log2(v)
+        return math.floor(1000.0 * (math.log2(n) - fold / n))
+
+    rows = [Row(doc_id=i, text=s) for i, s in enumerate(cases)]
+    rows.append(Row(doc_id=len(cases), text=""))
+    rows.append(Row(doc_id=len(cases) + 1, text=None))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["e"]
+        for r in df.select(
+            "doc_id", T.char_entropy_mb("text").alias("e")
+        ).collect()
+    }
+    for i, s in enumerate(cases):
+        assert got[i] == ref(s), s
+    assert got[len(cases)] is None
+    assert got[len(cases) + 1] is None
+
+
 def test_gopher_quality_gate_rules(spark):
     from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
         text as text_ops,
