@@ -637,3 +637,74 @@ def psi_drift(
             F.round(F.sum((p0 - p1) * F.log(p0 / p1)), 6).alias("psi"),
         )
     )
+
+
+def seasonal_decompose_additive(
+    daily: DataFrame,
+    day_col: str = "day",
+    value_col: str = "value",
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method of Kendall/Stuart, statsmodels' ``seasonal_decompose``
+    shape) over a daily integer series, in EXACT integer arithmetic:
+
+    - trend: centered ``period``-wide moving SUM (odd period), so
+      ``trend_c = floor(sum/period)`` is the only division;
+    - detrended (scaled x period to stay integral):
+      ``detrend = period * value - moving_sum`` — exact;
+    - seasonal index per day-of-period: ``floor(avg(detrend))`` over
+      the days where the full window exists;
+    - residual: ``detrend - seasonal`` (same x period scale).
+
+    Edge days (first/last ``period//2``) have no full window: trend,
+    detrend, and residual are NULL there and those days don't vote in
+    the seasonal index — the statsmodels convention.
+
+    Scale shape: the caller reduces raw events to the daily series
+    first (one keyed hash-agg over the fact table — the only
+    |events|-scale stage); everything here is windows over the
+    |days| frame, which is metadata-sized at any corpus scale (a
+    century is ~37k rows). A single unpartitioned sort window over
+    |days| is the correct plan, not a hazard.
+    """
+    if period < 3 or period % 2 == 0:
+        raise ValueError(f"period must be odd and >= 3, got {period}")
+    half = period // 2
+    w = (
+        Window.orderBy(F.col(day_col))
+        .rowsBetween(-half, half)
+    )
+    v = F.col(value_col).cast("long")
+    with_trend = daily.select(
+        F.col(day_col),
+        v.alias("value_c"),
+        F.when(
+            F.count(F.lit(1)).over(w) == period, F.sum(v).over(w)
+        ).alias("__msum"),
+        ((F.dayofweek(F.col(day_col)) + 5) % period).alias("dop")
+        if period == 7
+        else (
+            F.row_number().over(
+                Window.orderBy(F.col(day_col))
+            ) % period
+        ).alias("dop"),
+    )
+    det = with_trend.withColumn(
+        "detrend",
+        F.lit(period) * F.col("value_c") - F.col("__msum"),
+    )
+    dow_w = Window.partitionBy("dop")
+    seasonal = F.floor(
+        F.sum("detrend").over(dow_w)
+        / F.count("detrend").over(dow_w)
+    ).cast("long")
+    return det.select(
+        day_col,
+        "dop",
+        "value_c",
+        F.floor(F.col("__msum") / period).cast("long").alias("trend_c"),
+        F.col("detrend").cast("long").alias("detrend"),
+        F.when(F.col("detrend").isNotNull(), seasonal).alias("seasonal"),
+        (F.col("detrend") - seasonal).cast("long").alias("residual"),
+    )

@@ -10958,3 +10958,65 @@ def q_char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.alias("entropy_mb"),
         e.between(2500, 5500).alias("looks_natural"),
     ).filter(F.length(t) > 0)
+
+
+_SEASONAL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_c
+  FROM events GROUP BY 1
+), t AS (
+  SELECT day, value_c,
+         (dayofweek(day) + 6) % 7 AS dop,
+         CASE WHEN count(*) OVER w = 7 THEN sum(value_c) OVER w END AS msum
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), det AS (
+  SELECT day, dop, value_c, msum,
+         7 * value_c - msum AS detrend
+  FROM t
+)
+SELECT day,
+       CAST(dop AS BIGINT) AS dop,
+       value_c,
+       CAST(floor(msum / 7.0) AS BIGINT) AS trend_c,
+       detrend,
+       CASE WHEN detrend IS NOT NULL THEN
+         CAST(floor(sum(detrend) OVER (PARTITION BY dop)
+                    / CAST(count(detrend) OVER (PARTITION BY dop) AS DOUBLE))
+              AS BIGINT) END AS seasonal,
+       detrend - CAST(floor(sum(detrend) OVER (PARTITION BY dop)
+                    / CAST(count(detrend) OVER (PARTITION BY dop) AS DOUBLE))
+              AS BIGINT) AS residual
+FROM det
+"""
+
+
+@_register(
+    "seasonal_decompose_events",
+    _SEASONAL_ORACLE,
+    "Classical additive seasonal decomposition (statsmodels' "
+    "seasonal_decompose shape) of daily event revenue: centered 7-day "
+    "moving-average trend, day-of-week seasonal index, residual — "
+    "'separate the weekly rhythm from the trend before anomaly "
+    "review'. EXACT integer arithmetic throughout: trend is a moving "
+    "SUM (the /7 floors only at emit), the detrended series is "
+    "scaled x7 to stay integral, the seasonal index floors an "
+    "integer-sum/count, so every engine agrees bit-for-bit. Edge "
+    "days without a full window are NULL and don't vote (the "
+    "statsmodels convention). Scale shape: ONE |events| hash-agg to "
+    "the daily series; all windows run over the |days| frame "
+    "(metadata-sized at any scale — a century is 37k rows).",
+    tags=("timeseries", "window", "statistics"),
+)
+def q_seasonal_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import agg as agg_ops
+
+    e = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(cents).alias("value_c")
+    )
+    return agg_ops.seasonal_decompose_additive(
+        daily, day_col="day", value_col="value_c", period=7
+    )

@@ -659,6 +659,71 @@ def test_stratified_sample_per_stratum(spark):
     assert 0.06 <= counts["click"] / 3000 <= 0.14
 
 
+def test_seasonal_decompose_matches_python_reference(spark):
+    """Additive decomposition vs an independent Python reference on a
+    planted trend+weekly-seasonal series: NULL edges, seasonal index
+    votes, and the exact identity detrend = seasonal + residual."""
+    import datetime
+    import math
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        agg as agg_ops,
+    )
+
+    base = datetime.date(2024, 1, 1)  # a Monday
+    days = [base + datetime.timedelta(days=i) for i in range(21)]
+    # rising trend + weekly bump on dop 5/6 (weekend)
+    vals = [
+        1000 + 40 * i + (300 if d.weekday() >= 5 else 0)
+        for i, d in enumerate(days)
+    ]
+    df = spark.createDataFrame(
+        [Row(day=d, value_c=v) for d, v in zip(days, vals)]
+    )
+    got = {
+        r["day"]: (
+            r["dop"], r["value_c"], r["trend_c"], r["detrend"],
+            r["seasonal"], r["residual"],
+        )
+        for r in agg_ops.seasonal_decompose_additive(
+            df, value_col="value_c"
+        ).collect()
+    }
+    msum = {
+        i: sum(vals[i - 3:i + 4]) if 3 <= i <= len(days) - 4 else None
+        for i in range(len(days))
+    }
+    det = {
+        i: 7 * vals[i] - msum[i] if msum[i] is not None else None
+        for i in range(len(days))
+    }
+    seas = {}
+    for dop in range(7):
+        votes = [
+            det[i] for i, d in enumerate(days)
+            if d.weekday() == dop and det[i] is not None
+        ]
+        if votes:
+            seas[dop] = math.floor(sum(votes) / len(votes))
+    for i, d in enumerate(days):
+        dop = d.weekday()
+        expect = (
+            dop,
+            vals[i],
+            math.floor(msum[i] / 7) if msum[i] is not None else None,
+            det[i],
+            seas[dop] if det[i] is not None else None,
+            det[i] - seas[dop] if det[i] is not None else None,
+        )
+        assert got[d] == expect, (d, got[d], expect)
+    # the exact additive identity where defined
+    for dop, v, tr, dt, s, r in got.values():
+        if dt is not None:
+            assert dt == s + r
+    with pytest.raises(ValueError):
+        agg_ops.seasonal_decompose_additive(df, value_col="value_c", period=4)
+
+
 def test_char_entropy_matches_python_reference(spark):
     """floor-millibit entropy vs an independent Counter-based
     reference, spanning degenerate (one char), uniform, natural-ish,
