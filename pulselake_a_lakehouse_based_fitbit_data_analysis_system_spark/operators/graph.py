@@ -539,3 +539,97 @@ def kcore(
         .agg(F.count(F.lit(1)).alias(degree_col))
         .select(F.col("u").alias(node_col), degree_col)
     )
+
+
+def association_rules(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Market-basket association rules (Agrawal–Srikant): for every
+    directed item pair co-occurring in >= ``min_pair_count`` baskets,
+    emit support, confidence, and lift in floor parts-per-``scale`` —
+    ALL integer arithmetic (``A*scale div B`` on exact counts), so any
+    engine replays the numbers bit-for-bit; no doubles anywhere.
+
+    Distributed shape: baskets dedupe map-side into grouped sets, the
+    pair explosion is the ``cooccurrence_edges`` higher-order array
+    path (fan-out bounded by basket size squared), item counts are one
+    |items| hash-agg, and the basket total joins in as a broadcast
+    1-row table — three shuffles total, none carrying payload wider
+    than (item, item, count). Overflow bound: ``scale * pair_n *
+    n_baskets`` must fit int64 — at scale=1e6 that holds to ~10^12
+    basket-pairs; shrink ``scale`` before that."""
+    if min_pair_count < 1:
+        raise ValueError(
+            f"min_pair_count must be >= 1, got {min_pair_count}"
+        )
+    baskets = df.select(group_col, item_col).distinct()
+    n_b = baskets.select(
+        F.countDistinct(group_col).alias("__n")
+    )
+    item_counts = baskets.groupBy(item_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    grouped = df.groupBy(group_col).agg(
+        F.array_sort(F.collect_set(item_col)).alias("__xs")
+    )
+    xs = F.col("__xs")
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        xs,
+                        lambda x, i: F.transform(
+                            F.slice(xs, i + F.lit(2), F.size(xs)),
+                            lambda y: F.struct(x.alias("x"), y.alias("y")),
+                        ),
+                    )
+                )
+            ).alias("__e")
+        )
+        .select("__e.x", "__e.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_count)
+    )
+    rules = pairs.select(
+        F.col("x").alias("antecedent"),
+        F.col("y").alias("consequent"),
+        "pair_n",
+    ).unionAll(
+        pairs.select(
+            F.col("y").alias("antecedent"),
+            F.col("x").alias("consequent"),
+            "pair_n",
+        )
+    )
+    ia = item_counts.select(
+        F.col(item_col).alias("antecedent"), F.col("__c").alias("ante_n")
+    )
+    ic = item_counts.select(
+        F.col(item_col).alias("consequent"), F.col("__c").alias("cons_n")
+    )
+    s = F.lit(scale).cast("long")
+    return (
+        rules.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_n",
+            "ante_n",
+            "cons_n",
+            F.expr(f"({scale}L * pair_n) div __n").alias("support_ppm"),
+            F.expr(f"({scale}L * pair_n) div ante_n").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                f"({scale}L * pair_n * __n) div (ante_n * cons_n)"
+            ).alias("lift_ppm"),
+        )
+    )

@@ -11020,3 +11020,57 @@ def q_seasonal_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_ops.seasonal_decompose_additive(
         daily, day_col="day", value_col="value_c", period=7
     )
+
+
+_ASSOC_ORACLE = """
+WITH b AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+), nb AS (
+  SELECT count(DISTINCT g) AS n FROM b
+), ic AS MATERIALIZED (
+  SELECT i, count(*) AS c FROM b GROUP BY i
+), pc AS MATERIALIZED (
+  SELECT a.i AS x, b2.i AS y, count(*) AS w
+  FROM b a JOIN b b2 ON a.g = b2.g AND a.i < b2.i
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+), rules AS (
+  SELECT x AS antecedent, y AS consequent, w FROM pc
+  UNION ALL
+  SELECT y AS antecedent, x AS consequent, w FROM pc
+)
+SELECT r.antecedent, r.consequent,
+       r.w AS pair_n, ia.c AS ante_n, ib.c AS cons_n,
+       (1000000 * r.w) // nb.n AS support_ppm,
+       (1000000 * r.w) // ia.c AS confidence_ppm,
+       (1000000 * r.w * nb.n) // (ia.c * ib.c) AS lift_ppm
+FROM rules r
+JOIN ic ia ON ia.i = r.antecedent
+JOIN ic ib ON ib.i = r.consequent
+CROSS JOIN nb
+"""
+
+
+@_register(
+    "association_rules_parts",
+    _ASSOC_ORACLE,
+    "Market-basket association rules (Agrawal-Srikant) over order "
+    "baskets: directed part->part rules co-occurring in >= 3 orders "
+    "with support / confidence / lift in floor parts-per-million — "
+    "ALL integer arithmetic (A*10^6 div B on exact counts, Spark div "
+    "== DuckDB //), zero doubles, bit-identical anywhere. Distributed "
+    "shape: baskets group map-side, the pair explosion is the "
+    "higher-order array path (fan-out <= basket size squared, <=21 "
+    "for TPC-H), item counts one |items| hash-agg, the basket total a "
+    "broadcast 1-row table — three shuffles, none wider than (item, "
+    "item, count). The recommendation/affinity primitive next to "
+    "kcore_copurchase's community view.",
+    tags=("graph", "basket", "statistics"),
+)
+def q_association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return graph.association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=3
+    )

@@ -6783,6 +6783,60 @@ def test_cooccurrence_edges_min_count_thresholds_pairs(spark):
         graph.cooccurrence_edges(df, "g", "item", min_count=0)
 
 
+def test_association_rules_match_bruteforce(spark):
+    """Support/confidence/lift vs a Python reference on hand baskets —
+    integer ppm math, min_pair_count pruning, both rule directions."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        graph,
+    )
+
+    baskets = {
+        1: {"a", "b", "c"},
+        2: {"a", "b"},
+        3: {"a", "b", "d"},
+        4: {"c", "d"},
+        5: {"a", "c"},
+        6: {"b"},
+    }
+    rows = [
+        Row(g=g, item=i) for g, items in baskets.items() for i in items
+    ] + [Row(g=1, item="a")]  # dup within basket must not double-count
+    df = spark.createDataFrame(rows)
+    n = len(baskets)
+    ic: dict[str, int] = {}
+    pc: dict[tuple[str, str], int] = {}
+    for items in baskets.values():
+        for i in items:
+            ic[i] = ic.get(i, 0) + 1
+        s = sorted(items)
+        for i, x in enumerate(s):
+            for y in s[i + 1:]:
+                pc[(x, y)] = pc.get((x, y), 0) + 1
+    expect = {}
+    for (x, y), w in pc.items():
+        if w < 2:
+            continue
+        for a, c in ((x, y), (y, x)):
+            expect[(a, c)] = (
+                w, ic[a], ic[c],
+                (1_000_000 * w) // n,
+                (1_000_000 * w) // ic[a],
+                (1_000_000 * w * n) // (ic[a] * ic[c]),
+            )
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["pair_n"], r["ante_n"], r["cons_n"],
+            r["support_ppm"], r["confidence_ppm"], r["lift_ppm"],
+        )
+        for r in graph.association_rules(
+            df, "g", "item", min_pair_count=2
+        ).collect()
+    }
+    assert got == expect
+    with pytest.raises(ValueError):
+        graph.association_rules(df, "g", "item", min_pair_count=0)
+
+
 # --- k-core (r14) ------------------------------------------------------------
 
 
