@@ -633,3 +633,74 @@ def association_rules(
             ).alias("lift_ppm"),
         )
     )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    support_col: str = "support",
+    max_iters: int = 50,
+) -> DataFrame:
+    """k-truss decomposition (Cohen 2008): iteratively drop every edge
+    whose SUPPORT — the number of triangles it closes within the
+    surviving subgraph — is < k-2, until a fixed point; return the
+    truss's edges with their converged support. The edge-level
+    cohesion analog of ``kcore`` (every k-truss is inside the
+    (k-1)-core, but strictly tighter: an edge must share k-2 common
+    neighbors, not just have them).
+
+    Input: distinct undirected edges with ``a < b``. Each round
+    enumerates triangles canonically (a<b<c) via the two-hop closure
+    join on the CURRENT edge set, explodes each triangle to its three
+    edges, hash-aggs support, and filters — peeling is monotone, so a
+    fixed round budget past convergence replays exactly (the oracle
+    unrolls the rounds; converges in 2-3 rounds on thresholded basket
+    graphs, bounded by peel depth generally). Support of a dropped
+    round recomputes on the survivor set, so the returned support is
+    the truss-internal one. Scale: the closure join is the
+    triangle-counting cost per round — orient by degree first
+    (``triangle_counts``) if hub skew bites; here the canonical a<b<c
+    form is kept because it is what the oracle cross-proves."""
+    if k < 3:
+        raise ValueError(f"k must be >= 3, got {k}")
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+
+    def _support(cur: DataFrame) -> DataFrame:
+        e1 = cur.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        e2 = cur.select(F.col("x").alias("b"), F.col("y").alias("c"))
+        e3 = cur.select(F.col("x").alias("a"), F.col("y").alias("c"))
+        t = e1.join(e2, "b").join(e3, ["a", "c"])
+        es = (
+            t.select(F.col("a").alias("x"), F.col("b").alias("y"))
+            .unionAll(t.select(F.col("b").alias("x"), F.col("c").alias("y")))
+            .unionAll(t.select(F.col("a").alias("x"), F.col("c").alias("y")))
+        )
+        return es.groupBy("x", "y").agg(F.count(F.lit(1)).alias("__sup"))
+
+    cur = (
+        edges.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    n_cur = cur.count()
+    for _ in range(max_iters):
+        if n_cur == 0:
+            break
+        nxt = (
+            cur.join(_support(cur), ["x", "y"])
+            .filter(F.col("__sup") >= k - 2)
+            .select("x", "y")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        cur, stop = nxt, n_next == n_cur
+        n_cur = n_next
+        if stop:
+            break
+    return cur.join(_support(cur), ["x", "y"]).select(
+        F.col("x").alias(a_col),
+        F.col("y").alias(b_col),
+        F.col("__sup").alias(support_col),
+    )

@@ -11074,3 +11074,87 @@ def q_association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.association_rules(
         li, "l_orderkey", "l_partkey", min_pair_count=3
     )
+
+
+def _ktruss_oracle(k: int = 3, min_count: int = 2, rounds: int = 6) -> str:
+    """Unrolled edge peel; rounds past the fixed point are no-ops
+    (measured depth at sf0.01: 2)."""
+    sup_tpl = """s{i} AS MATERIALIZED (
+  SELECT x, y, count(*) AS sup FROM (
+    SELECT t.a AS x, t.b AS y FROM t{i} t
+    UNION ALL SELECT t.b, t.c FROM t{i} t
+    UNION ALL SELECT t.a, t.c FROM t{i} t
+  ) GROUP BY 1, 2
+)"""
+    tri_tpl = """t{i} AS MATERIALIZED (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM c{i} e1
+  JOIN c{i} e2 ON e2.x = e1.y
+  JOIN c{i} e3 ON e3.x = e1.x AND e3.y = e2.y
+)"""
+    ctes = [
+        f"""c0 AS MATERIALIZED (
+  SELECT x, y FROM (
+    SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS w
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+  ) WHERE w >= {min_count}
+)"""
+    ]
+    for i in range(rounds):
+        ctes.append(tri_tpl.format(i=i))
+        ctes.append(sup_tpl.format(i=i))
+        ctes.append(
+            f"c{i + 1} AS MATERIALIZED (SELECT c.x, c.y FROM c{i} c"
+            f" JOIN s{i} s ON s.x = c.x AND s.y = c.y"
+            f" WHERE s.sup >= {k - 2})"
+        )
+    R = rounds
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+tf AS (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM c{R} e1 JOIN c{R} e2 ON e2.x = e1.y
+  JOIN c{R} e3 ON e3.x = e1.x AND e3.y = e2.y
+)
+SELECT x AS part_a, y AS part_b, count(*) AS support FROM (
+  SELECT a AS x, b AS y FROM tf
+  UNION ALL SELECT b, c FROM tf
+  UNION ALL SELECT a, c FROM tf
+) GROUP BY 1, 2
+"""
+    )
+
+
+@_register(
+    "ktruss_copurchase",
+    _ktruss_oracle(3, 2, 6),
+    "k-truss decomposition (Cohen) of the strength-thresholded "
+    "co-purchase graph at k=3: edges survive only while they close "
+    ">= 1 triangle among survivors — the edge-level cohesion screen "
+    "one notch tighter than kcore_copurchase (an edge needs k-2 "
+    "COMMON neighbors, not just well-connected endpoints). Spark "
+    "peels to a driver-checked fixed point (2 rounds at sf0.01), "
+    "each round one canonical a<b<c closure join + a 3-way edge "
+    "explode + hash-agg, localCheckpoint-bounded lineage; returns "
+    "surviving edges with truss-internal support. The oracle unrolls "
+    "6 materialized rounds — monotone peel, so budget overshoot is a "
+    "no-op — and recomputes final support on the converged set, "
+    "cross-proving the closure-join triangle enumeration.",
+    tags=("graph", "ktruss", "triangles"),
+)
+def q_ktruss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = graph.cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", a_col="x", b_col="y", min_count=2
+    )
+    t = graph.ktruss(edges, k=3, a_col="x", b_col="y")
+    return t.select(
+        F.col("x").alias("part_a"),
+        F.col("y").alias("part_b"),
+        "support",
+    )

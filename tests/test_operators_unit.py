@@ -6903,6 +6903,76 @@ def test_kcore_pendant_and_chain_peel_cascades(spark):
         graph.kcore(df, 0)
 
 
+def test_ktruss_matches_bruteforce_peel(spark):
+    """Edge peel vs a Python reference on a random graph: surviving
+    edges AND truss-internal support, several k."""
+    from itertools import combinations
+    import random
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        graph,
+    )
+
+    rng = random.Random(7)
+    n = 22
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in combinations(range(n), 2)
+            if rng.random() < 0.3
+        }
+    )
+    df = spark.createDataFrame([Row(a=a, b=b) for a, b in edges])
+
+    def ref_truss(k):
+        cur = set(edges)
+
+        def sup(es):
+            s: dict[tuple[int, int], int] = {}
+            for (a, b) in es:
+                for c in range(n):
+                    if (
+                        (min(a, c), max(a, c)) in es
+                        and (min(b, c), max(b, c)) in es
+                    ):
+                        s[(a, b)] = s.get((a, b), 0) + 1
+            return s
+
+        while True:
+            s = sup(cur)
+            nxt = {e for e in cur if s.get(e, 0) >= k - 2}
+            if nxt == cur:
+                break
+            cur = nxt
+        return {e: sup(cur).get(e, 0) for e in cur}
+
+    for k in (3, 4, 5):
+        got = {
+            (r["a"], r["b"]): r["support"]
+            for r in graph.ktruss(df, k).collect()
+        }
+        assert got == ref_truss(k), f"k={k}"
+    with pytest.raises(ValueError):
+        graph.ktruss(df, 2)
+
+
+def test_ktruss_tighter_than_kcore(spark):
+    """Two triangles sharing one vertex plus a 4-cycle: the 4-cycle is
+    in the 2-core but has zero triangles, so the 3-truss strips it
+    while keeping both triangles."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        graph,
+    )
+
+    es = [(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5),
+          (10, 11), (11, 12), (12, 13), (10, 13)]
+    df = spark.createDataFrame([Row(a=a, b=b) for a, b in es])
+    core = {r["node"] for r in graph.kcore(df, 2).collect()}
+    assert {10, 11, 12, 13} <= core  # cycle survives the 2-core
+    truss = {(r["a"], r["b"]) for r in graph.ktruss(df, 3).collect()}
+    assert truss == {(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5)}
+
+
 # --- priority sampling (r14) -----------------------------------------------
 
 
