@@ -708,3 +708,127 @@ def seasonal_decompose_additive(
         F.when(F.col("detrend").isNotNull(), seasonal).alias("seasonal"),
         (F.col("detrend") - seasonal).cast("long").alias("residual"),
     )
+
+
+def chisq_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-cell chi-square independence contributions for a
+    contingency table of two categoricals — the drift/dependence
+    screen run before trusting a categorical feature split
+    ("is event mix independent of day-of-week?"). For each observed
+    cell: ``contrib = (O*N - R*C)^2 / (N*R*C)`` — algebraically
+    ``N*(O-E)^2 / E / N = (O-E)^2/E`` with every input kept as an
+    EXACT int64 (O*N and R*C stay exact; the square and the final
+    ratio run in double over those exact ints — one fixed IEEE
+    sequence, identical in any engine — and floor at ``scale``).
+    Sum contrib/scale over cells for the chi-square statistic; the
+    per-cell rows themselves localize WHICH cell drives dependence.
+
+    ONE |facts| hash-agg to the cells frame; totals are windows over
+    |cells| (product of cardinalities — metadata-sized for real
+    categoricals). Overflow: |diff| = |O*N - R*C| must stay < 2^26.5
+    for the double square to stay exact... it doesn't need to: the
+    square is a single correctly-rounded op on an exact int input, so
+    engines still agree bit-for-bit at ANY magnitude; only the
+    INTERPRETATION (exactness of the square) degrades past 2^53."""
+    cells = df.groupBy(row_col, col_col).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    wr = Window.partitionBy(row_col)
+    wc = Window.partitionBy(col_col)
+    wn = Window.partitionBy()
+    with_tot = cells.select(
+        row_col,
+        col_col,
+        "o",
+        F.sum("o").over(wr).alias("__r"),
+        F.sum("o").over(wc).alias("__c"),
+        F.sum("o").over(wn).alias("__n"),
+    )
+    diff = (F.col("o") * F.col("__n") - F.col("__r") * F.col("__c")).cast(
+        "double"
+    )
+    denom = (F.col("__n") * F.col("__r") * F.col("__c")).cast("double")
+    return with_tot.select(
+        row_col,
+        col_col,
+        "o",
+        F.col("__r").alias("row_n"),
+        F.col("__c").alias("col_n"),
+        F.floor(F.lit(float(scale)) * F.col("__r") * F.col("__c")
+                / F.col("__n"))
+        .cast("long")
+        .alias("expected_scaled"),
+        F.floor(F.lit(float(scale)) * diff * diff / denom)
+        .cast("long")
+        .alias("contrib_scaled"),
+    )
+
+
+def cusum_mean_shift(
+    daily: DataFrame,
+    day_col: str = "day",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mean-centered CUSUM changepoint localization (Page 1954 /
+    the standard offline form): ``C_t = sum_{i<=t}(x_i - mean)``,
+    kept EXACT by scaling x ``n`` — ``C_t * n = n * prefix_sum_t -
+    t * total`` — all int64, no divisions anywhere. The day where
+    |C_t| peaks is the maximum-likelihood single mean-shift point
+    (``is_peak``, first such day on ties); the peak MAGNITUDE
+    (relative to total) says whether a shift is worth believing.
+
+    Windows over the |days| frame only (the caller reduces the fact
+    table to the daily series first — one |facts| hash-agg); a
+    century of days is 37k rows, so the unpartitioned cumulative
+    window is metadata-scale. Overflow: n * total must fit int64 —
+    cents x days to ~10^14 days-cents, far past any real series."""
+    wall = Window.orderBy(F.col(day_col)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy(F.col(day_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    v = F.col(value_col).cast("long")
+    t = daily.select(
+        F.col(day_col),
+        v.alias("value_c"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+        F.sum(v).over(wall).alias("__tot"),
+        F.sum(v).over(wcum).alias("__pfx"),
+        F.row_number().over(Window.orderBy(F.col(day_col))).alias("__t"),
+    )
+    cusum = F.col("__n") * F.col("__pfx") - F.col("__t") * F.col("__tot")
+    with_c = t.select(
+        day_col,
+        "value_c",
+        cusum.alias("cusum_scaled"),
+        F.abs(cusum).alias("__a"),
+    )
+    wmax = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wfirst = Window.orderBy(F.col(day_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    peak = F.max("__a").over(wmax)
+    return with_c.select(
+        day_col,
+        "value_c",
+        "cusum_scaled",
+        (
+            (F.col("__a") == peak)
+            & (
+                F.sum(
+                    F.when(F.col("__a") == peak, F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ).over(wfirst)
+                == 1
+            )
+        ).alias("is_peak"),
+    )

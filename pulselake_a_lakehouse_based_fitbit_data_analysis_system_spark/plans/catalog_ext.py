@@ -11158,3 +11158,100 @@ def q_ktruss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("part_b"),
         "support",
     )
+
+
+_CHISQ_ORACLE = """
+WITH cells AS (
+  SELECT event_type,
+         (dayofweek(CAST(ts AS DATE)) + 6) % 7 AS dow,
+         count(*) AS o
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, dow, o,
+         sum(o) OVER (PARTITION BY event_type) AS r,
+         sum(o) OVER (PARTITION BY dow) AS c,
+         sum(o) OVER () AS n
+  FROM cells
+)
+SELECT event_type, CAST(dow AS BIGINT) AS dow, o,
+       r AS row_n, c AS col_n,
+       CAST(floor(1000000.0 * r * c / n) AS BIGINT) AS expected_scaled,
+       CAST(floor(1000000.0 * CAST(o * n - r * c AS DOUBLE)
+                  * CAST(o * n - r * c AS DOUBLE)
+                  / CAST(n * r * c AS DOUBLE)) AS BIGINT)
+         AS contrib_scaled
+FROM tot
+"""
+
+
+@_register(
+    "chisq_event_dow",
+    _CHISQ_ORACLE,
+    "Per-cell chi-square independence contributions for the "
+    "event-type x day-of-week contingency table — 'is the event mix "
+    "independent of weekday, and if not, WHICH cell drives it'. "
+    "contrib = (O*N - R*C)^2 / (N*R*C) = (O-E)^2/E with O*N and R*C "
+    "exact int64; the square and ratio are a fixed IEEE sequence on "
+    "those exact ints, floored at 1e6 — bit-identical anywhere "
+    "(the corr_by_returnflag exactness pattern). ONE |events| "
+    "hash-agg; totals are windows over the |cells| frame "
+    "(metadata-sized).",
+    tags=("agg", "statistics", "profiling"),
+)
+def q_chisq_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import agg as agg_ops
+
+    e = _t(spark, sf_dir, "events")
+    cells_in = e.select(
+        "event_type",
+        ((F.dayofweek(F.to_date("ts")) + 5) % 7).cast("long").alias("dow"),
+    )
+    return agg_ops.chisq_independence(cells_in, "event_type", "dow")
+
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_c
+  FROM events GROUP BY 1
+), t AS (
+  SELECT day, value_c,
+         count(*) OVER () AS n,
+         sum(value_c) OVER () AS tot,
+         sum(value_c) OVER (ORDER BY day) AS pfx,
+         row_number() OVER (ORDER BY day) AS i
+  FROM daily
+), c AS (
+  SELECT day, value_c,
+         n * pfx - i * tot AS cusum_scaled,
+         abs(n * pfx - i * tot) AS a
+  FROM t
+), m AS (SELECT max(a) AS pk FROM c)
+SELECT c.day, c.value_c, c.cusum_scaled,
+       (c.a = m.pk
+        AND sum(CASE WHEN c.a = m.pk THEN 1 ELSE 0 END)
+              OVER (ORDER BY c.day) = 1) AS is_peak
+FROM c, m
+"""
+
+
+@_register(
+    "cusum_changepoint_daily",
+    _CUSUM_ORACLE,
+    "Mean-centered CUSUM changepoint localization (Page) over daily "
+    "event revenue: C_t = prefix(x - mean), kept exact by scaling x n "
+    "(C_t*n = n*prefix - t*total, pure int64, zero divisions); the "
+    "|C| peak day is the maximum-likelihood single mean-shift point "
+    "(first on ties). ONE |events| hash-agg to the daily series; "
+    "cumulative windows over the |days| frame only.",
+    tags=("timeseries", "statistics", "anomaly"),
+)
+def q_cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import agg as agg_ops
+
+    e = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(cents).alias("value_c")
+    )
+    return agg_ops.cusum_mean_shift(daily, "day", "value_c")

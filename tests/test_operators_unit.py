@@ -659,6 +659,88 @@ def test_stratified_sample_per_stratum(spark):
     assert 0.06 <= counts["click"] / 3000 <= 0.14
 
 
+def test_chisq_independence_matches_python_reference(spark):
+    """Per-cell contributions vs a Counter-based reference, including
+    the scaled-floor arithmetic and row/col/n totals."""
+    import math
+    import random
+    from collections import Counter
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        agg as agg_ops,
+    )
+
+    rng = random.Random(3)
+    facts = [
+        (rng.choice("abc"), rng.choice([0, 1, 2, 3])) for _ in range(400)
+    ]
+    df = spark.createDataFrame(
+        [Row(t=t, d=d) for t, d in facts]
+    )
+    o = Counter(facts)
+    r = Counter(t for t, _ in facts)
+    c = Counter(d for _, d in facts)
+    n = len(facts)
+    got = {
+        (x["t"], x["d"]): (
+            x["o"], x["row_n"], x["col_n"],
+            x["expected_scaled"], x["contrib_scaled"],
+        )
+        for x in agg_ops.chisq_independence(df, "t", "d").collect()
+    }
+    expect = {}
+    for (t, d), cnt in o.items():
+        diff = float(cnt * n - r[t] * c[d])
+        denom = float(n * r[t] * c[d])
+        expect[(t, d)] = (
+            cnt, r[t], c[d],
+            math.floor(1_000_000.0 * r[t] * c[d] / n),
+            math.floor(1_000_000.0 * diff * diff / denom),
+        )
+    assert got == expect
+    # a perfectly independent 2x2 table has zero contribution everywhere
+    ind = spark.createDataFrame(
+        [Row(t=t, d=d) for t in "ab" for d in (0, 1) for _ in range(5)]
+    )
+    out = agg_ops.chisq_independence(ind, "t", "d").collect()
+    assert all(x["contrib_scaled"] == 0 for x in out)
+
+
+def test_cusum_localizes_planted_mean_shift(spark):
+    """A step series (level 100 then 160 from day 12): the |CUSUM|
+    peak must land exactly on the last pre-shift day, values must
+    match the integer formula, and exactly one row is flagged."""
+    import datetime
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        agg as agg_ops,
+    )
+
+    base = datetime.date(2024, 3, 1)
+    vals = [100] * 12 + [160] * 10
+    days = [base + datetime.timedelta(days=i) for i in range(len(vals))]
+    df = spark.createDataFrame(
+        [Row(day=d, value_c=v) for d, v in zip(days, vals)]
+    )
+    got = {
+        r["day"]: (r["cusum_scaled"], r["is_peak"])
+        for r in agg_ops.cusum_mean_shift(df, "day", "value_c").collect()
+    }
+    n, tot = len(vals), sum(vals)
+    pfx = 0
+    expect_peak = None
+    best = -1
+    for i, (d, v) in enumerate(zip(days, vals), start=1):
+        pfx += v
+        cu = n * pfx - i * tot
+        assert got[d][0] == cu, d
+        if abs(cu) > best:
+            best, expect_peak = abs(cu), d
+    flagged = [d for d, (_, pk) in got.items() if pk]
+    assert flagged == [expect_peak]
+    assert expect_peak == days[11]  # last day of the old regime
+
+
 def test_seasonal_decompose_matches_python_reference(spark):
     """Additive decomposition vs an independent Python reference on a
     planted trend+weekly-seasonal series: NULL edges, seasonal index
