@@ -1205,3 +1205,46 @@ def ann_ivfpq(
         vec_col=vec_col,
         codes_col=codes_col,
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack/Clarke/Buettcher SIGIR'09) of
+    N candidate rankings: score(id) = sum over lists of
+    ``scale div (k0 + rank)`` — INTEGER division on exact ranks, so
+    the fused scores are bit-identical in any engine. k0=60 is the
+    paper's constant; it damps the head so one ranker's #1 can't
+    steamroll consensus. The standard way to combine ANN routes with
+    incomparable scores (SRP-LSH cosine vs IVF cell distance vs BM25)
+    without calibrating them — rank is the only shared currency.
+
+    Each input carries (id_col, rank_col) with 1-based ranks. Cost:
+    a union of the k-limited lists (metadata-sized — candidates, not
+    the corpus) + one hash-agg; the heavy lifting stayed inside the
+    per-route ANN operators."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k0 < 0:
+        raise ValueError(f"k0 must be >= 0, got {k0}")
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.expr(f"{scale}L div ({k0}L + {rank_col})").alias("__c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lists"),
+            F.sum("__c").alias("rrf_score"),
+        )
+    )

@@ -11255,3 +11255,71 @@ def q_cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).alias("value_c")
     )
     return agg_ops.cusum_mean_shift(daily, "day", "value_c")
+
+
+def _rrf_oracle() -> str:
+    srp = _ann_oracle().strip()
+    idx = srp.rindex("SELECT vec_id")
+    head = srp[:idx].rstrip()          # "WITH q AS (...), ..., probes AS (...)"
+    assert head.endswith(")"), head[-40:]
+    srp_chain = head[len("WITH "):]    # keep CTE list, drop the WITH
+    ivf = _ivf_scored_cte().strip()
+    ivf_chain = ivf[len("WITH "):]     # "cents AS (...), scored ..., celled ..."
+    return f"""
+WITH {srp_chain},
+{ivf_chain},
+srp AS ({srp[idx:]}),
+ivf AS (
+  SELECT vec_id, round(s0, 6) AS cosine
+  FROM celled WHERE cell = 0
+  ORDER BY cosine DESC, vec_id ASC LIMIT {_IVF_K}
+),
+srp_r AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rnk
+  FROM srp
+),
+ivf_r AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rnk
+  FROM ivf
+),
+u AS (
+  SELECT vec_id, 1000000 // (60 + rnk) AS c FROM srp_r
+  UNION ALL
+  SELECT vec_id, 1000000 // (60 + rnk) AS c FROM ivf_r
+)
+SELECT vec_id, count(*) AS n_lists, CAST(sum(c) AS BIGINT) AS rrf_score
+FROM u GROUP BY vec_id
+"""
+
+
+@_register(
+    "rrf_fuse_ann",
+    _rrf_oracle(),
+    "Reciprocal rank fusion (Cormack-Clarke-Buettcher) of the two ANN "
+    "routes: SRP-LSH multiprobe top-10 and IVF nprobe-1 top-15 for "
+    "the same query fuse by score = sum(10^6 div (60 + rank)) — "
+    "INTEGER division on ranks, the only currency the routes share, "
+    "so no cosine-vs-cell-distance calibration and bit-identical "
+    "scores anywhere. The standard hybrid-search combiner (vector + "
+    "lexical or multi-index); cost is a union of the k-limited "
+    "candidate lists + one hash-agg — the corpus-scale work stayed "
+    "inside the per-route ANN operators. Ranks derive from the same "
+    "(rounded cosine DESC, id ASC) total order on both engines.",
+    tags=("similarity", "ann", "fusion"),
+)
+def q_rrf_fuse_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cents = _ivf_centroids(spark, sf_dir)
+    rank_w = W.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    srp = similarity.ann_lsh(
+        emb, list(qvec), k=10, num_planes=8, seed=31
+    ).select("vec_id", F.row_number().over(rank_w).alias("rank"))
+    ivf = similarity.ann_ivf(
+        emb, cents[0], cents, k=_IVF_K, nprobe=1
+    ).select("vec_id", F.row_number().over(rank_w).alias("rank"))
+    return similarity.rrf_fuse([srp, ivf], id_col="vec_id", rank_col="rank")

@@ -659,6 +659,40 @@ def test_stratified_sample_per_stratum(spark):
     assert 0.06 <= counts["click"] / 3000 <= 0.14
 
 
+def test_rrf_fuse_matches_formula_and_rewards_consensus(spark):
+    """Integer RRF: exact per-list contributions, and an id ranked
+    mid-list by BOTH rankers outscores either ranker's #1 that the
+    other ranker missed."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        similarity,
+    )
+
+    l1 = spark.createDataFrame(
+        [Row(vec_id=10, rank=1), Row(vec_id=3, rank=2), Row(vec_id=4, rank=3)]
+    )
+    l2 = spark.createDataFrame(
+        [Row(vec_id=20, rank=1), Row(vec_id=3, rank=2), Row(vec_id=5, rank=3)]
+    )
+    got = {
+        r["vec_id"]: (r["n_lists"], r["rrf_score"])
+        for r in similarity.rrf_fuse([l1, l2]).collect()
+    }
+    s = 1_000_000
+    expect = {
+        10: (1, s // 61),
+        20: (1, s // 61),
+        3: (2, 2 * (s // 62)),
+        4: (1, s // 63),
+        5: (1, s // 63),
+    }
+    assert got == expect
+    assert got[3][1] > got[10][1]  # consensus mid-rank beats lone #1
+    with pytest.raises(ValueError):
+        similarity.rrf_fuse([])
+    with pytest.raises(ValueError):
+        similarity.rrf_fuse([l1], k0=-1)
+
+
 def test_chisq_independence_matches_python_reference(spark):
     """Per-cell contributions vs a Counter-based reference, including
     the scaled-floor arithmetic and row/col/n totals."""
