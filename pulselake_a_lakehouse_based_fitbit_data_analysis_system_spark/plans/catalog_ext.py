@@ -11323,3 +11323,82 @@ def q_rrf_fuse_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, cents[0], cents, k=_IVF_K, nprobe=1
     ).select("vec_id", F.row_number().over(rank_w).alias("rank"))
     return similarity.rrf_fuse([srp, ivf], id_col="vec_id", rank_col="rank")
+
+
+def _benford_expected_ppm() -> dict[int, int]:
+    """floor(1e6 * log10(1 + 1/d)) computed ONCE in Python and embedded
+    as literals on BOTH engines — no libm log in either plan, so no
+    cross-engine ulp risk."""
+    import math
+
+    return {
+        d: math.floor(1_000_000 * math.log10(1.0 + 1.0 / d))
+        for d in range(1, 10)
+    }
+
+
+def _benford_oracle() -> str:
+    exp = _benford_expected_ppm()
+    case = " ".join(f"WHEN {d} THEN {p}" for d, p in exp.items())
+    return f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), tot AS (SELECT count(*) AS n FROM digits)
+SELECT digit, count(*) AS n_orders,
+       (1000000 * count(*)) // max(tot.n) AS obs_ppm,
+       CAST(CASE digit {case} END AS BIGINT) AS expected_ppm,
+       (1000000 * count(*)) // max(tot.n)
+         - CAST(CASE digit {case} END AS BIGINT) AS dev_ppm
+FROM digits, tot GROUP BY digit
+"""
+
+
+@_register(
+    "benford_price_digits",
+    _benford_oracle(),
+    "Benford's-law first-significant-digit screen over order totals — "
+    "the classic forensic/fraud sanity check ('do the magnitudes look "
+    "organically generated?'). Observed share is integer ppm "
+    "(1e6*count div total); the Benford expectation floor(1e6*log10(1"
+    "+1/d)) is computed ONCE in Python and embedded as literals in "
+    "BOTH plans, so neither engine runs a libm log — zero ulp risk. "
+    "ONE map-side digit extraction + one 9-group hash-agg; the "
+    "broadcast 1-row total joins in. TPC-H prices are uniform-ish so "
+    "dev_ppm is large here — the row proves the machinery, the "
+    "deviation IS the signal.",
+    tags=("agg", "statistics", "profiling"),
+)
+def q_benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = (
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    d = o.select(digit)
+    tot = d.agg(F.count(F.lit(1)).alias("__n"))
+    exp = _benford_expected_ppm()
+    exp_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for pair in exp.items() for x in pair]
+        ),
+        F.col("digit").cast("int"),
+    ).cast("long")
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("(1000000L * n_orders) div __n").alias("obs_ppm"),
+            exp_col.alias("expected_ppm"),
+            (
+                F.expr("(1000000L * n_orders) div __n") - exp_col
+            ).alias("dev_ppm"),
+        )
+    )
