@@ -704,3 +704,89 @@ def ktruss(
         F.col("y").alias(b_col),
         F.col("__sup").alias(support_col),
     )
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a distinct
+    DIRECTED edge list, in exact INTEGER fixed-point (the ``pagerank``
+    trick, sum-normalized each half-step):
+
+        raw_a(i) = sum of h over in-neighbors
+        a(i)     = raw_a(i) * scale div sum(raw_a)    -- int div
+        raw_h(i) = sum of a over out-neighbors
+        h(i)     = raw_h(i) * scale div sum(raw_h)
+
+    so any ANSI engine replays every iteration bit-for-bit (the
+    normalizing totals are exact integer sums; the only division is
+    the final ``div``). Nodes with no in-edges authority-score 0 and
+    no out-edges hub-score 0 — naturally, via the left join.
+
+    Scale shape: per half-step ONE |edges| join against the |nodes|
+    score table + one hash-agg + one metadata-scale total (broadcast
+    back as a 1-row table) — twice the pagerank per-iteration cost.
+    Edge list and node universe are pinned once; scores
+    ``localCheckpoint`` each iteration (lineage bound + the totals
+    are consumed twice). Overflow: score <= scale, raw <= |in-edges|
+    x scale, raw * scale <= |edges| x scale^2 — int64-safe to ~10^6
+    scale on ~10^6-edge graphs; shrink scale for bigger graphs (the
+    ranking is ratio-preserved).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e, nodes = _distinct_edges(edges, src_col, dst_col)
+    h = nodes.crossJoin(
+        F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
+    ).select(
+        "node", F.expr(f"{scale}L div __n").alias("score")
+    ).localCheckpoint(eager=True)
+    a = None
+    for _ in range(iters):
+        raw_a = (
+            h.join(e, h["node"] == e["__s"])
+            .select(F.col("__d").alias("node"), "score")
+            .groupBy("node")
+            .agg(F.sum("score").alias("__raw"))
+        )
+        ta = raw_a.agg(F.sum("__raw").alias("__t"))
+        a = (
+            nodes.join(raw_a, "node", "left")
+            .crossJoin(F.broadcast(ta))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce(__raw, 0L) * {scale}L div __t"
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        raw_h = (
+            a.join(e, a["node"] == e["__d"])
+            .select(F.col("__s").alias("node"), "score")
+            .groupBy("node")
+            .agg(F.sum("score").alias("__raw"))
+        )
+        th = raw_h.agg(F.sum("__raw").alias("__t"))
+        h = (
+            nodes.join(raw_h, "node", "left")
+            .crossJoin(F.broadcast(th))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce(__raw, 0L) * {scale}L div __t"
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        a.select("node", F.col("score").alias("authority"))
+        .join(
+            h.select("node", F.col("score").alias("hub")),
+            "node",
+        )
+    )

@@ -11402,3 +11402,91 @@ def q_benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dev_ppm"),
         )
     )
+
+
+def _hits_oracle(iters: int = 3, scale: int = 1_000_000) -> str:
+    """Generated CTE chain replaying graph.hits exactly: integer
+    fixed-point, sum-normalized each half-step (Spark div == //)."""
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT 'c' || o_custkey AS s, 's' || l_suppkey AS d
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+)""",
+        "nodes AS MATERIALIZED "
+        "(SELECT s AS node FROM e UNION SELECT d FROM e)",
+        f"""h0 AS (
+  SELECT node, {scale} // (SELECT count(*) FROM nodes) AS score
+  FROM nodes
+)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""ra{i} AS MATERIALIZED (
+  SELECT e.d AS node, sum(h.score) AS raw
+  FROM h{i - 1} h JOIN e ON e.s = h.node GROUP BY e.d
+)"""
+        )
+        ctes.append(f"ta{i} AS (SELECT sum(raw) AS t FROM ra{i})")
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT no.node,
+         CAST(coalesce(ra.raw, 0) * {scale} // ta.t AS BIGINT) AS score
+  FROM nodes no CROSS JOIN ta{i} ta
+  LEFT JOIN ra{i} ra ON ra.node = no.node
+)"""
+        )
+        ctes.append(
+            f"""rh{i} AS MATERIALIZED (
+  SELECT e.s AS node, sum(a.score) AS raw
+  FROM a{i} a JOIN e ON e.d = a.node GROUP BY e.s
+)"""
+        )
+        ctes.append(f"th{i} AS (SELECT sum(raw) AS t FROM rh{i})")
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT no.node,
+         CAST(coalesce(rh.raw, 0) * {scale} // th.t AS BIGINT) AS score
+  FROM nodes no CROSS JOIN th{i} th
+  LEFT JOIN rh{i} rh ON rh.node = no.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.node, a.score AS authority, h.score AS hub
+FROM a{iters} a JOIN h{iters} h ON h.node = a.node
+"""
+    )
+
+
+@_register(
+    "hits_trade_graph",
+    _hits_oracle(3),
+    "HITS hubs & authorities (Kleinberg) over the DIRECTED "
+    "customer->supplier trade graph, 3 iterations of exact integer "
+    "fixed-point with sum-normalization each half-step — raw*scale "
+    "div total, Spark div == DuckDB //, zero doubles — so the oracle "
+    "replays every half-step as a generated CTE chain. On the "
+    "bipartite money-flow graph authorities rank suppliers by "
+    "weighted buyer attention and hubs rank customers by how much "
+    "authoritative supply they touch (the mutual-reinforcement "
+    "recursion PageRank's single score can't express). Per half-step: "
+    "one |edges| join + hash-agg + a broadcast 1-row total; edge "
+    "list/node universe pinned once, scores localCheckpoint-ed — "
+    "the pagerank cost model x2.",
+    tags=("graph", "iterative", "hits"),
+)
+def q_hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import hits
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    return hits(e, "src", "dst", iters=3)

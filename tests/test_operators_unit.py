@@ -6899,6 +6899,54 @@ def test_cooccurrence_edges_min_count_thresholds_pairs(spark):
         graph.cooccurrence_edges(df, "g", "item", min_count=0)
 
 
+def test_hits_matches_integer_reference(spark):
+    """HITS vs a Python integer fixed-point reference on a random
+    directed graph — every node's authority AND hub, and the
+    no-in-edge/no-out-edge zero conventions."""
+    import random
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        graph,
+    )
+
+    rng = random.Random(17)
+    n = 15
+    edges = sorted(
+        {
+            (a, b)
+            for a in range(n)
+            for b in range(n)
+            if a != b and rng.random() < 0.15
+        }
+    )
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    scale = 1_000_000
+    nodes = sorted({x for e in edges for x in e})
+    h = {v: scale // len(nodes) for v in nodes}
+    a = {}
+    for _ in range(3):
+        raw_a = {v: 0 for v in nodes}
+        for s, d in edges:
+            raw_a[d] += h[s]
+        ta = sum(raw_a.values())
+        a = {v: raw_a[v] * scale // ta for v in nodes}
+        raw_h = {v: 0 for v in nodes}
+        for s, d in edges:
+            raw_h[s] += a[d]
+        th = sum(raw_h.values())
+        h = {v: raw_h[v] * scale // th for v in nodes}
+    got = {
+        r["node"]: (r["authority"], r["hub"])
+        for r in graph.hits(df, iters=3).collect()
+    }
+    assert got == {v: (a[v], h[v]) for v in nodes}
+    sinks = [v for v in nodes if not any(s == v for s, _ in edges)]
+    if sinks:
+        assert all(got[v][1] == 0 for v in sinks)
+    with pytest.raises(ValueError):
+        graph.hits(df, iters=0)
+
+
 def test_association_rules_match_bruteforce(spark):
     """Support/confidence/lift vs a Python reference on hand baskets —
     integer ppm math, min_pair_count pruning, both rule directions."""
