@@ -17,6 +17,7 @@ from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.expressions import portable_hash64
 
@@ -431,4 +432,60 @@ def priority_sample(
         )
         .filter(F.col("__rn") <= k)
         .select(id_col, "weight", "priority", "est_weight")
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    shard_size: int,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic per-epoch training order + shard manifest: every
+    row gets a global 1-based ``pos`` along the (hash64(id, seed =
+    epoch), id) total order — a different but REPRODUCIBLE permutation
+    per epoch, the 'reshuffle each epoch without a seed file' step of
+    a training pipeline — and ``shard = (pos-1) div shard_size``.
+
+    The global rank is computed WITHOUT a single-task global sort:
+    rows bucket by the hash's HIGH bits (``n_buckets`` a power of
+    two, so bucket order == hash order — integer ``div`` by
+    2^(60-log2 n_buckets), never a float divide), per-bucket counts
+    build prefix offsets (metadata-scale, broadcast back), and each
+    row's pos = its bucket's offset + its rank WITHIN the bucket —
+    the within-bucket window is partitioned, so every task sorts
+    ~|rows|/n_buckets: the TeraSort-shaped distributed total-order
+    rank. At 100 TB raise n_buckets to keep per-task sorts bounded."""
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1, got {shard_size}")
+    if n_buckets < 1 or (n_buckets & (n_buckets - 1)) != 0:
+        raise ValueError(
+            f"n_buckets must be a power of two >= 1, got {n_buckets}"
+        )
+    step = (1 << 60) // n_buckets  # hash64 is 60-bit (15 hex chars)
+    h = portable_hash64(F.col(id_col), seed=epoch)
+    hashed = df.select(F.col(id_col), h.alias("__h")).select(
+        id_col, "__h", F.expr(f"__h div {step}L").alias("__b")
+    )
+    counts = hashed.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+    offs = counts.select(
+        "__b",
+        F.coalesce(
+            F.sum("__c").over(
+                Window.orderBy("__b").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    wb = Window.partitionBy("__b").orderBy("__h", id_col)
+    return (
+        hashed.join(F.broadcast(offs), "__b")
+        .select(
+            id_col,
+            (F.col("__off") + F.row_number().over(wb)).alias("pos"),
+        )
+        .withColumn("shard", F.expr(f"(pos - 1L) div {shard_size}L"))
     )

@@ -11490,3 +11490,40 @@ def q_hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hits(e, "src", "dst", iters=3)
+
+
+def _epoch_shuffle_oracle(epoch: int = 2, shard_size: int = 64) -> str:
+    h = _sql_hash64("doc_id", epoch)
+    return f"""
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY {h}, doc_id) AS pos
+  FROM documents
+)
+SELECT doc_id, pos, (pos - 1) // {shard_size} AS shard
+FROM ranked
+"""
+
+
+@_register(
+    "epoch_shuffle_docs",
+    _epoch_shuffle_oracle(2, 64),
+    "Deterministic per-epoch training order + shard manifest: global "
+    "1-based position along the (hash64(doc_id, seed=epoch), doc_id) "
+    "total order — a reproducible reshuffle per epoch with no seed "
+    "file — and shard = (pos-1) div 64. The Spark side computes the "
+    "global rank WITHOUT a single-task sort: hash HIGH-bit buckets "
+    "(integer div, bucket order == hash order) -> per-bucket counts "
+    "-> broadcast prefix offsets -> partitioned within-bucket "
+    "row_number, the TeraSort-shaped distributed ranking; the oracle "
+    "is the plain global row_number over the same total order, "
+    "cross-proving the two-phase decomposition. Every value integer.",
+    tags=("sampling", "training-data", "ordering"),
+)
+def q_epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.epoch_shuffle(
+        d, "doc_id", epoch=2, shard_size=64
+    )

@@ -6899,6 +6899,49 @@ def test_cooccurrence_edges_min_count_thresholds_pairs(spark):
         graph.cooccurrence_edges(df, "g", "item", min_count=0)
 
 
+def test_epoch_shuffle_is_permutation_matching_reference(spark):
+    """Two-phase bucketed global rank vs a plain Python sort along the
+    same (hash, id) order: exact positions, contiguous shards, and a
+    DIFFERENT permutation per epoch."""
+    import hashlib
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators import (
+        sampling,
+    )
+
+    ids = list(range(1, 301))
+    df = spark.createDataFrame([Row(doc_id=i) for i in ids])
+
+    def h(i, epoch):
+        return int(
+            hashlib.md5(f"{epoch}:{i}".encode()).hexdigest()[:15], 16
+        )
+
+    for epoch in (1, 2):
+        order = sorted(ids, key=lambda i: (h(i, epoch), i))
+        expect = {
+            i: (pos, (pos - 1) // 50)
+            for pos, i in enumerate(order, start=1)
+        }
+        got = {
+            r["doc_id"]: (r["pos"], r["shard"])
+            for r in sampling.epoch_shuffle(
+                df, "doc_id", epoch=epoch, shard_size=50, n_buckets=16
+            ).collect()
+        }
+        assert got == expect, f"epoch={epoch}"
+    # different epochs really permute (overwhelmingly likely)
+    e1 = sampling.epoch_shuffle(df, "doc_id", 1, 50).collect()
+    e2 = sampling.epoch_shuffle(df, "doc_id", 2, 50).collect()
+    assert {r["doc_id"]: r["pos"] for r in e1} != {
+        r["doc_id"]: r["pos"] for r in e2
+    }
+    with pytest.raises(ValueError):
+        sampling.epoch_shuffle(df, "doc_id", 1, 0)
+    with pytest.raises(ValueError):
+        sampling.epoch_shuffle(df, "doc_id", 1, 50, n_buckets=12)
+
+
 def test_hits_matches_integer_reference(spark):
     """HITS vs a Python integer fixed-point reference on a random
     directed graph — every node's authority AND hub, and the
