@@ -4570,7 +4570,7 @@ class TableStore:
         path = os.path.join(self.root, version)
         return self._read_version(path).drop("__bucket")
 
-    def clone(self, src: str, dst: str) -> None:
+    def clone(self, src: str, dst: str, deep: bool = False) -> None:
         """Zero-copy table clone — the Delta ``SHALLOW CLONE`` analog
         (CREATE TABLE dst SHALLOW CLONE src): ``dst`` becomes an
         independent table whose version 1 hard-links every file of
@@ -4598,7 +4598,15 @@ class TableStore:
         the partially-built clone dir is removed and the walk retries
         ONCE against the new current version (round-9 ADVICE #4 — no
         orphan dirs, no aborted clone while the source merely moved
-        forward)."""
+        forward).
+
+        ``deep=True`` is the ``DEEP CLONE`` form: the same walk with
+        byte COPIES instead of hard links — full storage cost, but
+        the clone shares no physical bytes with the source, the
+        contract for crossing filesystems/volumes (hard links cannot)
+        or for isolation policies that forbid shared extents. Same
+        commit, same inherited spec/changelog/constraints/identity
+        semantics; history records which form ran."""
         if self.exists(dst):
             raise ValueError(f"table {dst!r} already exists")
         for attempt in (0, 1):
@@ -4619,7 +4627,7 @@ class TableStore:
                     for fname in files:
                         if fname in (self._OPFILE, self._STAGED_MANIFEST):
                             continue  # the clone writes its own commit info
-                        os.link(
+                        (shutil.copy2 if deep else os.link)(
                             os.path.join(base, fname), os.path.join(d, fname)
                         )
                 break
@@ -4655,7 +4663,12 @@ class TableStore:
             # the two tables then allocate independently (Delta clone
             # identity semantics)
             self._write_json_sidecar(self._identity_path(dst), idents)
-        self._write_op(full, "clone", source=os.path.basename(src_path))
+        self._write_op(
+            full,
+            "clone",
+            source=os.path.basename(src_path),
+            deep=bool(deep),
+        )
         self._commit_pointer(dst, version_dir)
 
     def restore(

@@ -11527,3 +11527,78 @@ def q_epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.epoch_shuffle(
         d, "doc_id", epoch=2, shard_size=64
     )
+
+
+_DEEP_CLONE_ORACLE = """
+SELECT c_custkey,
+       CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT)
+         AS bal_c,
+       TRUE AS bytes_disjoint,
+       TRUE AS clone_isolated,
+       'clone' AS first_op
+FROM customer
+"""
+
+
+@_register(
+    "store_deep_clone",
+    _DEEP_CLONE_ORACLE,
+    "DEEP CLONE (merge.py::clone(deep=True)): the same walk/commit/"
+    "inheritance path as the zero-copy fork but with byte copies — "
+    "bytes_disjoint pins that NO inode is shared between the clone "
+    "and the source (the contract for crossing filesystems or "
+    "no-shared-extent isolation policies, where hard links cannot "
+    "go). An SCD-1 batch then zeroes every 7th customer's balance on "
+    "the SOURCE: the deep clone still returns every original value "
+    "(clone_isolated — divergence needs no copy-on-write because "
+    "nothing was shared to begin with), and the clone's history "
+    "starts at its own 'clone' commit with deep=True recorded in the "
+    "commit details.",
+    tags=("merge", "store", "clone", "lakehouse"),
+)
+def q_store_deep_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    from ..operators.merge import TableStore
+
+    store = TableStore(
+        spark, _tf.mkdtemp(prefix="pulselake_dclone_"), keep_versions=3
+    )
+    c = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal").cast("double") * 100 + 0.5).cast(
+        "long"
+    )
+    base = c.select("c_custkey", cents.alias("bal_c"))
+    store.write_partitioned("t", base, keys=["c_custkey"], n_buckets=4)
+
+    def inodes(path):
+        return {
+            _os.stat(_os.path.join(b, f)).st_ino
+            for b, _d, fs in _os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    store.clone("t", "fork", deep=True)
+    bytes_disjoint = not (
+        inodes(store.current_path("t")) & inodes(store.current_path("fork"))
+    )
+    inc = base.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "bal_c", F.lit(0).cast("long")
+    )
+    store.merge("t", inc, ["c_custkey"], policy="scd1")
+    clone_isolated = (
+        store.read("fork")
+        .filter((F.col("c_custkey") % 7 == 0) & (F.col("bal_c") == 0))
+        .isEmpty()
+    )
+    first = store.history("fork").orderBy("seq").collect()[0]
+    first_op = first["operation"]
+    return store.read("fork").select(
+        "c_custkey",
+        "bal_c",
+        F.lit(bytes_disjoint).alias("bytes_disjoint"),
+        F.lit(clone_isolated).alias("clone_isolated"),
+        F.lit(first_op).alias("first_op"),
+    )

@@ -6899,6 +6899,45 @@ def test_cooccurrence_edges_min_count_thresholds_pairs(spark):
         graph.cooccurrence_edges(df, "g", "item", min_count=0)
 
 
+def test_deep_clone_disjoint_bytes_and_recorded(spark, tmp_path):
+    """deep=True copies bytes (no shared inode with the source, unlike
+    the shallow fork), reads identically, and records deep=true in the
+    clone commit's history details; shallow stays zero-copy."""
+    import json
+    import os as _os
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "store"), keep_versions=3)
+    base = spark.range(100).selectExpr("id AS k", "id * 3 AS v")
+    store.write_partitioned("t", base, keys=["k"], n_buckets=2)
+
+    def inodes(name):
+        path = store.current_path(name)
+        return {
+            _os.stat(_os.path.join(b, f)).st_ino
+            for b, _d, fs in _os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    store.clone("t", "shallow")
+    store.clone("t", "deep", deep=True)
+    src = inodes("t")
+    assert inodes("shallow") == src          # zero-copy fork
+    assert not (inodes("deep") & src)        # byte-disjoint fork
+    assert sorted(
+        (r["k"], r["v"]) for r in store.read("deep").collect()
+    ) == sorted((r["k"], r["v"]) for r in base.collect())
+    for name, want in (("shallow", False), ("deep", True)):
+        det = json.loads(
+            store.history(name).orderBy("seq").collect()[0]["details"]
+        )
+        assert det["deep"] is want, name
+
+
 def test_epoch_shuffle_is_permutation_matching_reference(spark):
     """Two-phase bucketed global rank vs a plain Python sort along the
     same (hash, id) order: exact positions, contiguous shards, and a
