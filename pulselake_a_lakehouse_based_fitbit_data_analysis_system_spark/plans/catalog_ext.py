@@ -11602,3 +11602,50 @@ def q_store_deep_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(clone_isolated).alias("clone_isolated"),
         F.lit(first_op).alias("first_op"),
     )
+
+
+_STREAM_ENTROPY_ORACLE = """
+WITH ch AS (
+  SELECT doc_id, substr(text, i, 1) AS ch
+  FROM documents, UNNEST(generate_series(1, length(text))) AS g(i)
+), cnt AS (
+  SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2
+), folded AS (
+  SELECT doc_id,
+         list(CAST(c AS DOUBLE) ORDER BY ch) AS cs,
+         CAST(sum(c) AS DOUBLE) AS n
+  FROM cnt GROUP BY doc_id
+), scored AS (
+  SELECT doc_id,
+         CAST(floor(1000.0 * (log2(n)
+              - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                              list_transform(cs, c -> c * log2(c))),
+                            (a, b) -> a + b) / n)) AS BIGINT) AS entropy_mb
+  FROM folded
+)
+SELECT doc_id, entropy_mb FROM scored
+WHERE entropy_mb BETWEEN 2500 AND 5500
+"""
+
+
+@_register(
+    "streaming_entropy_gate",
+    _STREAM_ENTROPY_ORACLE,
+    "The character-entropy gibberish gate applied to a DOCUMENT "
+    "STREAM: char_entropy_mb is stateless per-row higher-order array "
+    "math, so it runs unchanged inside Structured Streaming — no "
+    "watermark, no state store, pure map-side codegen per microbatch "
+    "(the ingest-time shape of a corpus quality filter). Drained with "
+    "availableNow into a memory sink; output equals the batch gate "
+    "(2500-5500 millibits), value-exact because the one float fold "
+    "runs in sorted char order on both engines.",
+    tags=("streaming", "text", "quality", "entropy"),
+)
+def q_streaming_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_ops.stream_table(spark, sf_dir, "documents")
+    e = text_ops.char_entropy_mb("text")
+    gated = (
+        stream.select("doc_id", e.alias("entropy_mb"))
+        .filter(F.col("entropy_mb").between(2500, 5500))
+    )
+    return stream_ops.run_stream_to_memory(gated, output_mode="append")
