@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark as pl
 from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.cache import (
     release_pinned,
