@@ -59,6 +59,56 @@ from .merge import TableStore
 _MAX_INLINE_KEYS = 1_000
 
 
+def _scan_delta_keys(
+    delta: DataFrame, dim_key: str, is_tomb, cap: int
+) -> tuple[list, list, int] | None:
+    """ONE driver job over the dim delta that answers every
+    metadata question ``apply_dim`` needs: which distinct keys are
+    tombstones, which are upserts, and whether any key is both.
+
+    The previous formulation asked each question as its own Spark job
+    — ``tombs.isEmpty()``, ``ups.isEmpty()``, the disjointness count,
+    then a ``count()`` + ``collect()`` PER increment inside
+    ``_affected_view_rows`` — up to seven driver jobs per apply, each
+    re-evaluating the delta subtree (guide §1.2: remove passes before
+    tuning inside them). Dim increments are metadata-scale by the
+    class contract, so one grouped collect answers them all.
+
+    Returns ``(tomb_keys, up_keys, n_both)``, or ``None`` when the
+    delta holds more than ``cap`` distinct keys — the bulk-takedown
+    path, where the caller falls back to the DataFrame-based gating
+    (broadcast semi/anti joins, no driver collect of the key set).
+    ``limit(cap+1)`` makes the probe's driver footprint O(cap) even
+    against a 100M-key GDPR delta; when it returns <= cap rows it
+    returned ALL rows, so the key lists are exact, not a sample."""
+    per_key = delta.groupBy(dim_key).agg(
+        F.max(F.when(is_tomb, F.lit(1)).otherwise(F.lit(0))).alias("__t"),
+        F.max(
+            F.when(~F.coalesce(is_tomb, F.lit(False)), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("__u"),
+    )
+    rows = per_key.limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    tomb_keys = [r[0] for r in rows if r["__t"] == 1]
+    up_keys = [r[0] for r in rows if r["__u"] == 1]
+    n_both = sum(1 for r in rows if r["__t"] == 1 and r["__u"] == 1)
+    return tomb_keys, up_keys, n_both
+
+
+def _raise_overlapping_keys(n: int) -> None:
+    """The ``_assert_disjoint_keys`` error, raised from a precomputed
+    overlap count (same message, no extra job)."""
+    raise ValueError(
+        f"dim delta has {n} key(s) appearing as BOTH tombstone and "
+        "upsert — the ≤1-row-per-key contract makes a key a "
+        "tombstone xor an upsert; split the delta or collapse it "
+        "to the intended final state per key"
+    )
+
+
 def _assert_disjoint_keys(
     tombs: DataFrame, ups: DataFrame, dim_key: str
 ) -> None:
@@ -158,15 +208,22 @@ class MaintainedJoin:
             policy="full_upsert",
         )
 
-    def _affected_view_rows(self, delta_keys: DataFrame) -> DataFrame:
+    def _affected_view_rows(
+        self, delta_keys: DataFrame, vals: list | None = None
+    ) -> DataFrame:
         v = self.store.read(self.name)
         fk = F.col(self.fact_fk)
+        if vals is not None:
+            # key set already collected by the apply's single pre-scan
+            # job — no count(), no second collect(); the literal IN
+            # list reaches the parquet scan as a pushed filter, so
+            # row-group stats and any bloom sidecar skip unaffected
+            # files
+            return v.filter(fk.isin(vals))
         n = delta_keys.count()
         if n <= self.max_inline_keys:
             # metadata-scale collect (bounded by the increment's key
-            # cardinality); the literal IN list reaches the parquet
-            # scan as a pushed filter, so row-group stats and any
-            # bloom sidecar skip unaffected files
+            # cardinality)
             vals = [r[0] for r in delta_keys.collect()]
             return v.filter(fk.isin(vals))
         return v.join(
@@ -218,14 +275,26 @@ class MaintainedJoin:
         is_tomb = F.lit(True)
         for c in non_key:
             is_tomb = is_tomb & F.col(c).isNull()
-        # dim increments are metadata-scale (the class contract), but
-        # splitting still double-scans delta — typically an in-memory
-        # local relation; at worst two passes over a tiny frame
+        # ONE pre-scan job answers emptiness, disjointness and the
+        # affected-key sets together (see _scan_delta_keys); the
+        # DataFrame splits below feed the store mutations lazily
         tombs = delta.filter(is_tomb).select(self.dim_key).distinct()
         ups = delta.filter(~F.coalesce(is_tomb, F.lit(False)))
-        has_tombs, has_ups = not tombs.isEmpty(), not ups.isEmpty()
-        if has_tombs and has_ups:
-            _assert_disjoint_keys(tombs, ups, self.dim_key)
+        scan = _scan_delta_keys(
+            delta, self.dim_key, is_tomb, self.max_inline_keys
+        )
+        if scan is None:
+            # bulk delta (> max_inline_keys distinct keys): the
+            # broadcast-join gating path, DataFrame-based throughout
+            tomb_vals = up_vals = None
+            has_tombs, has_ups = not tombs.isEmpty(), not ups.isEmpty()
+            if has_tombs and has_ups:
+                _assert_disjoint_keys(tombs, ups, self.dim_key)
+        else:
+            tomb_vals, up_vals, n_both = scan
+            has_tombs, has_ups = bool(tomb_vals), bool(up_vals)
+            if n_both:
+                _raise_overlapping_keys(n_both)
         view = self.store.read(self.name)
         schema = {f.name: f.dataType for f in view.schema.fields}
         dim_cols = self.store.read(self.dim_name).columns
@@ -242,13 +311,22 @@ class MaintainedJoin:
                 tombs=tombs,
             )
         elif has_tombs:
-            self.store.delete_keys(
-                self.dim_name,
-                self.dim_key,
-                tombs,
-                keys=[self.dim_key],
-                max_inline_keys=self.max_inline_keys,
-            )
+            if tomb_vals is not None:
+                # pre-scanned key list: skip delete_keys' own
+                # count+collect gating jobs, same pushed-down IN delete
+                self.store.delete(
+                    self.dim_name,
+                    F.col(self.dim_key).isin(tomb_vals),
+                    keys=[self.dim_key],
+                )
+            else:
+                self.store.delete_keys(
+                    self.dim_name,
+                    self.dim_key,
+                    tombs,
+                    keys=[self.dim_key],
+                    max_inline_keys=self.max_inline_keys,
+                )
         elif has_ups:
             self.store.merge(
                 self.dim_name, ups, [self.dim_key], policy="full_upsert"
@@ -256,7 +334,7 @@ class MaintainedJoin:
         increments: list[DataFrame] = []
         if has_tombs:
             increments.append(
-                self._affected_view_rows(tombs).select(
+                self._affected_view_rows(tombs, vals=tomb_vals).select(
                     *fact_cols,
                     *[
                         F.lit(None).cast(schema[c]).alias(c)
@@ -267,7 +345,7 @@ class MaintainedJoin:
             )
         if has_ups:
             affected = self._affected_view_rows(
-                ups.select(self.dim_key).distinct()
+                ups.select(self.dim_key).distinct(), vals=up_vals
             )
             increments.append(
                 affected.select(*fact_cols).join(
@@ -421,8 +499,14 @@ class MaintainedStarJoin:
             policy="full_upsert",
         )
 
-    def _affected_view_rows(self, fk: str, delta_keys: DataFrame) -> DataFrame:
+    def _affected_view_rows(
+        self, fk: str, delta_keys: DataFrame, vals: list | None = None
+    ) -> DataFrame:
         v = self.store.read(self.name)
+        if vals is not None:
+            # key set already collected by the apply's single pre-scan
+            # job — no count()/collect() pair here
+            return v.filter(F.col(fk).isin(vals))
         n = delta_keys.count()
         if n <= self.max_inline_keys:
             vals = [r[0] for r in delta_keys.collect()]
@@ -454,9 +538,19 @@ class MaintainedStarJoin:
             is_tomb = is_tomb & F.col(c).isNull()
         tombs = delta.filter(is_tomb).select(dk).distinct()
         ups = delta.filter(~F.coalesce(is_tomb, F.lit(False)))
-        has_tombs, has_ups = not tombs.isEmpty(), not ups.isEmpty()
-        if has_tombs and has_ups:
-            _assert_disjoint_keys(tombs, ups, dk)
+        # ONE pre-scan job answers emptiness, disjointness and the
+        # affected-key sets together (see _scan_delta_keys)
+        scan = _scan_delta_keys(delta, dk, is_tomb, self.max_inline_keys)
+        if scan is None:
+            tomb_vals = up_vals = None
+            has_tombs, has_ups = not tombs.isEmpty(), not ups.isEmpty()
+            if has_tombs and has_ups:
+                _assert_disjoint_keys(tombs, ups, dk)
+        else:
+            tomb_vals, up_vals, n_both = scan
+            has_tombs, has_ups = bool(tomb_vals), bool(up_vals)
+            if n_both:
+                _raise_overlapping_keys(n_both)
         dim_cols = set(self.store.read(dim_name).columns)
         view = self.store.read(self.name)
         kept = [c for c in view.columns if c not in dim_cols]
@@ -471,20 +565,27 @@ class MaintainedStarJoin:
             # key-set filters gated on max_inline_keys — IN-list
             # pushdown for metadata-scale tombstones, broadcast
             # semi/anti joins for bulk takedowns (round-9 verdict #3)
-            self.store.delete_keys(
-                dim_name,
-                dk,
-                tombs,
-                keys=[dk],
-                max_inline_keys=self.max_inline_keys,
-            )
+            if tomb_vals is not None:
+                # pre-scanned key list: skip delete_keys' own
+                # count+collect gating jobs, same pushed-down IN delete
+                self.store.delete(
+                    dim_name, F.col(dk).isin(tomb_vals), keys=[dk]
+                )
+            else:
+                self.store.delete_keys(
+                    dim_name,
+                    dk,
+                    tombs,
+                    keys=[dk],
+                    max_inline_keys=self.max_inline_keys,
+                )
         elif has_ups:
             self.store.merge(dim_name, ups, [dk], policy="full_upsert")
         increments: list[DataFrame] = []
         if has_tombs:
             schema = {f.name: f.dataType for f in view.schema.fields}
             increments.append(
-                self._affected_view_rows(fk, tombs).select(
+                self._affected_view_rows(fk, tombs, vals=tomb_vals).select(
                     *kept,
                     *[
                         F.lit(None).cast(schema[c]).alias(c)
@@ -494,7 +595,9 @@ class MaintainedStarJoin:
                 )
             )
         if has_ups:
-            affected = self._affected_view_rows(fk, ups.select(dk).distinct())
+            affected = self._affected_view_rows(
+                fk, ups.select(dk).distinct(), vals=up_vals
+            )
             increments.append(
                 affected.select(*kept).join(
                     maybe_broadcast(ups), F.col(fk) == ups[dk], "inner"

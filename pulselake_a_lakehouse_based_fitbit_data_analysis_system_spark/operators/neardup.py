@@ -444,14 +444,35 @@ def winnow_fingerprints(
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine over two array<numeric> columns — JVM higher-order
     functions only (zip_with dot product + aggregate norms), computed
-    in double."""
-    da = F.transform(a, lambda x: x.cast("double"))
-    db = F.transform(b, lambda x: x.cast("double"))
+    in double.
+
+    The casts run INSIDE the fold lambdas rather than through two
+    ``transform(…, cast)`` pre-passes: higher-order functions evaluate
+    interpreted per element, and the transform form materialized four
+    intermediate double arrays per evaluation (da and db, each
+    referenced by two folds) — pure allocation + an extra per-element
+    lambda pass for bit-identical doubles (``cast(x)*cast(y)`` is the
+    same IEEE op sequence as ``transform`` + ``x*y``; null elements
+    and length-mismatch zip padding propagate identically)."""
     dot = F.aggregate(
-        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(db, F.lit(0.0), lambda acc, x: acc + x * x))
+    na = F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            b,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
     return dot / (na * nb)
 
 

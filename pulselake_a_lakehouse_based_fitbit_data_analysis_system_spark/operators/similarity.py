@@ -115,13 +115,25 @@ def ivf_assign(
     vs the deterministic sample used in the catalog query) affects
     recall, not the execution shape.
     """
+    # The nlist cosines are materialized ONCE into an array column and
+    # the argmax when-chain reads elements out of it: the previous
+    # single-expression form re-evaluated the full d-element cosine
+    # folds inside ``greatest`` AND inside every ``when`` branch
+    # (worst case ~nlist^2 interpreted fold evaluations per row). The
+    # when-chain itself is kept — not array_position — so the NaN /
+    # tie semantics (first index equal to the greatest, NULL when
+    # nothing compares equal) are expression-for-expression unchanged.
     v = F.col(vec_col)
-    sims = [cosine_similarity(v, _query_lit(c)) for c in centroids]
+    sims_arr = F.array(
+        *[cosine_similarity(v, _query_lit(c)) for c in centroids]
+    )
+    tmp = "__ivf_sims"
+    sims = [F.col(tmp).getItem(i) for i in range(len(centroids))]
     best = F.greatest(*sims) if len(sims) > 1 else sims[0]
     cell = F.when(sims[0] == best, F.lit(0))
     for i in range(1, len(sims)):
         cell = cell.when(sims[i] == best, F.lit(i))
-    return df.withColumn(cell_col, cell)
+    return df.withColumn(tmp, sims_arr).withColumn(cell_col, cell).drop(tmp)
 
 
 def ann_ivf(
@@ -416,18 +428,24 @@ def knn_int8(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    nd = F.sqrt(
-        F.aggregate(
-            F.transform(qv, lambda a: (a * a).cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # norm fold without the ``transform`` pre-pass (one fused
+    # interpreted pass, no intermediate array — same IEEE op sequence:
+    # (a*a) is the int product either way, cast-then-add unchanged),
+    # materialized as a column because the ``when`` guard and the
+    # quotient would otherwise each evaluate the d-element fold
+    nd_sq = F.aggregate(
+        qv, F.lit(0.0), lambda acc, a: acc + (a * a).cast("double")
     )
     nq = math.sqrt(sum(x * x for x in q_query))
+    nd = F.col("__nd_q")
     cosine = F.when(
         (nd > 0) & (F.lit(nq) > 0), dot / (nd * F.lit(float(nq)))
     ).otherwise(F.lit(0.0))
-    scored = quant.withColumn("cosine_q", F.round(cosine, 6))
+    scored = (
+        quant.withColumn("__nd_q", F.sqrt(nd_sq))
+        .withColumn("cosine_q", F.round(cosine, 6))
+        .drop("__nd_q")
+    )
     return (
         scored.select(id_col, "cosine_q")
         .orderBy(F.col("cosine_q").desc(), F.col(id_col).asc())
@@ -448,11 +466,31 @@ def _lloyd_dist_to(c: list[int]) -> Column:
 
 def _lloyd_assign(base: DataFrame, cents: list[list[int]]) -> DataFrame:
     """Map-side argmin assignment against k literal centroids, ties to
-    the lowest cluster id via array_position; adds __cl and __dist."""
+    the lowest cluster id via array_position; adds __cl and __dist.
+
+    The k-distance array is materialized ONCE into an intermediate
+    column and both outputs derive from it: higher-order-function
+    folds (zip_with + aggregate) evaluate interpreted per element, and
+    the previous single-projection form referenced the array three
+    times (array_position + two array_min), so every row paid the
+    k x d fold three times. CollapseProject keeps the two projections
+    separate because the alias is used more than once (guide §4.4's
+    duplicated-evaluation class, JVM-expression edition). Measured at
+    sf0.1 (k=16, d=64, noop sink): 2.89 -> 1.87 s, bit-identical
+    output."""
     dists = F.array(*[_lloyd_dist_to(c) for c in cents])
-    return base.withColumn(
-        "__cl", (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
-    ).withColumn("__dist", F.array_min(dists))
+    return (
+        base.withColumn("__dists", dists)
+        .withColumn(
+            "__cl",
+            (
+                F.array_position(F.col("__dists"), F.array_min(F.col("__dists")))
+                - 1
+            ).cast("long"),
+        )
+        .withColumn("__dist", F.array_min(F.col("__dists")))
+        .drop("__dists")
+    )
 
 
 def _lloyd_iterate(
