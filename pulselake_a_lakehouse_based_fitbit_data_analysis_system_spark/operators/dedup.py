@@ -49,13 +49,22 @@ def latest_by_key(
     keys: Sequence[str],
     sort_by: str,
     tiebreakers: Sequence[str] = (),
+    extra_partition_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Newest record per key — the CDC rank-and-take-1 operator
     (reference ``Silver/05-silver.py:24-32``), with ``row_number`` and
     explicit tiebreakers instead of the reference's tie-unsafe
-    ``rank()``."""
+    ``rank()``.
+
+    ``extra_partition_cols`` prepend to the window's PARTITION BY.
+    Callers pass columns that are FUNCTIONS of ``keys`` (e.g. the
+    store's hash-bucket column): the groups — and therefore the
+    survivors — are identical, but a frame already hash-partitioned by
+    such a column satisfies the window's clustered distribution, so
+    the window plans with NO exchange of its own (guide §2.4: two
+    operations keyed compatibly share one exchange)."""
     order = [F.col(sort_by).desc()] + [F.col(t).desc() for t in tiebreakers]
-    w = Window.partitionBy(*keys).orderBy(*order)
+    w = Window.partitionBy(*extra_partition_cols, *keys).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

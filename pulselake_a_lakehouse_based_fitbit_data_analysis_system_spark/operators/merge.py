@@ -156,6 +156,7 @@ def merge_scd1(
     source: DataFrame,
     keys: Sequence[str],
     order_col: str | None = None,
+    cluster_into: tuple[str, Column] | None = None,
 ) -> DataFrame:
     """SCD-1: newest record per key wins.
 
@@ -164,7 +165,17 @@ def merge_scd1(
     only when strictly newer). Without it, the unconditional
     matched→UPDATE SET * merge (A9). Implemented as union + latest:
     one window shuffle, no join at all — cheaper than the join form
-    when the target is rewritten anyway (plain parquet)."""
+    when the target is rewritten anyway (plain parquet).
+
+    ``cluster_into=(col_name, expr)`` fuses the merge's shuffle with
+    the store's partition-clustered write (guide §2.4): ``expr`` must
+    be a deterministic FUNCTION of ``keys`` (the hash-bucket column),
+    so windowing by ``(col_name, *keys)`` forms exactly the same
+    groups — but the union is repartitioned ONCE by the bucket and the
+    window then needs no exchange of its own, and the caller skips its
+    post-merge ``repartition(part_col)``. One full-data exchange per
+    merge instead of two — at 100 TB that is half the merge's network
+    bytes. The output keeps ``col_name``."""
     _check_columns(target, source)
     src = source.select(*target.columns)
     if order_col is None:
@@ -172,15 +183,27 @@ def merge_scd1(
         tagged = target.withColumn("__pri", F.lit(0)).unionByName(
             src.withColumn("__pri", F.lit(1))
         )
-        return (
-            latest_by_key(tagged, keys, "__pri").drop("__pri")
-        )
+        extra: list[str] = []
+        if cluster_into is not None:
+            name, expr = cluster_into
+            tagged = tagged.withColumn(name, expr).repartition(F.col(name))
+            extra = [name]
+        return latest_by_key(
+            tagged, keys, "__pri", extra_partition_cols=extra
+        ).drop("__pri")
     # strictly-newer-wins: tie goes to the target (__pri 0 sorts after 1
     # descending? we want target to win ties → give target higher pri)
     tagged = target.withColumn("__pri", F.lit(1)).unionByName(
         src.withColumn("__pri", F.lit(0))
     )
-    return latest_by_key(tagged, keys, order_col, tiebreakers=["__pri"]).drop("__pri")
+    extra = []
+    if cluster_into is not None:
+        name, expr = cluster_into
+        tagged = tagged.withColumn(name, expr).repartition(F.col(name))
+        extra = [name]
+    return latest_by_key(
+        tagged, keys, order_col, tiebreakers=["__pri"], extra_partition_cols=extra
+    ).drop("__pri")
 
 
 def merge_conditional_update(
@@ -231,13 +254,16 @@ def merge_full_upsert(
     source: DataFrame,
     keys: Sequence[str],
     update_cols: Sequence[str] | None = None,
+    cluster_into: tuple[str, Column] | None = None,
 ) -> DataFrame:
     """Matched→UPDATE SET <measure cols>, not-matched→INSERT — the gold
     summary merge (A12, ``Gold/06-gold.py:31-80``), needed because a
     streaming agg in update mode re-emits growing sessions. With
-    ``update_cols=None`` all non-key columns update (== SCD-1)."""
+    ``update_cols=None`` all non-key columns update (== SCD-1).
+    ``cluster_into`` fuses the merge shuffle with the partitioned
+    write (see ``merge_scd1``); only the window form supports it."""
     if update_cols is None:
-        return merge_scd1(target, source, keys)
+        return merge_scd1(target, source, keys, cluster_into=cluster_into)
     non_update = [c for c in target.columns if c not in update_cols]
     a, b = target.alias("a"), source.select(*target.columns).alias("b")
     joined = a.join(b, [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys], "left")
@@ -4061,15 +4087,42 @@ class TableStore:
             target_affected, src_plain = align_for_evolution(
                 target_affected, src_plain
             )
+        # Window-shaped policies (scd1 / full_upsert / upsert_delete
+        # without update_cols) fuse their one window shuffle with the
+        # scratch write's partition clustering: in HASH mode part_col
+        # is a deterministic function of the merge keys, so windowing
+        # by (part_col, *keys) forms identical groups while the union
+        # is exchanged ONCE on part_col — the post-policy
+        # repartition(part_col) below is then skipped. One full-data
+        # exchange per merge instead of two (guide §2.4). Column-mode
+        # partitions are NOT key-determined, so they keep the
+        # two-exchange form (windowing by them would change groups).
+        cluster_into = None
+        if spec["mode"] == "hash" and policy in (
+            "scd1",
+            "full_upsert",
+            "upsert_delete",
+        ) and not kwargs.get("update_cols"):
+            cluster_into = (part_col, self._partition_expr(spec, keys))
         if policy == "insert_only":
             merged = merge_insert_only(target_affected, src_plain, keys)
         elif policy == "scd1":
-            merged = merge_scd1(target_affected, src_plain, keys, kwargs.get("order_col"))
+            merged = merge_scd1(
+                target_affected,
+                src_plain,
+                keys,
+                kwargs.get("order_col"),
+                cluster_into=cluster_into,
+            )
         elif policy == "conditional_update":
             merged = merge_conditional_update(target_affected, src_plain, keys, **kwargs)
         elif policy == "full_upsert":
             merged = merge_full_upsert(
-                target_affected, src_plain, keys, kwargs.get("update_cols")
+                target_affected,
+                src_plain,
+                keys,
+                kwargs.get("update_cols"),
+                cluster_into=cluster_into,
             )
         elif policy == "upsert_delete":
             from .joins import maybe_broadcast
@@ -4080,7 +4133,11 @@ class TableStore:
                 maybe_broadcast(t_keys), list(keys), "left_anti"
             )
             merged = merge_full_upsert(
-                survivors, ups, keys, kwargs.get("update_cols")
+                survivors,
+                ups,
+                keys,
+                kwargs.get("update_cols"),
+                cluster_into=cluster_into,
             )
         elif policy == "cdc_versioned":
             merged = apply_cdc_versioned(
@@ -4106,7 +4163,7 @@ class TableStore:
         # path bypasses write(), so it hooks here; no-op without
         # declared constraints)
         self._enforce_constraints(name, merged)
-        if spec["mode"] == "hash":
+        if spec["mode"] == "hash" and cluster_into is None:
             merged = merged.withColumn(part_col, self._partition_expr(spec, keys))
         # Write ONLY the affected partitions to a scratch dir. No
         # per-merge range clustering: a trickle batch's output is tiny
@@ -4139,7 +4196,11 @@ class TableStore:
         merged, cm_out = self._to_physical(
             merged, self._load_colmap(current)
         )
-        merged = merged.repartition(F.col(part_col))
+        if cluster_into is None:
+            # window-fused policies arrive already exchanged once on
+            # part_col (cluster_into above); everything else pays the
+            # clustering exchange here
+            merged = merged.repartition(F.col(part_col))
         merged.write.mode("overwrite").partitionBy(part_col).parquet(scratch)
         merged_schema_src = merged
         # ...then assemble the new version: hard-link every untouched
