@@ -10963,17 +10963,19 @@ def q_char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEASONAL_ORACLE = """
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS day,
-         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_c
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_c
   FROM events GROUP BY 1
 ), t AS (
   SELECT day, value_c,
          (dayofweek(day) + 6) % 7 AS dop,
-         CASE WHEN count(*) OVER w = 7 THEN sum(value_c) OVER w END AS msum
+         CASE WHEN count(*) OVER w = 7
+              THEN CAST(sum(value_c) OVER w AS BIGINT) END AS msum
   FROM daily
   WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
 ), det AS (
   SELECT day, dop, value_c, msum,
-         7 * value_c - msum AS detrend
+         CAST(7 * value_c - msum AS BIGINT) AS detrend
   FROM t
 )
 SELECT day,
@@ -10985,9 +10987,9 @@ SELECT day,
          CAST(floor(sum(detrend) OVER (PARTITION BY dop)
                     / CAST(count(detrend) OVER (PARTITION BY dop) AS DOUBLE))
               AS BIGINT) END AS seasonal,
-       detrend - CAST(floor(sum(detrend) OVER (PARTITION BY dop)
+       CAST(detrend - CAST(floor(sum(detrend) OVER (PARTITION BY dop)
                     / CAST(count(detrend) OVER (PARTITION BY dop) AS DOUBLE))
-              AS BIGINT) AS residual
+              AS BIGINT) AS BIGINT) AS residual
 FROM det
 """
 
@@ -11168,9 +11170,9 @@ WITH cells AS (
   FROM events GROUP BY 1, 2
 ), tot AS (
   SELECT event_type, dow, o,
-         sum(o) OVER (PARTITION BY event_type) AS r,
-         sum(o) OVER (PARTITION BY dow) AS c,
-         sum(o) OVER () AS n
+         CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+         CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS c,
+         CAST(sum(o) OVER () AS BIGINT) AS n
   FROM cells
 )
 SELECT event_type, CAST(dow AS BIGINT) AS dow, o,
@@ -11212,19 +11214,20 @@ def q_chisq_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUSUM_ORACLE = """
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS day,
-         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_c
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_c
   FROM events GROUP BY 1
 ), t AS (
   SELECT day, value_c,
          count(*) OVER () AS n,
-         sum(value_c) OVER () AS tot,
-         sum(value_c) OVER (ORDER BY day) AS pfx,
+         CAST(sum(value_c) OVER () AS BIGINT) AS tot,
+         CAST(sum(value_c) OVER (ORDER BY day) AS BIGINT) AS pfx,
          row_number() OVER (ORDER BY day) AS i
   FROM daily
 ), c AS (
   SELECT day, value_c,
-         n * pfx - i * tot AS cusum_scaled,
-         abs(n * pfx - i * tot) AS a
+         CAST(n * pfx - i * tot AS BIGINT) AS cusum_scaled,
+         CAST(abs(n * pfx - i * tot) AS BIGINT) AS a
   FROM t
 ), m AS (SELECT max(a) AS pk FROM c)
 SELECT c.day, c.value_c, c.cusum_scaled,

@@ -91,6 +91,33 @@ def test_query_matches_oracle(name, spark, duck):
     )
 
 
+def test_no_oracle_emits_hugeint_or_decimal(duck):
+    """DuckDB's sum(BIGINT) widens to HUGEINT (int128). The driver's
+    correctness gate hashes TYPED values (Arrow fetch: HUGEINT becomes
+    decimal128, serialized differently from Spark's int64), so an
+    uncast sum column fails the driver even though plain-Python
+    fetchall() compares equal — exactly the r14 signature on
+    seasonal_decompose_events / chisq_event_dow /
+    cusum_changepoint_daily (rows+schema match, hash doesn't). Every
+    oracle output column must land on a type Spark can emit natively."""
+    allowed = {
+        "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+        "DOUBLE", "FLOAT", "VARCHAR", "DATE", "TIMESTAMP",
+        "BOOLEAN", "BLOB",
+    }
+    offenders = {}
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            continue
+        cols = duck.execute(f"DESCRIBE {q.oracle}").fetchall()
+        bad = [(c[0], c[1]) for c in cols if c[1] not in allowed]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"oracle columns with engine-unportable types: {offenders}"
+    )
+
+
 def test_every_oracle_parses_in_duckdb(duck):
     """Spark-free regression net: every oracle must EXPLAIN cleanly
     (catches SQL syntax/identifier drift without paying a Spark run)."""
