@@ -404,6 +404,21 @@ def main() -> None:
     top5 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
+    # r15 (round-14 verdict ask #2): the driver populates
+    # PERF.per_query / scaling ratios from the FINAL line only, so the
+    # per-query seconds (batch + streaming walls) must live here, not
+    # just on the full line above. Rounded to 2 decimals to keep the
+    # line ~1.4 KB — the driver archives the last 2000 bytes of stdout
+    # and a line that outgrows the window loses its HEAD and stops
+    # parsing.
+    per_query = {n: round(t, 2) for n, t in timings.items()}
+    per_query.update(
+        {
+            n: round(row["wall_sec"], 2)
+            for n, row in streaming.items()
+            if isinstance(row, dict) and "wall_sec" in row
+        }
+    )
     print(
         json.dumps(
             {
@@ -413,6 +428,7 @@ def main() -> None:
                 "sf": _sf_from_dir(SF_DIR),
                 "passes": passes,
                 "n_queries": len(timings),
+                "per_query": per_query,
                 "top5": top5,
                 "calibration": calibration,
                 "streaming_total": round(

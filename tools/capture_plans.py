@@ -24,7 +24,11 @@ from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.plans import 
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "plans", "r14")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)),
+    "plans",
+    os.environ.get("PULSELAKE_PLAN_ROUND", "r15"),
+)
 
 
 def main() -> None:
