@@ -218,14 +218,29 @@ def pagerank(
     n_nodes = nodes.count()
     init = scale // n_nodes
     base = (15 * init) // 100
+    # ranks and contribs are |nodes|-scale while e_deg is |edges|-scale
+    # and already cached partitioned by __s: a SHUFFLE_HASH hint on the
+    # small side builds a per-partition hash table from it and probes
+    # the cached edge partitions IN PLACE — no per-iteration Sort of
+    # the |edges| side (the r14 SortMergeJoin re-sorted 1.17M cached
+    # rows every iteration) and no exchange on the edge side at all.
+    # The update join's two sides are both already hash-partitioned on
+    # node (nodes from its distinct, contribs from its agg), so the
+    # hint removes its two sorts too. Values unchanged — join strategy
+    # only. (A broadcast form was measured SLOWER here: two
+    # driver-blocking BroadcastExchange collects per iteration
+    # serialize the loop — 0.69 vs 0.59 s/iter at sf0.1.)
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_fp"))
     for i in range(1, iters + 1):
+        r = ranks.hint("shuffle_hash")
         contribs = (
-            ranks.join(e_deg, ranks["node"] == e_deg["__s"])
+            r.join(e_deg, r["node"] == e_deg["__s"])
             .groupBy(F.col("__d").alias("node"))
             .agg(F.sum(F.expr("rank_fp div __deg")).alias("__in"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
+        ranks = nodes.join(
+            contribs.hint("shuffle_hash"), "node", "left"
+        ).select(
             "node",
             (
                 F.lit(base)

@@ -6292,8 +6292,10 @@ def q_pagerank_converged_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pagerank_deep_trade",
     _pagerank_oracle(12),
     "PageRank at iters (12) well past the lineage-truncation window "
-    "(checkpoint_every=4, so the rank lineage is localCheckpoint-cut "
-    "three times mid-loop) — the BENCHED companion to the round-6 "
+    "(checkpoint_every=2, so the rank lineage is localCheckpoint-cut "
+    "five times mid-loop — r15 measured ck=2 fastest: each unrolled "
+    "iteration past 2 adds ~0.6 s of AQE planning/scheduling at "
+    "sf0.1) — the BENCHED companion to the round-6 "
     "plan-depth test: the measured per-iteration wall series in "
     "SCALE.md 'PageRank per-iteration cost flatness' shows marginal "
     "iteration cost flat as iters grows 4 -> 16, i.e. truncation "
@@ -6307,7 +6309,7 @@ def q_pagerank_deep_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
     edges = _trade_edges(spark, sf_dir)
-    return pagerank(edges, "src", "dst", iters=12, checkpoint_every=4)
+    return pagerank(edges, "src", "dst", iters=12, checkpoint_every=2)
 
 
 # --- mergeable sketches: HLL partial union, Theta set ops (round 5) -------
