@@ -151,6 +151,36 @@ def merge_insert_only(
     return target.unionByName(inserts)
 
 
+def fuse_window_with_clustering(
+    spec: dict,
+    policy: str,
+    update_cols: Sequence[str] | None,
+    parallelism: int,
+) -> bool:
+    """Whether a partition-pruned merge may fuse its window shuffle
+    with the scratch write's partition clustering (one full-data
+    exchange instead of two — guide §2.4). Requires ALL of:
+
+    - hash partitioning mode: only there is the partition column a
+      deterministic function of the merge keys, so windowing by
+      (bucket, *keys) forms identical groups;
+    - a window-shaped policy (scd1 / full_upsert / upsert_delete
+      without ``update_cols`` — the join-shaped forms have no window
+      to fuse);
+    - ``n_buckets >= parallelism``: the fused exchange hashes on the
+      bucket column ALONE, so at most n_buckets reduce tasks ever
+      carry rows — on an under-bucketed table that would collapse the
+      window sort's parallelism below the cluster's width (guide §2).
+      Under-bucketed tables keep the two-exchange form instead.
+    """
+    return (
+        spec.get("mode") == "hash"
+        and policy in ("scd1", "full_upsert", "upsert_delete")
+        and not update_cols
+        and int(spec["n_buckets"]) >= parallelism
+    )
+
+
 def merge_scd1(
     target: DataFrame,
     source: DataFrame,
@@ -4097,12 +4127,21 @@ class TableStore:
         # exchange per merge instead of two (guide §2.4). Column-mode
         # partitions are NOT key-determined, so they keep the
         # two-exchange form (windowing by them would change groups).
+        # Parallelism guard (guide §2): the fused exchange hashes on
+        # the bucket column ALONE, so at most n_buckets reduce tasks
+        # ever carry rows — on an under-bucketed table that collapses
+        # the window sort's parallelism below the cluster's width.
+        # Fuse only when the declared bucket count can occupy every
+        # core; otherwise keep the two-exchange form (full-width
+        # window keyed by the merge keys, then the clustering
+        # exchange), trading the extra exchange for parallelism.
         cluster_into = None
-        if spec["mode"] == "hash" and policy in (
-            "scd1",
-            "full_upsert",
-            "upsert_delete",
-        ) and not kwargs.get("update_cols"):
+        if fuse_window_with_clustering(
+            spec,
+            policy,
+            kwargs.get("update_cols"),
+            self.spark.sparkContext.defaultParallelism,
+        ):
             cluster_into = (part_col, self._partition_expr(spec, keys))
         if policy == "insert_only":
             merged = merge_insert_only(target_affected, src_plain, keys)

@@ -627,3 +627,77 @@ def test_iterative_graph_lineage_is_bounded(spark):
         )
     )
     release_pinned()
+
+
+def test_merge_scd1_fused_clustering_plans_one_exchange(spark):
+    """r14 verdict ask #4: the merge-fusion claim needs a plan
+    artifact. The fused form (cluster_into) must plan exactly ONE
+    Exchange — hashpartitioning on the bucket column — with the
+    window riding that partitioning (HashPartitioning(bucket)
+    satisfies ClusteredDistribution(bucket, *keys) because bucket is
+    a function of the keys); the unfused form plans a separate
+    window exchange. Results must be identical either way."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        merge_scd1,
+    )
+
+    target = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    source = spark.range(250, 600).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    bucket = F.pmod(F.abs(F.xxhash64("k")), F.lit(32)).cast("int")
+
+    fused = merge_scd1(
+        target, source, ["k"], cluster_into=("__bucket", bucket)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fused.explain(mode="formatted")
+    plan = buf.getvalue()
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan
+    # ...and that one exchange is the bucket clustering, not a key hash
+    assert "__bucket" in plan[plan.index(") Exchange"):].split("Arguments")[1].splitlines()[0]
+    # one Window (plus, on 3.5+, its WindowGroupLimit pre-filter)
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 1
+
+    unfused = merge_scd1(target, source, ["k"])
+    got = sorted(
+        (r.k, r.v) for r in fused.drop("__bucket").collect()
+    )
+    want = sorted((r.k, r.v) for r in unfused.collect())
+    assert got == want
+
+
+def test_fuse_window_with_clustering_guard():
+    """The §2 parallelism guard: fusion requires hash mode, a
+    window-shaped policy, and n_buckets wide enough to occupy the
+    cluster (the fused exchange hashes on the bucket alone, so
+    n_buckets caps the window sort's task count)."""
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.operators.merge import (
+        fuse_window_with_clustering,
+    )
+
+    hash32 = {"mode": "hash", "n_buckets": 32, "keys": ["k"]}
+    hash4 = {"mode": "hash", "n_buckets": 4, "keys": ["k"]}
+    coltab = {"mode": "column", "column": "day", "keys": ["k"]}
+
+    assert fuse_window_with_clustering(hash32, "scd1", None, 32)
+    assert fuse_window_with_clustering(hash32, "full_upsert", None, 8)
+    assert fuse_window_with_clustering(hash32, "upsert_delete", None, 32)
+    # under-bucketed: parallelism collapse — keep two exchanges
+    assert not fuse_window_with_clustering(hash4, "scd1", None, 32)
+    assert fuse_window_with_clustering(hash4, "scd1", None, 4)
+    # column-mode partitions are not key-determined
+    assert not fuse_window_with_clustering(coltab, "scd1", None, 8)
+    # join-shaped policies have no window to fuse
+    assert not fuse_window_with_clustering(hash32, "scd2", None, 8)
+    assert not fuse_window_with_clustering(hash32, "cdc_versioned", None, 8)
+    # update_cols switches full_upsert to its join form
+    assert not fuse_window_with_clustering(hash32, "full_upsert", ["v"], 8)
