@@ -26,8 +26,35 @@ from pyspark.sql import functions as F
 from .neardup import cosine_similarity
 
 
+def _sql_double(x: float) -> str:
+    """Exact SQL double literal: ``repr`` is Python's shortest
+    round-trip decimal form and Spark's double parsing is correctly
+    rounded, so ``parse(repr(x)) == x`` bit for bit (finite values —
+    callers guard inf/nan, which never occur in plane/centroid
+    metadata)."""
+    x = float(x)
+    if x != x or x in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite literal not supported: {x}")
+    return repr(x) + "D"
+
+
+def _sql_double_array(vec: Sequence[float]) -> str:
+    return "array(" + ",".join(_sql_double(x) for x in vec) + ")"
+
+
+def _sql_long_array(vec: Sequence[int]) -> str:
+    return "array(" + ",".join(f"{int(x)}L" for x in vec) + ")"
+
+
 def _query_lit(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    # a single JVM-parsed expression: building the literal array
+    # element-wise (F.array of d F.lit calls) costs one py4j round
+    # trip per element — tens of ms per query vector, and the
+    # centroid/plane call sites repeat it nlist/num_planes times
+    # (guide §4: the Python boundary, driver-side expression-
+    # construction edition). The parsed literals are bit-identical
+    # (_sql_double round-trip).
+    return F.expr(_sql_double_array(vec))
 
 
 def knn_brute_force(
@@ -71,8 +98,27 @@ def srp_bucket_expr(
 ) -> Column:
     """Signed-random-projection bucket id: bit p = [dot(vec, plane_p) ≥ 0].
     Pure expression — the dot products are zip_with/aggregate over a
-    literal plane array, evaluated in codegen."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    literal plane array, evaluated in codegen.
+
+    Built as ONE JVM-parsed SQL string when ``vec_col`` is a column
+    name: the element-wise form paid num_planes × dim ``F.lit`` py4j
+    round trips plus two lambda conversions per plane (~0.5 s of
+    driver time at 8×64) before any job ran (guide §4, driver-side).
+    The parsed tree is the same Catalyst expression — double literals
+    round-trip exactly (``_sql_double``), the CASE/fold/coercion
+    shapes match the Column-API form — so bucket ids are
+    bit-identical; a Column input keeps the old path."""
+    if isinstance(vec_col, str):
+        terms = []
+        for p, plane in enumerate(planes):
+            dot = (
+                f"aggregate(zip_with(`{vec_col}`, {_sql_double_array(plane)}, "
+                "(x, y) -> CAST(x AS DOUBLE) * y), "
+                "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {2 ** p} ELSE 0 END)")
+        return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
+    v = vec_col
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
         dot = F.aggregate(
@@ -420,7 +466,9 @@ def knn_int8(
     import math
 
     q_query = [math.floor(float(x) * qscale + 0.5) for x in query_vec]
-    qq = F.array(*[F.lit(int(x)) for x in q_query])
+    # one parsed int-array literal (same IntegerType elements as the
+    # F.array-of-F.lit form, d fewer py4j round trips)
+    qq = F.expr("array(" + ",".join(str(int(x)) for x in q_query) + ")")
     quant = quantize_int8(df, vec_col=vec_col)
     qv = F.col("q_vec")
     dot = F.aggregate(
@@ -456,11 +504,20 @@ def knn_int8(
 def _lloyd_dist_to(c: list[int]) -> Column:
     """Integer squared-L2 of the quantized ``__q`` vector against one
     literal centroid — a pure map expression (zip_with + fold)."""
-    lit_c = F.array(*[F.lit(int(ci)) for ci in c])
-    return F.aggregate(
-        F.zip_with(F.col("__q"), lit_c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    return F.expr(_lloyd_dist_sql(c))
+
+
+def _lloyd_dist_sql(c: list[int]) -> str:
+    """SQL text of ``_lloyd_dist_to`` — assembled as a string so the
+    k-centroid distance array parses in ONE py4j round trip instead
+    of k × d ``F.lit`` calls plus 2k lambda conversions (~0.7 s of
+    driver time per ``_lloyd_assign`` at k=16, d=64 — paid twice per
+    semantic_dedup query; guide §4, driver-side). All-integer
+    arithmetic: the parsed tree computes the identical exact values
+    (bigint literals, same fold order)."""
+    return (
+        f"aggregate(zip_with(__q, {_sql_long_array(c)}, "
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
     )
 
 
@@ -478,7 +535,9 @@ def _lloyd_assign(base: DataFrame, cents: list[list[int]]) -> DataFrame:
     duplicated-evaluation class, JVM-expression edition). Measured at
     sf0.1 (k=16, d=64, noop sink): 2.89 -> 1.87 s, bit-identical
     output."""
-    dists = F.array(*[_lloyd_dist_to(c) for c in cents])
+    dists = F.expr(
+        "array(" + ",".join(_lloyd_dist_sql(c) for c in cents) + ")"
+    )
     return (
         base.withColumn("__dists", dists)
         .withColumn(
@@ -524,6 +583,17 @@ def _lloyd_iterate(
     base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("__id"), q.alias("__q")
     )
+    # the quantized base feeds the seed top-k, every iteration's
+    # assignment agg, AND the caller's final assign — O(iters + 2)
+    # full passes over the data re-running the scan + quantization
+    # transform without the pin (guide §5: cache what is reused and
+    # expensive to recompute). Tracked: released via release_pinned /
+    # the caller's own lifecycle.
+    from pyspark import StorageLevel
+
+    from .cache import pin
+
+    base = pin(base, StorageLevel.MEMORY_AND_DISK)
     seed_rows = base.orderBy("__id").limit(k).collect()  # k vectors: metadata
     if len(seed_rows) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")
