@@ -217,12 +217,18 @@ def robust_outlier_stats(
         .groupBy("__g")
         .agg(F.min("__v").alias("__med"), F.max("__total").alias("__total"))
     )
-    # deviation histogram: re-key the value histogram, no data pass
-    dev_hist = (
+    # deviation histogram: re-key the value histogram, no data pass.
+    # Pinned like hist: it feeds BOTH the MAD walk and the final
+    # outlier rollup, and without the pin the whole subtree (broadcast
+    # join + re-key agg) plans and runs twice (the r15 before-plan
+    # shows the duplicate subtree; guide §2.4/§5 — metadata-scale, so
+    # caching is the correct trade at any data size).
+    dev_hist = pin(
         nsjoin(hist, med)
         .withColumn("__dev", F.abs(F.col("__v") - F.col("__med")))
         .groupBy("__g", "__med", "__total", "__dev")
-        .agg(F.sum("__n").alias("__n"))
+        .agg(F.sum("__n").alias("__n")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     wdev = (
         Window.partitionBy("__g")
