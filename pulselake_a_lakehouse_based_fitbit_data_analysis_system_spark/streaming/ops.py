@@ -363,6 +363,21 @@ def stateful_running_totals(
     )
 
 
+def _stores_per_partition(plan: str) -> int:
+    """State-store INSTANCES one shuffle partition carries, from the
+    logical plan: a stream-stream (symmetric hash) join instantiates
+    FOUR stores per partition (left/right x keyToNumValues/
+    keyWithIndexToValue), every other stateful operator one. The
+    auto-sizer budgets rows per STORE, so a join's per-partition
+    commit overhead is 4x a dedup's at equal partition count —
+    profiled on the J3 drain at sf0.1: 10 partitions = 40 stores,
+    39.3 s summed state time, vs 4 partitions = 16 stores, 8.4 s,
+    with identical output (tools/ab_interval_join.py)."""
+    if "Join " in plan and plan.count("StreamingRelation") >= 2:
+        return 4
+    return 1
+
+
 def _staged_input_rows(result_stream: DataFrame) -> int | None:
     """Total staged row count of every ``stream_table`` source in the
     stream's plan (each side of a self-join counts once per
@@ -425,7 +440,10 @@ def run_stream_to_memory(
     contributes its staged row count), held state is estimated as
     ``_STATE_FRACTION`` of input (J3 calibration: ~40k held of 200k
     drained), and ``sized_state_partitions`` turns that into a store
-    count. Streams with no staged source (a real file/Kafka source)
+    count — with the per-store budget scaled by
+    ``_stores_per_partition`` (a stream-stream join carries 4 store
+    instances per partition, so it sizes to 4x fewer partitions for
+    the same state volume). Streams with no staged source (a real file/Kafka source)
     keep the session's shuffle setting — there is no input estimate
     to size from, and silently guessing would be worse than the
     explicit knob. The chosen count is reported in
@@ -445,8 +463,16 @@ def run_stream_to_memory(
     if state_partitions is None:
         staged = _staged_input_rows(result_stream)
         if staged is not None:
+            try:
+                plan = result_stream._jdf.queryExecution().logical().toString()
+            except Exception:
+                plan = ""
+            # budget is per STORE: a partition carrying 4 join stores
+            # gets 4x the row budget, so store count — the per-batch
+            # commit-overhead driver — stays on target (guide §5)
             state_partitions = sized_state_partitions(
-                int(staged * _STATE_FRACTION), rows_per_store
+                int(staged * _STATE_FRACTION),
+                rows_per_store * _stores_per_partition(plan),
             )
     if stats_out is not None:
         stats_out["state_partitions"] = state_partitions

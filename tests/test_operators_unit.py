@@ -1325,6 +1325,89 @@ def test_run_stream_auto_sizes_state_partitions(spark):
     )
 
 
+def test_stream_stream_join_sizes_to_four_stores_per_partition(spark):
+    """A symmetric stream-stream join instantiates FOUR state stores
+    per shuffle partition (left/right x keyToNumValues/
+    keyWithIndexToValue), so the auto-sizer budgets its rows across
+    4x the stores and picks 4x fewer partitions than a
+    single-store-per-partition operator would — per-store commit
+    overhead is what the budget bounds (profiled at sf0.1: 10
+    partitions = 39.3 s summed state time, 4 partitions = 8.4 s,
+    identical output; tools/ab_interval_join.py)."""
+    from pyspark.sql import functions as F
+
+    from pulselake_a_lakehouse_based_fitbit_data_analysis_system_spark.streaming import (
+        ops as stream_ops,
+    )
+
+    sf_dir = os.environ.get("PULSELAKE_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+    def build():
+        starts = (
+            stream_ops.stream_table(spark, sf_dir, "events", n_files=2)
+            .filter(F.col("event_type") == "signup")
+            .select(
+                "user_id",
+                F.col("event_id").alias("start_id"),
+                F.col("ts").alias("start_ts"),
+            )
+        )
+        stops = (
+            stream_ops.stream_table(spark, sf_dir, "events", n_files=2)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "user_id",
+                F.col("event_id").alias("end_id"),
+                F.col("ts").alias("end_ts"),
+            )
+        )
+        return stream_ops.streaming_interval_join(
+            starts,
+            stops,
+            ["user_id"],
+            start_time="start_ts",
+            end_time="end_ts",
+            max_interval="interval 3 hours",
+            watermark="365 days",
+            closed="open",
+        ).select(
+            F.col("s.user_id").alias("user_id"),
+            "start_id",
+            "end_id",
+        )
+
+    j = build()
+    plan = j._jdf.queryExecution().logical().toString()
+    assert stream_ops._stores_per_partition(plan) == 4
+    ded = stream_ops.streaming_dedup(
+        stream_ops.stream_table(spark, sf_dir, "events", n_files=2).select(
+            "user_id", "event_type", "ts"
+        ),
+        keys=["user_id", "event_type"],
+        event_time="ts",
+    )
+    ded_plan = ded._jdf.queryExecution().logical().toString()
+    assert stream_ops._stores_per_partition(ded_plan) == 1
+
+    staged = stream_ops._staged_input_rows(j)
+    stats: dict = {}
+    sink = stream_ops.run_stream_to_memory(j, stats_out=stats)
+    want = stream_ops.sized_state_partitions(
+        int(staged * stream_ops._STATE_FRACTION),
+        stream_ops._ROWS_PER_STORE * 4,
+    )
+    assert stats["state_partitions"] == want
+    # sizing is an overhead knob, never a semantics knob: the drain
+    # must produce the same pairs as an explicitly-partitioned run
+    stats2: dict = {}
+    sink2 = stream_ops.run_stream_to_memory(
+        build(), stats_out=stats2, state_partitions=want + 3
+    )
+    assert sorted(map(tuple, sink.collect())) == sorted(
+        map(tuple, sink2.collect())
+    )
+
+
 def test_python_stateful_ops_get_tighter_store_budget(spark):
     """applyInPandasWithState plans size their state partitions to the
     python-channel budget (per-key-group protocol overhead dominates
