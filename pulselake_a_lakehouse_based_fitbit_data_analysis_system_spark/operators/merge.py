@@ -481,11 +481,32 @@ def scd2_merge_batch(
         )
     affected = batch.select(*key_list).distinct()
     existing = target.join(affected, key_list, "left_semi").select(*cols)
-    dedup_cols = key_list + [seq_col] + (
-        [tiebreak_col] if tiebreak_col else []
-    )
-    changes = existing.unionByName(batch.select(*cols)).dropDuplicates(
-        dedup_cols
+    uni = existing.unionByName(batch.select(*cols))
+    # Redelivery dedup on (keys, seq [, tiebreak]) expressed over the
+    # SAME window spec scd2_from_changes sorts by — a row is a
+    # duplicate iff the previous row in (keys)/(seq, tiebreak) order
+    # carries the same ordering values. The downstream lead() window
+    # then reuses this exchange+sort (the filter preserves clustering
+    # and order), so the rebuild pays ONE shuffle where
+    # dropDuplicates + window paid two (guide §2.4). Which duplicate
+    # survives is arbitrary either way (dropDuplicates keeps an
+    # arbitrary row); redelivered rows are bit-identical, so the
+    # result is unchanged.
+    order = [F.col(seq_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w_dedup = Window.partitionBy(*key_list).orderBy(*order)
+    dup = F.lag(seq_col).over(w_dedup).eqNullSafe(F.col(seq_col))
+    if tiebreak_col is not None:
+        dup = dup & F.lag(tiebreak_col).over(w_dedup).eqNullSafe(
+            F.col(tiebreak_col)
+        )
+    changes = (
+        uni.withColumn(
+            "__dup", (F.row_number().over(w_dedup) > 1) & dup
+        )
+        .filter(~F.col("__dup"))
+        .drop("__dup")
     )
     rebuilt = scd2_from_changes(
         changes, key_list, seq_col, tiebreak_col=tiebreak_col
